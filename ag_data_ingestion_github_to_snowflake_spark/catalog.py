@@ -1,0 +1,69 @@
+"""Fixture/table registration: parquet dir -> DataFrames + temp views.
+
+Replaces the reference's ad-hoc file handling (cache dir + S3 keys,
+``/root/reference/src/extract_github_data.py:293-344, 554-600``) with a
+catalog of Parquet-backed tables. At 100 TB these would be external
+tables (Delta/Iceberg) partitioned on date keys; the API here is
+identical either way: ``load_tables`` returns lazily-planned DataFrames
+so Catalyst sees the parquet scans directly (predicate pushdown +
+column pruning reach the file source).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame (lazy parquet scan).
+
+    ``events.ts`` is stored as TIMESTAMP(ns), which Spark's parquet
+    reader cannot represent; with ``nanosAsLong`` it arrives as a raw
+    nanosecond LongType and is normalized here to a microsecond
+    TIMESTAMP (the same truncation DuckDB applies casting ns->us), so
+    Spark results hash-match the oracle.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            # ns -> us truncation, then NTZ so pandas/Arrow sees naive
+            # UTC datetimes exactly like DuckDB's TIMESTAMP.
+            # Integer division: ns values (~1.7e18) exceed double's 2^53
+            # mantissa, so `/ 1000` + floor would be off by ±1 us.
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every fixture table under ``sf_dir``."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load tables and register each as a temp view for ``spark.sql``."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

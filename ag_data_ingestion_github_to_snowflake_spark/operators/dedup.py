@@ -1,0 +1,243 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact dedup (content hash), MinHash+LSH near-dup, SimHash, and n-gram
+Jaccard verification — all expressed with built-in JVM-side functions
+(no Python UDFs in any hot path), so they survive 100 TB:
+
+- exact: hash-groupBy — one shuffle on a 256-bit digest.
+- MinHash: shingles -> K independent min-hashes via xxhash64 with
+  distinct seeds -> B bands -> groupBy band-hash buckets -> pair join
+  only within buckets (candidate set ≪ n²).
+- SimHash: token hashes -> per-bit weighted sum -> 64-bit signature;
+  near-dups share signatures within small Hamming distance.
+- verification: exact Jaccard on candidate pairs only (array_intersect/
+  array_union on the two shingle sets).
+
+Capability grounding: the reference implies id-idempotency (cache keyed
+by repo id + at-least-once resume refetching rows,
+/root/reference/src/extract_github_data.py:452-456, 714); content-level
+dedup is the north-star extension (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact content dedup: keep the lowest id per sha2-256 content hash.
+
+    One shuffle on the digest; group state is (hash, min_id) — constant
+    per group, no skew risk beyond genuinely duplicated content.
+    """
+    return (
+        df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Add a ``shingle`` array column of word n-grams (distinct, sorted).
+
+    Uses split + transform over token index ranges — all codegen'd.
+    """
+    toks = F.split(F.col(text_col), "\\s+")
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), k - F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), F.lit(n))),
+    )
+    return df.withColumn(
+        "shingle", F.array_sort(F.array_distinct(F.when(k > 0, grams).otherwise(F.array())))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", num_hashes: int = 32
+) -> DataFrame:
+    """Add ``sig`` — array of *num_hashes* min-hash values over shingles.
+
+    Each hash h_i(s) = xxhash64(shingle, seed=i); the signature element
+    is min over the shingle set. Pure array expressions: per row,
+    O(|shingles| * K) JVM work, no shuffle.
+    """
+    sig = F.array(
+        *[
+            F.array_min(F.transform("shingle", lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+    return df.withColumn("sig", sig)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """MinHash-LSH candidate duplicate pairs (id_a < id_b).
+
+    Bands the signature into ``bands`` groups of ``num_hashes/bands``
+    rows and buckets on the hash of each band; docs sharing any band
+    bucket become candidates. The pair join happens only within
+    buckets: the shuffle key is (band_idx, band_hash), so the cost is
+    proportional to the number of colliding docs, not n².
+    """
+    rows_per_band = num_hashes // bands
+    banded = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    candidates: DataFrame,
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs; keep pairs ≥ threshold.
+
+    Only candidates are verified — the expensive set ops never run on
+    the full cross product.
+    """
+    sh = shingled.select(F.col(id_col), "shingle")
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    joined = (
+        candidates.join(a, candidates.id_a == F.col(f"sa.{id_col}"))
+        .join(b, candidates.id_b == F.col(f"sb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("sa.shingle").alias("sh_a"),
+            F.col("sb.shingle").alias("sh_b"),
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_near_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle -> minhash -> LSH -> verify.
+
+    Returns (id_a, id_b, jaccard) for verified near-duplicate pairs.
+    """
+    sh = shingles(df.select(id_col, text_col), text_col, n)
+    sig = minhash_signatures(sh, id_col, num_hashes)
+    cands = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
+    return jaccard_pairs(cands, sh, id_col, threshold)
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash signature per document, computed via explode+agg.
+
+    Token hash bits vote per position: sum(+1/-1) per bit -> sign ->
+    signature. Implemented as explode(tokens) -> per-(doc,bit) weight
+    via bitwise ops -> groupBy doc. One shuffle on doc_id; partial
+    aggregation makes the map side cheap.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "\\s+")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    # shiftright+mask instead of 1<<b literals: 1<<63 overflows a long.
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) != 0, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    votes = toks.groupBy(id_col).agg(*bit_votes)
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig.bitwiseOR(bit)
+    return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(sig_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Blocks on 4 x 16-bit chunks (pigeonhole: distance ≤3 ⇒ at least one
+    chunk equal), so the join is chunk-bucketed, never all-pairs.
+    """
+    chunks = sig_df.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,180 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exactness baseline, plus an LSH
+(random-hyperplane) bucketed variant as the 100 TB scale path.
+
+Scale design:
+- Brute force is O(n_query * n_corpus); correct but only viable when
+  one side is small enough to broadcast. We broadcast the query set —
+  the corpus streams through executors untouched, so it scales with
+  corpus size linearly and never shuffles the corpus.
+- The LSH variant hashes vectors to sign-pattern buckets using
+  deterministic pseudo-random hyperplanes; candidates share a bucket in
+  at least one table. Shuffle key = (table, bucket) — candidate join,
+  not all-pairs.
+- Dot products run as F.aggregate/zip_with fold over the array —
+  JVM-side, no Python. For very wide vectors a pandas_udf over Arrow
+  would batch better; at dim=64 the fold wins (no serialization).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def with_cosine(df: DataFrame, left: str, right: str, out: str = "cosine"):
+    """Add cosine similarity between two array columns (JVM fold)."""
+    return df.withColumn(
+        out,
+        _dot(F.col(left), F.col(right))
+        / (_norm(F.col(left)) * _norm(F.col(right))),
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: for each query vector, the k nearest corpus
+    vectors (excluding itself). Query side is broadcast.
+
+    Returns (query_id, neighbor_id, cosine, rnk). Ranking uses the
+    rounded similarity with neighbor-id tiebreak so results are fully
+    deterministic (and oracle-comparable) even under float ties.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(_dot(F.col("q_vec"), F.col("c_vec"))
+                                      / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (no RNG state).
+
+    Components from a fixed-seed sine sequence — the classic
+    hash-to-uniform trick; adequate for LSH bucketing and fully
+    reproducible across runs/executors.
+    """
+    planes = []
+    for p in range(n_planes):
+        vec = []
+        for d in range(dim):
+            x = math.sin(seed + p * 7919 + d * 104729) * 43758.5453
+            vec.append((x - math.floor(x)) * 2.0 - 1.0)
+        planes.append(vec)
+    return planes
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH.
+
+    Each of ``n_tables`` hash tables assigns a vector the integer whose
+    bits are sign(v·h_i) over that table's ``n_planes`` hyperplanes.
+    Query and corpus join on (table, bucket); exact cosine + window
+    rank run only on candidates. Recall grows with n_tables; cost is
+    bucket-local.
+    """
+
+    def bucket_cols(df: DataFrame, vid: str) -> DataFrame:
+        out = df
+        for t_idx in range(n_tables):
+            planes = _hyperplanes(dim, n_planes, seed=42 + t_idx * 1009)
+            bucket = F.lit(0)
+            for p_idx, plane in enumerate(planes):
+                arr = F.array(*[F.lit(v) for v in plane])
+                bucket = bucket + F.when(_dot(F.col(vec_col), arr) >= 0, F.lit(1 << p_idx)).otherwise(F.lit(0))
+            out = out.withColumn(f"bucket_{t_idx}", bucket)
+        buckets = F.posexplode(F.array(*[F.col(f"bucket_{i}") for i in range(n_tables)]))
+        return out.select(F.col(vid), F.col(vec_col), buckets.alias("tbl", "bucket"))
+
+    qb = bucket_cols(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)), "query_id"
+    ).withColumnRenamed(vec_col, "q_vec")
+    cb = bucket_cols(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)), "neighbor_id"
+    ).withColumnRenamed(vec_col, "c_vec")
+    cand = (
+        qb.join(cb, ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "cosine",
+        F.round(_dot(F.col("q_vec"), F.col("c_vec")) / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    n_tables: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ thr).
+
+    LSH-bucketed self-join — the embedding analog of MinHash dedup.
+    """
+    topk = lsh_bucketed_topk(
+        df, df, k=50, id_col=id_col, vec_col=vec_col,
+        n_planes=n_planes, n_tables=n_tables, dim=dim,
+    )
+    return (
+        topk.filter((F.col("cosine") >= threshold) & (F.col("query_id") < F.col("neighbor_id")))
+        .select(
+            F.col("query_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            "cosine",
+        )
+        .distinct()
+    )

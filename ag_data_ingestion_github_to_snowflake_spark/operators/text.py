@@ -1,0 +1,122 @@
+"""Text-analysis operators: tokenization, language ID, quality scoring,
+token counting, document fingerprinting.
+
+All built-in column expressions (split/regexp/aggregate/bit ops) — the
+whole module stays inside whole-stage codegen; nothing drops to Python.
+Grounding: north-star "text analysis" (BASELINE.json) over the
+``documents`` fixture; the reference itself only does f-string/json
+string work (/root/reference/src/extract_github_data.py:576-578).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic
+# language ID. Deliberately deterministic and dependency-free.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est"),
+    "de": ("der", "die", "und", "das", "ist", "ein", "nicht", "mit"),
+    "es": ("el", "la", "de", "que", "y", "los", "un", "es"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "不"),
+}
+
+BPE_ISH_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokenize(df: DataFrame, text_col: str = "text", out: str = "tokens") -> DataFrame:
+    """Whitespace tokenization as an array column."""
+    return df.withColumn(out, F.split(F.col(text_col), "\\s+"))
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add n_tokens / n_distinct_tokens / avg_token_len columns."""
+    toks = F.split(F.col(text_col), "\\s+")
+    return (
+        df.withColumn("n_tokens", F.size(toks).cast("long"))
+        .withColumn("n_distinct_tokens", F.size(F.array_distinct(toks)).cast("long"))
+        .withColumn(
+            "avg_token_len",
+            F.round(
+                F.aggregate(
+                    toks, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double")
+                )
+                / F.greatest(F.size(toks), F.lit(1)),
+                4,
+            ),
+        )
+    )
+
+
+def bpe_ish_token_count(df: DataFrame, text_col: str = "text", out: str = "n_bpe_tokens") -> DataFrame:
+    """Count tokens under a BPE-ish regex (letter runs / digit runs /
+    single punctuation) — a cheap proxy for LLM token budgeting."""
+    return df.withColumn(
+        out, F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_TOKEN_RE), F.lit(0))).cast("long")
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", out: str = "quality") -> DataFrame:
+    """Heuristic quality score in [0,1]: length band + stopword ratio +
+    alpha ratio + repetition penalty. Deterministic arithmetic only."""
+    toks = F.split(F.col(text_col), "\\s+")
+    n_tok = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    text_len = F.length(F.col(text_col)).cast("double")
+    stop_arr = F.array(*[F.lit(wd) for wd in LANG_MARKERS["en"]])
+    stop_ratio = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, F.lower(x)))) / n_tok
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z ]", "")) / F.greatest(text_len, F.lit(1.0))
+    )
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tok
+    len_band = F.when((text_len >= 50) & (text_len <= 5000), F.lit(1.0)).otherwise(F.lit(0.5))
+    score = (
+        F.least(stop_ratio * 2.0, F.lit(1.0)) * 0.25
+        + alpha_ratio * 0.25
+        + distinct_ratio * 0.25
+        + len_band * 0.25
+    )
+    return df.withColumn(out, F.round(score, 6))
+
+
+def language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Stopword-marker language ID over LANG_MARKERS.
+
+    Scores each language by marker-token hits; argmax wins with a
+    deterministic tiebreak on language code. Pure array expressions.
+    """
+    toks = F.transform(F.split(F.col(text_col), "\\s+"), lambda x: F.lower(x))
+    scores = []
+    for code, markers in sorted(LANG_MARKERS.items()):
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        hits = F.size(F.filter(toks, lambda x: F.array_contains(marker_arr, x)))
+        scores.append(F.struct(hits.alias("hits"), F.lit(code).alias("code")))
+    # array_max on struct orders by (hits, code); ties pick the larger
+    # code, deterministic either way.
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(out, best.getField("code")).withColumn(
+        "lang_score", best.getField("hits").cast("long")
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
+    """Order-sensitive rolling (polynomial) hash over tokens.
+
+    fp = fold(tokens, acc -> (acc*1000003 + h(token)) mod (2^31-1)) — a
+    Rabin-Karp-style document fingerprint that distinguishes
+    permutations (unlike a token-set hash). The accumulator stays below
+    2^31 so the multiply never overflows a long under ANSI arithmetic.
+    """
+    toks = F.split(F.col(text_col), "\\s+")
+    mod = F.lit(2147483647).cast("long")  # 2^31 - 1 (prime)
+    return df.withColumn(
+        out,
+        F.aggregate(
+            toks,
+            F.lit(1469598103).cast("long"),
+            lambda acc, x: F.pmod(
+                acc * F.lit(1000003).cast("long") + F.pmod(F.xxhash64(x), mod), mod
+            ),
+        ),
+    )

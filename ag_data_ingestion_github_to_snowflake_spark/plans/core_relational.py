@@ -1,0 +1,496 @@
+"""Core relational queries: scans, projections, filters, aggregations,
+sorts/limits, set ops (SURVEY §2.B1-B9, B16-B28).
+
+These re-express, on the driver fixtures, the reference's documented SQL
+consumption layer (``/root/reference/README.md:293-312``: top-k,
+group-by count, filtered group-by average) plus the capability-completion
+operators. All pure DataFrame API — Catalyst handles pushdown/pruning.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register, t
+
+# Exact-arithmetic helpers for oracle parity (see registry module doc).
+DEC = "decimal(18,2)"
+DEC6 = "decimal(18,6)"
+
+
+def dsum(col, alias):
+    """SUM through DECIMAL(18,2) then back to double — exact, order-independent."""
+    return F.sum(F.col(col).cast(DEC)).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# B1 parquet scan + B4 projection/rename + B9 range predicate
+# ---------------------------------------------------------------------------
+@register(
+    "project_filter_part",
+    oracle="""
+    SELECT p_partkey AS part_id,
+           p_brand   AS brand,
+           p_retailprice AS price
+    FROM part
+    WHERE p_size BETWEEN 10 AND 30 AND p_retailprice > 1200.0
+    """,
+    survey_ids=("B1", "B4", "B9"),
+)
+def project_filter_part(spark: SparkSession, sf: str) -> DataFrame:
+    """Parquet scan -> column projection + rename -> range predicates.
+
+    Mirrors the reference's 14-column projection at ingest
+    (/root/reference/src/extract_github_data.py:494-527) as a pure
+    Catalyst projection: pushdown reaches the parquet scan.
+    """
+    return (
+        t(spark, sf, "part")
+        .filter(F.col("p_size").between(10, 30) & (F.col("p_retailprice") > 1200.0))
+        .select(
+            F.col("p_partkey").alias("part_id"),
+            F.col("p_brand").alias("brand"),
+            F.col("p_retailprice").alias("price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B6 equality filter (reference README.md:195 owner_type filter analog)
+# ---------------------------------------------------------------------------
+@register(
+    "filter_eq_events",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+    survey_ids=("B6",),
+)
+def filter_eq_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Equality filter (reference: WHERE owner_type = 'Organization')."""
+    return (
+        t(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B7/B8 compound all-columns-non-null predicate (validation semantics,
+# reference src/extract_github_data.py:530-547)
+# ---------------------------------------------------------------------------
+@register(
+    "filter_all_notnull_customer",
+    oracle="""
+    SELECT count(*) AS valid_rows
+    FROM customer
+    WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL
+      AND c_nationkey IS NOT NULL AND c_acctbal IS NOT NULL
+      AND c_mktsegment IS NOT NULL
+    """,
+    survey_ids=("B7", "B8", "A12"),
+)
+def filter_all_notnull_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """Required-field null validation as a compound predicate."""
+    df = t(spark, sf, "customer")
+    pred = reduce(lambda a, b: a & b, [F.col(c).isNotNull() for c in df.columns])
+    return df.filter(pred).agg(F.count("*").alias("valid_rows"))
+
+
+# ---------------------------------------------------------------------------
+# B16 GROUP BY + COUNT(*)  (reference README.md:301-304)
+# ---------------------------------------------------------------------------
+@register(
+    "group_count_mktsegment",
+    oracle="""
+    SELECT c_mktsegment AS segment, count(*) AS n
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    survey_ids=("B16",),
+)
+def group_count_mktsegment(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUP BY + COUNT(*) — the reference's repo-count-per-owner-type."""
+    return t(spark, sf, "customer").groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B17 filtered GROUP BY + AVG + ORDER BY (reference README.md:306-311)
+# ---------------------------------------------------------------------------
+@register(
+    "group_avg_acctbal",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal,
+           count(*) AS n
+    FROM customer
+    WHERE c_acctbal > 0
+    GROUP BY c_mktsegment
+    """,
+    survey_ids=("B17",),
+)
+def group_avg_acctbal(spark: SparkSession, sf: str) -> DataFrame:
+    """Filtered GROUP BY + AVG — the reference's avg-stars-per-language."""
+    return (
+        t(spark, sf, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            (F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count("*")).alias("avg_bal"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B18 global aggregate (reference run-metadata counters,
+# src/extract_github_data.py:730-742)
+# ---------------------------------------------------------------------------
+@register(
+    "global_agg_orders",
+    oracle="""
+    SELECT count(*) AS n_orders,
+           min(o_orderkey) AS min_key,
+           max(o_orderkey) AS max_key,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_rev
+    FROM orders
+    """,
+    survey_ids=("B18", "A15"),
+)
+def global_agg_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Global count/min/max/sum — the reference's run-summary metadata."""
+    return t(spark, sf, "orders").agg(
+        F.count("*").alias("n_orders"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        dsum("o_totalprice", "total_rev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B19 conditional aggregation (valid/invalid/failed counters,
+# src/extract_github_data.py:704-711)
+# ---------------------------------------------------------------------------
+@register(
+    "conditional_counts_orders",
+    oracle="""
+    SELECT count(*) AS total,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending,
+           CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_large
+    FROM orders
+    """,
+    survey_ids=("B19", "A13"),
+)
+def conditional_counts_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """count-if split counters — the reference's valid/invalid/failed tallies."""
+    df = t(spark, sf, "orders")
+
+    def cnt(p, alias):
+        return F.sum(F.when(p, 1).otherwise(0)).alias(alias)
+
+    return df.agg(
+        F.count("*").alias("total"),
+        cnt(F.col("o_orderstatus") == "F", "n_finished"),
+        cnt(F.col("o_orderstatus") == "O", "n_open"),
+        cnt(F.col("o_orderstatus") == "P", "n_pending"),
+        cnt(F.col("o_totalprice") > 100000, "n_large"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B20 COUNT(DISTINCT)
+# ---------------------------------------------------------------------------
+@register(
+    "count_distinct_customers",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    survey_ids=("B20",),
+)
+def count_distinct_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """COUNT(DISTINCT) per group."""
+    return t(spark, sf, "orders").groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B21 approx_count_distinct — approximate, rows-only check
+# ---------------------------------------------------------------------------
+@register(
+    "approx_distinct_users",
+    oracle=None,  # approximate result: no exact oracle (SURVEY B21)
+    survey_ids=("B21",),
+)
+def approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the 100 TB-scale cardinality path.
+
+    At 100 TB an exact COUNT(DISTINCT) is a full shuffle of the key set;
+    approx_count_distinct is a fixed-size sketch mergeable map-side.
+    """
+    return t(spark, sf, "events").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B22 rollup / cube
+# ---------------------------------------------------------------------------
+@register(
+    "rollup_orders",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           o_orderpriority AS priority,
+           count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    survey_ids=("B22",),
+)
+def rollup_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP hierarchy totals (status -> priority -> grand total)."""
+    return (
+        t(spark, sf, "orders")
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_totalprice"),
+        )
+        .rollup("status", "priority")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice", "rev"))
+    )
+
+
+@register(
+    "cube_counts",
+    oracle="""
+    SELECT l_returnflag AS rflag,
+           l_linestatus AS lstatus,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    survey_ids=("B22",),
+)
+def cube_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over two grouping dims."""
+    return (
+        t(spark, sf, "lineitem")
+        .select(F.col("l_returnflag").alias("rflag"), F.col("l_linestatus").alias("lstatus"))
+        .cube("rflag", "lstatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# B23 percentiles / stddev (exact ints -> deterministic)
+# ---------------------------------------------------------------------------
+@register(
+    "percentiles_nchars",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(quantile_cont(n_chars, 0.5) AS DOUBLE) AS p50,
+           CAST(quantile_cont(n_chars, 0.9) AS DOUBLE) AS p90,
+           ROUND(stddev_samp(n_chars), 4) AS sd
+    FROM documents
+    GROUP BY lang
+    """,
+    survey_ids=("B23",),
+)
+def percentiles_nchars(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles + stddev per language."""
+    return t(spark, sf, "documents").groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.expr("CAST(percentile(n_chars, 0.5) AS DOUBLE)").alias("p50"),
+        F.expr("CAST(percentile(n_chars, 0.9) AS DOUBLE)").alias("p90"),
+        F.round(F.stddev_samp("n_chars"), 4).alias("sd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B24 ORDER BY DESC + LIMIT: top-k  (reference README.md:295-299
+# "Top 10 most-starred repositories")
+# ---------------------------------------------------------------------------
+@register(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    survey_ids=("B24",),
+)
+def topk_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-10 by price with unique tiebreak (reference's top-10-stars).
+
+    Spark executes this as TakeOrderedAndProject: per-partition top-k
+    then a k-row merge on the driver — no global sort, scale-safe.
+    """
+    return (
+        t(spark, sf, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# B25 LIMIT with deterministic order (reference budget truncation :662)
+# ---------------------------------------------------------------------------
+@register(
+    "limit_first_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 25
+    """,
+    survey_ids=("B25", "A11"),
+)
+def limit_first_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Budget-limit slice with total order (reference repo_list[:max])."""
+    return (
+        t(spark, sf, "orders")
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# B26 DISTINCT / dropDuplicates
+# ---------------------------------------------------------------------------
+@register(
+    "distinct_nation_segment",
+    oracle="""
+    SELECT DISTINCT c_nationkey AS nationkey, c_mktsegment AS segment
+    FROM customer
+    """,
+    survey_ids=("B26",),
+)
+def distinct_nation_segment(spark: SparkSession, sf: str) -> DataFrame:
+    """DISTINCT over a composite key (id-idempotency analog)."""
+    return (
+        t(spark, sf, "customer")
+        .select(F.col("c_nationkey").alias("nationkey"), F.col("c_mktsegment").alias("segment"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# B27 UNION ALL (daily-file accumulation, README.md:151-156)
+# ---------------------------------------------------------------------------
+@register(
+    "union_all_orders",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_orderkey, 'urgent' AS bucket FROM orders WHERE o_orderpriority = '1-URGENT'
+      UNION ALL
+      SELECT o_orderkey, 'high' AS bucket FROM orders WHERE o_orderpriority = '2-HIGH'
+    )
+    """,
+    survey_ids=("B27",),
+)
+def union_all_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """UNION ALL of two filtered scans (daily partition accumulation)."""
+    o = t(spark, sf, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", F.lit("urgent").alias("bucket")
+    )
+    b = o.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        "o_orderkey", F.lit("high").alias("bucket")
+    )
+    return a.unionByName(b)
+
+
+# ---------------------------------------------------------------------------
+# B28 INTERSECT / EXCEPT
+# ---------------------------------------------------------------------------
+@register(
+    "intersect_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    survey_ids=("B28",),
+)
+def intersect_nations(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT: nations having both customers and suppliers."""
+    c = t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "except_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    survey_ids=("B28",),
+)
+def except_nations(spark: SparkSession, sf: str) -> DataFrame:
+    """EXCEPT: nations with customers but no suppliers."""
+    c = t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    # subtract == EXCEPT DISTINCT (set semantics, matching the SQL oracle)
+    return c.subtract(s)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1-style pricing summary (B16-B19, B23, B24)
+# ---------------------------------------------------------------------------
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag AS rflag,
+           l_linestatus AS lstatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    survey_ids=("B16", "B17", "B18", "B19"),
+)
+def pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: filter -> groupBy -> multi-agg.
+
+    Partial (map-side) aggregation + 6-group final agg: the canonical
+    scale-safe aggregate shape. Decimal-exact sums for oracle parity.
+    """
+    li = t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp_ntz"))
+    disc_price = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount")).cast(DEC)
+    return (
+        li.groupBy(
+            F.col("l_returnflag").alias("rflag"), F.col("l_linestatus").alias("lstatus")
+        ).agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )

@@ -1,0 +1,274 @@
+"""Join queries (SURVEY §2.B10-B15).
+
+The reference has exactly one *implicit* join — the list->detail
+enrichment keyed on (owner, name)
+(/root/reference/src/extract_github_data.py:677-699) — and zero SQL
+joins; the star-schema fixtures make joins first-class here.
+
+Scale notes: small dims (region 5 rows, nation 25 rows, supplier) are
+explicitly broadcast — at 100 TB the fact side never shuffles for these
+joins. Fact-fact joins (lineitem ⋈ orders) shuffle on the join key;
+AQE handles skew splitting. At warehouse scale both sides would be
+bucketed on orderkey to eliminate the shuffle entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register, t
+
+DEC = "decimal(18,2)"
+
+
+# ---------------------------------------------------------------------------
+# B10 inner equi-join (fact ⋈ fact: shuffle / sort-merge, AQE may flip)
+# ---------------------------------------------------------------------------
+@register(
+    "join_inner_lineitem_orders",
+    oracle="""
+    SELECT o.o_orderstatus AS status,
+           count(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+    survey_ids=("B10",),
+)
+def join_inner_lineitem_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Inner equi-join of the two fact tables + aggregate."""
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B11 broadcast hash join (explicit hint on the small dims)
+# ---------------------------------------------------------------------------
+@register(
+    "join_broadcast_nation_region",
+    oracle="""
+    SELECT n.n_name AS nation, r.r_name AS region, count(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+    survey_ids=("B11",),
+)
+def join_broadcast_nation_region(spark: SparkSession, sf: str) -> DataFrame:
+    """Customer ⋈ broadcast(nation) ⋈ broadcast(region): zero fact shuffle
+    for the join itself — the dims ship to every executor."""
+    c = t(spark, sf, "customer")
+    n = F.broadcast(t(spark, sf, "nation"))
+    r = F.broadcast(t(spark, sf, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, F.col("n_regionkey") == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# B12 left outer join (404-tolerant enrichment analog,
+# src/extract_github_data.py:480-487: missing detail doesn't drop the run)
+# ---------------------------------------------------------------------------
+@register(
+    "join_left_customer_orders",
+    oracle="""
+    SELECT c.c_custkey AS custkey,
+           count(o.o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS spend
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+    survey_ids=("B12",),
+)
+def join_left_customer_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Left join keeps order-less customers (404-tolerant enrichment)."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(F.col("c_custkey").alias("custkey"))
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(F.col("o_totalprice").cast(DEC)), F.lit(0).cast(DEC))
+            .cast("double")
+            .alias("spend"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B13 left semi / anti join (cache-hit vs cache-miss split analog,
+# src/extract_github_data.py:452-456)
+# ---------------------------------------------------------------------------
+@register(
+    "join_semi_customers_with_orders",
+    oracle="""
+    SELECT c_custkey AS custkey, c_mktsegment AS segment
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+    survey_ids=("B13",),
+)
+def join_semi_customers_with_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-semi: customers having ≥1 order (cache-hit side)."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment")
+    )
+
+
+@register(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey AS custkey, c_mktsegment AS segment
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+    """,
+    survey_ids=("B13",),
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-anti: customers with no orders (cache-miss side)."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B14 theta / non-equi join (equi key + range condition)
+# ---------------------------------------------------------------------------
+@register(
+    "join_theta_acctbal",
+    oracle="""
+    SELECT s.s_suppkey AS suppkey,
+           count(*) AS n_richer_customers
+    FROM supplier s
+    JOIN customer c
+      ON s.s_nationkey = c.c_nationkey AND c.c_acctbal > s.s_acctbal
+    GROUP BY s.s_suppkey
+    """,
+    survey_ids=("B14",),
+)
+def join_theta_acctbal(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi+inequality join: same-nation customers richer than supplier.
+
+    The equi component keeps this a hash join with a residual predicate
+    (never a cartesian product) — the scale-safe way to write theta
+    joins when any equi key exists.
+    """
+    s = t(spark, sf, "supplier")
+    c = t(spark, sf, "customer")
+    return (
+        s.join(c, (s.s_nationkey == c.c_nationkey) & (c.c_acctbal > s.s_acctbal))
+        .groupBy(F.col("s_suppkey").alias("suppkey"))
+        .agg(F.count("*").alias("n_richer_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# B15 multi-way star join — the flagship query (entry() runs this)
+# ---------------------------------------------------------------------------
+@register(
+    "top_revenue_nations",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation ASC
+    """,
+    survey_ids=("B15", "B10", "B11", "B16", "B24"),
+)
+def top_revenue_nations(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship TPC-H Q5-shaped star join: revenue by nation in ASIA.
+
+    Plan shape at scale: lineitem⋈orders is the only fact-fact shuffle;
+    customer joins on custkey (shuffle, AQE-coalesced); nation/region
+    broadcast. Filters on region/date reach the scans via pushdown.
+    """
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    c = t(spark, sf, "customer")
+    n = F.broadcast(t(spark, sf, "nation"))
+    r = F.broadcast(t(spark, sf, "region").filter(F.col("r_name") == "ASIA"))
+    revenue = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount")).cast(DEC)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(n, F.col("c_nationkey") == n.n_nationkey)
+        .join(r, F.col("n_regionkey") == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"), F.count("*").alias("n_items"))
+        .orderBy(F.desc("revenue"), F.asc("nation"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# B15 wide star join with supplier (6 tables)
+# ---------------------------------------------------------------------------
+@register(
+    "star_join_wide",
+    oracle="""
+    SELECT r.r_name AS region,
+           o.o_orderstatus AS status,
+           count(*) AS n,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, o.o_orderstatus
+    """,
+    survey_ids=("B15",),
+)
+def star_join_wide(spark: SparkSession, sf: str) -> DataFrame:
+    """Six-table star join grouped by region and status."""
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    s = F.broadcast(t(spark, sf, "supplier"))
+    n = F.broadcast(t(spark, sf, "nation"))
+    r = F.broadcast(t(spark, sf, "region"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, F.col("n_regionkey") == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("qty"),
+        )
+    )

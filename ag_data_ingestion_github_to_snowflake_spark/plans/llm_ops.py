@@ -1,0 +1,281 @@
+"""LLM-data pipeline queries (SURVEY §2.B51-B57 + north-star ops):
+dedup (exact / MinHash-LSH / SimHash / Jaccard), similarity search,
+text analysis, multimodal packing.
+
+Algorithms live in ``operators/``; this module binds them to the
+fixture tables and their oracle twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ag_data_ingestion_github_to_snowflake_spark.operators import dedup as D
+from ag_data_ingestion_github_to_snowflake_spark.operators import multimodal as M
+from ag_data_ingestion_github_to_snowflake_spark.operators import similarity as S
+from ag_data_ingestion_github_to_snowflake_spark.operators import text as X
+from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register, t
+
+
+# ---------------------------------------------------------------------------
+# B53 exact dedup via content hash
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact_documents",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+    survey_ids=("B53", "B26"),
+)
+def dedup_exact_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact content dedup: sha2-256 hash-groupBy keeping lowest id."""
+    return D.exact_dedup(t(spark, sf, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# B54 MinHash-LSH near dedup — verified pairs (rows-only: hash family
+# is engine-specific, not SQL-expressible)
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_minhash_pairs",
+    oracle=None,
+    survey_ids=("B54",),
+)
+def dedup_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs verified by exact Jaccard."""
+    return D.minhash_near_dedup(
+        t(spark, sf, "documents"), threshold=0.4
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=None,
+    survey_ids=("B54",),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 3."""
+    sig = D.simhash(t(spark, sf, "documents"))
+    return D.simhash_near_pairs(sig).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard on an explicit small candidate set — oracle-checkable:
+# exact Jaccard of word trigram sets for doc pairs (id, id+1) in a
+# bounded id range.
+# ---------------------------------------------------------------------------
+@register(
+    "jaccard_adjacent_docs",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([
+                array_to_string(toks[i:i+2], ' ')
+                FOR i IN range(1, len(toks) - 1)
+             ]) AS shingle
+      FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+            FROM documents WHERE doc_id < 50)
+      WHERE len(toks) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(
+             CAST(len(list_intersect(a.shingle, b.shingle)) AS DOUBLE)
+             / GREATEST(len(list_distinct(list_concat(a.shingle, b.shingle))), 1),
+           6) AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+    survey_ids=("B54", "B41"),
+)
+def jaccard_adjacent_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact trigram Jaccard between consecutive doc ids (id, id+1)."""
+    docs = t(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    sh = D.shingles(docs, "text", 3).filter(
+        F.size(F.split("text", "\\s+")) >= 3
+    ).select("doc_id", "shingle")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect("a.shingle", "b.shingle"))
+    union = F.size(F.array_union("a.shingle", "b.shingle"))
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B55 similarity search: brute-force cosine top-k (oracle: explicit
+# double arithmetic — list_cosine_similarity computes in float32)
+# ---------------------------------------------------------------------------
+@register(
+    "similarity_topk_cosine",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id,
+             c.vec_id AS neighbor_id,
+             ROUND(
+               list_sum(list_transform(list_zip(q.q_vec, c.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.q_vec,  v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))
+                * sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))),
+             6) AS cosine
+      FROM embeddings c, q
+      WHERE q.query_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+    survey_ids=("B55", "B41", "B43"),
+)
+def similarity_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for query vectors (vec_id < 10)."""
+    emb = t(spark, sf, "embeddings")
+    return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "similarity_lsh_topk",
+    oracle=None,  # approximate (recall < 1): rows-only
+    survey_ids=("B55",),
+)
+def similarity_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate LSH-bucketed cosine top-5 — the 100 TB scale path."""
+    emb = t(spark, sf, "embeddings")
+    return S.lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+# ---------------------------------------------------------------------------
+# B56 text analysis
+# ---------------------------------------------------------------------------
+@register(
+    "text_stats_by_lang",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS total_tokens,
+           ROUND(SUM(CAST(n_chars AS DOUBLE)) / count(*), 4) AS avg_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    survey_ids=("B56",),
+)
+def text_stats_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Token totals + average doc length per language."""
+    docs = X.token_stats(t(spark, sf, "documents"))
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.sum(F.col("n_chars").cast("double")) / F.count("*"), 4).alias("avg_chars"),
+    )
+
+
+@register(
+    "token_count_bpe",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT)
+             AS n_bpe_tokens
+    FROM documents
+    WHERE doc_id < 100
+    """,
+    survey_ids=("B56",),
+)
+def token_count_bpe(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-ish regex token counts (letter runs/digit runs/punct)."""
+    docs = t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return docs.withColumn(
+        "n_bpe_tokens",
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), F.lit(0))
+        ).cast("long"),
+    ).select("doc_id", "n_bpe_tokens")
+
+
+@register(
+    "quality_scores",
+    oracle=None,  # heuristic formula — engine-side only; rows-only check
+    survey_ids=("B56",),
+)
+def quality_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Heuristic document quality scores (length/stopword/alpha/dup)."""
+    return X.quality_score(t(spark, sf, "documents")).select("doc_id", "quality")
+
+
+@register(
+    "language_id_confusion",
+    oracle=None,  # heuristic classifier — rows-only
+    survey_ids=("B56",),
+)
+def language_id_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID prediction vs labeled lang: confusion counts."""
+    pred = X.language_id(t(spark, sf, "documents"))
+    return pred.groupBy(
+        F.col("lang").alias("actual"), F.col("lang_pred").alias("predicted")
+    ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "doc_fingerprints",
+    oracle=None,  # xxhash64-based rolling hash — engine-specific
+    survey_ids=("B56",),
+)
+def doc_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling-hash document fingerprints (order-sensitive)."""
+    return X.fingerprint(t(spark, sf, "documents")).select("doc_id", "fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# B57 multimodal packing (+ mapInPandas decode plumbing, stubbed codecs)
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_pack",
+    oracle="""
+    SELECT doc_id,
+           'text' AS modality,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+    FROM documents
+    WHERE doc_id < 200
+    """,
+    survey_ids=("B57", "B42"),
+)
+def multimodal_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Pack text payloads as binary media columns; emit typed metadata."""
+    docs = t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    packed = M.pack_media(
+        docs.withColumn("payload", F.encode("text", "UTF-8")),
+        "payload",
+        modality="text",
+        mime="text/plain",
+    )
+    return packed.select(
+        "doc_id",
+        F.col("media.meta.modality").alias("modality"),
+        F.col("media.meta.n_bytes").alias("n_bytes"),
+    )
+
+
+@register(
+    "multimodal_image_features",
+    oracle=None,  # stubbed decode (deterministic fake) — rows-only
+    survey_ids=("B57", "B51", "B52"),
+)
+def multimodal_image_features(spark: SparkSession, sf: str) -> DataFrame:
+    """mapInPandas decode plumbing with the deterministic fake kernel."""
+    docs = (
+        t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 100)
+        .withColumn("payload", F.encode("text", "UTF-8"))
+    )
+    return M.decode_image_features(docs, deterministic_fake=True)

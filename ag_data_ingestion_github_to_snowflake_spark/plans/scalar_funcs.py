@@ -1,0 +1,274 @@
+"""Scalar-function queries (SURVEY §2.B33-B43): date/time, string,
+JSON, array, math — the functions the reference uses imperatively
+(strftime/json/f-strings, /root/reference/src/extract_github_data.py:
+320,340,390,422,569-578) re-expressed as JVM-side column expressions.
+
+Everything here stays inside whole-stage codegen — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register, t
+
+
+# ---------------------------------------------------------------------------
+# B33 date_format / year / month / day — the reference's partition keys
+# (strftime %Y/%m/%d, src/extract_github_data.py:572-575)
+# ---------------------------------------------------------------------------
+@register(
+    "date_parts_orders",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
+           count(*) AS n
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    survey_ids=("B33", "A16"),
+)
+def date_parts_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """year/month partition-key derivation + count per month."""
+    o = t(spark, sf, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+    ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "date_format_keys",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS date_str,
+           strftime(o_orderdate, '%Y/%m/%d') || '/orders_' || CAST(o_orderkey AS VARCHAR) AS s3_key
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 100
+    """,
+    survey_ids=("B33", "B36", "A16", "A19"),
+)
+def date_format_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """date_format + string concat building the reference's S3 key layout
+    (f"{year}/{month}/{day}/github_repos_{ts}.json", :576-578)."""
+    o = t(spark, sf, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_str"),
+            F.concat(
+                F.date_format("o_orderdate", "yyyy/MM/dd"),
+                F.lit("/orders_"),
+                F.col("o_orderkey").cast("string"),
+            ).alias("s3_key"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# B34 to_timestamp on ISO-8601 'Z' strings (created_at/updated_at shape)
+# + B37 casts
+# ---------------------------------------------------------------------------
+@register(
+    "to_timestamp_iso8601",
+    oracle="""
+    SELECT event_id,
+           CAST(strptime(strftime(ts, '%Y-%m-%dT%H:%M:%SZ'), '%Y-%m-%dT%H:%M:%SZ')
+                AS TIMESTAMP) AS parsed_ts
+    FROM events
+    ORDER BY event_id
+    LIMIT 200
+    """,
+    survey_ids=("B34", "B37"),
+)
+def to_timestamp_iso8601(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-trip ts -> ISO-8601 'Z' string -> to_timestamp.
+
+    Models the reference's created_at/updated_at handling (ISO strings
+    in flight, TIMESTAMP at rest, README.md:179-180 + DDL :276-277).
+    """
+    e = t(spark, sf, "events")
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    return (
+        e.select(
+            "event_id",
+            F.to_timestamp(iso, "yyyy-MM-dd'T'HH:mm:ss'Z'").cast("timestamp_ntz").alias("parsed_ts"),
+        )
+        .orderBy("event_id")
+        .limit(200)
+    )
+
+
+# ---------------------------------------------------------------------------
+# B35 from_unixtime (rate-limit reset parse, :390)
+# ---------------------------------------------------------------------------
+@register(
+    "from_unixtime_reset",
+    oracle="""
+    SELECT event_id,
+           CAST(to_timestamp(1700000000 + event_id) AS TIMESTAMP) AS reset_at
+    FROM events
+    ORDER BY event_id
+    LIMIT 100
+    """,
+    survey_ids=("B35", "A17"),
+)
+def from_unixtime_reset(spark: SparkSession, sf: str) -> DataFrame:
+    """Unix-epoch seconds -> timestamp (X-RateLimit-Reset parsing)."""
+    e = t(spark, sf, "events")
+    return (
+        e.select(
+            "event_id",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("event_id"))
+            .cast("timestamp_ntz")
+            .alias("reset_at"),
+        )
+        .orderBy("event_id")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# B38 from_json with explicit schema (events.props)
+# ---------------------------------------------------------------------------
+@register(
+    "json_extract_props",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    survey_ids=("B38", "A18"),
+)
+def json_extract_props(spark: SparkSession, sf: str) -> DataFrame:
+    """Parse the props JSON column with an explicit schema and aggregate.
+
+    from_json with declared schema ≡ the reference's json.loads at I/O
+    edges (:320,:340,:422) but vectorized JVM-side.
+    """
+    e = t(spark, sf, "events")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    return (
+        e.select("event_type", F.from_json("props", schema).alias("p"))
+        .groupBy("event_type")
+        .agg(F.sum(F.col("p.k")).alias("sum_k"), F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# B39/B40 string functions + regexp
+# ---------------------------------------------------------------------------
+@register(
+    "string_funcs_part",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_type) AS type_lower,
+           upper(p_brand) AS brand_upper,
+           trim(substring(p_name, 1, 10)) AS name_prefix,
+           regexp_extract(p_brand, '[0-9]+') AS brand_num,
+           CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words
+    FROM part
+    """,
+    survey_ids=("B39", "B40"),
+)
+def string_funcs_part(spark: SparkSession, sf: str) -> DataFrame:
+    """lower/upper/trim/substring/split/regexp_extract on part columns."""
+    p = t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_type").alias("type_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.trim(F.substring("p_name", 1, 10)).alias("name_prefix"),
+        F.regexp_extract("p_brand", "[0-9]+", 0).alias("brand_num"),
+        F.size(F.split("p_name", " ")).cast("long").alias("n_words"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B41 array ops on the embedding column
+# ---------------------------------------------------------------------------
+@register(
+    "array_ops_embeddings",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 5) AS first_val,
+           ROUND(CAST(list_sum(embedding) AS DOUBLE), 4) AS vec_sum
+    FROM embeddings
+    WHERE vec_id < 100
+    """,
+    survey_ids=("B41",),
+)
+def array_ops_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """size / element_at / aggregate over array<float> embeddings.
+
+    The fold accumulates left-to-right in DOUBLE in both engines, so
+    rounded sums match exactly.
+    """
+    e = t(spark, sf, "embeddings").filter(F.col("vec_id") < 100)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 5).alias("first_val"),
+        F.round(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ),
+            4,
+        ).alias("vec_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B43 math functions
+# ---------------------------------------------------------------------------
+@register(
+    "math_funcs_customer",
+    oracle="""
+    SELECT c_custkey,
+           ROUND(abs(c_acctbal), 2) AS abs_bal,
+           ROUND(sqrt(abs(c_acctbal)), 4) AS sqrt_bal,
+           ROUND(ln(abs(c_acctbal) + 1), 4) AS log_bal,
+           CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_bucket
+    FROM customer
+    """,
+    survey_ids=("B43",),
+)
+def math_funcs_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """round/abs/sqrt/ln/floor on account balances."""
+    c = t(spark, sf, "customer")
+    ab = F.abs(F.col("c_acctbal"))
+    return c.select(
+        "c_custkey",
+        F.round(ab, 2).alias("abs_bal"),
+        F.round(F.sqrt(ab), 4).alias("sqrt_bal"),
+        F.round(F.log(ab + 1), 4).alias("log_bal"),
+        F.floor(F.col("c_acctbal") / 100).cast("long").alias("bal_bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B42 struct/map constructors (multimodal packing shape) — rows-only:
+# cross-engine struct hashing is representation-dependent.
+# ---------------------------------------------------------------------------
+@register(
+    "struct_pack_events",
+    oracle=None,
+    survey_ids=("B42",),
+)
+def struct_pack_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Pack typed struct + map columns (multimodal metadata shape)."""
+    e = t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.struct(
+            F.col("event_type").alias("kind"), F.col("value").alias("score")
+        ).alias("meta"),
+        F.create_map(F.lit("user"), F.col("user_id").cast("string")).alias("tags"),
+    )
