@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -39,19 +40,21 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Add a ``shingle`` array column of word n-grams (distinct, sorted).
+    """Add a ``shingle`` array column of distinct word n-grams.
 
-    Uses split + transform over token index ranges — all codegen'd.
+    Built with O(1) element_at lookups per gram (slice() would allocate
+    a fresh array per index — O(n²) churn on long docs). All codegen'd.
     """
-    toks = F.split(F.col(text_col), "\\s+")
+    df = df.withColumn("_toks", F.split(F.col(text_col), "\\s+"))
+    toks = F.col("_toks")
     k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(0), k - F.lit(1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), F.lit(n))),
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(n)]
     )
+    grams = F.transform(F.sequence(F.lit(0), k - F.lit(1)), gram)
     return df.withColumn(
-        "shingle", F.array_sort(F.array_distinct(F.when(k > 0, grams).otherwise(F.array())))
-    )
+        "shingle", F.array_distinct(F.when(k > 0, grams).otherwise(F.array().cast("array<string>")))
+    ).drop("_toks")
 
 
 def minhash_signatures(
@@ -59,17 +62,61 @@ def minhash_signatures(
 ) -> DataFrame:
     """Add ``sig`` — array of *num_hashes* min-hash values over shingles.
 
-    Each hash h_i(s) = xxhash64(shingle, seed=i); the signature element
-    is min over the shingle set. Pure array expressions: per row,
-    O(|shingles| * K) JVM work, no shuffle.
+    Universal hashing: each shingle is string-hashed ONCE (xxhash64,
+    bounded to 31 bits), then the K signature functions are cheap
+    multiply-add permutations h_i(x) = (a_i*x + b_i) mod p — the
+    standard MinHash trick that keeps per-row cost O(|shingles|)
+    string hashes + O(|shingles|*K) integer ops. No shuffle; operands
+    stay < 2^62 so ANSI arithmetic never overflows.
     """
+    p = 2147483647  # 2^31 - 1, prime
+    source = "hshingle" if "hshingle" in df.columns else "shingle"
+    if source == "hshingle":
+        base = F.col("hshingle")
+    else:
+        base = F.transform("shingle", lambda s: F.pmod(F.xxhash64(s), F.lit(p).cast("long")))
+    df = df.withColumn("_h", base)
+    # Deterministic coefficients derived from the hash index (odd a_i).
     sig = F.array(
         *[
-            F.array_min(F.transform("shingle", lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            F.array_min(
+                F.transform(
+                    "_h",
+                    lambda x, i=i: F.pmod(
+                        F.lit(2 * i + 1).cast("long") * x + F.lit(i * 40503 + 7).cast("long"),
+                        F.lit(p).cast("long"),
+                    ),
+                )
+            )
             for i in range(num_hashes)
         ]
     )
-    return df.withColumn("sig", sig)
+    return df.withColumn("sig", sig).drop("_h")
+
+
+def hashed_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Add ``hshingle`` — the distinct shingle set as 31-bit hashes.
+
+    Hashing each n-gram down to a long as it is built means the gram
+    strings are never materialized as a column: signatures AND Jaccard
+    verification both run over compact long arrays (hash-collision
+    error ~2^-31 — immaterial for near-dup detection).
+    """
+    p = 2147483647
+    df = df.withColumn("_toks", F.split(F.col(text_col), "\\s+"))
+    toks = F.col("_toks")
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    gram = lambda i: F.pmod(  # noqa: E731
+        F.xxhash64(
+            F.concat_ws(" ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(n)])
+        ),
+        F.lit(p).cast("long"),
+    )
+    grams = F.transform(F.sequence(F.lit(0), k - F.lit(1)), gram)
+    return df.withColumn(
+        "hshingle",
+        F.array_distinct(F.when(k > 0, grams).otherwise(F.array().cast("array<long>"))),
+    ).drop("_toks")
 
 
 def lsh_candidate_pairs(
@@ -132,9 +179,12 @@ def jaccard_pairs(
     """Exact n-gram Jaccard on candidate pairs; keep pairs ≥ threshold.
 
     Only candidates are verified — the expensive set ops never run on
-    the full cross product.
+    the full cross product. Accepts either string shingles
+    (``shingle``) or hashed shingles (``hshingle``, preferred: compact
+    long arrays).
     """
-    sh = shingled.select(F.col(id_col), "shingle")
+    col = "hshingle" if "hshingle" in shingled.columns else "shingle"
+    sh = shingled.select(F.col(id_col), col)
     a = sh.alias("sa")
     b = sh.alias("sb")
     joined = (
@@ -143,8 +193,8 @@ def jaccard_pairs(
         .select(
             "id_a",
             "id_b",
-            F.col("sa.shingle").alias("sh_a"),
-            F.col("sb.shingle").alias("sh_b"),
+            F.col(f"sa.{col}").alias("sh_a"),
+            F.col(f"sb.{col}").alias("sh_b"),
         )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -171,11 +221,19 @@ def minhash_near_dedup(
     """Full near-dup pipeline: shingle -> minhash -> LSH -> verify.
 
     Returns (id_a, id_b, jaccard) for verified near-duplicate pairs.
+    Shingles are hashed to long arrays once and reused by both the
+    signature branch and the verification joins.
     """
-    sh = shingles(df.select(id_col, text_col), text_col, n)
+    # Persist: three consumers (signatures + both verify-join sides)
+    # would otherwise recompute the tokenize+hash subtree. At 100 TB
+    # this is a checkpointed bronze table; locally MEMORY_AND_DISK.
+    sh = hashed_shingles(df.select(id_col, text_col), text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sh.count()  # materialize the cache before the branches fan out
     sig = minhash_signatures(sh, id_col, num_hashes)
     cands = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
-    return jaccard_pairs(cands, sh, id_col, threshold)
+    return jaccard_pairs(cands, sh.select(id_col, "hshingle"), id_col, threshold)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

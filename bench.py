@@ -1,0 +1,71 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Each query executes fully via a noop-format write (forces computation
+of every row without driver-side collect overhead), timed wall-clock.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from ag_data_ingestion_github_to_snowflake_spark.plans.registry import all_specs
+from ag_data_ingestion_github_to_snowflake_spark.session import get_spark
+
+HEADLINE = [
+    "pricing_summary",
+    "top_revenue_nations",
+    "star_join_wide",
+    "join_inner_lineitem_orders",
+    "join_left_customer_orders",
+    "group_avg_acctbal",
+    "topk_orders",
+    "window_topk_orders_per_customer",
+    "tumbling_window_events",
+    "dedup_exact_documents",
+    "dedup_minhash_pairs",
+    "similarity_topk_cosine",
+    "text_stats_by_lang",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark("ag-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_specs()
+
+    # JVM/codegen warm-up so the first timed query isn't charged for it.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        start = time.perf_counter()
+        df = specs[name].build(spark, sf_dir)  # build inside the clock:
+        # some operators materialize intermediate state (persist+count)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
