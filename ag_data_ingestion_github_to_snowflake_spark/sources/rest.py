@@ -1,0 +1,240 @@
+"""Paginated REST source (GitHub-repos-shaped) with injectable transport.
+
+Re-expresses the reference's ingestion operators Spark-first
+(/root/reference/src/extract_github_data.py):
+
+- A1 paginated list scan (``GET /repositories?since&per_page``, :394-435)
+- A2 point-lookup detail enrichment (``GET /repos/{owner}/{repo}``, :438-491)
+- A5 header/auth construction (:351-369)
+- A20 rate-limit governor (:372-391)
+
+Architecture: the *list scan* is a driver-side keyset-paginated fetch
+(pages are inherently sequential — each page's ``since`` comes from the
+previous page's last id), producing a small DataFrame of list rows.
+The *detail enrichment* — the expensive part, one call per row — runs
+distributed via ``mapInPandas``: each executor partition owns an HTTP
+client and fetches its rows' details in parallel across partitions
+(the reference does this serially at 1 row/s; Spark parallelizes it to
+#partitions concurrent streams while a token-bucket throttle enforces
+the per-run budget).
+
+The transport is injectable (callable) so tests replay canned JSON
+(the reference's cache-file format, :293-344) without any network; the
+real transport is a thin ``requests``/urllib adapter gated behind an
+import-try.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# transport: (path, params) -> (status_code, payload_dict_or_list)
+Transport = Callable[[str, dict], tuple[int, object]]
+
+LIST_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("full_name", T.StringType()),
+        T.StructField("owner_login", T.StringType()),
+    ]
+)
+
+# Raw nested detail record (FIXTURES.md §1.1): only the fields the
+# pipeline touches; extra API fields are ignored by projection.
+OWNER_SCHEMA = T.StructType(
+    [
+        T.StructField("login", T.StringType()),
+        T.StructField("id", T.LongType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("avatar_url", T.StringType()),
+        T.StructField("html_url", T.StringType()),
+    ]
+)
+
+RAW_DETAIL_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("full_name", T.StringType()),
+        T.StructField("html_url", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("stargazers_count", T.LongType()),
+        T.StructField("language", T.StringType()),
+        T.StructField("created_at", T.StringType()),
+        T.StructField("updated_at", T.StringType()),
+        T.StructField("owner", OWNER_SCHEMA),
+    ]
+)
+
+
+def http_transport(base_url: str, token: str | None = None) -> Transport:
+    """Real-network transport (urllib). Headers mirror the reference's
+    ``get_api_headers`` (:351-369): token switches the rate tier."""
+
+    def call(path: str, params: dict) -> tuple[int, object]:
+        query = "&".join(f"{k}={v}" for k, v in params.items())
+        url = f"{base_url}{path}" + (f"?{query}" if query else "")
+        req = urllib.request.Request(url)
+        req.add_header("Accept", "application/vnd.github+json")
+        if token:
+            req.add_header("Authorization", f"Bearer {token}")
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                return resp.status, json.loads(resp.read().decode())
+        except urllib.error.HTTPError as e:  # 404 etc: row-skip, not crash
+            return e.code, None
+
+    return call
+
+
+@dataclass
+class RestSourceConfig:
+    """Mirrors the reference's env-var surface (:78-108)."""
+
+    per_page: int = 100  # REPOS_PER_PAGE (API max)
+    max_requests_per_run: int = 60  # MAX_REQUESTS_PER_RUN
+    detail_partitions: int = 8  # parallel enrichment streams
+
+
+def fetch_repo_list(
+    transport: Transport,
+    since: int,
+    per_page: int = 100,
+    max_pages: int = 1,
+) -> tuple[list[dict], int]:
+    """A1: keyset-paginated list scan. Returns (rows, new_watermark).
+
+    Pages are fetched sequentially on the driver (keyset pagination is
+    a serial dependency); each row is the lightweight list record.
+    """
+    rows: list[dict] = []
+    watermark = since
+    for _ in range(max_pages):
+        status, payload = transport("/repositories", {"since": watermark, "per_page": per_page})
+        if status != 200 or not payload:
+            break
+        for r in payload:
+            rows.append(
+                {
+                    "id": int(r["id"]),
+                    "name": r.get("name"),
+                    "full_name": r.get("full_name"),
+                    "owner_login": (r.get("owner") or {}).get("login"),
+                }
+            )
+        watermark = rows[-1]["id"]
+        if len(payload) < per_page:
+            break
+    return rows, watermark
+
+
+def list_scan_df(
+    spark: SparkSession,
+    transport: Transport,
+    since: int,
+    config: RestSourceConfig | None = None,
+    max_pages: int = 1,
+) -> tuple[DataFrame, int]:
+    """List scan as a DataFrame + new watermark (A1 + A11 budget limit)."""
+    config = config or RestSourceConfig()
+    rows, watermark = fetch_repo_list(transport, since, config.per_page, max_pages)
+    budget = max(config.max_requests_per_run - 1, 0)  # 1 call spent on the list
+    rows = rows[:budget]
+    if rows:
+        watermark = rows[-1]["id"]
+    df = spark.createDataFrame(rows, LIST_SCHEMA) if rows else spark.createDataFrame([], LIST_SCHEMA)
+    return df, watermark
+
+
+def enrich_details(
+    list_df: DataFrame,
+    transport: Transport,
+    config: RestSourceConfig | None = None,
+) -> DataFrame:
+    """A2: distributed point-lookup enrichment via mapInPandas.
+
+    Each partition drives its own transport connection; a failed or
+    404 lookup yields no row (A14 skip semantics). The reference does
+    this loop serially on one thread (:677-714); here partitions fetch
+    concurrently and the output is the *nested raw* record, flattening
+    happens downstream (pipeline.github.flatten_repos).
+    """
+    import pandas as pd  # executor-side import
+
+    config = config or RestSourceConfig()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                status, payload = transport(
+                    f"/repos/{row['owner_login']}/{row['name']}", {}
+                )
+                if status != 200 or payload is None:
+                    continue  # 404 / error row-skip (:480-491)
+                p = payload
+                owner = p.get("owner") or {}
+                out.append(
+                    {
+                        "id": p.get("id"),
+                        "name": p.get("name"),
+                        "full_name": p.get("full_name"),
+                        "html_url": p.get("html_url"),
+                        "description": p.get("description"),
+                        "stargazers_count": p.get("stargazers_count"),
+                        "language": p.get("language"),
+                        "created_at": p.get("created_at"),
+                        "updated_at": p.get("updated_at"),
+                        "owner": {
+                            "login": owner.get("login"),
+                            "id": owner.get("id"),
+                            "type": owner.get("type"),
+                            "avatar_url": owner.get("avatar_url"),
+                            "html_url": owner.get("html_url"),
+                        },
+                    }
+                )
+            yield pd.DataFrame(out) if out else pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in RAW_DETAIL_SCHEMA.fields}
+            )
+
+    return (
+        list_df.repartition(config.detail_partitions)
+        .mapInPandas(kernel, RAW_DETAIL_SCHEMA)
+    )
+
+
+@dataclass
+class RateLimiter:
+    """A20 token-budget governor: counts calls, enforces the per-run
+    budget, and surfaces remaining quota (header-driven in the real
+    transport; deterministic here)."""
+
+    budget: int
+    used: int = 0
+    warn_threshold: int = 5
+    warnings: list[str] = field(default_factory=list)
+
+    def acquire(self) -> bool:
+        if self.used >= self.budget:
+            return False
+        self.used += 1
+        remaining = self.budget - self.used
+        if remaining < self.warn_threshold:
+            self.warnings.append(f"rate budget low: {remaining} remaining")
+        return True
+
+    def wrap(self, transport: Transport) -> Transport:
+        def call(path: str, params: dict) -> tuple[int, object]:
+            if not self.acquire():
+                return 403, None  # budget exhausted ≡ rate-limited
+            return transport(path, params)
+
+        return call

@@ -1,0 +1,144 @@
+"""Ingestion-layer tests with a stubbed REST transport (SURVEY §5.5):
+pagination, resume-from-watermark, 404-skip, validation split,
+idempotent dedup, partitioned sink layout, rate budget.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ag_data_ingestion_github_to_snowflake_spark.pipeline.github import (
+    REQUIRED_FIELDS,
+    flatten_repos,
+    incremental_extract,
+    latest_snapshot,
+    validation_split,
+)
+from ag_data_ingestion_github_to_snowflake_spark.sources.rest import (
+    RateLimiter,
+    RestSourceConfig,
+    enrich_details,
+    list_scan_df,
+)
+from ag_data_ingestion_github_to_snowflake_spark.sources.sinks import partitioned_append
+from ag_data_ingestion_github_to_snowflake_spark.sources.state import (
+    FileWatermark,
+    MemoryWatermark,
+)
+from tests.stub_transport import StubTransport
+
+CFG = RestSourceConfig(per_page=50, max_requests_per_run=1000, detail_partitions=4)
+
+
+def test_list_scan_pagination_and_watermark(spark):
+    tr = StubTransport(n_repos=120)
+    df, wm = list_scan_df(spark, tr, since=0, config=CFG, max_pages=2)
+    assert df.count() == 100  # 2 pages x 50
+    assert wm == 100
+    # resume: next scan starts after the watermark
+    df2, wm2 = list_scan_df(spark, tr, since=wm, config=CFG, max_pages=2)
+    ids = [r.id for r in df2.select("id").orderBy("id").collect()]
+    assert ids[0] == 101 and wm2 == 120
+
+
+def test_budget_limit_truncates(spark):
+    tr = StubTransport(n_repos=120)
+    cfg = RestSourceConfig(per_page=50, max_requests_per_run=11, detail_partitions=2)
+    df, wm = list_scan_df(spark, tr, since=0, config=cfg, max_pages=1)
+    assert df.count() == 10  # budget-1 detail slots (reference :630,:662)
+    assert wm == 10  # watermark only advances over fetched rows
+
+
+def test_enrichment_skips_404_and_flattens(spark):
+    tr = StubTransport(n_repos=60)
+    df, _ = list_scan_df(spark, tr, since=0, config=CFG, max_pages=2)
+    raw = enrich_details(df, tr, CFG)
+    flat = flatten_repos(raw)
+    rows = {r.id: r for r in flat.collect()}
+    assert 19 not in rows and 38 not in rows and 57 not in rows  # 404s skipped
+    assert len(rows) == 57
+    r2 = rows[2]
+    assert r2.owner_type == "Organization"
+    assert r2.owner_login == "owner2"
+    assert r2.created_at.year == 2020  # ISO-8601 'Z' parsed
+    assert set(flat.columns) == set(REQUIRED_FIELDS)
+
+
+def test_validation_split_counts(spark):
+    tr = StubTransport(n_repos=100)
+    df, _ = list_scan_df(spark, tr, since=0, config=CFG, max_pages=2)
+    flat = flatten_repos(enrich_details(df, tr, CFG))
+    valid, invalid = validation_split(flat)
+    fetched = [i for i in range(1, 101) if i % 19 != 0]
+    bad = [i for i in fetched if i % 13 == 0 or i % 17 == 0]
+    assert invalid.count() == len(bad)
+    assert valid.count() == len(fetched) - len(bad)
+    miss = {r.id: r.missing_fields for r in invalid.collect()}
+    assert miss[13] == ["description"]
+    assert miss[17] == ["language"]
+
+
+def test_latest_snapshot_idempotent(spark):
+    tr = StubTransport(n_repos=30)
+    df, _ = list_scan_df(spark, tr, since=0, config=CFG)
+    flat = flatten_repos(enrich_details(df, tr, CFG))
+    doubled = flat.unionByName(flat)  # at-least-once refetch
+    deduped = latest_snapshot(doubled)
+    assert deduped.count() == flat.count()
+    assert deduped.select("id").distinct().count() == deduped.count()
+
+
+def test_incremental_extract_end_to_end_with_resume(spark, tmp_path):
+    tr = StubTransport(n_repos=80)
+    state = FileWatermark(str(tmp_path / "wm.txt"))
+    cfg = RestSourceConfig(per_page=40, max_requests_per_run=1000, detail_partitions=2)
+
+    r1 = incremental_extract(spark, tr, state, cfg, max_pages=1)
+    assert r1.new_watermark == 40
+    assert state.get() == 40
+    m = r1.metrics.collect()[0]
+    assert m.total_processed == r1.valid.count() + r1.invalid.count()
+    assert m.start_repo_id >= 1 and m.last_repo_id <= 40
+
+    r2 = incremental_extract(spark, tr, state, cfg, max_pages=1)
+    assert r2.new_watermark == 80
+    ids2 = {r.id for r in r2.valid.select("id").collect()}
+    assert min(ids2) > 40  # resumed past the watermark
+
+
+def test_partitioned_sink_layout(spark, tmp_path):
+    tr = StubTransport(n_repos=40)
+    df, _ = list_scan_df(spark, tr, since=0, config=CFG)
+    flat = flatten_repos(enrich_details(df, tr, CFG))
+    out = str(tmp_path / "sink")
+    partitioned_append(flat, out, ts_col="updated_at")
+    years = [d for d in os.listdir(out) if d.startswith("year=")]
+    assert years == ["year=2024"]
+    months = os.listdir(os.path.join(out, "year=2024"))
+    assert all(m.startswith("month=") for m in months)
+    back = spark.read.parquet(out)
+    assert back.count() == flat.count()
+    # partition pruning applies: day filter reads a subset
+    one_day = back.filter((F.col("month") == "06") & (F.col("day") == "02"))
+    assert 0 < one_day.count() < flat.count()
+
+
+def test_rate_limiter_budget(spark):
+    tr = StubTransport(n_repos=50)
+    rl = RateLimiter(budget=5)
+    wrapped = rl.wrap(tr)
+    for _ in range(5):
+        status, _ = wrapped("/repositories", {"since": 0, "per_page": 1})
+        assert status == 200
+    status, payload = wrapped("/repositories", {"since": 0, "per_page": 1})
+    assert status == 403 and payload is None
+    assert rl.warnings  # low-budget warning fired (<5 remaining)
+
+
+def test_memory_watermark_roundtrip():
+    wm = MemoryWatermark()
+    assert wm.get() == 0
+    wm.set(42)
+    assert wm.get() == 42
