@@ -1,0 +1,135 @@
+"""Structured Streaming surface (SURVEY §2.B44-B50).
+
+The reference *is* operationally a stream: an hourly cron pulls the
+next ≤59 records past a persisted watermark and appends a file
+(/root/reference/.github/workflows/scheduled-extraction.yml:5-13 +
+src/extract_github_data.py:568-578). This module maps that loop onto
+Structured Streaming:
+
+- B44 incremental micro-batch + offset checkpoint: file/parquet source
+  with ``Trigger.AvailableNow`` and ``checkpointLocation`` — restart
+  resumes exactly where the last batch committed (the reference's
+  last_repo_id resume, :164-286, without the hand-rolled state).
+- B45 rate-limited source: ``maxFilesPerTrigger`` / rate source rows
+  per second — the declarative analog of MAX_REQUESTS_PER_RUN.
+- B46-B48 tumbling/sliding/session windows with
+- B49 event-time watermark (late-data drop) and
+- B50 streaming dedup (dropDuplicates within the watermark horizon) —
+  the duplicates at-least-once delivery creates (:714) removed in
+  flight rather than at rest.
+
+Each transformation is a plain DataFrame->DataFrame function usable on
+a batch OR streaming frame — Spark's unified model means the batch
+twins in plans/windows_queries.py share these plans, which is exactly
+how the oracle verifies streaming semantics (batch-equivalence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEC6 = "decimal(18,6)"
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """B46: tumbling event-time window counts/sums per event type."""
+    return (
+        events.groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC6)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, window: str = "1 hour", slide: str = "15 minutes") -> DataFrame:
+    """B47: sliding event-time window totals."""
+    return (
+        events.groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC6)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """B48: session windows per user (gap-merged)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def with_watermark(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """B49: event-time watermark — bounds state and drops late rows.
+
+    Watermarks require TIMESTAMP (with zone); NTZ event time is cast
+    in place — value-preserving under the engine's UTC session.
+    """
+    return events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark("ts", delay)
+
+
+def dedup_stream(events: DataFrame, keys: list[str], delay: str = "10 minutes") -> DataFrame:
+    """B50: streaming dedup on keys within the watermark horizon.
+
+    State is bounded by the watermark: ids older than `delay` are
+    evicted, so memory stays flat no matter how long the stream runs.
+    """
+    return with_watermark(events, delay).dropDuplicates(keys)
+
+
+def stream_events_from_parquet(
+    spark,
+    source_dir: str,
+    schema,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """B44/B45: incremental file source with per-trigger rate cap.
+
+    ``maxFilesPerTrigger`` is the declarative MAX_REQUESTS_PER_RUN: it
+    bounds each micro-batch, and the checkpoint advances only after a
+    batch commits — the reference's watermark loop with transactional
+    offsets.
+    """
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def run_available_now(stream_df: DataFrame, checkpoint: str, table_name: str):
+    """Drain all available input in rate-capped micro-batches, then
+    stop (Trigger.AvailableNow) — the reference's scheduled run
+    semantics (A22): each firing processes what's pending and exits.
+
+    Returns the StreamingQuery; caller awaits termination. Results
+    land in an in-memory table ``table_name`` (tests) — swap the sink
+    for parquet/kafka in production.
+    """
+    return (
+        stream_df.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .format("memory")
+        .queryName(table_name)
+        .start()
+    )
