@@ -1,0 +1,267 @@
+"""Golden-output + property tests for the operator library on tiny
+inline DataFrames (SURVEY §5.3/5.4): flatten totality, validation
+split partitioning, dedup idempotency/detection, similarity geometry,
+text analysis, multimodal plumbing.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ag_data_ingestion_github_to_snowflake_spark.operators import dedup as D
+from ag_data_ingestion_github_to_snowflake_spark.operators import multimodal as M
+from ag_data_ingestion_github_to_snowflake_spark.operators import similarity as S
+from ag_data_ingestion_github_to_snowflake_spark.operators import text as X
+from ag_data_ingestion_github_to_snowflake_spark.pipeline.github import (
+    flatten_repos,
+    latest_snapshot,
+    validation_split,
+)
+from ag_data_ingestion_github_to_snowflake_spark.sources.rest import RAW_DETAIL_SCHEMA
+
+
+def raw_repo(rid: int, **over):
+    base = {
+        "id": rid,
+        "name": f"r{rid}",
+        "full_name": f"o/r{rid}",
+        "html_url": "https://example.invalid/x",
+        "description": "d",
+        "stargazers_count": 5,
+        "language": "Python",
+        "created_at": "2020-01-01T00:00:00Z",
+        "updated_at": "2024-01-02T03:04:05Z",
+        "owner": {
+            "login": "o",
+            "id": 1,
+            "type": "User",
+            "avatar_url": "https://example.invalid/a",
+            "html_url": "https://example.invalid/o",
+        },
+    }
+    base.update(over)
+    return base
+
+
+# ---------------------------------------------------------------------------
+# flatten (A10)
+# ---------------------------------------------------------------------------
+def test_flatten_golden(spark):
+    df = spark.createDataFrame([raw_repo(1)], RAW_DETAIL_SCHEMA)
+    row = flatten_repos(df).collect()[0]
+    assert row.owner_login == "o" and row.owner_id == 1 and row.owner_type == "User"
+    assert row.created_at.year == 2020 and row.updated_at.second == 5
+    assert row.stargazers_count == 5
+
+
+def test_flatten_missing_owner_yields_nulls(spark):
+    df = spark.createDataFrame([raw_repo(2, owner=None)], RAW_DETAIL_SCHEMA)
+    row = flatten_repos(df).collect()[0]
+    assert row.owner_login is None and row.owner_id is None
+
+
+# ---------------------------------------------------------------------------
+# validation split (A12/A13) — property: partitions the input
+# ---------------------------------------------------------------------------
+def test_validation_split_partitions_input(spark):
+    rows = [raw_repo(i) for i in range(1, 8)]
+    rows[2]["description"] = None
+    rows[4]["language"] = None
+    rows[5]["owner"] = None
+    df = flatten_repos(spark.createDataFrame(rows, RAW_DETAIL_SCHEMA))
+    valid, invalid = validation_split(df)
+    assert valid.count() + invalid.count() == df.count()
+    # disjoint id sets
+    vi = {r.id for r in valid.select("id").collect()}
+    ii = {r.id for r in invalid.select("id").collect()}
+    assert not (vi & ii)
+    missing = {r.id: set(r.missing_fields) for r in invalid.collect()}
+    assert missing[3] == {"description"}
+    assert missing[6] == {
+        "owner_login", "owner_id", "owner_type", "owner_avatar_url", "owner_url",
+    }
+
+
+def test_latest_snapshot_keeps_newest(spark):
+    old = raw_repo(1, updated_at="2024-01-01T00:00:00Z", stargazers_count=1)
+    new = raw_repo(1, updated_at="2024-06-01T00:00:00Z", stargazers_count=9)
+    df = flatten_repos(spark.createDataFrame([old, new], RAW_DETAIL_SCHEMA))
+    got = latest_snapshot(df).collect()
+    assert len(got) == 1 and got[0].stargazers_count == 9
+
+
+# ---------------------------------------------------------------------------
+# dedup operators
+# ---------------------------------------------------------------------------
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog again and again today"),  # near dup
+    (4, "completely different text about spark query engines and shuffles here"),
+]
+
+
+def docs_df(spark):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in DOCS])
+
+
+def test_exact_dedup_groups_exact_copies(spark):
+    out = {r.keep_id: r.n_copies for r in D.exact_dedup(docs_df(spark)).collect()}
+    assert out[1] == 2  # docs 1+2 share a hash; keep lowest id
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_exact_dedup_idempotent(spark):
+    once = D.exact_dedup(docs_df(spark))
+    again = (
+        once.select(F.col("keep_id").alias("doc_id"), F.col("content_hash").alias("text"))
+    )
+    assert D.exact_dedup(again).count() == once.count()
+
+
+def test_minhash_finds_near_dups_not_unrelated(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.minhash_near_dedup(docs_df(spark), threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # exact dup -> jaccard 1
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup caught
+    assert not any(4 in p for p in pairs)  # unrelated never paired
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    sig = D.simhash(docs_df(spark))
+    pairs = {(r.id_a, r.id_b): r.hamming for r in D.simhash_near_pairs(sig, max_hamming=3).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+# ---------------------------------------------------------------------------
+# similarity geometry
+# ---------------------------------------------------------------------------
+def vec_df(spark):
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=3, embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=4, embedding=[0.7071, 0.7071, 0.0]),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_cosine_identity_and_orthogonality(spark):
+    df = vec_df(spark)
+    topk = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in S.brute_force_topk(df, df, k=3).collect()
+    }
+    assert topk[(1, 2)] == 1.0  # identical vectors
+    assert topk[(1, 3)] == 0.0  # orthogonal
+    assert abs(topk[(1, 4)] - 0.707107) < 1e-5  # 45 degrees
+
+
+def test_topk_ranks_by_similarity(spark):
+    df = vec_df(spark)
+    rows = [r for r in S.brute_force_topk(df, df.filter(F.col("vec_id") == 1), k=3).collect()]
+    order = [r.neighbor_id for r in sorted(rows, key=lambda r: r.rnk)]
+    assert order == [2, 4, 3]  # dup first, 45-deg second, orthogonal last
+
+
+def test_embedding_near_dup_pairs_lsh(spark):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in S.embedding_near_dup_pairs(vec_df(spark), threshold=0.99, dim=3).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+def test_token_stats_golden(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="aa bb aa")])
+    row = X.token_stats(df).collect()[0]
+    assert row.n_tokens == 3 and row.n_distinct_tokens == 2
+    assert row.avg_token_len == 2.0
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="hello world42 x-y!")])
+    row = X.bpe_ish_token_count(df).collect()[0]
+    # hello | world | 42 | x | - | y | !
+    assert row.n_bpe_tokens == 7
+
+
+def test_language_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat and the dog in a house it is"),
+            Row(doc_id=2, text="le chat et la maison les des une est"),
+            Row(doc_id=3, text="der hund und das haus ist ein nicht mit"),
+        ]
+    )
+    got = {r.doc_id: r.lang_pred for r in X.language_id(df).collect()}
+    assert got == {1: "en", 2: "fr", 3: "de"}
+
+
+def test_quality_score_bounds_and_ordering(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox is a good dog and it runs in the park " * 3),
+            Row(doc_id=2, text="zzz zzz zzz zzz zzz zzz zzz zzz"),
+        ]
+    )
+    got = {r.doc_id: r.quality for r in X.quality_score(df).collect()}
+    assert all(0.0 <= v <= 1.0 for v in got.values())
+    assert got[1] > got[2]  # fluent english beats repetition
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma"),
+            Row(doc_id=2, text="alpha beta gamma"),
+            Row(doc_id=3, text="gamma beta alpha"),
+        ]
+    )
+    got = {r.doc_id: r.fingerprint for r in X.fingerprint(df).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]  # permutation changes the rolling hash
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+def test_pack_media_metadata(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="hello")])
+    packed = M.pack_media(df.withColumn("payload", F.encode("text", "UTF-8")), "payload", "text", "text/plain")
+    row = packed.select("media.meta.*").collect()[0]
+    assert row.modality == "text" and row.n_bytes == 5 and row.mime == "text/plain"
+
+
+def test_decode_image_features_fake_deterministic(spark):
+    df = spark.createDataFrame([Row(doc_id=i, text=f"payload {i}") for i in range(5)])
+    df = df.withColumn("payload", F.encode("text", "UTF-8"))
+    a = sorted(M.decode_image_features(df, deterministic_fake=True).collect())
+    b = sorted(M.decode_image_features(df, deterministic_fake=True).collect())
+    assert a == b  # stable across runs
+    assert all(64 <= r.width < 256 and 0 <= r.mean_luma <= 1 for r in a)
+
+
+def test_decode_image_without_codec_raises(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="x")]).withColumn(
+        "payload", F.encode("text", "UTF-8")
+    )
+    with pytest.raises(Exception, match="NotImplementedError|image codecs"):
+        M.decode_image_features(df, deterministic_fake=False).collect()
+
+
+def test_sample_frames_stride(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="x" * 320)]).withColumn(
+        "payload", F.encode("text", "UTF-8")
+    )
+    rows = M.sample_frames(df, every_n=10, deterministic_fake=True).collect()
+    # 320 bytes -> 20 frames -> indices 0,10
+    assert [r.frame_idx for r in sorted(rows, key=lambda r: r.frame_idx)] == [0, 10]

@@ -1,0 +1,110 @@
+"""Physical-plan shape tests (SURVEY §4 + the 100 TB design goals):
+verify that Catalyst produces the plans the operators were designed
+for — broadcasts where intended, pushdown reaching the parquet scan,
+column pruning, no cartesian products, whole-stage codegen present.
+
+These tests read ``explain(formatted)`` output: they are the
+regression net that keeps future operator changes scale-safe.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from ag_data_ingestion_github_to_snowflake_spark.catalog import load_table
+from ag_data_ingestion_github_to_snowflake_spark.plans.registry import all_specs
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_broadcast_join_is_broadcast(spark):
+    """Dims under the hint must hash-broadcast, never shuffle."""
+    df = all_specs()["join_broadcast_nation_region"].build(spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_star_join_broadcasts_dims(spark):
+    df = all_specs()["top_revenue_nations"].build(spark, SF)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region at minimum
+    assert "CartesianProduct" not in plan
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    """B1/B9: range predicates must appear in PushedFilters."""
+    df = all_specs()["project_filter_part"].build(spark, SF)
+    plan = plan_of(df)
+    assert "PushedFilters:" in plan
+    assert "GreaterThanOrEqual(p_size,10)" in plan or "p_size" in plan.split("PushedFilters:")[1].split("\n")[0]
+
+
+def test_column_pruning_reads_subset(spark):
+    """A 3-column projection over an 11-column table must scan 3 cols."""
+    df = all_specs()["project_filter_part"].build(spark, SF)
+    plan = plan_of(df)
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "p_partkey" in read_schema and "p_brand" in read_schema
+    assert "p_name" not in read_schema  # untouched column pruned
+
+
+def test_whole_stage_codegen_active(spark):
+    """Aggregations must run inside WholeStageCodegen spans."""
+    df = all_specs()["pricing_summary"].build(spark, SF)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("codegen")  # AQE formatted plans omit codegen marks
+    assert "WholeStageCodegen subtrees" in buf.getvalue()
+
+
+def test_topk_uses_take_ordered(spark):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject — a
+    per-partition top-k + k-row merge, not a global sort."""
+    df = all_specs()["topk_orders"].build(spark, SF)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_theta_join_not_cartesian(spark):
+    """Equi+inequality join must stay a hash/sort-merge join with a
+    residual condition, never a cartesian/BNL product."""
+    df = all_specs()["join_theta_acctbal"].build(spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_semi_anti_join_operators(spark):
+    plan_semi = plan_of(all_specs()["join_semi_customers_with_orders"].build(spark, SF))
+    plan_anti = plan_of(all_specs()["join_anti_customers_without_orders"].build(spark, SF))
+    assert "LeftSemi" in plan_semi
+    assert "LeftAnti" in plan_anti
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    """Map-side partial agg (HashAggregate before Exchange) must be
+    present: at scale it collapses the shuffle by the group count."""
+    li = load_table(spark, SF, "lineitem")
+    df = li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+    plan = plan_of(df)
+    # formatted plan lists HashAggregate twice (partial + final)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_scan_count_minimal_for_flagship(spark):
+    """The flagship query must scan each table exactly once."""
+    df = all_specs()["top_revenue_nations"].build(spark, SF)
+    plan = plan_of(df)
+    # one InMemoryFileIndex location per table: each scanned exactly once
+    assert plan.count("Location: InMemoryFileIndex") == 5
