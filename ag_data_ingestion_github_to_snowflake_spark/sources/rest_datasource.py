@@ -1,0 +1,126 @@
+"""GitHub-repos REST connector as a Spark 4 Python Data Source.
+
+Promotes the driver-side fetch (sources/rest.py) to a first-class
+``spark.read.format("github_repos")`` source (SURVEY §7.4): the list
+scan is keyset-paginated so page N+1 depends on page N's last id —
+but with a fixed ``since``/``until`` id range the keyspace can be
+*sharded by id*: each input partition owns an id sub-range and pages
+through it independently (``GET /repositories?since=<shard_start>``
+stopping at shard end). That turns the reference's serial loop
+(/root/reference/src/extract_github_data.py:394-435) into N parallel
+scan streams, one per Spark task — the same technique JDBC sources use
+for predicate-sharded parallel reads.
+
+Registration requires a picklable transport factory; tests inject the
+stub via ``TransportRegistry`` (executors re-create the transport from
+its spec, never over the wire).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from ag_data_ingestion_github_to_snowflake_spark.sources.rest import LIST_SCHEMA
+
+
+class TransportRegistry:
+    """Maps a name to a transport factory so executors can rebuild the
+    transport from options (options must be plain strings)."""
+
+    _factories: dict[str, object] = {}
+
+    @classmethod
+    def register(cls, name: str, factory) -> None:
+        cls._factories[name] = factory
+
+    @classmethod
+    def build(cls, name: str, spec: str):
+        return cls._factories[name](spec)
+
+
+class _IdRangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class GithubReposReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.options = options
+        self.since = int(options.get("since", 0))
+        self.until = int(options.get("until", 1000))
+        self.per_page = int(options.get("per_page", 100))
+        self.num_partitions = int(options.get("num_partitions", 4))
+        self.transport_name = options.get("transport", "stub")
+        self.transport_spec = options.get("transport_spec", "")
+
+    def partitions(self) -> list[_IdRangePartition]:
+        """Shard [since, until) into contiguous id ranges."""
+        span = max(self.until - self.since, 0)
+        n = max(min(self.num_partitions, span), 1)
+        step = (span + n - 1) // n if span else 1
+        return [
+            _IdRangePartition(s, min(s + step, self.until))
+            for s in range(self.since, self.until, step)
+        ] or [_IdRangePartition(self.since, self.until)]
+
+    def read(self, partition: _IdRangePartition) -> Iterator[tuple]:
+        """Page through one id shard (runs on the executor)."""
+        transport = TransportRegistry.build(self.transport_name, self.transport_spec)
+        cursor = partition.start
+        while cursor < partition.end:
+            status, payload = transport(
+                "/repositories", {"since": cursor, "per_page": self.per_page}
+            )
+            if status != 200 or not payload:
+                break
+            for r in payload:
+                rid = int(r["id"])
+                if rid > partition.end:
+                    return
+                yield (
+                    rid,
+                    r.get("name"),
+                    r.get("full_name"),
+                    (r.get("owner") or {}).get("login"),
+                )
+                cursor = rid
+            if len(payload) < self.per_page:
+                break
+
+
+class GithubReposDataSource(DataSource):
+    """``spark.read.format("github_repos").options(...)`` source.
+
+    Options: since, until, per_page, num_partitions, transport,
+    transport_spec (JSON string for the transport factory).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "github_repos"
+
+    def schema(self):
+        return LIST_SCHEMA
+
+    def reader(self, schema) -> GithubReposReader:
+        return GithubReposReader(self.options)
+
+
+def _stub_factory(spec: str):
+    """Rebuild the tests' StubTransport from a JSON spec (executor-side)."""
+    from tests.stub_transport import StubTransport
+
+    cfg = json.loads(spec) if spec else {}
+    return StubTransport(**cfg)
+
+
+TransportRegistry.register("stub", _stub_factory)
+
+
+def register(spark) -> None:
+    """Register the connector on a session (idempotent)."""
+    spark.dataSource.register(GithubReposDataSource)

@@ -1,0 +1,67 @@
+"""Python Data Source API connector tests: parallel id-sharded scan,
+pushdown-style option handling, row parity with the driver-side scan."""
+
+from __future__ import annotations
+
+import json
+
+from ag_data_ingestion_github_to_snowflake_spark.sources import rest_datasource as RD
+from ag_data_ingestion_github_to_snowflake_spark.sources.rest import (
+    RestSourceConfig,
+    list_scan_df,
+)
+from tests.stub_transport import StubTransport
+
+
+def read_df(spark, **options):
+    RD.register(spark)
+    reader = spark.read.format("github_repos")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def test_parallel_scan_reads_all_rows(spark):
+    df = read_df(
+        spark,
+        since=0,
+        until=200,
+        per_page=50,
+        num_partitions=4,
+        transport="stub",
+        transport_spec=json.dumps({"n_repos": 200}),
+    )
+    assert df.count() == 200
+    ids = [r.id for r in df.select("id").orderBy("id").collect()]
+    assert ids == list(range(1, 201))
+    assert df.rdd.getNumPartitions() == 4
+
+
+def test_id_range_sharding_no_overlap(spark):
+    df = read_df(
+        spark,
+        since=50,
+        until=150,
+        per_page=30,
+        num_partitions=3,
+        transport="stub",
+        transport_spec=json.dumps({"n_repos": 300}),
+    )
+    ids = [r.id for r in df.select("id").orderBy("id").collect()]
+    assert ids == list(range(51, 151))  # exact range, no dups, no gaps
+
+
+def test_connector_matches_driver_side_scan(spark):
+    tr = StubTransport(n_repos=120)
+    cfg = RestSourceConfig(per_page=60, max_requests_per_run=1000)
+    drv, _ = list_scan_df(spark, tr, since=0, config=cfg, max_pages=2)
+    con = read_df(
+        spark,
+        since=0,
+        until=120,
+        per_page=60,
+        num_partitions=2,
+        transport="stub",
+        transport_spec=json.dumps({"n_repos": 120}),
+    )
+    assert sorted(drv.collect()) == sorted(con.collect())
