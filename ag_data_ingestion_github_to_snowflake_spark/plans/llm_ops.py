@@ -205,7 +205,20 @@ def token_count_bpe(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "quality_scores",
-    oracle=None,  # heuristic formula — engine-side only; rows-only check
+    oracle="""
+    SELECT doc_id,
+      ROUND(
+        LEAST(CAST(len(list_filter(string_split_regex(text,'\\s+'),
+                   t -> list_contains(['the','and','of','to','a','in','is','it'], lower(t)))) AS DOUBLE)
+              / GREATEST(len(string_split_regex(text,'\\s+')),1) * 2.0, 1.0) * 0.25
+        + CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+              / GREATEST(length(text),1) * 0.25
+        + CAST(len(list_distinct(string_split_regex(text,'\\s+'))) AS DOUBLE)
+              / GREATEST(len(string_split_regex(text,'\\s+')),1) * 0.25
+        + (CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.5 END) * 0.25,
+      6) AS quality
+    FROM documents
+    """,
     survey_ids=("B56",),
 )
 def quality_scores(spark: SparkSession, sf: str) -> DataFrame:

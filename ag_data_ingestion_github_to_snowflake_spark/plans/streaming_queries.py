@@ -1,0 +1,92 @@
+"""Streaming-backed query entries (SURVEY §2.B44-B46, B50).
+
+These run REAL Structured Streaming jobs — file source (staged to a
+temp dir: the file stream source lists directories), AvailableNow
+trigger, checkpointed offsets, memory sink — and return the drained
+result. Because AvailableNow processes all available input, the result
+equals the batch plan over the same data, so the tumbling-window entry
+carries the SAME DuckDB oracle as its batch twin: the streaming
+execution path itself is hash-verified against SQL.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register
+from ag_data_ingestion_github_to_snowflake_spark.streaming import streams as S
+
+
+def _staged_events_stream(spark: SparkSession, sf: str) -> tuple[DataFrame, str]:
+    """Stage events.parquet into a temp dir and open it as a stream.
+
+    The raw file stores ts as TIMESTAMP(ns) (read as long under
+    nanosAsLong); the same ns->us normalization as the batch catalog
+    applies on the stream.
+    """
+    src = os.path.join(sf, "events.parquet")
+    stage = tempfile.mkdtemp(prefix="ag_stream_events_")
+    shutil.copy(src, os.path.join(stage, "events.parquet"))
+    raw_schema = spark.read.parquet(src).schema
+    sdf = spark.readStream.schema(raw_schema).parquet(stage)
+    sdf = sdf.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    )
+    return sdf, stage
+
+
+def _drain(plan: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
+    cp = tempfile.mkdtemp(prefix="ag_stream_cp_")
+    name = "mem_" + os.path.basename(cp).removeprefix("ag_stream_cp_")
+    q = (
+        plan.writeStream.outputMode(mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", cp)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+@register(
+    "streaming_tumbling_events",
+    # Same oracle as the batch twin: AvailableNow drains everything, so
+    # the streaming result must hash-match the SQL aggregation.
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    survey_ids=("B44", "B46", "A22"),
+)
+def streaming_tumbling_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling-window agg executed via Structured Streaming
+    (checkpointed micro-batches, AvailableNow drain)."""
+    sdf, _ = _staged_events_stream(spark, sf)
+    return _drain(S.tumbling_counts(sdf), spark, "complete")
+
+
+@register(
+    "streaming_dedup_events",
+    oracle="""
+    SELECT event_id FROM events
+    """,
+    survey_ids=("B50", "B44"),
+)
+def streaming_dedup_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming dedup on event_id under a watermark: unique input
+    passes through exactly once (duplicate handling proven in
+    tests/test_streaming.py with a duplicated source)."""
+    sdf, _ = _staged_events_stream(spark, sf)
+    deduped = S.dedup_stream(sdf, ["event_id"], delay="40 days").select("event_id")
+    return _drain(deduped, spark, "append")
