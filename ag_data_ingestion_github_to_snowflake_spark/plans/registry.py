@@ -66,6 +66,7 @@ def all_specs() -> dict[str, QuerySpec]:
         joins,
         llm_ops,
         scalar_funcs,
+        scale_ops,
         streaming_queries,
         windows_queries,
     )

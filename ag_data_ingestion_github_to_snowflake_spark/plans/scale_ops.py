@@ -1,0 +1,49 @@
+"""Scale-technique queries: skew-safe salted aggregation (oracle: the
+plain GROUP BY it must be row-identical to)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ag_data_ingestion_github_to_snowflake_spark.operators.skew import salted_aggregate
+from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register, t
+
+
+@register(
+    "salted_group_sum",
+    oracle="""
+    SELECT l_returnflag AS rflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    survey_ids=("B16", "B18"),
+    description="two-phase salted aggregation equals the plain group-by",
+)
+def salted_group_sum(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-safe two-phase aggregation on a low-cardinality key.
+
+    l_returnflag has 3 values over the whole fact table — exactly the
+    shape where a single hot reducer melts at 100 TB. The salted plan
+    spreads each key over 16 reducers; the oracle proves the result is
+    identical to the naive aggregate.
+    """
+    li = t(spark, sf, "lineitem").select(
+        F.col("l_returnflag"),
+        F.col("l_orderkey"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty_dec"),
+    )
+    out = salted_aggregate(
+        li,
+        keys=["l_returnflag"],
+        aggs={"sum_qty": ("qty_dec", "sum"), "n": ("qty_dec", "count")},
+        unique_col="l_orderkey",
+        n_salts=16,
+    )
+    return out.select(
+        F.col("l_returnflag").alias("rflag"),
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("n").cast("long").alias("n"),
+    )
