@@ -228,7 +228,27 @@ def quality_scores(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "language_id_confusion",
-    oracle=None,  # heuristic classifier — rows-only
+    # argmax of marker-token hits, deterministic tiebreak on language
+    # code — the exact Spark array_max(struct(hits, code)) semantics.
+    oracle="""
+    WITH toks AS (
+      SELECT lang,
+             list_transform(string_split_regex(text,'\\s+'), t -> lower(t)) AS tl
+      FROM documents
+    ), scored AS (
+      SELECT lang,
+        list_sort([
+          {'hits': len(list_filter(tl, t -> list_contains(['der','die','und','das','ist','ein','nicht','mit'], t))), 'code': 'de'},
+          {'hits': len(list_filter(tl, t -> list_contains(['the','and','of','to','a','in','is','it'], t))), 'code': 'en'},
+          {'hits': len(list_filter(tl, t -> list_contains(['el','la','de','que','y','los','un','es'], t))), 'code': 'es'},
+          {'hits': len(list_filter(tl, t -> list_contains(['le','la','et','les','des','un','une','est'], t))), 'code': 'fr'},
+          {'hits': len(list_filter(tl, t -> list_contains(['的','是','了','在','我','有','和','不'], t))), 'code': 'zh'}
+        ])[-1].code AS predicted
+      FROM toks
+    )
+    SELECT lang AS actual, predicted, count(*) AS n
+    FROM scored GROUP BY 1, 2
+    """,
     survey_ids=("B56",),
 )
 def language_id_confusion(spark: SparkSession, sf: str) -> DataFrame:
