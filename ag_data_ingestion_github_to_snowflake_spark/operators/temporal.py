@@ -1,0 +1,130 @@
+"""Temporal join operators Spark lacks natively: as-of join and
+bucketed interval (range) join.
+
+As-of join — for each left row, the most recent right row at or before
+its timestamp, per key — is implemented with the union+window trick:
+
+    tag both sides, union them, sort within each key by (ts, side),
+    carry the last-seen right payload forward with
+    last(..., ignorenulls=True), keep only left rows.
+
+Cost: ONE shuffle on the key + ONE within-partition sort — the same
+price as a sort-merge join, with no range-condition blowup. This is
+the scale-correct shape: a naive `l JOIN r ON l.key = r.key AND
+r.ts <= l.ts` + window-max produces |matches| ~ |l|x|r per key| rows
+before ranking; the union trick never materializes them.
+
+Range/interval join buckets both sides by interval-sized time buckets
+so candidate pairs share a bucket — the standard interval-bucketing
+strategy that keeps a theta-range join off the cartesian path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join: latest right row with ts <= left ts, per key.
+
+    ``right`` should be unique per (key, ts) — pre-aggregate if not
+    (ties would be nondeterministic in any engine).
+    """
+    right_cols = right_cols or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    payload = F.struct(*[F.col(c) for c in right_cols])
+
+    l_tag = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1)).withColumn(
+        "_payload", F.lit(None).cast(
+            right.select(payload.alias("_p")).schema["_p"].dataType
+        )
+    )
+    r_tag = (
+        right.select(
+            F.col(on),
+            F.col(right_ts).alias("_ts"),
+            F.lit(0).alias("_side"),
+            payload.alias("_payload"),
+        )
+    )
+    # align columns for the union: left keeps its full row
+    l_cols = [c for c in left.columns]
+    unioned = l_tag.select(
+        *l_cols, "_ts", "_side", "_payload"
+    ).unionByName(
+        r_tag.select(
+            *[
+                F.col(c) if c == on else F.lit(None).cast(left.schema[c].dataType).alias(c)
+                for c in l_cols
+            ],
+            "_ts",
+            "_side",
+            "_payload",
+        )
+    )
+    # right rows (side 0) sort before left rows at equal ts: ties match.
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.asc("_ts"), F.asc("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "_matched", F.last("_payload", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("_side") == 1).select(
+        *l_cols,
+        *[
+            F.col("_matched").getField(c).alias(f"{c}{suffix}" if c in l_cols else c)
+            for c in right_cols
+        ],
+    )
+    return out
+
+
+def bucketed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Interval join: left.ts ∈ [right.start, right.end), equi on key.
+
+    Both sides map to interval-sized buckets (right intervals explode
+    over the buckets they span), then join on (key, bucket) + residual
+    range predicate. Shuffle volume ~ rows x avg buckets per interval,
+    never |l| x |r|.
+    """
+    b = F.unix_timestamp  # seconds precision for bucketing
+
+    secs = {"1 hour": 3600, "15 minutes": 900, "1 day": 86400}[bucket]
+    l_b = left.withColumn("_bucket", (b(F.col(left_ts)) / secs).cast("long"))
+    r_b = right.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                (b(F.col(right_start)) / secs).cast("long"),
+                (b(F.col(right_end)) / secs).cast("long"),
+            )
+        ),
+    )
+    return (
+        l_b.join(r_b, [on, "_bucket"])
+        .filter(
+            (F.col(left_ts) >= F.col(right_start)) & (F.col(left_ts) < F.col(right_end))
+        )
+        .drop("_bucket")
+    )

@@ -67,6 +67,7 @@ def all_specs() -> dict[str, QuerySpec]:
         llm_ops,
         scalar_funcs,
         scale_ops,
+        temporal_queries,
         streaming_queries,
         windows_queries,
     )

@@ -1,0 +1,100 @@
+"""Temporal-join queries: as-of join (DuckDB native ASOF JOIN oracle)
+and bucketed range join (plain range-predicate oracle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ag_data_ingestion_github_to_snowflake_spark.operators.temporal import (
+    asof_join,
+    bucketed_range_join,
+)
+from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register, t
+
+
+@register(
+    "asof_join_events",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+    ), views AS (
+      SELECT user_id, ts, max(value) AS view_value
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, ts
+    )
+    SELECT p.event_id,
+           p.user_id,
+           ROUND(p.value, 6) AS purchase_value,
+           ROUND(v.view_value, 6) AS last_view_value
+    FROM purchases p
+    ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    survey_ids=("B14", "B29", "B31"),
+    description="as-of join: latest prior view value per purchase",
+)
+def asof_join_events(spark: SparkSession, sf: str) -> DataFrame:
+    """For each purchase, the user's most recent prior 'view' value.
+
+    Union+window implementation: one shuffle on user_id, one sort —
+    no range-condition row blowup (see operators/temporal.py).
+    """
+    ev = t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    joined = asof_join(purchases, views, on="user_id", right_cols=["view_value"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("value", 6).alias("purchase_value"),
+        F.round("view_value", 6).alias("last_view_value"),
+    )
+
+
+@register(
+    "range_join_bucketed",
+    oracle="""
+    WITH sessions AS (
+      SELECT user_id,
+             time_bucket(INTERVAL '1 hour', ts) AS s_start,
+             time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS s_end
+      FROM events WHERE event_type = 'signup'
+      GROUP BY 1, 2, 3
+    )
+    SELECT s.user_id, s.s_start, count(*) AS n_events_in_window
+    FROM sessions s
+    JOIN events e
+      ON e.user_id = s.user_id AND e.ts >= s.s_start AND e.ts < s.s_end
+    GROUP BY 1, 2
+    """,
+    survey_ids=("B14", "B46"),
+    description="bucketed interval join: events inside signup-hour windows",
+)
+def range_join_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """Count each user's events falling in the hour window of any of
+    their signups — interval join via time-bucketing."""
+    ev = t(spark, sf, "events")
+    sessions = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("s_start"),
+            (F.date_trunc("hour", "ts") + F.expr("INTERVAL 1 HOUR"))
+            .cast("timestamp_ntz")
+            .alias("s_end"),
+        )
+        .distinct()
+    )
+    joined = bucketed_range_join(
+        ev, sessions, on="user_id", left_ts="ts", right_start="s_start", right_end="s_end"
+    )
+    return joined.groupBy("user_id", "s_start").agg(
+        F.count("*").alias("n_events_in_window")
+    )
