@@ -301,7 +301,17 @@ def multimodal_pack(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "multimodal_image_features",
-    oracle=None,  # stubbed decode (deterministic fake) — rows-only
+    # The deterministic fake decode is content-derived (sha256 of the
+    # payload bytes), so even the Arrow/mapInPandas path has an exact
+    # SQL twin: hex-sliced digest bytes reproduce width/height/luma.
+    oracle="""
+    SELECT doc_id,
+           64 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) % 192 AS width,
+           64 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INT) % 192 AS height,
+           ROUND(CAST(('0x' || substr(sha256(text), 5, 2)) AS INT) / 255.0, 6) AS mean_luma
+    FROM documents
+    WHERE doc_id < 100
+    """,
     survey_ids=("B57", "B51", "B52"),
 )
 def multimodal_image_features(spark: SparkSession, sf: str) -> DataFrame:

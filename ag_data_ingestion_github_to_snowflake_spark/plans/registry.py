@@ -68,6 +68,7 @@ def all_specs() -> dict[str, QuerySpec]:
         scalar_funcs,
         scale_ops,
         temporal_queries,
+        tpch_like,
         streaming_queries,
         windows_queries,
     )

@@ -1,0 +1,102 @@
+"""Additional TPC-H-shaped analytical queries (Q3/Q18 analogs):
+fact-fact-dim joins with grouped HAVING semantics and global top-k —
+the shapes a warehouse consumer of the reference's table would run
+once it grows past the three README queries."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register, t
+
+DEC = "decimal(18,2)"
+
+
+@register(
+    "shipping_priority_top10",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           o.o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate <  TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate  >= TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+    survey_ids=("B15", "B24", "B16"),
+    description="TPC-H Q3 shape: segment-filtered star join, top-10 revenue orders",
+)
+def shipping_priority_top10(spark: SparkSession, sf: str) -> DataFrame:
+    """Q3 analog: unshipped-revenue top-10 for one market segment."""
+    c = t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    li = t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1996-03-15").cast("timestamp_ntz")
+    )
+    revenue = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount")).cast(DEC)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "large_orders_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 150
+    )
+    SELECT c.c_name,
+           o.o_orderkey,
+           o.o_orderdate,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate
+    """,
+    survey_ids=("B15", "B13", "B16"),
+    description="TPC-H Q18 shape: HAVING-filtered semi join back to dims",
+)
+def large_orders_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Q18 analog: customers holding orders with total quantity > 150.
+
+    The HAVING aggregate runs first (partial-agg friendly), its key set
+    semi-joins the fact — at scale the semi join's build side is only
+    the qualifying orderkeys, not the fact table.
+    """
+    li = t(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 150)
+        .select("l_orderkey")
+    )
+    orders = t(spark, sf, "orders")
+    o = orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+    c = t(spark, sf, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("total_qty"))
+    )
