@@ -69,6 +69,7 @@ def all_specs() -> dict[str, QuerySpec]:
         scale_ops,
         temporal_queries,
         tpch_like,
+        udf_io_queries,
         streaming_queries,
         windows_queries,
     )

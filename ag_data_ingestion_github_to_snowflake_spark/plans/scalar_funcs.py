@@ -254,6 +254,43 @@ def math_funcs_customer(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# B5 nested-struct flatten via dotted paths (the reference's owner.*
+# hoist, src/extract_github_data.py:519-523): build the nested shape
+# in flight, flatten it back with dotted-path projection.
+# ---------------------------------------------------------------------------
+@register(
+    "nested_struct_flatten",
+    oracle="""
+    SELECT event_id,
+           user_id AS actor_id,
+           event_type AS actor_kind,
+           value AS score
+    FROM events
+    WHERE event_type IN ('signup', 'purchase')
+    """,
+    survey_ids=("B5", "B4", "A10"),
+)
+def nested_struct_flatten(spark: SparkSession, sf: str) -> DataFrame:
+    """Nest (actor.id, actor.kind) like the API's owner struct, then
+    hoist back to flat columns with dotted paths — pure projection,
+    Catalyst collapses the struct entirely."""
+    e = t(spark, sf, "events").filter(F.col("event_type").isin("signup", "purchase"))
+    nested = e.select(
+        "event_id",
+        F.struct(
+            F.col("user_id").alias("id"), F.col("event_type").alias("kind")
+        ).alias("actor"),
+        F.col("value"),
+    )
+    return nested.select(
+        "event_id",
+        F.col("actor.id").alias("actor_id"),
+        F.col("actor.kind").alias("actor_kind"),
+        F.col("value").alias("score"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # B42 struct/map constructors (multimodal packing shape) — rows-only:
 # cross-engine struct hashing is representation-dependent.
 # ---------------------------------------------------------------------------

@@ -1,0 +1,123 @@
+"""Pandas-UDF and I/O-format queries (SURVEY §2.B2/B3, B51/B52).
+
+- B52 grouped-map: per-user z-score normalization of event values via
+  ``groupBy().applyInPandas`` — Arrow-batched, one group per call. The
+  oracle reproduces it with window aggregates in SQL.
+- B2/B3: events staged to a date-partitioned JSON sink, read back with
+  an explicit schema (never inferred), aggregated — proving the JSON
+  scan and the partitioned-sink layout in one artifact-checkable query.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register, t
+
+ZSCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("zscore", T.DoubleType()),
+    ]
+)
+
+
+@register(
+    "grouped_zscore_events",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(
+             CASE WHEN stddev_samp(value) OVER w IS NULL
+                    OR stddev_samp(value) OVER w = 0 THEN 0.0
+                  ELSE (value - avg(value) OVER w) / stddev_samp(value) OVER w
+             END, 4) AS zscore
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+    survey_ids=("B52", "B51"),
+    description="grouped-map applyInPandas: per-user z-score normalization",
+)
+def grouped_zscore_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user z-score of event values via applyInPandas.
+
+    Arrow moves each user's rows into pandas once; the kernel is pure
+    vectorized numpy. At 100 TB the shuffle is one hash partition by
+    user_id — identical to any groupBy — and group state is bounded by
+    the largest single user.
+    """
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        sd = pdf["value"].std(ddof=1)
+        if pd.isna(sd) or sd == 0:
+            z = pd.Series([0.0] * len(pdf))
+        else:
+            z = (pdf["value"] - pdf["value"].mean()) / sd
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "zscore": z.round(4),
+            }
+        )
+
+    ev = t(spark, sf, "events").select("user_id", "event_id", "value")
+    return ev.groupBy("user_id").applyInPandas(kernel, ZSCORE_SCHEMA)
+
+
+@register(
+    "json_sink_roundtrip",
+    oracle="""
+    SELECT CAST(EXTRACT(day FROM ts) AS VARCHAR) AS day,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+    survey_ids=("B2", "B3", "A6"),
+    description="date-partitioned JSON sink + explicit-schema scan round-trip",
+)
+def json_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Write events to a yyyy/mm/dd-partitioned JSON sink, read back
+    with a declared schema, aggregate per day.
+
+    The JSON read uses an explicit schema (B2) — inference is both a
+    correctness and a performance anti-pattern at scale (extra pass
+    over the data). The partition layout mirrors the reference's S3
+    key scheme (src/extract_github_data.py:572-578).
+    """
+    ev = t(spark, sf, "events")
+    out = tempfile.mkdtemp(prefix="ag_json_sink_")
+    (
+        ev.withColumn("year", F.date_format("ts", "yyyy"))
+        .withColumn("month", F.date_format("ts", "MM"))
+        .withColumn("day", F.date_format("ts", "dd"))
+        .write.mode("overwrite")
+        .partitionBy("year", "month", "day")
+        .json(out)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(os.path.join(out, "*", "*", "*"))
+    # partition column 'day' comes from the directory layout; re-derive
+    # it from the path-partition discovery instead: read with base path
+    back = spark.read.schema(schema).option("basePath", out).json(out)
+    return back.groupBy(F.col("day").cast("string").alias("day")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
