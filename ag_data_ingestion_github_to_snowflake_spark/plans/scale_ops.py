@@ -11,6 +11,52 @@ from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register,
 
 
 @register(
+    "rollup_cascade_daily",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    survey_ids=("B46", "B16", "B18"),
+    description="hypertable-style cascade: minute->hour->day rollup equals direct daily agg",
+)
+def rollup_cascade_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-resolution rollup cascade (hypertable continuous-aggregate
+    pattern): raw -> minute -> hour -> day, each level aggregating the
+    previous one's partials.
+
+    count and decimal-sum are algebraic, so re-aggregating partials is
+    exact — the oracle is the direct daily aggregate. At 100 TB each
+    level shrinks the data ~60x, so downstream resolutions cost almost
+    nothing and coarse queries never touch raw events; the cascade
+    also maps 1:1 onto incremental refresh (only dirty minutes
+    recompute upward).
+    """
+    ev = t(spark, sf, "events")
+    minute = ev.groupBy(
+        F.date_trunc("minute", "ts").alias("minute"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+    )
+    hour = minute.groupBy(
+        F.date_trunc("hour", "minute").alias("hour"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    day = hour.groupBy(
+        F.date_trunc("day", "hour").alias("day"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    return day.select(
+        F.col("day").cast("timestamp_ntz").alias("day"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("sv").cast("double").alias("total_value"),
+    )
+
+
+@register(
     "salted_group_sum",
     oracle="""
     SELECT l_returnflag AS rflag,

@@ -42,8 +42,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_specs()
 
-    # JVM/codegen warm-up so the first timed query isn't charged for it.
+    # Warm-up: run each headline plan once at the smallest SF so the
+    # timed runs measure steady-state throughput, not one-time
+    # whole-stage-codegen JIT compilation (~2.5s on the first complex
+    # aggregate). Same plan shapes, 100x less data.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    warm_sf = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_sf) and warm_sf != sf_dir:
+        for name in HEADLINE:
+            try:
+                specs[name].build(spark, warm_sf).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
