@@ -44,14 +44,13 @@ def register(
     description: str = "",
 ) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable]:
     def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
+        doc_first_line = (fn.__doc__ or "").strip().splitlines()[0] if fn.__doc__ else ""
         _REGISTRY[name] = QuerySpec(
             name=name,
             build=fn,
             oracle=oracle,
             survey_ids=survey_ids,
-            description=description or (fn.__doc__ or "").strip().splitlines()[0]
-            if fn.__doc__
-            else "",
+            description=description or doc_first_line,
         )
         return fn
 
