@@ -146,6 +146,49 @@ def similarity_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "embedding_near_dup",
+    # The fixture has no natural near-dup vectors (max pairwise cosine
+    # ~0.47), so the corpus is seeded with exact duplicates under
+    # shifted ids — the canonical "find duplicated embeddings" task.
+    # Identical vectors land in the same LSH bucket in every table, so
+    # bucketed recall is exactly 1.0 and the exact SQL oracle applies.
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 200
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))),
+           6) AS cosine
+    FROM corpus a
+    JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))
+           * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))) >= 0.999
+    """,
+    survey_ids=("B55", "B54"),
+)
+def embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH-bucketed self-join
+    over a corpus seeded with duplicated vectors."""
+    base = t(spark, sf, "embeddings").filter(F.col("vec_id") < 200).select(
+        "vec_id", "embedding"
+    )
+    corpus = base.unionByName(
+        base.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    return S.embedding_near_dup_pairs(corpus, threshold=0.999).select(
+        "id_a", "id_b", "cosine"
+    )
+
+
+@register(
     "similarity_lsh_topk",
     oracle=None,  # approximate (recall < 1): rows-only
     survey_ids=("B55",),
