@@ -28,9 +28,13 @@ def dsum(col: str | Column, alias: str | None = None, scale: str = DEC2) -> Colu
 
 
 def davg(col: str | Column, alias: str | None = None, scale: str = DEC2) -> Column:
-    """Order-independent AVG: exact decimal SUM / COUNT in double."""
+    """Order-independent AVG: exact decimal SUM / COUNT(*) in double.
+
+    COUNT(*) (not COUNT(col)) to match the registry's oracle
+    convention — the two differ on nullable columns.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    out = F.sum(c.cast(scale)).cast("double") / F.count(c)
+    out = F.sum(c.cast(scale)).cast("double") / F.count(F.lit(1))
     return out.alias(alias) if alias else out
 
 

@@ -98,6 +98,46 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def _lsh_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    n_tables: int,
+    dim: int,
+) -> DataFrame:
+    """Shared LSH candidate generation: (query_id, neighbor_id,
+    q_vec, c_vec) pairs sharing at least one hash-table bucket."""
+
+    def bucket_cols(df: DataFrame, vid: str) -> DataFrame:
+        out = df
+        for t_idx in range(n_tables):
+            planes = _hyperplanes(dim, n_planes, seed=42 + t_idx * 1009)
+            bucket = F.lit(0)
+            for p_idx, plane in enumerate(planes):
+                arr = F.array(*[F.lit(v) for v in plane])
+                bucket = bucket + F.when(
+                    _dot(F.col(vec_col), arr) >= 0, F.lit(1 << p_idx)
+                ).otherwise(F.lit(0))
+            out = out.withColumn(f"bucket_{t_idx}", bucket)
+        buckets = F.posexplode(F.array(*[F.col(f"bucket_{i}") for i in range(n_tables)]))
+        return out.select(F.col(vid), F.col(vec_col), buckets.alias("tbl", "bucket"))
+
+    qb = bucket_cols(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)), "query_id"
+    ).withColumnRenamed(vec_col, "q_vec")
+    cb = bucket_cols(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)), "neighbor_id"
+    ).withColumnRenamed(vec_col, "c_vec")
+    return (
+        qb.join(cb, ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .distinct()
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -117,30 +157,7 @@ def lsh_bucketed_topk(
     bucket-local.
     """
 
-    def bucket_cols(df: DataFrame, vid: str) -> DataFrame:
-        out = df
-        for t_idx in range(n_tables):
-            planes = _hyperplanes(dim, n_planes, seed=42 + t_idx * 1009)
-            bucket = F.lit(0)
-            for p_idx, plane in enumerate(planes):
-                arr = F.array(*[F.lit(v) for v in plane])
-                bucket = bucket + F.when(_dot(F.col(vec_col), arr) >= 0, F.lit(1 << p_idx)).otherwise(F.lit(0))
-            out = out.withColumn(f"bucket_{t_idx}", bucket)
-        buckets = F.posexplode(F.array(*[F.col(f"bucket_{i}") for i in range(n_tables)]))
-        return out.select(F.col(vid), F.col(vec_col), buckets.alias("tbl", "bucket"))
-
-    qb = bucket_cols(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)), "query_id"
-    ).withColumnRenamed(vec_col, "q_vec")
-    cb = bucket_cols(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)), "neighbor_id"
-    ).withColumnRenamed(vec_col, "c_vec")
-    cand = (
-        qb.join(cb, ["tbl", "bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "q_vec", "c_vec")
-        .distinct()
-    )
+    cand = _lsh_candidates(corpus, queries, id_col, vec_col, n_planes, n_tables, dim)
     scored = cand.withColumn(
         "cosine",
         F.round(_dot(F.col("q_vec"), F.col("c_vec")) / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))), 6),
@@ -164,17 +181,19 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ thr).
 
     LSH-bucketed self-join — the embedding analog of MinHash dedup.
+    Thresholds the RAW cosine (rounding only the reported value), and
+    works directly on the candidate set — no top-k cap, so vectors
+    with many duplicates surface every pair.
     """
-    topk = lsh_bucketed_topk(
-        df, df, k=50, id_col=id_col, vec_col=vec_col,
-        n_planes=n_planes, n_tables=n_tables, dim=dim,
-    )
+    cand = _lsh_candidates(df, df, id_col, vec_col, n_planes, n_tables, dim)
+    raw = _dot(F.col("q_vec"), F.col("c_vec")) / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))
     return (
-        topk.filter((F.col("cosine") >= threshold) & (F.col("query_id") < F.col("neighbor_id")))
+        cand.withColumn("_raw", raw)
+        .filter((F.col("_raw") >= threshold) & (F.col("query_id") < F.col("neighbor_id")))
         .select(
             F.col("query_id").alias("id_a"),
             F.col("neighbor_id").alias("id_b"),
-            "cosine",
+            F.round("_raw", 6).alias("cosine"),
         )
         .distinct()
     )

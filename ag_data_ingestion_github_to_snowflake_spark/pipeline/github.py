@@ -147,19 +147,24 @@ def incremental_extract(
     state-read -> paginated list scan -> budget limit -> distributed
     detail enrichment -> flatten -> validate split -> dedupe on id ->
     metrics. The watermark commits once per batch (not per row as the
-    reference does, :714): recovery re-fetches the whole batch, and
-    idempotency comes from ``latest_snapshot`` on id — the documented
-    at-least-once design (README.md:121-129) made exactly-once at the
-    table level.
+    reference does, :714) and only AFTER the batch has materialized —
+    the outputs are persisted and computed before ``state.set``, so a
+    failed enrichment job aborts with the watermark untouched and the
+    next run re-fetches the batch. Idempotency comes from
+    ``latest_snapshot`` on id — the documented at-least-once design
+    (README.md:121-129) made exactly-once at the table level. Callers
+    writing to durable sinks should pass ``commit_state=False`` and
+    commit the watermark themselves after the sink write succeeds.
     """
     config = config or RestSourceConfig()
     since = state.get()
     list_df, new_wm = list_scan_df(spark, transport, since, config, max_pages)
     raw = enrich_details(list_df, transport, config)
-    flat = flatten_repos(raw)
-    flat = latest_snapshot(flat, "id", "updated_at")
+    flat = latest_snapshot(flatten_repos(raw), "id", "updated_at")
+    flat = flat.persist()
     valid, invalid = validation_split(flat)
     metrics = run_metrics(flat)
     if commit_state:
+        flat.count()  # force the fetch/flatten to succeed first
         state.set(new_wm)
     return ExtractResult(valid=valid, invalid=invalid, metrics=metrics, new_watermark=new_wm)

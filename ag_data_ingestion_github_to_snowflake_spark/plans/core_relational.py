@@ -14,16 +14,9 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ag_data_ingestion_github_to_snowflake_spark.functions.exact import DEC2 as DEC
+from ag_data_ingestion_github_to_snowflake_spark.functions.exact import DEC6, dsum  # noqa: F401
 from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register, t
-
-# Exact-arithmetic helpers for oracle parity (see registry module doc).
-DEC = "decimal(18,2)"
-DEC6 = "decimal(18,6)"
-
-
-def dsum(col, alias):
-    """SUM through DECIMAL(18,2) then back to double — exact, order-independent."""
-    return F.sum(F.col(col).cast(DEC)).cast("double").alias(alias)
 
 
 # ---------------------------------------------------------------------------

@@ -228,7 +228,7 @@ def text_stats_by_lang(spark: SparkSession, sf: str) -> DataFrame:
     "token_count_bpe",
     oracle="""
     SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT)
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
              AS n_bpe_tokens
     FROM documents
     WHERE doc_id < 100
@@ -236,14 +236,10 @@ def text_stats_by_lang(spark: SparkSession, sf: str) -> DataFrame:
     survey_ids=("B56",),
 )
 def token_count_bpe(spark: SparkSession, sf: str) -> DataFrame:
-    """BPE-ish regex token counts (letter runs/digit runs/punct)."""
+    """BPE-ish regex token counts (letter runs/digit runs/punct) —
+    the operators/text.py kernel, oracle aligned to the same regex."""
     docs = t(spark, sf, "documents").filter(F.col("doc_id") < 100)
-    return docs.withColumn(
-        "n_bpe_tokens",
-        F.size(
-            F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), F.lit(0))
-        ).cast("long"),
-    ).select("doc_id", "n_bpe_tokens")
+    return X.bpe_ish_token_count(docs).select("doc_id", "n_bpe_tokens")
 
 
 @register(

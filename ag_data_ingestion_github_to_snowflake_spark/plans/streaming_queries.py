@@ -51,7 +51,10 @@ def _drain(plan: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
         .queryName(name)
         .start()
     )
-    q.awaitTermination(300)
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise TimeoutError("streaming drain did not finish within 300s")
     return spark.sql(f"SELECT * FROM {name}")
 
 

@@ -94,7 +94,11 @@ def json_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     key scheme (src/extract_github_data.py:572-578).
     """
     ev = t(spark, sf, "events")
-    out = tempfile.mkdtemp(prefix="ag_json_sink_")
+    # Deterministic per-SF staging path (mode=overwrite): repeated
+    # builds reuse it instead of leaking a fresh mkdtemp each time.
+    out = os.path.join(
+        tempfile.gettempdir(), f"ag_json_sink_{os.path.basename(sf.rstrip('/'))}"
+    )
     (
         ev.withColumn("year", F.date_format("ts", "yyyy"))
         .withColumn("month", F.date_format("ts", "MM"))
@@ -113,9 +117,7 @@ def json_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             T.StructField("props", T.StringType()),
         ]
     )
-    back = spark.read.schema(schema).json(os.path.join(out, "*", "*", "*"))
-    # partition column 'day' comes from the directory layout; re-derive
-    # it from the path-partition discovery instead: read with base path
+    # 'day' comes from partition discovery over the directory layout
     back = spark.read.schema(schema).option("basePath", out).json(out)
     return back.groupBy(F.col("day").cast("string").alias("day")).agg(
         F.count("*").alias("n"),

@@ -219,8 +219,10 @@ def sliding_window_events(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     WITH flagged AS (
       SELECT user_id, ts,
+             -- >= not >: Spark session windows are [ts, ts+gap) and an
+             -- event at exactly prev_ts + gap starts a NEW session.
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       > INTERVAL '30 minutes'
+                       >= INTERVAL '30 minutes'
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events

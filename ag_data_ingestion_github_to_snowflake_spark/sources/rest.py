@@ -144,11 +144,14 @@ def list_scan_df(
 ) -> tuple[DataFrame, int]:
     """List scan as a DataFrame + new watermark (A1 + A11 budget limit)."""
     config = config or RestSourceConfig()
-    rows, watermark = fetch_repo_list(transport, since, config.per_page, max_pages)
-    budget = max(config.max_requests_per_run - 1, 0)  # 1 call spent on the list
+    rows, _ = fetch_repo_list(transport, since, config.per_page, max_pages)
+    # Budget: reserve one call per list page (conservative if the scan
+    # stopped early), the rest are detail-call slots.
+    budget = max(config.max_requests_per_run - max_pages, 0)
     rows = rows[:budget]
-    if rows:
-        watermark = rows[-1]["id"]
+    # The watermark must never advance past rows the budget discarded:
+    # an empty batch keeps the caller's watermark unchanged.
+    watermark = rows[-1]["id"] if rows else since
     df = spark.createDataFrame(rows, LIST_SCHEMA) if rows else spark.createDataFrame([], LIST_SCHEMA)
     return df, watermark
 

@@ -58,7 +58,10 @@ class GithubReposReader(DataSourceReader):
         self.transport_spec = options.get("transport_spec", "")
 
     def partitions(self) -> list[_IdRangePartition]:
-        """Shard [since, until) into contiguous id ranges."""
+        """Shard the keyset range (since, until] into contiguous
+        sub-ranges (each shard is exclusive-start/inclusive-end,
+        matching the API's ``since`` semantics: ids strictly greater
+        than the cursor). Consecutive shards never overlap."""
         span = max(self.until - self.since, 0)
         n = max(min(self.num_partitions, span), 1)
         step = (span + n - 1) // n if span else 1
@@ -68,7 +71,7 @@ class GithubReposReader(DataSourceReader):
         ] or [_IdRangePartition(self.since, self.until)]
 
     def read(self, partition: _IdRangePartition) -> Iterator[tuple]:
-        """Page through one id shard (runs on the executor)."""
+        """Page through one (start, end] id shard (executor-side)."""
         transport = TransportRegistry.build(self.transport_name, self.transport_spec)
         cursor = partition.start
         while cursor < partition.end:

@@ -90,10 +90,13 @@ def with_watermark(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
 def dedup_stream(events: DataFrame, keys: list[str], delay: str = "10 minutes") -> DataFrame:
     """B50: streaming dedup on keys within the watermark horizon.
 
-    State is bounded by the watermark: ids older than `delay` are
-    evicted, so memory stays flat no matter how long the stream runs.
+    Uses ``dropDuplicatesWithinWatermark``: plain ``dropDuplicates`` on
+    a key subset that excludes the event-time column never evicts its
+    state (the watermark is ignored for cleanup), so long-running
+    streams grow without bound. The WithinWatermark variant evicts
+    keys once they age past the delay — state stays flat.
     """
-    return with_watermark(events, delay).dropDuplicates(keys)
+    return with_watermark(events, delay).dropDuplicatesWithinWatermark(keys)
 
 
 def stream_events_from_parquet(

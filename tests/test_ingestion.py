@@ -51,6 +51,17 @@ def test_budget_limit_truncates(spark):
     assert wm == 10  # watermark only advances over fetched rows
 
 
+def test_exhausted_budget_never_advances_watermark(spark):
+    """Regression: a budget that truncates the batch to empty must not
+    move the watermark past unprocessed rows (rows would be skipped
+    forever otherwise)."""
+    tr = StubTransport(n_repos=120)
+    cfg = RestSourceConfig(per_page=50, max_requests_per_run=1, detail_partitions=2)
+    df, wm = list_scan_df(spark, tr, since=7, config=cfg, max_pages=1)
+    assert df.count() == 0
+    assert wm == 7  # unchanged
+
+
 def test_enrichment_skips_404_and_flattens(spark):
     tr = StubTransport(n_repos=60)
     df, _ = list_scan_df(spark, tr, since=0, config=CFG, max_pages=2)
