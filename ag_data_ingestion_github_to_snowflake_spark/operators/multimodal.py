@@ -115,6 +115,52 @@ def decode_image_features(
     return df.select(id_col, payload_col).mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("rms_energy", T.DoubleType()),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """Audio feature extraction via mapInPandas (stubbed codecs).
+
+    Real implementation would decode with soundfile/librosa and emit
+    (duration, sample_rate, rms). With ``deterministic_fake`` the
+    features derive from a sha256 of the payload — stable, testable
+    plumbing without audio libraries.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "audio codecs unavailable in this environment; "
+                    "pass deterministic_fake=True for the test path"
+                )
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload)
+                digest = hashlib.sha256(data).digest()
+                duration = round(len(data) / 16000.0, 6)
+                sample_rate = (8000, 16000, 22050, 44100)[digest[0] % 4]
+                rms = round(digest[1] / 255.0, 6)
+                rows.append((int(did), duration, sample_rate, rms))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "duration_s", "sample_rate", "rms_energy"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame,
     payload_col: str = "payload",

@@ -258,6 +258,18 @@ def test_decode_image_without_codec_raises(spark):
         M.decode_image_features(df, deterministic_fake=False).collect()
 
 
+def test_audio_features_fake_deterministic(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="x" * 32000)]).withColumn(
+        "payload", F.encode("text", "UTF-8")
+    )
+    a = M.extract_audio_features(df, deterministic_fake=True).collect()[0]
+    b = M.extract_audio_features(df, deterministic_fake=True).collect()[0]
+    assert a == b
+    assert a.duration_s == 2.0  # 32000 bytes @ 16kHz fake clock
+    assert a.sample_rate in (8000, 16000, 22050, 44100)
+    assert 0.0 <= a.rms_energy <= 1.0
+
+
 def test_sample_frames_stride(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="x" * 320)]).withColumn(
         "payload", F.encode("text", "UTF-8")
