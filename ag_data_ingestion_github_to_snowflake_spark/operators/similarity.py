@@ -21,8 +21,12 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
 
@@ -110,19 +114,35 @@ def _lsh_candidates(
     """Shared LSH candidate generation: (query_id, neighbor_id,
     q_vec, c_vec) pairs sharing at least one hash-table bucket."""
 
+    # All tables' hyperplanes as one (n_tables*n_planes, dim) matrix:
+    # bucketing is a single numpy matmul per Arrow batch. The naive
+    # alternative — n_tables*n_planes literal array-fold expressions —
+    # explodes codegen compile time and runs element-at-a-time.
+    planes_matrix = np.array(
+        [
+            plane
+            for t_idx in range(n_tables)
+            for plane in _hyperplanes(dim, n_planes, seed=42 + t_idx * 1009)
+        ],
+        dtype=np.float64,
+    )
+    powers = np.array([1 << p for p in range(n_planes)], dtype=np.int64)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def bucket_ids(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)  # (batch, dim)
+        signs = (mat @ planes_matrix.T) >= 0  # (batch, tables*planes)
+        signs = signs.reshape(len(mat), n_tables, n_planes)
+        buckets = (signs * powers).sum(axis=2)  # (batch, tables)
+        return pd.Series(list(buckets))
+
     def bucket_cols(df: DataFrame, vid: str) -> DataFrame:
-        out = df
-        for t_idx in range(n_tables):
-            planes = _hyperplanes(dim, n_planes, seed=42 + t_idx * 1009)
-            bucket = F.lit(0)
-            for p_idx, plane in enumerate(planes):
-                arr = F.array(*[F.lit(v) for v in plane])
-                bucket = bucket + F.when(
-                    _dot(F.col(vec_col), arr) >= 0, F.lit(1 << p_idx)
-                ).otherwise(F.lit(0))
-            out = out.withColumn(f"bucket_{t_idx}", bucket)
-        buckets = F.posexplode(F.array(*[F.col(f"bucket_{i}") for i in range(n_tables)]))
-        return out.select(F.col(vid), F.col(vec_col), buckets.alias("tbl", "bucket"))
+        out = df.withColumn("_buckets", bucket_ids(F.col(vec_col)))
+        return out.select(
+            F.col(vid),
+            F.col(vec_col),
+            F.posexplode("_buckets").alias("tbl", "bucket"),
+        )
 
     qb = bucket_cols(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)), "query_id"

@@ -32,6 +32,11 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "similarity_topk_cosine",
     "text_stats_by_lang",
+    "asof_join_events",
+    "grouped_zscore_events",
+    "embedding_near_dup",
+    "rollup_cascade_daily",
+    "shipping_priority_top10",
 ]
 
 
