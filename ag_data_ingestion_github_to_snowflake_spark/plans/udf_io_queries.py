@@ -73,6 +73,36 @@ def grouped_zscore_events(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "weighted_avg_udaf_parts",
+    oracle="""
+    SELECT l_partkey,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS wavg_price
+    FROM lineitem
+    WHERE l_partkey < 100
+    GROUP BY l_partkey
+    """,
+    survey_ids=("B51",),
+    description="grouped-agg pandas UDAF: quantity-weighted average price per part",
+)
+def weighted_avg_udaf_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantity-weighted mean price per part via a pandas UDAF.
+
+    Small groups (~30 rows) keep the float accumulation error orders
+    of magnitude below the 4-dp rounding, so the SQL decomposition
+    sum(w*v)/sum(w) hash-matches.
+    """
+    from ag_data_ingestion_github_to_snowflake_spark.functions.pandas_udfs import (
+        make_weighted_avg_udaf,
+    )
+
+    wavg = make_weighted_avg_udaf()
+    li = t(spark, sf, "lineitem").filter(F.col("l_partkey") < 100)
+    return li.groupBy("l_partkey").agg(
+        F.round(wavg("l_extendedprice", "l_quantity"), 4).alias("wavg_price")
+    )
+
+
+@register(
     "json_sink_roundtrip",
     oracle="""
     SELECT CAST(EXTRACT(day FROM ts) AS VARCHAR) AS day,
