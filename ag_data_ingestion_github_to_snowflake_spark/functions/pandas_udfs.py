@@ -43,9 +43,13 @@ def make_split_sentences_udtf():
         def eval(self, text: str):
             if text is None:
                 return
-            for pos, raw in enumerate(text.split(".")):
+            # position = emitted ordinal (dense 0..n-1), not the raw
+            # split index: empty segments ('..') must not leave gaps.
+            pos = 0
+            for raw in text.split("."):
                 s = raw.strip()
                 if s:
                     yield s, len(s.split()), pos
+                    pos += 1
 
     return SplitSentences

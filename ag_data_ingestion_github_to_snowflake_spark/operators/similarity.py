@@ -67,16 +67,27 @@ def brute_force_topk(
     rounded similarity with neighbor-id tiebreak so results are fully
     deterministic (and oracle-comparable) even under float ties.
     """
+    # Norms precomputed per side BEFORE the join: inside the crossed
+    # join each norm would be recomputed once per pair (O(n_q*n_c*dim)
+    # redundant folds) instead of once per vector.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(_dot(F.col("q_vec"), F.col("c_vec"))
-                                      / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")), 6
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -140,22 +151,36 @@ def _lsh_candidates(
         out = df.withColumn("_buckets", bucket_ids(F.col(vec_col)))
         return out.select(
             F.col(vid),
-            F.col(vec_col),
             F.posexplode("_buckets").alias("tbl", "bucket"),
         )
 
+    # Candidate pairs dedup on IDs ONLY: a pair colliding in all
+    # n_tables tables would otherwise drag 2 dim-wide float vectors
+    # through the distinct() shuffle once per table. Vectors (+ norms,
+    # computed once per vector) re-attach after the dedup.
     qb = bucket_cols(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)), "query_id"
-    ).withColumnRenamed(vec_col, "q_vec")
+    )
     cb = bucket_cols(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)), "neighbor_id"
-    ).withColumnRenamed(vec_col, "c_vec")
-    return (
+    )
+    pair_ids = (
         qb.join(cb, ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+    )
+    c_vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
+    )
+    return pair_ids.join(q_vecs, "query_id").join(c_vecs, "neighbor_id")
 
 
 def lsh_bucketed_topk(
@@ -180,7 +205,9 @@ def lsh_bucketed_topk(
     cand = _lsh_candidates(corpus, queries, id_col, vec_col, n_planes, n_tables, dim)
     scored = cand.withColumn(
         "cosine",
-        F.round(_dot(F.col("q_vec"), F.col("c_vec")) / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))), 6),
+        F.round(
+            _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")), 6
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -206,10 +233,13 @@ def embedding_near_dup_pairs(
     with many duplicates surface every pair.
     """
     cand = _lsh_candidates(df, df, id_col, vec_col, n_planes, n_tables, dim)
-    raw = _dot(F.col("q_vec"), F.col("c_vec")) / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))
+    raw = _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
     return (
-        cand.withColumn("_raw", raw)
-        .filter((F.col("_raw") >= threshold) & (F.col("query_id") < F.col("neighbor_id")))
+        # id-order filter BEFORE scoring: the self-join surfaces both
+        # (a,b) and (b,a); score only one orientation.
+        cand.filter(F.col("query_id") < F.col("neighbor_id"))
+        .withColumn("_raw", raw)
+        .filter(F.col("_raw") >= threshold)
         .select(
             F.col("query_id").alias("id_a"),
             F.col("neighbor_id").alias("id_b"),

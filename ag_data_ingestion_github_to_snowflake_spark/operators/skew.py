@@ -72,7 +72,16 @@ def replicated_skew_join(
     Join key becomes (key, salt); each hot fact key spreads across
     n_salts shuffle partitions. Result is row-identical to the plain
     join (replication x salting covers every original pair once).
+
+    Only ``inner`` and ``left`` are supported: with a right/full outer
+    join an unmatched dim key would survive once per replica
+    (n_salts duplicate rows), silently corrupting the result.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"replicated_skew_join supports how='inner'|'left', got {how!r}: "
+            "outer joins would emit one row per dim replica for unmatched keys"
+        )
     salted_fact = fact.withColumn("_salt", _salt(fact_unique_col, n_salts))
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
     replicated_dim = dim.select("*", salts)

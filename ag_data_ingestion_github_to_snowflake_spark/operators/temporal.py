@@ -92,6 +92,27 @@ def asof_join(
     return out
 
 
+_UNIT_SECONDS = {
+    "second": 1, "seconds": 1,
+    "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+}
+
+
+def _interval_seconds(interval: str) -> int:
+    """Parse 'N unit' interval strings ('30 minutes', '1 hour')."""
+    parts = interval.strip().split()
+    try:
+        n, unit = int(parts[0]), _UNIT_SECONDS[parts[1].lower()]
+    except (ValueError, KeyError, IndexError):
+        raise ValueError(
+            f"unsupported bucket interval {interval!r}; expected 'N "
+            f"second[s]|minute[s]|hour[s]|day[s]'"
+        ) from None
+    return n * unit
+
+
 def bucketed_range_join(
     left: DataFrame,
     right: DataFrame,
@@ -110,7 +131,7 @@ def bucketed_range_join(
     """
     b = F.unix_timestamp  # seconds precision for bucketing
 
-    secs = {"1 hour": 3600, "15 minutes": 900, "1 day": 86400}[bucket]
+    secs = _interval_seconds(bucket)
     l_b = left.withColumn("_bucket", (b(F.col(left_ts)) / secs).cast("long"))
     r_b = right.withColumn(
         "_bucket",

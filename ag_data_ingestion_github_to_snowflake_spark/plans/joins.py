@@ -17,9 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ag_data_ingestion_github_to_snowflake_spark.functions.exact import DEC2 as DEC
 from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register, t
-
-DEC = "decimal(18,2)"
 
 
 # ---------------------------------------------------------------------------

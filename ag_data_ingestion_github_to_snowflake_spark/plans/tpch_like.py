@@ -8,9 +8,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ag_data_ingestion_github_to_snowflake_spark.functions.exact import DEC2 as DEC
 from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register, t
-
-DEC = "decimal(18,2)"
 
 
 @register(
@@ -86,10 +85,16 @@ def nation_volume_flows(spark: SparkSession, sf: str) -> DataFrame:
     s = F.broadcast(t(spark, sf, "supplier"))
     o = t(spark, sf, "orders")
     c = t(spark, sf, "customer")
-    n1 = F.broadcast(t(spark, sf, "nation").select(
+    # Pre-filter both nation dims to the pair: the first fact joins
+    # then drop ~92% of rows (2 of 25 nations); the OR'd residual only
+    # rejects the two same-nation cross terms.
+    pair_nations = t(spark, sf, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    n1 = F.broadcast(pair_nations.select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
     ))
-    n2 = F.broadcast(t(spark, sf, "nation").select(
+    n2 = F.broadcast(pair_nations.select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     ))
     volume = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount")).cast(DEC)
@@ -115,7 +120,7 @@ def nation_volume_flows(spark: SparkSession, sf: str) -> DataFrame:
       SELECT l_orderkey
       FROM lineitem
       GROUP BY l_orderkey
-      HAVING SUM(l_quantity) > 150
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
     )
     SELECT c.c_name,
            o.o_orderkey,
@@ -138,9 +143,11 @@ def large_orders_customers(spark: SparkSession, sf: str) -> DataFrame:
     the qualifying orderkeys, not the fact table.
     """
     li = t(spark, sf, "lineitem")
+    # Decimal-exact HAVING: a raw double sum near the threshold could
+    # flip row membership between engines (no rounding can absorb it).
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("_q"))
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("_q"))
         .filter(F.col("_q") > 150)
         .select("l_orderkey")
     )

@@ -55,16 +55,21 @@ def grouped_zscore_events(spark: SparkSession, sf: str) -> DataFrame:
     """
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         sd = pdf["value"].std(ddof=1)
         if pd.isna(sd) or sd == 0:
             z = pd.Series([0.0] * len(pdf))
         else:
             z = (pdf["value"] - pdf["value"].mean()) / sd
+        # Half-away-from-zero rounding to match SQL ROUND; pandas
+        # .round is banker's (half-even) and diverges on .00005 ties.
+        z4 = np.sign(z) * np.floor(np.abs(z) * 1e4 + 0.5) / 1e4
         return pd.DataFrame(
             {
                 "user_id": pdf["user_id"],
                 "event_id": pdf["event_id"],
-                "zscore": z.round(4),
+                "zscore": z4,
             }
         )
 

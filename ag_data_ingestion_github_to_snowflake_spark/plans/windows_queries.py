@@ -18,10 +18,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ag_data_ingestion_github_to_snowflake_spark.functions.exact import DEC6
 from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register, t
-
-DEC = "decimal(18,2)"
-DEC6 = "decimal(18,6)"
 
 
 # ---------------------------------------------------------------------------

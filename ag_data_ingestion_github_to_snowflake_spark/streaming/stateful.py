@@ -51,7 +51,9 @@ def make_running_totals_kernel(idle_timeout_ms: int | None):
         for pdf in batches:
             n += len(pdf)
             total += float(pdf["value"].sum())
-        state.update((n, round(total, 6)))
+        # State keeps the RAW accumulator; rounding only at emit —
+        # re-rounding state every batch would compound drift.
+        state.update((n, total))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
