@@ -114,6 +114,81 @@ def nation_volume_flows(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "priority_shipping_case_counts",
+    oracle="""
+    SELECT l.l_returnflag AS rflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+    """,
+    survey_ids=("B19", "B10", "B9"),
+    description="TPC-H Q12 shape: CASE-counting priorities across a fact join",
+)
+def priority_shipping_case_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Q12 analog: high/low-priority line counts per return flag."""
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    o = t(spark, sf, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_returnflag").alias("rflag"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "promo_revenue_share",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+           ROUND(
+             100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                          THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                               * CAST(1 - l.l_discount AS DECIMAL(18,2))
+                          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE),
+           6) AS promo_share_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+    survey_ids=("B19", "B11", "B43"),
+    description="TPC-H Q14 shape: conditional revenue ratio per year",
+)
+def promo_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
+    """Q14 analog: percent of revenue from PROMO parts, per ship year.
+
+    Both numerator and denominator are exact decimal sums, so the
+    ratio is a deterministic double division on both engines.
+    """
+    li = t(spark, sf, "lineitem")
+    p = F.broadcast(t(spark, sf, "part"))
+    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount")).cast(DEC)
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum(promo_rev).cast("double") / F.sum(rev).cast("double"), 6
+            ).alias("promo_share_pct")
+        )
+    )
+
+
+@register(
     "large_orders_customers",
     oracle="""
     WITH big AS (
