@@ -11,6 +11,43 @@ from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register,
 
 
 @register(
+    "rollup_incremental_merge",
+    oracle="""
+    SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute,
+           event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    survey_ids=("B46", "B18", "B27"),
+    description="incremental rollup refresh over 3 batches equals the full aggregate",
+)
+def rollup_incremental_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Continuous-aggregate maintenance: the events stream arrives in
+    three arbitrary batches; each merge folds algebraic partials into
+    the rollup state. The oracle is the one-shot full aggregate —
+    incremental maintenance must be indistinguishable from recompute.
+    """
+    from ag_data_ingestion_github_to_snowflake_spark.operators.rollup import (
+        merge_rollup,
+        minute_rollup,
+    )
+
+    ev = t(spark, sf, "events")
+    batches = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    state = minute_rollup(batches[0])
+    for b in batches[1:]:
+        state = merge_rollup(state, b)
+    return state.select(
+        F.col("minute").cast("timestamp_ntz").alias("minute"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("sv").cast("double").alias("total_value"),
+    )
+
+
+@register(
     "rollup_cascade_daily",
     oracle="""
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

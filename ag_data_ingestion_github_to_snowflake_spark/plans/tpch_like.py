@@ -189,6 +189,42 @@ def promo_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "disjunctive_predicate_revenue",
+    oracle="""
+    SELECT count(*) AS n,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_type = 'PROMO'    AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 10)
+       OR (p.p_type = 'STANDARD' AND p.p_size BETWEEN 5 AND 25 AND l.l_quantity >= 20)
+       OR (p.p_type = 'ECONOMY'  AND p.p_size BETWEEN 10 AND 40 AND l.l_quantity >= 30)
+    """,
+    survey_ids=("B9", "B11", "B19"),
+    description="TPC-H Q19 shape: OR-of-ANDs predicate across a broadcast join",
+)
+def disjunctive_predicate_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Q19 analog: disjunctive multi-column predicate spanning both
+    join sides. Catalyst extracts the common constraints for pushdown
+    and evaluates the residual OR after the broadcast join."""
+    li = t(spark, sf, "lineitem")
+    p = F.broadcast(t(spark, sf, "part"))
+    arm = lambda ptype, lo, hi, qty: (  # noqa: E731
+        (F.col("p_type") == ptype)
+        & F.col("p_size").between(lo, hi)
+        & (F.col("l_quantity") >= qty)
+    )
+    cond = arm("PROMO", 1, 15, 10) | arm("STANDARD", 5, 25, 20) | arm("ECONOMY", 10, 40, 30)
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
     "large_orders_customers",
     oracle="""
     WITH big AS (
