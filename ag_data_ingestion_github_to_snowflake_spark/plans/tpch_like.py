@@ -189,6 +189,118 @@ def promo_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "order_priority_exists",
+    oracle="""
+    SELECT o_orderpriority AS priority, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+    survey_ids=("B13", "B14", "B16"),
+    description="TPC-H Q4 shape: EXISTS correlated subquery as a semi join",
+)
+def order_priority_exists(spark: SparkSession, sf: str) -> DataFrame:
+    """Q4 analog: priority counts for orders with a late-shipping line.
+
+    The correlated EXISTS is a left-semi join with the correlation as
+    an extra join condition — no subquery re-execution per row.
+    """
+    o = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
+    )
+    li = t(spark, sf, "lineitem")
+    semi = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+@register(
+    "returned_item_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS lost_revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY lost_revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    survey_ids=("B15", "B24", "B6"),
+    description="TPC-H Q10 shape: top-20 customers by returned-item revenue",
+)
+def returned_item_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Q10 analog: customers losing the most revenue to returns."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    li = t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = F.broadcast(t(spark, sf, "nation"))
+    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount")).cast(DEC)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).cast("double").alias("lost_revenue"))
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "idle_rich_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS v
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.v
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    """,
+    survey_ids=("B13", "B18", "B17"),
+    description="TPC-H Q22 shape: scalar-subquery threshold + anti join",
+)
+def idle_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Q22 analog: above-average-balance customers with no orders.
+
+    The scalar average becomes a broadcast single-row cross join (not
+    a collect — the threshold stays inside the plan), and NOT EXISTS
+    is a left-anti join.
+    """
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg((F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count("*")).alias("v"))
+    )
+    rich = c.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("v"))
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return idle.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("total_bal"),
+    )
+
+
+@register(
     "disjunctive_predicate_revenue",
     oracle="""
     SELECT count(*) AS n,
