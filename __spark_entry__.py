@@ -8,7 +8,10 @@ DuckDB-oracle differential check.
 
 from __future__ import annotations
 
+import os
 import sys
+import tempfile
+import zipfile
 from collections.abc import Callable
 from pathlib import Path
 
@@ -18,12 +21,39 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from ag_data_ingestion_github_to_snowflake_spark.plans.registry import all_specs
 
+_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship the engine package to executor Python workers via addPyFile.
+
+    The driver's ``sys.path`` does not propagate to executor Python
+    workers, so any mapInPandas/pandas-UDF kernel that closes over
+    engine modules fails with ModuleNotFoundError when the driver
+    process runs outside the repo root. Zipping the package and
+    ``addPyFile``-ing it is the same mechanism a real cluster submit
+    uses (``--py-files``), so local behaviour matches the 1000-executor
+    deployment path.
+    """
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED:
+        return
+    pkg = Path(__file__).resolve().parent / "ag_data_ingestion_github_to_snowflake_spark"
+    fd, zpath = tempfile.mkstemp(suffix=".zip", prefix="agdi_pkg_")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as z:
+        for p in sorted(pkg.rglob("*.py")):
+            z.write(p, arcname=str(p.relative_to(pkg.parent)))
+    sc.addPyFile(zpath)
+    _SHIPPED.add(id(sc))
+
 
 def _configure(spark: SparkSession) -> SparkSession:
     """Apply engine settings the fixtures require (ns-parquet, UTC)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    _ship_package(spark)
     return spark
 
 

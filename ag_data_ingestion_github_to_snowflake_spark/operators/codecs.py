@@ -1,0 +1,227 @@
+"""Pure-numpy codecs for uncompressed media formats: BMP, PPM, WAV.
+
+These are real decoders for the public, dependency-free subset of the
+multimodal surface (reference north-star "multimodal columns"):
+
+- BMP: 24-bit uncompressed ``BI_RGB`` with a BITMAPINFOHEADER —
+  bottom-up rows, BGR byte order, 4-byte row padding.
+- PPM: binary ``P6`` with maxval 255.
+- WAV: RIFF/WAVE, PCM (format 1), 16-bit little-endian samples.
+
+Compressed formats (PNG/JPEG/MP3/...) need codec libraries that are not
+in this container; ``decode_image``/``decode_audio`` detect their magic
+bytes and raise ``NotImplementedError`` explicitly rather than guessing.
+
+Feature conventions (shared with ``operators/multimodal.py`` kernels):
+
+- ``mean_luma`` uses integer Rec.601 coefficients (299, 587, 114)/1000
+  over uint8 RGB, normalised to [0, 1]:
+  ``sum(299*R + 587*G + 114*B) / (n_pixels * 255000)``. The sum is
+  exact int64 arithmetic, so the value is reproducible bit-for-bit by
+  any independent integer implementation (the oracle relies on this).
+- ``rms_energy`` is ``sqrt(mean(sample^2)) / 32768`` over int16 PCM
+  (all channels pooled), again an exact integer sum under the sqrt.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# BMP (24-bit uncompressed, BITMAPINFOHEADER)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit BI_RGB BMP."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_bmp expects (h, w, 3) uint8 RGB")
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    pad = stride - w * 3
+    # BGR byte order, bottom-up row order, rows padded to 4 bytes.
+    bgr = img[::-1, :, ::-1]
+    rows = bgr.reshape(h, w * 3)
+    if pad:
+        rows = np.hstack([rows, np.zeros((h, pad), dtype=np.uint8)])
+    pixel_data = rows.tobytes()
+    offset = 14 + 40
+    file_size = offset + len(pixel_data)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, offset)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0)
+    return header + dib + pixel_data
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP into an (h, w, 3) uint8 RGB array."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", data, 10)[0]
+    dib_size = struct.unpack_from("<I", data, 14)[0]
+    if dib_size < 40:
+        raise NotImplementedError(f"BMP DIB header size {dib_size} unsupported")
+    w, h_signed = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only 24-bit BI_RGB BMP supported (bpp={bpp}, comp={compression})")
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    stride = (w * 3 + 3) & ~3
+    if len(data) < offset + stride * h:
+        raise ValueError("truncated BMP pixel array")
+    rows = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=offset)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    bgr = rows if top_down else rows[::-1]
+    return np.ascontiguousarray(bgr[:, :, ::-1])
+
+
+# ---------------------------------------------------------------------------
+# PPM (binary P6, maxval 255)
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a binary P6 PPM."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_ppm expects (h, w, 3) uint8 RGB")
+    h, w, _ = img.shape
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + img.tobytes()
+
+
+def _ppm_tokens(data: bytes, n: int) -> tuple[list[int], int]:
+    """Read ``n`` whitespace/comment-delimited integer header tokens.
+
+    Returns the tokens and the offset of the first raster byte (one
+    whitespace char after the last token, per the Netpbm spec).
+    """
+    tokens: list[int] = []
+    i = 2  # past "P6"
+    while len(tokens) < n:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if i < len(data) and data[i : i + 1] == b"#":
+            while i < len(data) and data[i] != 0x0A:
+                i += 1
+            continue
+        start = i
+        while i < len(data) and not data[i : i + 1].isspace():
+            i += 1
+        if start == i:
+            raise ValueError("truncated PPM header")
+        tokens.append(int(data[start:i]))
+    return tokens, i + 1
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Decode a binary P6 PPM into an (h, w, 3) uint8 RGB array."""
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    (w, h, maxval), raster = _ppm_tokens(data, 3)
+    if maxval != 255:
+        raise NotImplementedError(f"PPM maxval {maxval} unsupported (need 255)")
+    if len(data) < raster + w * h * 3:
+        raise ValueError("truncated PPM raster")
+    px = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=raster)
+    return px.reshape(h, w, 3).copy()
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF/WAVE, PCM16)
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int, channels: int = 1) -> bytes:
+    """Encode int16 PCM samples (frame-major, interleaved) as a WAV file."""
+    pcm = np.asarray(samples, dtype="<i2")
+    data = pcm.tobytes()
+    block_align = 2 * channels
+    byte_rate = sample_rate * block_align
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int, int]:
+    """Decode a PCM16 WAV; returns (int16 samples, sample_rate, channels)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    sample_rate = channels = bits = None
+    pcm = None
+    i = 12
+    while i + 8 <= len(data):
+        cid = data[i : i + 4]
+        (size,) = struct.unpack_from("<I", data, i + 4)
+        body = data[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, channels, sample_rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if fmt_tag != 1:
+                raise NotImplementedError(f"WAV format tag {fmt_tag} unsupported (need PCM)")
+            if bits != 16:
+                raise NotImplementedError(f"{bits}-bit WAV unsupported (need 16)")
+        elif cid == b"data":
+            pcm = np.frombuffer(body, dtype="<i2")
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if sample_rate is None or pcm is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return pcm, sample_rate, channels
+
+
+# ---------------------------------------------------------------------------
+# Dispatch + features
+# ---------------------------------------------------------------------------
+
+_COMPRESSED_MAGIC = {
+    b"\x89PNG": "PNG",
+    b"\xff\xd8\xff": "JPEG",
+    b"GIF8": "GIF",
+    b"ID3": "MP3",
+    b"OggS": "OGG",
+    b"fLaC": "FLAC",
+}
+
+
+def _check_compressed(data: bytes) -> None:
+    for magic, name in _COMPRESSED_MAGIC.items():
+        if data[: len(magic)] == magic:
+            raise NotImplementedError(
+                f"{name} payloads need a codec library unavailable in this "
+                "environment; transcode to BMP/PPM/WAV upstream"
+            )
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Decode BMP or PPM bytes to an (h, w, 3) uint8 RGB array."""
+    _check_compressed(data)
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    if data[:2] == b"P6":
+        return decode_ppm(data)
+    raise ValueError(f"unrecognised image magic {data[:4]!r}")
+
+
+def image_features(data: bytes) -> tuple[int, int, float]:
+    """(width, height, mean_luma) from BMP/PPM bytes.
+
+    mean_luma = sum(299R + 587G + 114B) / (n_pixels * 255000), the
+    integer-Rec.601 convention documented in the module docstring.
+    """
+    img = decode_image(data)
+    h, w, _ = img.shape
+    px = img.astype(np.int64)
+    luma_sum = int(px[:, :, 0].sum() * 299 + px[:, :, 1].sum() * 587 + px[:, :, 2].sum() * 114)
+    return w, h, round(luma_sum / (h * w * 255000.0), 6)
+
+
+def audio_features(data: bytes) -> tuple[float, int, float]:
+    """(duration_s, sample_rate, rms_energy) from PCM16 WAV bytes."""
+    _check_compressed(data)
+    pcm, sample_rate, channels = decode_wav(data)
+    n_frames = len(pcm) // channels
+    duration = round(n_frames / float(sample_rate), 6)
+    sq_sum = int((pcm.astype(np.int64) ** 2).sum())
+    rms = round(float(np.sqrt(sq_sum / len(pcm))) / 32768.0, 6) if len(pcm) else 0.0
+    return duration, sample_rate, rms

@@ -1,0 +1,97 @@
+"""Deterministic multimodal fixtures for the real-decode path.
+
+Eight payloads — 24-bit BMPs, binary P6 PPMs, PCM16 WAVs — whose
+features are analytically computable from the generation parameters
+with exact integer arithmetic. ``expected_features()`` derives the
+expected (width, height, mean_luma) / (duration, rate, rms) straight
+from the source arrays, NOT by running the decoders, so the registry
+query ``multimodal_decode_real`` checks the full encode → Spark →
+mapInPandas → decode → feature path against an independent computation.
+(The asymmetric-byte-layout details — BGR order, bottom-up rows, row
+padding, RIFF chunk walk — are pinned separately by golden byte tests
+in tests/test_codecs.py.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ag_data_ingestion_github_to_snowflake_spark.operators import codecs
+
+LUMA_W = (299, 587, 114)  # integer Rec.601, /1000
+
+
+def _ramp_image(w: int, h: int, scales: tuple[int, int, int]) -> np.ndarray:
+    """Linear horizontal ramp; channel c at column x is ``scales[c] * x``."""
+    x = np.arange(w, dtype=np.int64)
+    img = np.stack([np.tile(s * x, (h, 1)) for s in scales], axis=2)
+    if img.max() > 255:
+        raise ValueError("ramp overflows uint8")
+    return img.astype(np.uint8)
+
+
+def _images() -> list[tuple[int, str, np.ndarray]]:
+    gray_ramp = np.tile((np.arange(17, dtype=np.int64) * 255 // 16), (5, 1))
+    return [
+        (0, "bmp", np.full((3, 5, 3), [255, 0, 0], dtype=np.uint8)),
+        (1, "bmp", np.full((4, 7, 3), 255, dtype=np.uint8)),
+        (2, "bmp", np.stack([gray_ramp] * 3, axis=2).astype(np.uint8)),
+        (3, "ppm", np.full((4, 4, 3), [10, 20, 30], dtype=np.uint8)),
+        (4, "ppm", _ramp_image(8, 2, (10, 5, 2))),
+    ]
+
+
+def _audios() -> list[tuple[int, np.ndarray, int]]:
+    square = np.tile(np.array([8192, -8192], dtype=np.int16), 8000)
+    return [
+        (5, np.full(4000, 16384, dtype=np.int16), 8000),
+        (6, square, 16000),
+        (7, np.zeros(2205, dtype=np.int16), 22050),
+    ]
+
+
+def media_fixture_rows() -> list[tuple[int, str, bytes]]:
+    """(doc_id, modality, payload) rows for the decode query."""
+    rows: list[tuple[int, str, bytes]] = []
+    for doc_id, fmt, img in _images():
+        enc = codecs.encode_bmp if fmt == "bmp" else codecs.encode_ppm
+        rows.append((doc_id, "image", enc(img)))
+    for doc_id, samples, rate in _audios():
+        rows.append((doc_id, "audio", codecs.encode_wav(samples, rate)))
+    return rows
+
+
+def expected_features() -> list[tuple[int, str, float, float, float]]:
+    """(doc_id, modality, feat_a, feat_b, feat_c) computed from source
+    arrays with exact integer sums (images: width/height/mean_luma;
+    audio: duration/sample_rate/rms)."""
+    out: list[tuple[int, str, float, float, float]] = []
+    for doc_id, _, img in _images():
+        h, w, _ = img.shape
+        px = img.astype(object)  # exact Python-int arithmetic
+        luma_sum = sum(
+            int(px[:, :, c].sum()) * LUMA_W[c] for c in range(3)
+        )
+        luma = round(luma_sum / (h * w * 255000.0), 6)
+        out.append((doc_id, "image", float(w), float(h), luma))
+    for doc_id, samples, rate in _audios():
+        n = len(samples)
+        duration = round(n / float(rate), 6)
+        sq_sum = sum(int(s) ** 2 for s in samples.tolist())
+        rms = round(float(np.sqrt(sq_sum / n)) / 32768.0, 6) if n else 0.0
+        out.append((doc_id, "audio", duration, float(rate), rms))
+    return out
+
+
+def expected_features_sql() -> str:
+    """DuckDB VALUES oracle over the analytic expectations."""
+    rows = ",\n      ".join(
+        f"(CAST({d} AS BIGINT), '{m}', CAST({a!r} AS DOUBLE), "
+        f"CAST({b!r} AS DOUBLE), CAST({c!r} AS DOUBLE))"
+        for d, m, a, b, c in expected_features()
+    )
+    return (
+        "SELECT * FROM (VALUES\n      "
+        + rows
+        + "\n    ) AS t(doc_id, modality, feat_a, feat_b, feat_c) ORDER BY doc_id"
+    )

@@ -8,12 +8,18 @@ Arrow-batched pandas functions over ``mapInPandas``: the engine moves
 binary blobs in columnar Arrow batches and Python touches them only
 inside the batch loop.
 
-The image/audio codec libraries are not available in this container, so
-the decode kernels are STUBS: ``decode_image``/``extract_audio_features``
-raise NotImplementedError unless ``deterministic_fake=True``, which
-produces a seeded, content-derived fake (stable across runs) so the
-Spark-side plumbing — schema, batching, partitioning — is real and
-tested end-to-end.
+Decode kernels come in two flavours:
+
+- **Real** (default): pure-numpy decoders for the uncompressed formats
+  — 24-bit BMP, binary PPM, PCM16 WAV — in ``operators/codecs.py``.
+  Compressed formats (PNG/JPEG/MP3...) raise NotImplementedError with
+  their magic named, since their codec libraries are not in this
+  container.
+- **Deterministic fake** (``deterministic_fake=True``): content-derived
+  pseudo-features from a sha256 of the payload, kept because it has an
+  exact SQL twin (the ``multimodal_image_features`` oracle) that
+  verifies the Arrow/mapInPandas plumbing end-to-end in the driver's
+  DuckDB differential check.
 
 Scale notes: binary payloads dominate row size; ``mapInPandas`` with a
 bounded ``spark.sql.execution.arrow.maxRecordsPerBatch`` keeps batch
@@ -30,6 +36,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ag_data_ingestion_github_to_snowflake_spark.operators import codecs
 
 MEDIA_META = T.StructType(
     [
@@ -91,24 +99,24 @@ def decode_image_features(
 ) -> DataFrame:
     """Image decode + feature extraction via mapInPandas.
 
-    Real implementation would open each payload with PIL/OpenCV and
-    emit (width, height, mean_luma). Those libs are absent here: with
-    ``deterministic_fake`` the kernel derives stable pseudo-features
-    from a sha256 of the payload; otherwise it raises
-    NotImplementedError. The Spark plumbing (Arrow batches, schema,
-    partition preservation) is identical either way.
+    Default path REALLY decodes: BMP/PPM payloads are parsed by the
+    pure-numpy codecs in ``operators/codecs.py`` and (width, height,
+    mean_luma) computed from actual pixels; compressed formats raise
+    NotImplementedError naming the codec. ``deterministic_fake``
+    switches to the sha256-derived pseudo-decode whose exact SQL twin
+    verifies the Arrow plumbing in the driver check. The Spark side
+    (Arrow batches, schema, partitioning) is identical either way.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "image codecs unavailable in this environment; "
-                    "pass deterministic_fake=True for the test path"
-                )
             rows = []
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
-                w, h, luma = _fake_image_features(bytes(payload))
+                data = bytes(payload)
+                if deterministic_fake:
+                    w, h, luma = _fake_image_features(data)
+                else:
+                    w, h, luma = codecs.image_features(data)
                 rows.append((int(did), w, h, luma))
             yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "mean_luma"])
 
@@ -131,28 +139,27 @@ def extract_audio_features(
     id_col: str = "doc_id",
     deterministic_fake: bool = False,
 ) -> DataFrame:
-    """Audio feature extraction via mapInPandas (stubbed codecs).
+    """Audio feature extraction via mapInPandas.
 
-    Real implementation would decode with soundfile/librosa and emit
-    (duration, sample_rate, rms). With ``deterministic_fake`` the
-    features derive from a sha256 of the payload — stable, testable
-    plumbing without audio libraries.
+    Default path REALLY decodes PCM16 WAV (RIFF chunk walk, int16
+    samples) via ``operators/codecs.py`` and computes (duration,
+    sample_rate, rms_energy) from actual samples; compressed audio
+    raises NotImplementedError. ``deterministic_fake`` keeps the
+    sha256-derived pseudo-features for plumbing-only tests.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "audio codecs unavailable in this environment; "
-                    "pass deterministic_fake=True for the test path"
-                )
             rows = []
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload)
-                digest = hashlib.sha256(data).digest()
-                duration = round(len(data) / 16000.0, 6)
-                sample_rate = (8000, 16000, 22050, 44100)[digest[0] % 4]
-                rms = round(digest[1] / 255.0, 6)
+                if deterministic_fake:
+                    digest = hashlib.sha256(data).digest()
+                    duration = round(len(data) / 16000.0, 6)
+                    sample_rate = (8000, 16000, 22050, 44100)[digest[0] % 4]
+                    rms = round(digest[1] / 255.0, 6)
+                else:
+                    duration, sample_rate, rms = codecs.audio_features(data)
                 rows.append((int(did), duration, sample_rate, rms))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "duration_s", "sample_rate", "rms_energy"]
@@ -168,10 +175,14 @@ def sample_frames(
     every_n: int = 10,
     deterministic_fake: bool = False,
 ) -> DataFrame:
-    """Video frame-sampling plumbing: one output row per sampled frame.
+    """Video frame-sampling: one output row per sampled frame.
 
-    Stubbed like decode_image_features; the fake derives a frame count
-    from payload length and emits every ``every_n``-th frame index.
+    Real path (default): the payload is a *raw frame stack* — back-to-
+    back binary P6 PPM frames (the uncompressed analogue of an MJPEG
+    stream; compressed containers raise from the codec layer). Each
+    ``every_n``-th frame is split out and its real content hash emitted.
+    The fake path derives a frame count from payload length for
+    plumbing-only tests.
     """
     schema = T.StructType(
         [
@@ -181,19 +192,33 @@ def sample_frames(
         ]
     )
 
+    def _split_ppm_stack(data: bytes) -> list[bytes]:
+        frames = []
+        i = 0
+        while i < len(data):
+            if data[i : i + 2] != b"P6":
+                raise ValueError(f"frame stack corrupt at byte {i}")
+            (w, h, _), raster = codecs._ppm_tokens(data[i:], 3)
+            end = i + raster + w * h * 3
+            frames.append(data[i:end])
+            i = end
+        return frames
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "video codecs unavailable; pass deterministic_fake=True"
-                )
             rows = []
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload)
-                n_frames = max(1, len(data) // 16)
-                for idx in range(0, n_frames, every_n):
-                    hsh = hashlib.sha256(data + idx.to_bytes(4, "big")).hexdigest()[:16]
-                    rows.append((int(did), idx, hsh))
+                if deterministic_fake:
+                    n_frames = max(1, len(data) // 16)
+                    for idx in range(0, n_frames, every_n):
+                        hsh = hashlib.sha256(data + idx.to_bytes(4, "big")).hexdigest()[:16]
+                        rows.append((int(did), idx, hsh))
+                else:
+                    frames = _split_ppm_stack(data)
+                    for idx in range(0, len(frames), every_n):
+                        hsh = hashlib.sha256(frames[idx]).hexdigest()[:16]
+                        rows.append((int(did), idx, hsh))
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_hash"])
 
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)

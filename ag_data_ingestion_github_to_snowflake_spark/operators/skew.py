@@ -44,11 +44,26 @@ def salted_aggregate(
     """Two-phase skew-safe aggregation.
 
     ``aggs`` maps output column -> (input column, fn) with fn in
-    {sum, count, min, max}. Phase 1 aggregates on keys+salt (spreads a
-    hot key over n_salts reducers); phase 2 merges partials on keys.
+    {sum, count, countnn, min, max}. Phase 1 aggregates on keys+salt
+    (spreads a hot key over n_salts reducers); phase 2 merges partials
+    on keys. ``count`` is COUNT(*) row-count semantics regardless of
+    nulls in the input column (which is ignored); ``countnn`` is
+    SQL COUNT(col) non-null semantics.
     """
-    merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
-    first_fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    merge_fn = {
+        "sum": F.sum,
+        "count": F.sum,
+        "countnn": F.sum,
+        "min": F.min,
+        "max": F.max,
+    }
+    first_fn = {
+        "sum": F.sum,
+        "count": lambda _col: F.count(F.lit(1)),
+        "countnn": F.count,
+        "min": F.min,
+        "max": F.max,
+    }
 
     salted = df.withColumn("_salt", _salt(unique_col, n_salts))
     phase1 = salted.groupBy(*keys, "_salt").agg(

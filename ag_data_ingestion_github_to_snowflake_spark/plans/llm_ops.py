@@ -361,3 +361,61 @@ def multimodal_image_features(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("payload", F.encode("text", "UTF-8"))
     )
     return M.decode_image_features(docs, deterministic_fake=True)
+
+
+# ---------------------------------------------------------------------------
+# B57 REAL multimodal decode: pure-numpy BMP/PPM/WAV codecs
+# ---------------------------------------------------------------------------
+from pyspark.sql import types as T  # noqa: E402
+
+from ag_data_ingestion_github_to_snowflake_spark.operators import (  # noqa: E402
+    media_fixtures,
+)
+
+
+@register(
+    "multimodal_decode_real",
+    # Expected values are computed analytically from the fixture source
+    # arrays (exact integer sums), NOT by running the decoders — see
+    # operators/media_fixtures.py. Byte-level decoder behaviour (BGR
+    # order, bottom-up rows, padding, RIFF walk) is pinned by golden
+    # tests in tests/test_codecs.py.
+    oracle=media_fixtures.expected_features_sql(),
+    survey_ids=("B57",),
+)
+def multimodal_decode_real(spark: SparkSession, sf: str) -> DataFrame:
+    """Real numpy decode of BMP/PPM images + PCM16 WAV through the
+    distributed mapInPandas kernels (no deterministic_fake).
+
+    Images emit (width, height, mean_luma) from actual pixels; audio
+    emits (duration_s, sample_rate, rms_energy) from actual samples —
+    unified as DOUBLE feat_a/feat_b/feat_c per modality.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("modality", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    media = spark.createDataFrame(
+        media_fixtures.media_fixture_rows(), schema
+    ).repartition(4)
+
+    img = M.decode_image_features(media.filter(F.col("modality") == "image"))
+    img_feats = img.select(
+        "doc_id",
+        F.lit("image").alias("modality"),
+        F.col("width").cast("double").alias("feat_a"),
+        F.col("height").cast("double").alias("feat_b"),
+        F.col("mean_luma").alias("feat_c"),
+    )
+    aud = M.extract_audio_features(media.filter(F.col("modality") == "audio"))
+    aud_feats = aud.select(
+        "doc_id",
+        F.lit("audio").alias("modality"),
+        F.col("duration_s").alias("feat_a"),
+        F.col("sample_rate").cast("double").alias("feat_b"),
+        F.col("rms_energy").alias("feat_c"),
+    )
+    return img_feats.unionByName(aud_feats).orderBy("doc_id")

@@ -23,15 +23,25 @@ from ag_data_ingestion_github_to_snowflake_spark.streaming import streams as S
 
 
 def _staged_events_stream(spark: SparkSession, sf: str) -> tuple[DataFrame, str]:
-    """Stage events.parquet into a temp dir and open it as a stream.
+    """Stage events.parquet into a deterministic temp dir and open it as
+    a stream (the file stream source lists directories).
+
+    The staging path is keyed by the sf dir and reused across calls —
+    repeated builds in one session (bench warm-up + timed run + parity
+    tests) must not accumulate /tmp copies.
 
     The raw file stores ts as TIMESTAMP(ns) (read as long under
     nanosAsLong); the same ns->us normalization as the batch catalog
     applies on the stream.
     """
     src = os.path.join(sf, "events.parquet")
-    stage = tempfile.mkdtemp(prefix="ag_stream_events_")
-    shutil.copy(src, os.path.join(stage, "events.parquet"))
+    stage = os.path.join(
+        tempfile.gettempdir(), f"ag_stream_events_{os.path.basename(os.path.normpath(sf))}"
+    )
+    staged = os.path.join(stage, "events.parquet")
+    if not os.path.exists(staged) or os.path.getmtime(staged) < os.path.getmtime(src):
+        os.makedirs(stage, exist_ok=True)
+        shutil.copy(src, staged)
     raw_schema = spark.read.parquet(src).schema
     sdf = spark.readStream.schema(raw_schema).parquet(stage)
     sdf = sdf.withColumn(
@@ -41,6 +51,12 @@ def _staged_events_stream(spark: SparkSession, sf: str) -> tuple[DataFrame, str]
 
 
 def _drain(plan: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
+    """Run the streaming plan to completion and hand back a *detached*
+    result: the memory-sink table is snapshotted via an eager
+    localCheckpoint, then the sink view and the checkpoint dir are torn
+    down so repeated builds leak neither driver-memory tables nor /tmp
+    dirs (each run still gets a fresh checkpoint — offsets are
+    per-run)."""
     cp = tempfile.mkdtemp(prefix="ag_stream_cp_")
     name = "mem_" + os.path.basename(cp).removeprefix("ag_stream_cp_")
     q = (
@@ -55,7 +71,10 @@ def _drain(plan: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
     if not finished:
         q.stop()
         raise TimeoutError("streaming drain did not finish within 300s")
-    return spark.sql(f"SELECT * FROM {name}")
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(cp, ignore_errors=True)
+    return out
 
 
 @register(

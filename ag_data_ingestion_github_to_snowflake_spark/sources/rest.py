@@ -27,6 +27,9 @@ import-try.
 from __future__ import annotations
 
 import json
+import time
+import urllib.error
+import urllib.parse
 import urllib.request
 from collections.abc import Callable, Iterator
 from dataclasses import dataclass, field
@@ -79,7 +82,7 @@ def http_transport(base_url: str, token: str | None = None) -> Transport:
     ``get_api_headers`` (:351-369): token switches the rate tier."""
 
     def call(path: str, params: dict) -> tuple[int, object]:
-        query = "&".join(f"{k}={v}" for k, v in params.items())
+        query = urllib.parse.urlencode(params)
         url = f"{base_url}{path}" + (f"?{query}" if query else "")
         req = urllib.request.Request(url)
         req.add_header("Accept", "application/vnd.github+json")
@@ -90,6 +93,8 @@ def http_transport(base_url: str, token: str | None = None) -> Transport:
                 return resp.status, json.loads(resp.read().decode())
         except urllib.error.HTTPError as e:  # 404 etc: row-skip, not crash
             return e.code, None
+        except urllib.error.URLError:  # DNS/timeout/conn-reset: row-skip too
+            return 599, None
 
     return call
 
@@ -216,9 +221,17 @@ def enrich_details(
 
 @dataclass
 class RateLimiter:
-    """A20 token-budget governor: counts calls, enforces the per-run
-    budget, and surfaces remaining quota (header-driven in the real
-    transport; deterministic here)."""
+    """A20 token-budget governor (DRIVER-SIDE ONLY).
+
+    Counts calls against a deterministic per-run budget. This object is
+    plain Python state: if its ``wrap``-ed transport is shipped inside a
+    mapInPandas closure, cloudpickle copies it per task and each
+    partition counts independently — the budget silently becomes
+    budget × partitions. Distributed enforcement therefore comes from
+    the structural ``rows[:budget]`` cap in ``list_scan_df`` (each
+    surviving row costs exactly one detail call); use this class only
+    for driver-side call loops, and ``HeaderRateLimitGovernor`` for the
+    server-reported X-RateLimit protocol."""
 
     budget: int
     used: int = 0
@@ -239,5 +252,77 @@ class RateLimiter:
             if not self.acquire():
                 return 403, None  # budget exhausted ≡ rate-limited
             return transport(path, params)
+
+        return call
+
+
+# transport variant that also exposes response headers:
+# (path, params) -> (status, payload, headers)
+HeaderTransport = Callable[[str, dict], tuple[int, object, dict]]
+
+
+@dataclass
+class HeaderRateLimitGovernor:
+    """A20 header-driven rate-limit governor (driver-side call loops).
+
+    Mirrors the reference's ``check_rate_limit`` behaviour
+    (/root/reference/src/extract_github_data.py:372-391) against the
+    public ``X-RateLimit-Remaining`` / ``X-RateLimit-Reset`` protocol:
+
+    - after every response, parse the remaining-quota and reset-epoch
+      headers (case-insensitively; absent headers leave state unchanged);
+    - warn once the server-reported remaining drops below
+      ``warn_threshold`` (reference warns below 5);
+    - before the next call after quota exhaustion, back off until the
+      server's reset time (never less than ``min_backoff_s``, the
+      reference's fixed 60 s sleep), using an injectable clock/sleeper
+      so tests drive the schedule deterministically.
+    """
+
+    clock: Callable[[], float] = time.time
+    sleeper: Callable[[float], None] = time.sleep
+    warn_threshold: int = 5
+    min_backoff_s: float = 60.0
+    remaining: int | None = None
+    reset_at: float | None = None
+    warnings: list[str] = field(default_factory=list)
+    backoffs: list[float] = field(default_factory=list)
+
+    def observe(self, headers: dict) -> None:
+        """Ingest X-RateLimit-* headers from one response."""
+        lowered = {str(k).lower(): v for k, v in (headers or {}).items()}
+        if "x-ratelimit-remaining" in lowered:
+            self.remaining = int(lowered["x-ratelimit-remaining"])
+            if self.remaining < self.warn_threshold:
+                self.warnings.append(
+                    f"rate limit low: {self.remaining} requests remaining"
+                )
+        if "x-ratelimit-reset" in lowered:
+            self.reset_at = float(lowered["x-ratelimit-reset"])
+
+    def before_call(self) -> None:
+        """Block (via the injected sleeper) if the server said we're out."""
+        if self.remaining is not None and self.remaining <= 0:
+            now = self.clock()
+            wait = self.min_backoff_s
+            if self.reset_at is not None:
+                wait = max(self.reset_at - now, self.min_backoff_s)
+            self.backoffs.append(wait)
+            self.sleeper(wait)
+            # After sleeping through the reset we assume a fresh window;
+            # the next observe() re-syncs with the server's real count.
+            self.remaining = None
+            self.reset_at = None
+
+    def wrap(self, transport: HeaderTransport) -> Transport:
+        """Governed transport: backoff-gate each call, observe headers,
+        and return the plain (status, payload) shape downstream code
+        expects."""
+
+        def call(path: str, params: dict) -> tuple[int, object]:
+            self.before_call()
+            status, payload, headers = transport(path, params)
+            self.observe(headers)
+            return status, payload
 
         return call

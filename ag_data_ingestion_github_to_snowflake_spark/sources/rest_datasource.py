@@ -80,8 +80,13 @@ class GithubReposReader(DataSourceReader):
             )
             if status != 200 or not payload:
                 break
+            prev_cursor = cursor
             for r in payload:
                 rid = int(r["id"])
+                if rid <= prev_cursor:
+                    # ``since`` means strictly-greater ids; replayed or
+                    # stale rows from a misbehaving server are dropped.
+                    continue
                 if rid > partition.end:
                     return
                 yield (
@@ -90,7 +95,12 @@ class GithubReposReader(DataSourceReader):
                     r.get("full_name"),
                     (r.get("owner") or {}).get("login"),
                 )
-                cursor = rid
+                cursor = max(cursor, rid)
+            if cursor <= prev_cursor:
+                # Forward-progress guard: a page that advanced nothing
+                # must not trap the executor in an infinite loop of
+                # identical requests.
+                break
             if len(payload) < self.per_page:
                 break
 

@@ -1,0 +1,136 @@
+"""Golden byte-level tests for the pure-numpy media codecs.
+
+The golden payloads are hand-assembled from the public format specs
+(not via the encoders), so an encode/decode bug pair that cancels in
+round-trip testing cannot hide here: BGR byte order, bottom-up rows,
+4-byte row padding (BMP); header token/comment handling (PPM); RIFF
+chunk walking and word alignment (WAV).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from ag_data_ingestion_github_to_snowflake_spark.operators import codecs
+
+
+def _golden_bmp_2x2() -> bytes:
+    """2x2 24-bit BMP: top row [red, green], bottom row [blue, white]."""
+    # bottom-up rows, BGR, stride 8 (6 data + 2 pad)
+    pixel = bytes(
+        [255, 0, 0] + [255, 255, 255] + [0, 0]  # bottom: blue, white
+        + [0, 0, 255] + [0, 255, 0] + [0, 0]  # top: red, green
+    )
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixel), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pixel), 0, 0, 0, 0)
+    return header + dib + pixel
+
+
+def test_decode_bmp_golden_bytes():
+    img = codecs.decode_bmp(_golden_bmp_2x2())
+    expected = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]],
+        dtype=np.uint8,
+    )
+    np.testing.assert_array_equal(img, expected)
+
+
+def test_decode_bmp_top_down():
+    data = bytearray(_golden_bmp_2x2())
+    struct.pack_into("<i", data, 22, -2)  # negative height => top-down
+    img = codecs.decode_bmp(bytes(data))
+    # file rows now read top-first: [blue, white] then [red, green]
+    expected = np.array(
+        [[[0, 0, 255], [255, 255, 255]], [[255, 0, 0], [0, 255, 0]]],
+        dtype=np.uint8,
+    )
+    np.testing.assert_array_equal(img, expected)
+
+
+def test_decode_ppm_golden_with_comment():
+    data = b"P6\n# test comment\n2 1\n255\n" + bytes([1, 2, 3, 4, 5, 6])
+    img = codecs.decode_ppm(data)
+    np.testing.assert_array_equal(
+        img, np.array([[[1, 2, 3], [4, 5, 6]]], dtype=np.uint8)
+    )
+
+
+def _golden_wav() -> bytes:
+    samples = struct.pack("<4h", 1000, -1000, 2000, -2000)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+    body += b"data" + struct.pack("<I", len(samples)) + samples
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_wav_golden_bytes():
+    pcm, rate, channels = codecs.decode_wav(_golden_wav())
+    assert rate == 8000 and channels == 1
+    np.testing.assert_array_equal(pcm, np.array([1000, -1000, 2000, -2000], dtype=np.int16))
+
+
+def test_decode_wav_skips_extra_chunk():
+    """Chunk walker must skip unknown (odd-sized, word-aligned) chunks."""
+    samples = struct.pack("<2h", 32767, -32768)
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    body = b"WAVE" + b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad to even
+    body += b"fmt " + struct.pack("<I", 16) + fmt
+    body += b"data" + struct.pack("<I", len(samples)) + samples
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+    pcm, rate, _ = codecs.decode_wav(data)
+    assert rate == 16000
+    np.testing.assert_array_equal(pcm, np.array([32767, -32768], dtype=np.int16))
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (2, 3), (5, 4), (17, 9)])
+def test_bmp_roundtrip_padding_widths(w, h):
+    rng = np.random.default_rng(w * 100 + h)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(codecs.decode_bmp(codecs.encode_bmp(img)), img)
+
+
+def test_ppm_roundtrip():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(6, 11, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(codecs.decode_ppm(codecs.encode_ppm(img)), img)
+
+
+def test_wav_roundtrip_stereo():
+    rng = np.random.default_rng(11)
+    pcm = rng.integers(-32768, 32768, size=400, dtype=np.int16)
+    out, rate, channels = codecs.decode_wav(codecs.encode_wav(pcm, 44100, channels=2))
+    assert (rate, channels) == (44100, 2)
+    np.testing.assert_array_equal(out, pcm)
+
+
+def test_image_features_exact_solid_color():
+    img = np.full((3, 5, 3), [255, 0, 0], dtype=np.uint8)
+    w, h, luma = codecs.image_features(codecs.encode_bmp(img))
+    assert (w, h) == (5, 3)
+    assert luma == pytest.approx(0.299, abs=0)  # exactly 299*255/255000
+
+
+def test_audio_features_exact_constant():
+    duration, rate, rms = codecs.audio_features(
+        codecs.encode_wav(np.full(4000, 16384, dtype=np.int16), 8000)
+    )
+    assert duration == 0.5 and rate == 8000 and rms == 0.5
+
+
+def test_compressed_magic_raises():
+    with pytest.raises(NotImplementedError, match="PNG"):
+        codecs.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20)
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        codecs.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 20)
+    with pytest.raises(ValueError, match="magic"):
+        codecs.decode_image(b"????????")
+
+
+def test_unsupported_bmp_depth_raises():
+    data = bytearray(codecs.encode_bmp(np.zeros((1, 1, 3), dtype=np.uint8)))
+    struct.pack_into("<H", data, 28, 8)  # claim 8-bit
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        codecs.decode_bmp(bytes(data))

@@ -250,12 +250,48 @@ def test_decode_image_features_fake_deterministic(spark):
     assert all(64 <= r.width < 256 and 0 <= r.mean_luma <= 1 for r in a)
 
 
-def test_decode_image_without_codec_raises(spark):
+def test_decode_image_real_path_rejects_unknown_and_compressed(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="x")]).withColumn(
         "payload", F.encode("text", "UTF-8")
     )
-    with pytest.raises(Exception, match="NotImplementedError|image codecs"):
+    with pytest.raises(Exception, match="unrecognised image magic"):
         M.decode_image_features(df, deterministic_fake=False).collect()
+    png = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="PNG"):
+        M.decode_image_features(png, deterministic_fake=False).collect()
+
+
+def test_decode_image_real_bmp_through_spark(spark):
+    import numpy as np
+
+    from ag_data_ingestion_github_to_snowflake_spark.operators import codecs
+
+    img = np.full((3, 5, 3), [255, 0, 0], dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(7, bytearray(codecs.encode_bmp(img)))], "doc_id long, payload binary"
+    )
+    row = M.decode_image_features(df).collect()[0]
+    assert (row.width, row.height, row.mean_luma) == (5, 3, 0.299)
+
+
+def test_sample_frames_real_ppm_stack(spark):
+    import numpy as np
+
+    from ag_data_ingestion_github_to_snowflake_spark.operators import codecs
+
+    frames = [
+        codecs.encode_ppm(np.full((2, 2, 3), i, dtype=np.uint8)) for i in range(25)
+    ]
+    df = spark.createDataFrame(
+        [(1, bytearray(b"".join(frames)))], "doc_id long, payload binary"
+    )
+    rows = sorted(M.sample_frames(df, every_n=10).collect(), key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in rows] == [0, 10, 20]
+    import hashlib
+
+    assert rows[1].frame_hash == hashlib.sha256(frames[10]).hexdigest()[:16]
 
 
 def test_audio_features_fake_deterministic(spark):

@@ -65,3 +65,34 @@ def test_connector_matches_driver_side_scan(spark):
         transport_spec=json.dumps({"n_repos": 120}),
     )
     assert sorted(drv.collect()) == sorted(con.collect())
+
+
+def test_reader_breaks_on_stalled_cursor():
+    """A misbehaving server that replays the same full page (max id <=
+    cursor) must terminate the shard scan, not loop forever."""
+    from ag_data_ingestion_github_to_snowflake_spark.sources.rest_datasource import (
+        GithubReposReader,
+        TransportRegistry,
+        _IdRangePartition,
+    )
+
+    calls = []
+
+    def stuck_factory(spec: str):
+        def transport(path, params):
+            calls.append(params["since"])
+            # full page, but ids never advance past 5
+            return 200, [
+                {"id": i, "name": f"r{i}", "full_name": f"o/r{i}", "owner": {"login": "o"}}
+                for i in range(1, 6)
+            ]
+
+        return transport
+
+    TransportRegistry.register("stuck", stuck_factory)
+    reader = GithubReposReader(
+        {"since": "0", "until": "100", "per_page": "5", "transport": "stuck"}
+    )
+    rows = list(reader.read(_IdRangePartition(0, 100)))
+    assert [r[0] for r in rows] == [1, 2, 3, 4, 5]  # first page yielded
+    assert len(calls) == 2  # second identical page detected, loop broken

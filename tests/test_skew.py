@@ -63,3 +63,26 @@ def test_replicated_skew_join_matches_plain(spark):
         li, o, key="l_orderkey", fact_unique_col="l_linenumber", n_salts=4
     ).groupBy("o_orderstatus").agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
     assert sorted(plain.collect()) == sorted(salted.collect())
+
+
+def test_salted_aggregate_count_star_vs_nonnull(spark):
+    """'count' is COUNT(*) even when the input column is nullable;
+    'countnn' is SQL COUNT(col)."""
+    df = spark.range(100).select(
+        (F.col("id") % 3).alias("k"),
+        F.col("id").alias("uid"),
+        F.when(F.col("id") % 4 != 0, F.col("id").cast("double")).alias("v"),
+    )
+    salted = salted_aggregate(
+        df,
+        keys=["k"],
+        aggs={"n_rows": ("v", "count"), "n_vals": ("v", "countnn")},
+        unique_col="uid",
+        n_salts=8,
+    )
+    plain = df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.count("v").alias("n_vals")
+    )
+    assert sorted(salted.collect()) == sorted(plain.collect())
+    rows = {r.k: r for r in salted.collect()}
+    assert any(rows[k].n_rows != rows[k].n_vals for k in rows)
