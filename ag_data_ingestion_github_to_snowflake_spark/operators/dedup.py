@@ -23,7 +23,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -224,13 +223,15 @@ def minhash_near_dedup(
     Shingles are hashed to long arrays once and reused by both the
     signature branch and the verification joins.
     """
-    # Persist: three consumers (signatures + both verify-join sides)
-    # would otherwise recompute the tokenize+hash subtree. At 100 TB
-    # this is a checkpointed bronze table; locally MEMORY_AND_DISK.
-    sh = hashed_shingles(df.select(id_col, text_col), text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # Three consumers (signatures + both verify-join sides) would
+    # otherwise recompute the tokenize+hash subtree. localCheckpoint
+    # materializes it once, truncates the lineage, and — unlike
+    # persist()+count() — is itself the 100 TB-shape action (a bronze
+    # checkpoint write), not a cache-priming side effect in the timed
+    # path.
+    sh = hashed_shingles(df.select(id_col, text_col), text_col, n).localCheckpoint(
+        eager=True
     )
-    sh.count()  # materialize the cache before the branches fan out
     sig = minhash_signatures(sh, id_col, num_hashes)
     cands = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
     return jaccard_pairs(cands, sh.select(id_col, "hshingle"), id_col, threshold)

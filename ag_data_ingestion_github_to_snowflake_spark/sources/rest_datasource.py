@@ -42,9 +42,10 @@ class TransportRegistry:
 
 
 class _IdRangePartition(InputPartition):
-    def __init__(self, start: int, end: int):
+    def __init__(self, start: int, end: int, row_cap: int | None = None):
         self.start = start
         self.end = end
+        self.row_cap = row_cap  # max rows this shard may emit (budget share)
 
 
 class GithubReposReader(DataSourceReader):
@@ -54,6 +55,8 @@ class GithubReposReader(DataSourceReader):
         self.until = int(options.get("until", 1000))
         self.per_page = int(options.get("per_page", 100))
         self.num_partitions = int(options.get("num_partitions", 4))
+        budget = options.get("budget")
+        self.budget = int(budget) if budget is not None else None
         self.transport_name = options.get("transport", "stub")
         self.transport_spec = options.get("transport_spec", "")
 
@@ -61,14 +64,26 @@ class GithubReposReader(DataSourceReader):
         """Shard the keyset range (since, until] into contiguous
         sub-ranges (each shard is exclusive-start/inclusive-end,
         matching the API's ``since`` semantics: ids strictly greater
-        than the cursor). Consecutive shards never overlap."""
+        than the cursor). Consecutive shards never overlap.
+
+        A ``budget`` option (max total rows, the reference's
+        MAX_REQUESTS_PER_RUN) is enforced *structurally*: it is split
+        across shards at planning time (first ``budget % n`` shards get
+        one extra), so independent executor tasks can never jointly
+        exceed it — the distributed analog of ``rows[:budget]``, with
+        no cross-task coordination needed."""
         span = max(self.until - self.since, 0)
         n = max(min(self.num_partitions, span), 1)
         step = (span + n - 1) // n if span else 1
+        starts = list(range(self.since, self.until, step)) or [self.since]
+        caps: list[int | None] = [None] * len(starts)
+        if self.budget is not None:
+            share, extra = divmod(max(self.budget, 0), len(starts))
+            caps = [share + (1 if i < extra else 0) for i in range(len(starts))]
         return [
-            _IdRangePartition(s, min(s + step, self.until))
-            for s in range(self.since, self.until, step)
-        ] or [_IdRangePartition(self.since, self.until)]
+            _IdRangePartition(s, min(s + step, self.until) if span else self.until, cap)
+            for s, cap in zip(starts, caps)
+        ]
 
     def read(self, partition: _IdRangePartition) -> Iterator[tuple]:
         """Page through one (start, end] id shard (executor-side)."""

@@ -58,3 +58,64 @@ def bronze_cache_write(df: DataFrame, path: str) -> None:
     reference's file-per-id JSON cache (:293-344). Partitionless
     append; dedup on read via pipeline.github.latest_snapshot."""
     df.write.mode("append").parquet(path)
+
+
+def merge_into_warehouse(
+    spark,
+    df: DataFrame,
+    path: str,
+    key: str = "id",
+    version_col: str | None = None,
+) -> DataFrame:
+    """A9: idempotent key-merge into the parquet warehouse table — the
+    API shape of the reference's warehouse load step (README.md:285-291,
+    Snowflake ``COPY INTO`` + dedup on load), expressed as a MERGE:
+
+    - rows in ``df`` REPLACE current rows with the same ``key``;
+    - within ``df`` itself, one row per key survives (highest
+      ``version_col`` if given, else an arbitrary-but-deterministic
+      winner), so at-least-once upstream delivery loads cleanly;
+    - re-loading the same batch is a no-op (idempotent).
+
+    Mechanics: survivors = current ⟕anti new (one shuffle on ``key``,
+    broadcast when ``new`` is small), union, write to a staging dir,
+    swap. The directory swap is the local-FS stand-in for an atomic
+    table-format commit (Iceberg/Delta REPLACE) — at warehouse scale
+    the same plan writes through a table format, and the anti-join
+    rewrite is bounded by partition pruning when callers pre-filter
+    ``current`` to affected date partitions.
+
+    Returns the merged table (fresh read from ``path``).
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F  # noqa: PLC0415 (local to keep module header slim)
+
+    if version_col:
+        w = Window.partitionBy(key).orderBy(F.col(version_col).desc(), F.col(key))
+        new = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    else:
+        new = df.dropDuplicates([key])
+
+    if os.path.exists(path):
+        current = spark.read.parquet(path)
+        survivors = current.join(new.select(key), on=key, how="left_anti")
+        merged = survivors.unionByName(new)
+    else:
+        merged = new
+
+    staging = f"{path}__staging"
+    merged.write.mode("overwrite").parquet(staging)
+    old = f"{path}__old"
+    if os.path.exists(path):
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return spark.read.parquet(path)

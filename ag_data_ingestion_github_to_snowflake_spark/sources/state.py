@@ -63,3 +63,36 @@ class FileWatermark(WatermarkStore):
         with open(tmp, "w") as f:
             f.write(str(int(value)))
         os.replace(tmp, self.path)
+
+
+@dataclass
+class KVWatermark(WatermarkStore):
+    """Remote-KV watermark (the reference's S3 / DynamoDB backends,
+    /root/reference/src/extract_github_data.py:164-286) with an
+    injectable client.
+
+    ``client`` is any mapping-shaped object with ``get(key)`` and
+    ``put(key, value)`` taking/returning strings — the exact surface an
+    S3 object store (get_object/put_object on a key) or a DynamoDB
+    item table (GetItem/PutItem on a partition key) exposes. Tests
+    inject a dict-backed fake; a real deployment wraps its boto3 client
+    in these two methods, keeping the engine free of network SDKs.
+
+    Values round-trip as strings (both remote stores are string-typed);
+    a missing key or non-integer value falls back to ``default``,
+    mirroring FileWatermark's corrupt/absent-file behaviour.
+    """
+
+    client: object
+    key: str = "watermark"
+    default: int = 0
+
+    def get(self) -> int:
+        try:
+            raw = self.client.get(self.key)
+            return int(str(raw).strip()) if raw is not None else self.default
+        except (ValueError, KeyError):
+            return self.default
+
+    def set(self, value: int) -> None:
+        self.client.put(self.key, str(int(value)))

@@ -153,3 +153,70 @@ def test_memory_watermark_roundtrip():
     assert wm.get() == 0
     wm.set(42)
     assert wm.get() == 42
+
+
+def test_incremental_extract_resume_from_remote_kv_state(spark):
+    """A4/A8 remote backend: the same resume protocol through an
+    injected KV client (S3/DynamoDB-shaped get/put on a string key)."""
+    from ag_data_ingestion_github_to_snowflake_spark.sources.state import KVWatermark
+
+    class FakeKVClient:
+        def __init__(self):
+            self.items: dict[str, str] = {}
+            self.puts = 0
+
+        def get(self, key):
+            return self.items.get(key)
+
+        def put(self, key, value):
+            assert isinstance(value, str)  # remote stores are string-typed
+            self.puts += 1
+            self.items[key] = value
+
+    client = FakeKVClient()
+    state = KVWatermark(client, key="github/last_repo_id")
+    assert state.get() == 0  # missing key -> default
+
+    tr = StubTransport(n_repos=80)
+    cfg = RestSourceConfig(per_page=40, max_requests_per_run=1000, detail_partitions=2)
+
+    r1 = incremental_extract(spark, tr, state, cfg, max_pages=1)
+    assert r1.new_watermark == 40
+    assert client.items["github/last_repo_id"] == "40" and client.puts == 1
+
+    r2 = incremental_extract(spark, tr, state, cfg, max_pages=1)
+    assert r2.new_watermark == 80
+    ids2 = {r.id for r in r2.valid.select("id").collect()}
+    assert min(ids2) > 40  # resumed past the remote watermark
+
+    client.items["github/last_repo_id"] = "not-a-number"
+    assert state.get() == 0  # corrupt remote value -> default
+
+
+def test_merge_into_warehouse_idempotent_reload(spark, tmp_path):
+    """A9: re-loading the same batch is a no-op; a newer version of a
+    key replaces the stored row; duplicate keys within a batch collapse
+    to the highest version."""
+    from ag_data_ingestion_github_to_snowflake_spark.sources.sinks import (
+        merge_into_warehouse,
+    )
+
+    wh = str(tmp_path / "warehouse" / "repos")
+    batch1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (2, "b-dup", 11), (3, "c", 10)],
+        "id long, name string, v long",
+    )
+    out1 = merge_into_warehouse(spark, batch1, wh, key="id", version_col="v")
+    assert out1.count() == 3
+    assert out1.filter("id = 2").collect()[0].name == "b-dup"  # in-batch dedup
+
+    out2 = merge_into_warehouse(spark, batch1, wh, key="id", version_col="v")
+    assert out2.count() == 3  # idempotent re-load
+
+    batch2 = spark.createDataFrame(
+        [(2, "b-new", 12), (4, "d", 12)], "id long, name string, v long"
+    )
+    out3 = merge_into_warehouse(spark, batch2, wh, key="id", version_col="v")
+    assert out3.count() == 4
+    assert out3.filter("id = 2").collect()[0].name == "b-new"  # key replaced
+    assert out3.filter("id = 1").collect()[0].name == "a"  # untouched survives

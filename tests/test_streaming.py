@@ -122,3 +122,75 @@ def test_watermark_bounds_session_state(spark, events_split_dir, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT * FROM sessions1")
     assert got.agg(F.sum("n_events")).collect()[0][0] == ev.count()
+
+
+def test_late_row_dropped_in_stream_present_in_batch(spark, tmp_path):
+    """B49 contract, explicitly: a row later than the watermark horizon
+    is DROPPED by the streaming aggregation but PRESENT in the batch
+    twin over the same files — the documented batch/stream divergence
+    that makes late-data queries rows-only (no SQL oracle) by design.
+    """
+    import time as _time
+
+    src = str(tmp_path / "late_src")
+    raw = "event_id long, user_id long, event_type string, ts string, value double"
+
+    def write_batch(rows):
+        (
+            spark.createDataFrame(rows, raw)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    # Watermarks take effect one micro-batch after the data that
+    # advances them, and a late row is dropped only once its window's
+    # state has been EVICTED (emitted) in an earlier batch — so the
+    # schedule needs four micro-batches (mtime-ordered files):
+    #   b0: on-time rows in the [10:00, 11:00) window
+    #   b1: 12:30 row — advances the watermark to 12:20 for b2
+    #   b2: 12:40 row — runs under wm 12:20 > 11:00, emits + evicts the
+    #       10:00 window with n=2
+    #   b3: 10:20 row — late: state gone, wm ahead, row dropped
+    write_batch(
+        [
+            (1, 1, "click", "2024-01-01 10:15:00", 1.0),
+            (2, 1, "click", "2024-01-01 10:45:00", 1.0),
+        ]
+    )
+    _time.sleep(1.1)  # file source orders micro-batches by mtime
+    write_batch([(3, 1, "click", "2024-01-01 12:30:00", 1.0)])
+    _time.sleep(1.1)
+    write_batch([(5, 1, "click", "2024-01-01 12:40:00", 1.0)])
+    _time.sleep(1.1)
+    write_batch([(4, 1, "click", "2024-01-01 10:20:00", 1.0)])
+
+    files = spark.read.parquet(src)
+    assert files.count() == 5
+
+    batch = S.tumbling_counts(files.withColumn("ts", F.col("ts").cast("timestamp")))
+    batch_n = {
+        r.window_start.strftime("%H:%M"): r.n
+        for r in batch.collect()
+        if r.window_start.hour == 10
+    }
+    assert batch_n == {"10:00": 3}  # batch sees the late row
+
+    sdf = S.stream_events_from_parquet(spark, src, files.schema, max_files_per_trigger=1)
+    agg = S.tumbling_counts(S.with_watermark(sdf, "10 minutes"))
+    q = (
+        agg.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "late_cp"))
+        .format("memory")
+        .queryName("late_agg")
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_n = {
+        r.window_start.strftime("%H:%M"): r.n
+        for r in spark.sql("SELECT * FROM late_agg").collect()
+        if r.window_start.hour == 10
+    }
+    assert stream_n == {"10:00": 2}  # late row dropped past the watermark
