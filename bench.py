@@ -46,15 +46,21 @@ def main() -> None:
     spark = get_spark("ag-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_specs()
+    # Full coverage: every registry query is timed (regression surface),
+    # headline first so the primary metric stays comparable round-over-
+    # round. SPARK_GRAFT_BENCH_HEADLINE_ONLY=1 restores the short run.
+    names = list(HEADLINE)
+    if not os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_ONLY"):
+        names += [n for n in specs if n not in HEADLINE]
 
-    # Warm-up: run each headline plan once at the smallest SF so the
-    # timed runs measure steady-state throughput, not one-time
-    # whole-stage-codegen JIT compilation (~2.5s on the first complex
-    # aggregate). Same plan shapes, 100x less data.
+    # Warm-up: run each plan once at the smallest SF so the timed runs
+    # measure steady-state throughput, not one-time whole-stage-codegen
+    # JIT compilation (~2.5s on the first complex aggregate). Same plan
+    # shapes, 100x less data.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     warm_sf = "/root/testdata/sf0.001"
     if os.path.isdir(warm_sf) and warm_sf != sf_dir:
-        for name in HEADLINE:
+        for name in names:
             try:
                 specs[name].build(spark, warm_sf).write.format("noop").mode(
                     "overwrite"
@@ -63,25 +69,31 @@ def main() -> None:
                 pass
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    errors: dict[str, str] = {}
+    for name in names:
         start = time.perf_counter()
-        df = specs[name].build(spark, sf_dir)  # build inside the clock:
-        # some operators materialize intermediate state (persist+count)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        try:
+            df = specs[name].build(spark, sf_dir)  # build inside the clock:
+            # some operators materialize intermediate state (checkpoints)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - start, 3)
+        except Exception as exc:  # a failing query must not hide the rest
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    headline = {n: t for n, t in timings.items() if n in HEADLINE}
+    total = round(sum(headline.values()), 3)
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": headline,
+        "queries_full": timings,
+        "full_total": round(sum(timings.values()), 3),
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,79 @@
+"""Round-over-round bench regression diff.
+
+Usage::
+
+    python tools/bench_regress.py BENCH_r01.json BENCH_r02.json [--max-ratio 2.0]
+
+Accepts either the raw one-line JSON that ``bench.py`` prints or the
+driver's ``BENCH_r{N}.json`` wrapper (which embeds that line at the end
+of its ``tail`` field). Compares per-query times (``queries_full`` when
+present, else ``queries``) and exits non-zero if any query shared by
+both files regressed by more than ``--max-ratio`` x, so a CI step (or
+the next round's first command) can machine-detect slowdowns.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def load_bench(path: str) -> dict:
+    """Extract the bench JSON object from a raw line or driver wrapper."""
+    with open(path) as f:
+        obj = json.load(f)
+    if "queries" in obj or "queries_full" in obj:
+        return obj
+    # Driver wrapper: the bench line is the last JSON object in `tail`.
+    tail = obj.get("tail", "")
+    for line in reversed(tail.splitlines()):
+        line = line.strip().lstrip("\r")
+        if line.startswith("{") and '"metric"' in line:
+            return json.loads(line)
+    raise ValueError(f"{path}: no bench JSON line found")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("baseline")
+    ap.add_argument("current")
+    ap.add_argument("--max-ratio", type=float, default=2.0)
+    ap.add_argument(
+        "--min-sec",
+        type=float,
+        default=0.2,
+        help="ignore queries faster than this in BOTH files (timer noise)",
+    )
+    args = ap.parse_args()
+
+    base = load_bench(args.baseline)
+    cur = load_bench(args.current)
+    bq = base.get("queries_full") or base.get("queries") or {}
+    cq = cur.get("queries_full") or cur.get("queries") or {}
+
+    shared = sorted(set(bq) & set(cq))
+    regressed: list[tuple[str, float, float, float]] = []
+    for name in shared:
+        b, c = bq[name], cq[name]
+        if max(b, c) < args.min_sec:
+            continue
+        ratio = c / b if b > 0 else float("inf")
+        if ratio > args.max_ratio:
+            regressed.append((name, b, c, ratio))
+
+    print(f"baseline: {args.baseline}  total={base.get('value')}s ({len(bq)} queries)")
+    print(f"current:  {args.current}  total={cur.get('value')}s ({len(cq)} queries)")
+    print(f"shared queries: {len(shared)}; new: {len(set(cq) - set(bq))}; "
+          f"dropped: {len(set(bq) - set(cq))}")
+    if regressed:
+        print(f"\nREGRESSIONS (> {args.max_ratio}x):")
+        for name, b, c, ratio in sorted(regressed, key=lambda r: -r[3]):
+            print(f"  {name}: {b:.3f}s -> {c:.3f}s ({ratio:.2f}x)")
+        return 1
+    print(f"\nno query regressed beyond {args.max_ratio}x")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
