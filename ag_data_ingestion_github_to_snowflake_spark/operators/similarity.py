@@ -216,6 +216,143 @@ def lsh_bucketed_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: the classic partition-by-centroid index
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    dim: int = 64,
+    iters: int = 2,
+    seed: int = 7,
+) -> np.ndarray:
+    """Distributed Lloyd's k-means for IVF cells, fully deterministic.
+
+    - init: seeded pseudo-random unit vectors (no RNG state, identical
+      on every run/executor);
+    - each iteration: one Arrow-batched argmax assignment pass + one
+      ``groupBy(cell, pos)`` shuffle computing per-cell mean components
+      (posexplode widens rows by ``dim`` — at 100 TB you train on a
+      bounded sample, which is standard IVF practice; the index is then
+      applied to the full corpus);
+    - only the (n_cells x dim) aggregate ever reaches the driver —
+      O(k*dim), independent of corpus size;
+    - cells that lose all members keep their previous centroid.
+
+    Returns a unit-normalized (n_cells, dim) float64 matrix.
+    """
+    cents = np.array(_hyperplanes(dim, n_cells, seed=seed), dtype=np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    vecs = df.select(F.col(vec_col).alias("_v"))
+    for _ in range(iters):
+        assigned = vecs.withColumn("_cell", _nearest_cell_udf(cents)(F.col("_v")))
+        means = (
+            assigned.select("_cell", F.posexplode("_v").alias("_pos", "_x"))
+            .groupBy("_cell", "_pos")
+            .agg(F.avg(F.col("_x").cast("double")).alias("_m"))
+            .collect()  # bounded: n_cells * dim aggregate rows
+        )
+        nxt = cents.copy()
+        touched = set()
+        for row in means:
+            nxt[row._cell, row._pos] = row._m
+            touched.add(row._cell)
+        for cell in touched:
+            norm = np.linalg.norm(nxt[cell])
+            if norm > 0:
+                nxt[cell] /= norm
+        cents = nxt
+    return cents
+
+
+def _nearest_cell_udf(centroids: np.ndarray):
+    """argmax-cosine cell assignment (one numpy matmul per Arrow batch;
+    centroids ship once per task in the closure — O(k*dim) bytes)."""
+    cents = centroids  # (n_cells, dim), unit-normalized
+
+    @pandas_udf(T.IntegerType())
+    def nearest(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return pd.Series(((mat / norms) @ cents.T).argmax(axis=1).astype(np.int32))
+
+    return nearest
+
+
+def _probe_cells_udf(centroids: np.ndarray, nprobe: int):
+    """Top-``nprobe`` nearest cells per query vector (ties broken by
+    cell id via stable argsort on (-score, id))."""
+    cents = centroids
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def probes(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        scores = (mat / norms) @ cents.T  # (batch, n_cells)
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    return probes
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate cosine top-k: corpus vectors live in exactly one
+    centroid cell; each query searches only its ``nprobe`` nearest
+    cells.
+
+    Scale shape: assignment and probing are single matmul passes; the
+    only shuffle is the equi-join on ``cell`` (candidate work is
+    cell-local, never all-pairs). Skewed cells are AQE-splittable since
+    the join key is the cell id. With ``nprobe == n_cells`` the search
+    is exhaustive and provably equals ``brute_force_topk`` (each
+    (query, corpus) pair is generated exactly once, since a corpus
+    vector has exactly one cell) — that configuration is the
+    oracle-verified twin; smaller ``nprobe`` is the production path.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
+    ).withColumn("cell", _nearest_cell_udf(centroids)(F.col("c_vec")))
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            _norm(F.col(vec_col)).alias("q_norm"),
+        )
+        .withColumn("_cells", _probe_cells_udf(centroids, nprobe)(F.col("q_vec")))
+        .select("query_id", "q_vec", "q_norm", F.explode("_cells").alias("cell"))
+    )
+    scored = (
+        c.join(q, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

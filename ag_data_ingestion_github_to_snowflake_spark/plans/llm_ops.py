@@ -199,6 +199,61 @@ def similarity_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     return S.lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def _ivf_query(spark: SparkSession, sf: str, nprobe: int) -> DataFrame:
+    emb = t(spark, sf, "embeddings")
+    cents = S.train_ivf_centroids(emb, n_cells=8, iters=2)
+    return S.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), cents, k=5, nprobe=nprobe
+    )
+
+
+@register(
+    "similarity_ivf_topk",
+    # Full probe (nprobe == n_cells) searches every cell, and each
+    # (query, corpus) pair is generated exactly once (a corpus vector
+    # has exactly ONE cell) — so the result provably equals brute-force
+    # top-k and the exact-cosine SQL oracle applies. This hash-verifies
+    # the whole IVF machinery: training, assignment, probing, cell join
+    # and ranking.
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id,
+             c.vec_id AS neighbor_id,
+             ROUND(
+               list_sum(list_transform(list_zip(q.q_vec, c.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.q_vec,  v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))
+                * sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))),
+             6) AS cosine
+      FROM embeddings c, q
+      WHERE q.query_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+    survey_ids=("B55",),
+)
+def similarity_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF cosine top-5 at full probe — oracle-exact twin of the IVF
+    index (k-means cells, argmax assignment, cell-join search)."""
+    return _ivf_query(spark, sf, nprobe=8)
+
+
+@register(
+    "similarity_ivf_probed",
+    oracle=None,  # nprobe < n_cells: approximate (recall < 1), rows-only
+    survey_ids=("B55",),
+)
+def similarity_ivf_probed(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF cosine top-5 probing the 2 nearest cells — the production
+    configuration (cell-local search cost, recall < 1)."""
+    return _ivf_query(spark, sf, nprobe=2)
+
+
 # ---------------------------------------------------------------------------
 # B56 text analysis
 # ---------------------------------------------------------------------------

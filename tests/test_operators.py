@@ -178,6 +178,55 @@ def test_embedding_near_dup_pairs_lsh(spark):
 
 
 # ---------------------------------------------------------------------------
+# IVF ANN
+# ---------------------------------------------------------------------------
+def test_ivf_training_is_deterministic(spark):
+    df = vec_df(spark)
+    c1 = S.train_ivf_centroids(df, n_cells=2, dim=3, iters=2)
+    c2 = S.train_ivf_centroids(df, n_cells=2, dim=3, iters=2)
+    assert c1.shape == (2, 3)
+    assert (c1 == c2).all()  # bit-identical across runs
+    # centroids stay unit-normalized after Lloyd updates
+    import numpy as np
+
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """nprobe == n_cells searches every cell, so IVF must reproduce
+    brute-force top-k exactly (same pairs, same cosines, same ranks)."""
+    df = vec_df(spark)
+    cents = S.train_ivf_centroids(df, n_cells=2, dim=3, iters=2)
+    queries = df.filter(F.col("vec_id") <= 2)
+    bf = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.cosine)
+        for r in S.brute_force_topk(df, queries, k=3).collect()
+    }
+    ivf = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.cosine)
+        for r in S.ivf_topk(df, queries, cents, k=3, nprobe=2).collect()
+    }
+    assert ivf == bf
+
+
+def test_ivf_probed_returns_subset_of_exact(spark):
+    """nprobe < n_cells: every returned neighbor must appear in the
+    exhaustive result with the same cosine (approximation only drops
+    rows, never invents or mis-scores them)."""
+    df = vec_df(spark)
+    cents = S.train_ivf_centroids(df, n_cells=3, dim=3, iters=2)
+    queries = df.filter(F.col("vec_id") == 1)
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in S.brute_force_topk(df, queries, k=3).collect()
+    }
+    probed = S.ivf_topk(df, queries, cents, k=3, nprobe=1).collect()
+    assert probed  # the query's own cell is always searched
+    for r in probed:
+        assert exact[(r.query_id, r.neighbor_id)] == r.cosine
+
+
+# ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
 def test_token_stats_golden(spark):
