@@ -383,3 +383,288 @@ def large_orders_customers(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("c_name", "o_orderkey", "o_orderdate")
         .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("total_qty"))
     )
+
+
+@register(
+    "market_share_by_year",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                              * CAST(1 - l.l_discount AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+           AS mkt_share
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n1.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+    WHERE p.p_type = 'PROMO' AND r.r_name = 'EUROPE'
+    GROUP BY 1
+    """,
+    survey_ids=("B15", "B19", "B11"),
+    description="TPC-H Q8 shape: one nation's share of a region's market per year",
+)
+def market_share_by_year(spark: SparkSession, sf: str) -> DataFrame:
+    """Q8 analog: NATION_3 suppliers' share of PROMO-part revenue sold
+    into EUROPE, per order year.
+
+    All five dims broadcast; the only shuffles are the two fact-side
+    joins (lineitem⋈orders on orderkey, ⋈customer on custkey) and the
+    final year aggregation. Numerator and denominator are exact decimal
+    sums; the share divides as DOUBLE identically on both engines.
+    """
+    li = t(spark, sf, "lineitem")
+    p = F.broadcast(t(spark, sf, "part").filter(F.col("p_type") == "PROMO"))
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    n1 = t(spark, sf, "nation")
+    r = t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    # customer-side nation pre-joined to the region filter: one tiny
+    # broadcast dim (nations in EUROPE) instead of nation x region at
+    # the fact level.
+    cust_nations = F.broadcast(
+        n1.join(r, n1.n_regionkey == r.r_regionkey).select(
+            F.col("n_nationkey").alias("cn_key")
+        )
+    )
+    s = F.broadcast(t(spark, sf, "supplier"))
+    n2 = F.broadcast(
+        t(spark, sf, "nation").select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    vol = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount")).cast(DEC)
+    nation_vol = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+        F.lit(0).cast(DEC)
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(cust_nations, F.col("c_nationkey") == F.col("cn_key"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n2, F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(nation_vol).cast("double") / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    survey_ids=("B12", "B16", "B22"),
+    description="TPC-H Q13 shape: order-count histogram over a filtered left join",
+)
+def customer_order_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Q13 analog: how many customers placed how many (non-urgent)
+    orders — customers with zero survive via the left join.
+
+    Two-level aggregation: per-customer counts shuffle on custkey (the
+    same key the join shuffled on, so AQE coalesces the exchange), the
+    histogram re-aggregates on the tiny count domain.
+    """
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "top_supplier_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l_discount AS DECIMAL(18,2))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_revenue
+    FROM supplier s
+    JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+    survey_ids=("B15", "B16", "B24"),
+    description="TPC-H Q15 shape: supplier(s) achieving the max quarterly revenue",
+)
+def top_supplier_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Q15 analog: the top revenue supplier(s) for 1996Q1.
+
+    The max-of-aggregate is an equi-join against a broadcast 1-row
+    aggregate (not a global sort): rev shuffles once on suppkey, the
+    1-row MAX broadcasts, ties all surface. Revenue compares as exact
+    DECIMAL so the equality is safe; the reported value casts to
+    DOUBLE.
+    """
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    vol = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount")).cast(DEC)
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(vol).alias("total_rev")
+    )
+    max_rev = F.broadcast(rev.agg(F.max("total_rev").alias("max_rev")))
+    s = t(spark, sf, "supplier")
+    return (
+        rev.join(max_rev, rev.total_rev == max_rev.max_rev)
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
+        )
+    )
+
+
+@register(
+    "small_quantity_revenue",
+    oracle="""
+    WITH th AS (
+      SELECT l_partkey,
+             0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                    / COUNT(*)) AS thr
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN th     ON th.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND p.p_type = 'SMALL'
+      AND CAST(l.l_quantity AS DOUBLE) < th.thr
+    """,
+    survey_ids=("B16", "B18", "B9"),
+    description="TPC-H Q17 shape: below-avg-quantity revenue via correlated threshold",
+)
+def small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Q17 analog: yearly revenue from lines under 20% of their part's
+    average order quantity.
+
+    The correlated AVG decorrelates into one per-part aggregate (a
+    single shuffle on partkey — the full table, as TPC-H requires the
+    average over ALL lines of the part, not just the filtered brand)
+    joined back on the same key. The threshold is computed as exact
+    decimal SUM / COUNT in both engines, so membership of the strict
+    inequality cannot flip.
+    """
+    li = t(spark, sf, "lineitem")
+    th = li.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast(DEC)).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("thr")
+    ).withColumnRenamed("l_partkey", "th_partkey")
+    p = F.broadcast(
+        t(spark, sf, "part").filter(
+            (F.col("p_brand") == "Brand#1") & (F.col("p_type") == "SMALL")
+        )
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(th, li.l_partkey == F.col("th_partkey"))
+        .filter(F.col("l_quantity").cast("double") < F.col("thr"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "waiting_suppliers",
+    oracle="""
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 100 DAY
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+            SELECT 1 FROM late l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 20
+    """,
+    survey_ids=("B13", "B15", "B16"),
+    description="TPC-H Q21 shape: sole-late-supplier count via EXISTS + NOT EXISTS",
+)
+def waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Q21 analog: suppliers who were the ONLY late shipper on a
+    finished multi-supplier order (late = shipped >100 days after the
+    order date; the fixture has no commit/receipt dates).
+
+    Both correlated EXISTS clauses decorrelate to hash semi/anti joins
+    on orderkey with the supplier-inequality as a residual — the
+    classic double self-join, never a cartesian. The late set is
+    computed once and reused by both the probe and the anti side.
+    """
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 100 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    l1 = (
+        late.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        ).join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    s = F.broadcast(t(spark, sf, "supplier"))
+    return (
+        l1.join(s, l1.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
