@@ -99,6 +99,39 @@ def streaming_tumbling_events(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "streaming_interval_join_events",
+    # AvailableNow drains everything, so the stream-stream join result
+    # must equal the batch interval join — the SQL twin below.
+    oracle="""
+    SELECT l.user_id,
+           l.event_id AS l_event_id,
+           l.ts AS l_ts,
+           r.event_id AS r_event_id,
+           r.ts AS r_ts
+    FROM events l
+    JOIN events r
+      ON l.user_id = r.user_id
+     AND r.event_type = 'purchase'
+     AND r.ts >= l.ts
+     AND r.ts <= l.ts + INTERVAL 30 MINUTE
+    WHERE l.event_type = 'click'
+    """,
+    survey_ids=("B44", "B49"),
+)
+def streaming_interval_join_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream interval join: clicks paired with same-user
+    purchases within 30 minutes — attribution, the canonical
+    stream-stream workload. Both sides read the same staged file
+    stream; watermark + time-range bound the join state."""
+    sdf, _ = _staged_events_stream(spark, sf)
+    joined = S.interval_join(
+        sdf.filter(F.col("event_type") == "click"),
+        sdf.filter(F.col("event_type") == "purchase"),
+    )
+    return _drain(joined, spark, "append")
+
+
+@register(
     "streaming_dedup_events",
     oracle="""
     SELECT event_id FROM events

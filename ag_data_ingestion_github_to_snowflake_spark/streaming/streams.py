@@ -99,6 +99,50 @@ def dedup_stream(events: DataFrame, keys: list[str], delay: str = "10 minutes") 
     return with_watermark(events, delay).dropDuplicatesWithinWatermark(keys)
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    horizon: str = "30 minutes",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join within an event-time interval: each
+    left row pairs with right rows of the same ``key`` whose timestamp
+    falls in [left.ts, left.ts + horizon].
+
+    Both sides carry watermarks, and the time-range condition bounds
+    the join state: Spark buffers each side only until the other side's
+    watermark passes the interval, so state stays proportional to the
+    horizon, not the stream length (the unbounded-state trap of an
+    equi-only stream-stream join). The same plan runs on batch frames,
+    which is how the oracle verifies it.
+
+    Columns: (key, l_event_id, l_ts, r_event_id, r_ts).
+    """
+    l = with_watermark(left, delay).select(
+        F.col(key).alias("l_key"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    r = with_watermark(right, delay).select(
+        F.col(key).alias("r_key"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    return l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        F.col("l_key").alias(key),
+        "l_event_id",
+        F.col("l_ts").cast("timestamp_ntz").alias("l_ts"),
+        "r_event_id",
+        F.col("r_ts").cast("timestamp_ntz").alias("r_ts"),
+    )
+
+
 def stream_events_from_parquet(
     spark,
     source_dir: str,

@@ -124,6 +124,42 @@ def test_watermark_bounds_session_state(spark, events_split_dir, tmp_path):
     assert got.agg(F.sum("n_events")).collect()[0][0] == ev.count()
 
 
+def test_interval_join_horizon_bounds(spark, tmp_path):
+    """Stream-stream interval join: only same-user pairs within the
+    horizon survive; the streaming run equals the batch twin."""
+    raw = "event_id long, user_id long, event_type string, ts string, value double"
+    rows = [
+        (1, 1, "click", "2024-01-01 10:00:00", 1.0),
+        (2, 1, "purchase", "2024-01-01 10:10:00", 5.0),  # in horizon
+        (3, 1, "purchase", "2024-01-01 11:00:00", 5.0),  # past 30 min
+        (4, 2, "purchase", "2024-01-01 10:05:00", 5.0),  # other user
+        (5, 3, "purchase", "2024-01-01 09:59:00", 5.0),  # before click
+    ]
+    src = str(tmp_path / "ij_src")
+    (
+        spark.createDataFrame(rows, raw)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .write.parquet(src)
+    )
+    ev = spark.read.parquet(src)
+
+    batch = S.interval_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    assert [(r.l_event_id, r.r_event_id) for r in batch.collect()] == [(1, 2)]
+
+    sdf = S.stream_events_from_parquet(spark, src, ev.schema)
+    stream = S.interval_join(
+        sdf.filter(F.col("event_type") == "click"),
+        sdf.filter(F.col("event_type") == "purchase"),
+    )
+    q = S.run_available_now(stream, str(tmp_path / "ij_cp"), "ij_out")
+    q.awaitTermination(120)
+    got = spark.sql("SELECT l_event_id, r_event_id FROM ij_out").collect()
+    assert [(r.l_event_id, r.r_event_id) for r in got] == [(1, 2)]
+
+
 def test_late_row_dropped_in_stream_present_in_batch(spark, tmp_path):
     """B49 contract, explicitly: a row later than the watermark horizon
     is DROPPED by the streaming aggregation but PRESENT in the batch
