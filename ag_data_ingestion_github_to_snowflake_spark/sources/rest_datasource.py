@@ -86,10 +86,14 @@ class GithubReposReader(DataSourceReader):
         ]
 
     def read(self, partition: _IdRangePartition) -> Iterator[tuple]:
-        """Page through one (start, end] id shard (executor-side)."""
+        """Page through one (start, end] id shard (executor-side),
+        honoring the shard's planned row cap (budget share)."""
         transport = TransportRegistry.build(self.transport_name, self.transport_spec)
         cursor = partition.start
+        emitted = 0
         while cursor < partition.end:
+            if partition.row_cap is not None and emitted >= partition.row_cap:
+                return
             status, payload = transport(
                 "/repositories", {"since": cursor, "per_page": self.per_page}
             )
@@ -104,12 +108,15 @@ class GithubReposReader(DataSourceReader):
                     continue
                 if rid > partition.end:
                     return
+                if partition.row_cap is not None and emitted >= partition.row_cap:
+                    return
                 yield (
                     rid,
                     r.get("name"),
                     r.get("full_name"),
                     (r.get("owner") or {}).get("login"),
                 )
+                emitted += 1
                 cursor = max(cursor, rid)
             if cursor <= prev_cursor:
                 # Forward-progress guard: a page that advanced nothing

@@ -67,6 +67,46 @@ def test_connector_matches_driver_side_scan(spark):
     assert sorted(drv.collect()) == sorted(con.collect())
 
 
+def test_budget_capped_scan(spark):
+    """A1/A11: the ``budget`` option (the reference's
+    MAX_REQUESTS_PER_RUN) caps total emitted rows structurally — split
+    across shards at planning time, enforced per shard at read time,
+    with no cross-task coordination."""
+    df = read_df(
+        spark,
+        since=0,
+        until=200,
+        per_page=50,
+        num_partitions=4,
+        budget=70,
+        transport="stub",
+        transport_spec=json.dumps({"n_repos": 200}),
+    )
+    assert df.count() == 70
+    # Each of the 4 shards (spans of 50) contributes at most its share
+    # (ceil(70/4) = 18): the cap binds per-shard, so the scan keeps its
+    # parallelism instead of one task eating the whole budget.
+    ids = [r.id for r in df.select("id").collect()]
+    import collections
+
+    per_shard = collections.Counter((i - 1) // 50 for i in ids)
+    assert all(n <= 18 for n in per_shard.values())
+    assert len(per_shard) == 4
+
+
+def test_budget_zero_yields_nothing(spark):
+    df = read_df(
+        spark,
+        since=0,
+        until=100,
+        num_partitions=2,
+        budget=0,
+        transport="stub",
+        transport_spec=json.dumps({"n_repos": 100}),
+    )
+    assert df.count() == 0
+
+
 def test_reader_breaks_on_stalled_cursor():
     """A misbehaving server that replays the same full page (max id <=
     cursor) must terminate the shard scan, not loop forever."""
