@@ -21,7 +21,12 @@ from __future__ import annotations
 import json
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from ag_data_ingestion_github_to_snowflake_spark.sources.rest import LIST_SCHEMA
 
@@ -127,11 +132,85 @@ class GithubReposReader(DataSourceReader):
                 break
 
 
-class GithubReposDataSource(DataSource):
-    """``spark.read.format("github_repos").options(...)`` source.
+class GithubReposStreamReader(SimpleDataSourceStreamReader):
+    """Streaming flavor: the reference's scheduled-extraction loop
+    (cron fires, pull ≤N records past the watermark, persist the
+    cursor — /root/reference/.github/workflows/scheduled-extraction.yml
+    + src/extract_github_data.py:568-578) as a genuine Structured
+    Streaming source.
 
-    Options: since, until, per_page, num_partitions, transport,
-    transport_spec (JSON string for the transport factory).
+    - offset = ``{"cursor": <last seen id>}`` — the keyset watermark,
+      checkpointed by Spark's offset log instead of the hand-rolled
+      state file, so exactly-once batch accounting and restart-resume
+      come from the engine;
+    - each micro-batch pulls at most ``batch_rows`` rows
+      (MAX_REQUESTS_PER_RUN per firing);
+    - ``readBetweenOffsets`` replays a committed range
+      deterministically for recovery (ids are immutable, so the range
+      (start, end] re-fetches identically).
+    """
+
+    def __init__(self, options: dict):
+        self.since = int(options.get("since", 0))
+        self.per_page = int(options.get("per_page", 100))
+        self.batch_rows = int(options.get("batch_rows", 59))
+        self.transport_name = options.get("transport", "stub")
+        self.transport_spec = options.get("transport_spec", "")
+
+    def initialOffset(self) -> dict:
+        return {"cursor": self.since}
+
+    def _pull(self, after: int, limit: int | None, stop_at: int | None = None):
+        transport = TransportRegistry.build(self.transport_name, self.transport_spec)
+        rows: list[tuple] = []
+        cursor = after
+        while limit is None or len(rows) < limit:
+            status, payload = transport(
+                "/repositories", {"since": cursor, "per_page": self.per_page}
+            )
+            if status != 200 or not payload:
+                break
+            prev_cursor = cursor
+            for r in payload:
+                rid = int(r["id"])
+                if rid <= prev_cursor:
+                    continue
+                if stop_at is not None and rid > stop_at:
+                    return rows, cursor
+                if limit is not None and len(rows) >= limit:
+                    return rows, cursor
+                rows.append(
+                    (
+                        rid,
+                        r.get("name"),
+                        r.get("full_name"),
+                        (r.get("owner") or {}).get("login"),
+                    )
+                )
+                cursor = max(cursor, rid)
+            if cursor <= prev_cursor:  # forward-progress guard
+                break
+            if len(payload) < self.per_page:
+                break
+        return rows, cursor
+
+    def read(self, start: dict):
+        rows, cursor = self._pull(int(start["cursor"]), self.batch_rows)
+        return iter(rows), {"cursor": cursor}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows, _ = self._pull(int(start["cursor"]), None, stop_at=int(end["cursor"]))
+        return iter(rows)
+
+
+class GithubReposDataSource(DataSource):
+    """``spark.read.format("github_repos").options(...)`` source —
+    batch (id-sharded parallel scan) and streaming (keyset-cursor
+    micro-batches) flavors.
+
+    Options: since, until, per_page, num_partitions, budget, transport,
+    transport_spec (JSON string for the transport factory); streaming
+    adds batch_rows (max rows per micro-batch).
     """
 
     @classmethod
@@ -143,6 +222,9 @@ class GithubReposDataSource(DataSource):
 
     def reader(self, schema) -> GithubReposReader:
         return GithubReposReader(self.options)
+
+    def simpleStreamReader(self, schema) -> GithubReposStreamReader:
+        return GithubReposStreamReader(self.options)
 
 
 def _stub_factory(spec: str):

@@ -107,6 +107,52 @@ def test_budget_zero_yields_nothing(spark):
     assert df.count() == 0
 
 
+def test_stream_reader_micro_batches_and_resume(spark, tmp_path):
+    """A22/B44 via the connector: the streaming flavor pulls
+    rate-capped micro-batches past the keyset cursor, checkpoints the
+    offset, and a RESTARTED query resumes from the committed cursor —
+    the reference's cron loop with engine-managed state."""
+    RD.register(spark)
+    cp = str(tmp_path / "cp")
+    out = str(tmp_path / "out")
+
+    def start_query(n_repos):
+        sdf = (
+            spark.readStream.format("github_repos")
+            .option("since", 0)
+            .option("per_page", 20)
+            .option("batch_rows", 25)
+            .option("transport", "stub")
+            .option("transport_spec", json.dumps({"n_repos": n_repos}))
+            .load()
+        )
+        # parquet sink: fault-tolerant (memory sink can't recover from
+        # a checkpoint), mirroring the reference's append-a-file loads
+        return (
+            sdf.writeStream.outputMode("append")
+            .option("checkpointLocation", cp)
+            .format("parquet")
+            .option("path", out)
+            .start()
+        )
+
+    q = start_query(60)
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(out).collect()
+    assert sorted(r.id for r in got) == list(range(1, 61))
+    # rate cap: no micro-batch exceeded batch_rows
+    prog = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert prog and all(p["numInputRows"] <= 25 for p in prog)
+
+    # server grew; restart from the checkpoint → only NEW ids arrive
+    q2 = start_query(80)
+    q2.processAllAvailable()
+    q2.stop()
+    got2 = spark.read.parquet(out).collect()
+    assert sorted(r.id for r in got2) == list(range(1, 81))  # no dups, no gaps
+
+
 def test_reader_breaks_on_stalled_cursor():
     """A misbehaving server that replays the same full page (max id <=
     cursor) must terminate the shard scan, not loop forever."""
