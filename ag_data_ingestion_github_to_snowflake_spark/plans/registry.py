@@ -79,8 +79,7 @@ _PRIORITY: tuple[str, ...] = (
     "rollup_orders",                # B22 (cube_counts twin sits past the cutoff)
     "percentiles_nchars",           # B23
     "limit_first_orders",           # B25 A11
-    "intersect_nations",            # B28
-    "except_nations",               # B28
+    "intersect_nations",            # B28 (except_nations twin past the cutoff)
     # joins / star shapes
     "join_left_customer_orders",    # B12
     "top_revenue_nations",          # B15 B10 B11 B16 B24
@@ -104,6 +103,7 @@ _PRIORITY: tuple[str, ...] = (
     # streaming
     "streaming_tumbling_events",    # B44 B46 A22
     "streaming_dedup_events",       # B50 B44
+    "streaming_interval_join_events",  # B44 B49 (stream-stream join)
     # UDF / IO
     "grouped_zscore_events",        # B52 B51
     "weighted_avg_udaf_parts",      # B51
@@ -135,6 +135,7 @@ def all_specs() -> dict[str, QuerySpec]:
         core_relational,
         joins,
         llm_ops,
+        reshape_queries,
         scalar_funcs,
         scale_ops,
         temporal_queries,
