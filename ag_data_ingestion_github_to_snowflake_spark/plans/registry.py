@@ -139,6 +139,7 @@ def all_specs() -> dict[str, QuerySpec]:
         scalar_funcs,
         scale_ops,
         temporal_queries,
+        tpch_gaps,
         tpch_like,
         udf_io_queries,
         streaming_queries,

@@ -255,3 +255,43 @@ def session_window_events(spark: SparkSession, sf: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# B29 distribution ranks: ntile / percent_rank / cume_dist
+# ---------------------------------------------------------------------------
+@register(
+    "window_distribution_acctbal",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    survey_ids=("B29",),
+    description="Distribution window functions: quartile, percent_rank, cume_dist per segment",
+)
+def window_distribution_acctbal(spark: SparkSession, sf: str) -> DataFrame:
+    """Account-balance distribution position of every customer within
+    its market segment — the ntile/percent_rank/cume_dist trio.
+
+    One shuffle on the partition key, sort within partitions, all three
+    functions evaluated in a single Window node over the same sort.
+    The ORDER BY carries the unique ``c_custkey`` tiebreak so ranks are
+    total and both engines agree row-for-row; the rank ratios are exact
+    small-integer divisions, deterministic in IEEE double.
+    """
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    )
+    return t(spark, sf, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
