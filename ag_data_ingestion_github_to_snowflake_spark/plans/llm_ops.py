@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ag_data_ingestion_github_to_snowflake_spark.operators import dedup as D
+from ag_data_ingestion_github_to_snowflake_spark.operators import graph as G
 from ag_data_ingestion_github_to_snowflake_spark.operators import multimodal as M
 from ag_data_ingestion_github_to_snowflake_spark.operators import similarity as S
 from ag_data_ingestion_github_to_snowflake_spark.operators import text as X
@@ -474,3 +475,69 @@ def multimodal_decode_real(spark: SparkSession, sf: str) -> DataFrame:
         F.col("rms_energy").alias("feat_c"),
     )
     return img_feats.unionByName(aud_feats).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# B53/B54 closure: near-dup pairs -> connected components -> canonical set
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_cluster_canonical",
+    # Same duplicate-seeded corpus as embedding_near_dup (three copies
+    # of each vector under shifted ids -> triangle components); the
+    # oracle closes the near-dup pairs transitively with a recursive
+    # CTE and labels each node with its component minimum.
+    oracle="""
+    WITH RECURSIVE corpus AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 200
+      UNION ALL
+      SELECT vec_id + 200000 AS vec_id, embedding FROM embeddings WHERE vec_id < 200
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))
+             * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)))))
+            >= 0.999
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT vec_id, vec_id FROM corpus
+      UNION
+      SELECT reach.node, e.d FROM reach JOIN edges e ON e.s = reach.r
+    )
+    SELECT node AS vec_id, CAST(MIN(r) AS BIGINT) AS comp FROM reach GROUP BY node
+    """,
+    survey_ids=("B54", "B53", "B55"),
+    description="Near-dup clustering: LSH pairs closed into components, min-id canonical",
+)
+def dedup_cluster_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """Full near-dup clustering pipeline: LSH-bucketed embedding pairs
+    -> connected components -> per-cluster canonical label.
+
+    The pair stage is the bucketed self-join (never all-pairs); the
+    closure is min-label propagation (``operators/graph.py``), which
+    for these triangle components converges in one round. Every corpus
+    vector appears in the output: members of a duplicate cluster carry
+    the cluster's minimum id, singletons carry their own.
+    """
+    base = t(spark, sf, "embeddings").filter(F.col("vec_id") < 200).select(
+        "vec_id", "embedding"
+    )
+    corpus = base.unionByName(
+        base.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    ).unionByName(
+        base.select((F.col("vec_id") + 200000).alias("vec_id"), "embedding")
+    )
+    pairs = S.embedding_near_dup_pairs(corpus, threshold=0.999)
+    labels = G.connected_components(
+        pairs, src="id_a", dst="id_b", nodes=corpus, node_col="vec_id"
+    )
+    return labels.select(F.col("node").alias("vec_id"), "comp")
