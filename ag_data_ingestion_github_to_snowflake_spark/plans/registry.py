@@ -136,6 +136,7 @@ def all_specs() -> dict[str, QuerySpec]:
         joins,
         llm_ops,
         reshape_queries,
+        sampling_queries,
         scalar_funcs,
         scale_ops,
         temporal_queries,
