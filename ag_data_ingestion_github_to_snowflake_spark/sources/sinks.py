@@ -112,10 +112,71 @@ def merge_into_warehouse(
 
     staging = f"{path}__staging"
     merged.write.mode("overwrite").parquet(staging)
+    _atomic_swap(path, staging)
+    return spark.read.parquet(path)
+
+
+def _atomic_swap(path: str, staging: str) -> None:
+    """Replace ``path`` with ``staging`` via rename — the local-FS
+    stand-in for a table-format snapshot commit (readers see the old
+    or the new table, never a mix)."""
+    import os
+    import shutil
+
     old = f"{path}__old"
     if os.path.exists(path):
         shutil.rmtree(old, ignore_errors=True)
         os.rename(path, old)
     os.rename(staging, path)
     shutil.rmtree(old, ignore_errors=True)
-    return spark.read.parquet(path)
+
+
+def compact_table(
+    spark,
+    path: str,
+    target_records_per_file: int = 1_000_000,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet table into the minimum
+    number of right-sized files, optionally sorted for data-skipping.
+
+    Micro-batch appends (``partitioned_append`` every trigger) are the
+    canonical small-file factory: at 100 TB an hourly stream writing 32
+    shuffle partitions produces ~275k files/year per table, and scan
+    planning starts to cost more than scanning. Compaction is the
+    maintenance half of that contract.
+
+    Mechanics: one full read, then either a round-robin
+    ``repartition(ceil(rows/target))`` (balanced files regardless of
+    input skew) or — when ``sort_cols`` is given — a
+    ``repartitionByRange`` + ``sortWithinPartitions`` on those columns,
+    i.e. a global sort: each output file then covers a TIGHT, disjoint
+    key range and its parquet min/max statistics actually skip (a
+    round-robin shuffle followed by a within-file sort would leave
+    every file spanning the whole key range — zero skipping). Staged
+    write + atomic swap so concurrent readers never observe a
+    half-compacted table. Partition-level compaction at scale = call
+    per date partition, bounding each rewrite transaction.
+
+    Returns the number of output files.
+    """
+    import math
+    import os
+
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    n_files = max(1, math.ceil(n_rows / target_records_per_file))
+    if sort_cols:
+        out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.repartition(n_files)
+    staging = f"{path}__compact"
+    out.write.mode("overwrite").parquet(staging)
+    _atomic_swap(path, staging)
+    return sum(
+        1
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )

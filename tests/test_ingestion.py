@@ -220,3 +220,45 @@ def test_merge_into_warehouse_idempotent_reload(spark, tmp_path):
     assert out3.count() == 4
     assert out3.filter("id = 2").collect()[0].name == "b-new"  # key replaced
     assert out3.filter("id = 1").collect()[0].name == "a"  # untouched survives
+
+
+def test_compact_table_reduces_files_and_preserves_rows(spark, tmp_path):
+    from ag_data_ingestion_github_to_snowflake_spark.sources.sinks import compact_table
+
+    path = str(tmp_path / "events_tbl")
+    # simulate a micro-batch small-file factory: 8 tiny appends, each
+    # fanned over several shuffle partitions
+    base = spark.range(0, 800).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("k"),
+        (F.col("id") * 3).alias("v"),
+    )
+    for i in range(8):
+        base.filter(F.col("id") % 8 == i).repartition(4).write.mode("append").parquet(path)
+    before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert before >= 32
+
+    checksum_before = spark.read.parquet(path).agg(
+        F.count(F.lit(1)), F.sum("id"), F.sum("v")
+    ).collect()[0]
+
+    n_files = compact_table(spark, path, target_records_per_file=500, sort_cols=["id"])
+    after = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert n_files == after == 2  # 800 rows / 500 per file
+    checksum_after = spark.read.parquet(path).agg(
+        F.count(F.lit(1)), F.sum("id"), F.sum("v")
+    ).collect()[0]
+    assert checksum_before == checksum_after
+    # sorted rewrite: each file's id range is tight (disjoint min/max),
+    # the property row-group skipping relies on
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in sorted(os.listdir(path)):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(path, f), columns=["id"])
+            ids = t.column("id").to_pylist()
+            ranges.append((min(ids), max(ids)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint => min/max stats actually skip
