@@ -1,0 +1,122 @@
+"""Behavioral analytics over the event stream: funnel conversion and
+event-transition paths — the product-analytics queries that sit on top
+of sessionization (B46-B48) in any events warehouse.
+
+Both are single-pass shapes: the funnel is two aggregations and one
+user-keyed join; the transition matrix is one window (lead) and one
+aggregation. No per-user state beyond the shuffle key, so both scale
+with user cardinality, not event volume per user.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register, t
+
+
+@register(
+    "funnel_click_purchase_daily",
+    oracle="""
+    WITH first_click AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             MIN(ts) AS first_click_ts
+      FROM events WHERE event_type = 'click'
+      GROUP BY 1, 2
+    ),
+    converted AS (
+      SELECT DISTINCT fc.user_id, fc.day
+      FROM first_click fc
+      JOIN events p
+        ON p.user_id = fc.user_id
+       AND p.event_type = 'purchase'
+       AND p.ts >= fc.first_click_ts
+       AND p.ts <= fc.first_click_ts + INTERVAL 30 MINUTE
+    )
+    SELECT fc.day,
+           CAST(COUNT(*) AS BIGINT) AS n_clickers,
+           CAST(COUNT(c.user_id) AS BIGINT) AS n_converted
+    FROM first_click fc
+    LEFT JOIN converted c ON c.user_id = fc.user_id AND c.day = fc.day
+    GROUP BY fc.day
+    """,
+    survey_ids=("B16", "B12", "B14"),
+    description="Funnel: daily clickers vs click->purchase-within-30min conversions",
+)
+def funnel_click_purchase_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-step funnel with a 30-minute conversion window, reported as
+    daily clicker and converter counts.
+
+    Plan: the first-click aggregate shuffles on (user, day); the
+    conversion probe is a LEFT SEMI join against purchases on the SAME
+    user key with the time bound as a residual predicate (never a
+    cartesian); the daily rollup is a tiny final aggregate. Counting
+    users-not-events makes the result insensitive to event fan-out.
+    """
+    ev = t(spark, sf, "events")
+    first_click = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(
+            "user_id", F.date_trunc("day", "ts").alias("day")
+        )
+        .agg(F.min("ts").alias("first_click_ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    converted = (
+        first_click.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("first_click_ts"))
+            & (F.col("p_ts") <= F.col("first_click_ts") + F.expr("INTERVAL 30 MINUTE")),
+            "left_semi",
+        )
+        .select("user_id", "day")
+        .withColumn("_conv", F.lit(1))
+    )
+    return (
+        first_click.join(converted, ["user_id", "day"], "left")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_clickers"),
+            F.count("_conv").alias("n_converted"),
+        )
+    )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq
+    WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    survey_ids=("B30", "B16"),
+    description="Markov transition counts: event_type -> next event_type per user",
+)
+def event_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user event-to-next-event transition counts (the Markov
+    matrix behind path analysis / next-action prediction).
+
+    One shuffle for the per-user window (lead over the unique
+    (ts, event_id) order — deterministic under timestamp ties), one
+    tiny aggregation over the type-pair domain.
+    """
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = t(spark, sf, "events").select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -132,6 +132,7 @@ def all_specs() -> dict[str, QuerySpec]:
     """Return the registry, priority names first (driver checks first 50)."""
     # Import side-effect modules here to avoid circular imports.
     from ag_data_ingestion_github_to_snowflake_spark.plans import (  # noqa: F401
+        behavior_queries,
         core_relational,
         joins,
         llm_ops,
