@@ -120,3 +120,54 @@ def event_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("event_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "weekly_cohort_retention",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           CAST(datediff('week', c.cohort_week,
+                         CAST(date_trunc('week', e.ts) AS TIMESTAMP)) AS INT)
+             AS week_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM events e
+    JOIN cohort c ON c.user_id = e.user_id
+    GROUP BY 1, 2
+    """,
+    survey_ids=("B16", "B20", "B33"),
+    description="Cohort retention: active users per (first-seen week, week offset)",
+)
+def weekly_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Classic retention triangle: users grouped by first-seen week,
+    counted distinct in each subsequent week.
+
+    Plan: the cohort aggregate and the events⋈cohort join share ONE
+    shuffle key (user_id) — co-partitioned, so the join adds no extra
+    fact exchange; the distinct-count aggregation on the small
+    (cohort, offset) domain is the only other exchange. Both engines
+    truncate weeks to Monday and difference whole truncated weeks, so
+    the offsets agree exactly.
+    """
+    ev = t(spark, sf, "events").select("user_id", "ts")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        ev.join(cohort, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.floor(
+                    F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                    / 7
+                ).cast("int")
+            ).alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
