@@ -262,3 +262,24 @@ def test_compact_table_reduces_files_and_preserves_rows(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2  # disjoint => min/max stats actually skip
+
+
+def test_load_evolving_table_unions_schemas(spark, tmp_path):
+    from ag_data_ingestion_github_to_snowflake_spark.catalog import load_evolving_table
+
+    path = str(tmp_path / "evolving")
+    # batch 1: original schema; batch 2: pipeline gained a column
+    spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, name string").write.mode(
+        "append"
+    ).parquet(path)
+    spark.createDataFrame(
+        [(3, "c", "en")], "id bigint, name string, lang string"
+    ).write.mode("append").parquet(path)
+
+    df = load_evolving_table(spark, path)
+    assert set(df.columns) == {"id", "name", "lang"}
+    rows = {r["id"]: r["lang"] for r in df.collect()}
+    assert rows[3] == "en" and rows[1] is None and rows[2] is None
+    # strict mode: single-footer schema, no merge cost (column set then
+    # depends on which footer Spark samples — only assert it reads)
+    assert load_evolving_table(spark, path, strict=True).count() == 3
