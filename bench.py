@@ -42,7 +42,10 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:  # non-sfX path: report the dir, don't crash the run
+        sf = sf_dir
     spark = get_spark("ag-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_specs()
