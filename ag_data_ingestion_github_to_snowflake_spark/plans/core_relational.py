@@ -487,3 +487,109 @@ def pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
             F.count("*").alias("count_order"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# B23 extension: correlation / covariance from exact decimal moments
+# ---------------------------------------------------------------------------
+@register(
+    "stats_corr_quantity_price",
+    # Native corr()/covar_samp() accumulate doubles in aggregation
+    # order — not reproducible across engines or partitionings. Both
+    # sides therefore compute the five raw moments as EXACT decimal
+    # sums and assemble corr/covar in double arithmetic, which is then
+    # bit-deterministic.
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity      AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price,
+           ROUND((sxy - sx * sy / n) / (n - 1), 4) AS covar_samp,
+           CAST(n AS BIGINT) AS n
+    FROM m
+    """,
+    survey_ids=("B23", "B18", "B43"),
+    description="Pearson correlation + sample covariance from exact decimal moments",
+)
+def stats_corr_quantity_price(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlation and covariance of quantity vs price per return flag.
+
+    One aggregation shuffle computing five exact decimal moments
+    (mergeable partials — same cost class as any SUM), then scalar
+    double math in the projection; ROUND tolerates the final
+    assembly's last-ulp variation between engines.
+    """
+    x = F.col("l_quantity").cast(DEC)
+    y = F.col("l_extendedprice").cast(DEC)
+    m = (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(x).cast("double").alias("sx"),
+            F.sum(y).cast("double").alias("sy"),
+            F.sum(x * x).cast("double").alias("sxx"),
+            F.sum(y * y).cast("double").alias("syy"),
+            F.sum(x * y).cast("double").alias("sxy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "l_returnflag",
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr_qty_price"),
+        F.round((sxy - sx * sy / n) / (n - F.lit(1)), 4).alias("covar_samp"),
+        n.cast("bigint").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B36/B43 extension: conditional scalar functions
+# ---------------------------------------------------------------------------
+@register(
+    "conditional_scalar_funcs",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_bucket,
+           CAST(LEAST(CAST(c_acctbal AS DECIMAL(18,2)), CAST(5000 AS DECIMAL(18,2))) AS DOUBLE) AS capped_bal,
+           CAST(GREATEST(CAST(c_acctbal AS DECIMAL(18,2)), CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS floored_bal,
+           CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+                WHEN c_acctbal < 1000 THEN 'low'
+                ELSE 'normal' END AS balance_class
+    FROM customer
+    """,
+    survey_ids=("B36", "B43", "B9"),
+    description="Conditional scalars: coalesce/nullif/least/greatest/case",
+)
+def conditional_scalar_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """The null-handling + branching scalar family on one carrier —
+    pure row-local projection, fully codegen'd, no shuffle."""
+    bal = F.col("c_acctbal").cast(DEC)
+    return t(spark, sf, "customer").select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")
+        ).alias("segment_bucket"),
+        F.least(bal, F.lit(5000).cast(DEC)).cast("double").alias("capped_bal"),
+        F.greatest(bal, F.lit(0).cast(DEC)).cast("double").alias("floored_bal"),
+        F.when(F.col("c_acctbal") < 0, "overdrawn")
+        .when(F.col("c_acctbal") < 1000, "low")
+        .otherwise("normal")
+        .alias("balance_class"),
+    )
