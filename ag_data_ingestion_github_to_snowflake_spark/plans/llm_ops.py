@@ -541,3 +541,70 @@ def dedup_cluster_canonical(spark: SparkSession, sf: str) -> DataFrame:
         pairs, src="id_a", dst="id_b", nodes=corpus, node_col="vec_id"
     )
     return labels.select(F.col("node").alias("vec_id"), "comp")
+
+
+# ---------------------------------------------------------------------------
+# Composite showcase: the whole corpus-prep pipeline as ONE declarative plan
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_prep_pipeline",
+    oracle="""
+    WITH deduped AS (
+      -- MIN not ANY_VALUE: if two identical texts ever disagreed on
+      -- metadata, ANY_VALUE would be engine-nondeterministic
+      SELECT MIN(doc_id) AS doc_id,
+             MIN(lang) AS lang,
+             MIN(n_chars) AS n_chars
+      FROM documents
+      WHERE lang IN ('en', 'de', 'fr') AND n_chars BETWEEN 80 AND 2000
+      GROUP BY sha256(text)
+    ),
+    sampled AS (
+      SELECT * FROM deduped
+      WHERE CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) < 128
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM sampled
+    GROUP BY lang
+    """,
+    survey_ids=("B53", "B16", "B6"),
+    description="Corpus prep end-to-end: lang+quality filter, exact dedup, 50% sample, audit",
+)
+def corpus_prep_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The full corpus-preparation flow as one Catalyst plan: language
+    allowlist + length-window quality gate -> exact content dedup
+    (keep lowest id) -> deterministic 50% hash sample -> per-language
+    audit counts.
+
+    Composing everything declaratively (instead of materializing
+    between stages) lets the optimizer push the lang/length filters to
+    the scan BENEATH the dedup shuffle — the expensive content-hash
+    groupBy only sees surviving rows. Two shuffles total (dedup,
+    audit); the sample gate is map-side.
+    """
+    from ag_data_ingestion_github_to_snowflake_spark.plans.sampling_queries import (
+        hash_bucket,
+    )
+
+    docs = t(spark, sf, "documents").filter(
+        F.col("lang").isin("en", "de", "fr")
+        & F.col("n_chars").between(80, 2000)
+    )
+    deduped = (
+        docs.groupBy(F.sha2("text", 256).alias("_h"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("lang").alias("lang"),
+            F.min("n_chars").alias("n_chars"),
+        )
+        .drop("_h")
+    )
+    sampled = deduped.filter(hash_bucket(F.col("doc_id")) < 128)
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+    )

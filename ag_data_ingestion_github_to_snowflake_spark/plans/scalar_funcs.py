@@ -309,3 +309,42 @@ def struct_pack_events(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("meta"),
         F.create_map(F.lit("user"), F.col("user_id").cast("string")).alias("tags"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B41 higher-order array functions: transform / filter / exists / zip_with
+# ---------------------------------------------------------------------------
+@register(
+    "array_hof_embeddings",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+           ROUND(list_sum(list_transform(list_zip(embedding, embedding),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 4)
+             AS sq_norm,
+           len(list_filter(embedding, x -> abs(x) > 2)) > 0 AS has_outlier
+    FROM embeddings
+    WHERE vec_id < 100
+    """,
+    survey_ids=("B41", "B43"),
+    description="Higher-order array funcs: filter-count, zip_with square-norm, exists",
+)
+def array_hof_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Lambda-based array functions — all evaluated inside codegen,
+    zero Python, no explode (the row count never changes).
+
+    ``zip_with`` squares via pairwise product and the double fold
+    accumulates left-to-right in both engines, so rounded norms match.
+    """
+    e = t(spark, sf, "embeddings").filter(F.col("vec_id") < 100)
+    sq = F.zip_with(
+        "embedding", "embedding", lambda a, b: a.cast("double") * b.cast("double")
+    )
+    return e.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.round(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x), 4).alias(
+            "sq_norm"
+        ),
+        F.exists("embedding", lambda x: F.abs(x) > 2).alias("has_outlier"),
+    )
