@@ -593,3 +593,51 @@ def conditional_scalar_funcs(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise("normal")
         .alias("balance_class"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B28 multiset variants: INTERSECT ALL / EXCEPT ALL / UNION DISTINCT
+# ---------------------------------------------------------------------------
+@register(
+    "setops_all_variants",
+    # Bag (ALL) semantics preserve multiplicity: a nationkey appearing
+    # 3x among customers and 1x among suppliers survives EXCEPT ALL
+    # twice — the row-count arithmetic DISTINCT set ops destroy.
+    oracle="""
+    SELECT 'intersect_all' AS op, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT ALL
+      SELECT s_nationkey AS nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT 'except_all' AS op, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT ALL
+      SELECT s_nationkey AS nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT 'union_distinct' AS op, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION
+      SELECT s_nationkey AS nationkey FROM supplier
+    )
+    """,
+    survey_ids=("B28", "B27"),
+    description="INTERSECT ALL / EXCEPT ALL / UNION DISTINCT multiset semantics",
+)
+def setops_all_variants(spark: SparkSession, sf: str) -> DataFrame:
+    """All three remaining set-operation semantics on one carrier,
+    tagged by op so a single result proves each.
+
+    Spark plans ALL-variants as count-aggregated joins (one shuffle per
+    side on the compared columns — no sort), UNION DISTINCT as
+    union + hash aggregate; all partial-aggregated before exchange.
+    """
+    c = t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    tag = lambda df, op: df.select(F.lit(op).alias("op"), "nationkey")  # noqa: E731
+    return (
+        tag(c.intersectAll(s), "intersect_all")
+        .unionByName(tag(c.exceptAll(s), "except_all"))
+        .unionByName(tag(c.union(s).distinct(), "union_distinct"))
+    )
