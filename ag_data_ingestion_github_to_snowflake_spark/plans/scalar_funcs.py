@@ -348,3 +348,73 @@ def array_hof_embeddings(spark: SparkSession, sf: str) -> DataFrame:
         ),
         F.exists("embedding", lambda x: F.abs(x) > 2).alias("has_outlier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B42 map constructors + element extraction
+# ---------------------------------------------------------------------------
+@register(
+    "map_funcs_orders",
+    oracle="""
+    SELECT o_orderkey,
+           map(['status', 'priority'],
+               [o_orderstatus, o_orderpriority])['status'][1] AS status_val,
+           map(['status', 'priority'],
+               [o_orderstatus, o_orderpriority])['priority'][1] AS priority_val,
+           CAST(cardinality(map(['status', 'priority'],
+                                [o_orderstatus, o_orderpriority])) AS INT) AS n_keys
+    FROM orders
+    WHERE o_orderkey < 100
+    """,
+    survey_ids=("B42",),
+    description="Map construct + element_at + cardinality, scalar outputs",
+)
+def map_funcs_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Map column constructed row-locally and immediately extracted —
+    outputs are scalars so the differential harness compares plain
+    columns (map cells themselves don't hash portably across Arrow).
+    """
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    return (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderkey") < 100)
+        .select(
+            "o_orderkey",
+            F.element_at(m, "status").alias("status_val"),
+            F.element_at(m, "priority").alias("priority_val"),
+            F.size(m).alias("n_keys"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B41 lateral explode with ordinality (posexplode)
+# ---------------------------------------------------------------------------
+@register(
+    "posexplode_tokens",
+    # DuckDB zips parallel UNNESTs positionally — exactly posexplode's
+    # (pos, value) contract.
+    oracle="""
+    SELECT doc_id,
+           CAST(UNNEST(range(len(toks))) AS INT) AS pos,
+           UNNEST(toks) AS token
+    FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+          FROM documents WHERE doc_id < 20)
+    """,
+    survey_ids=("B41", "B39"),
+    description="posexplode: one row per (doc, position, token)",
+)
+def posexplode_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Lateral token explosion with ordinal positions — the tokenizer
+    fan-out every text pipeline starts from. Row-local (no shuffle);
+    output cardinality = total token count, so at scale explode AFTER
+    filtering/sampling, never before.
+    """
+    return (
+        t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", F.posexplode(F.split("text", r"\s+")).alias("pos", "token"))
+    )
