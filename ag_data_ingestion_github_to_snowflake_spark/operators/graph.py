@@ -6,17 +6,16 @@ needs CLUSTERS: the transitive closure of "is a near-dup of", with one
 canonical representative per cluster to keep. That closure is exactly
 connected components over the pair graph.
 
-Algorithm: iterative min-label propagation — every node starts
-labelled with its own id; each round a node adopts the minimum label
-among itself and its neighbors; fixpoint = each node carries the
-minimum id of its component. Rounds needed = graph diameter, which for
-near-dup clusters is tiny (duplicates of one document are mutually
-similar, so components are near-cliques — diameter 1-3). For adversarial
-long-path graphs the alternating large-star/small-star algorithm
-(Kiveris et al., "Connected Components in MapReduce and Beyond",
-ACM SoCC 2014 — public) converges in O(log^2 n) rounds with the same
-join-shape per round; the propagation loop below is the right engine
-shape for either and documents the swap point.
+Algorithm: min-label propagation with pointer jumping — every node
+starts labelled with its own id; each round a node adopts the minimum
+label among itself and its neighbors (propagation), then labels
+shortcut through their own labels (``comp := comp(comp)``, the
+pointer-jumping step of hash-to-min — see Rastogi et al., "Finding
+Connected Components in Map-Reduce in Logarithmic Rounds", ICDE 2013 —
+public). Plain propagation needs graph-diameter rounds (an adversarial
+path graph defeats any fixed iteration cap); the shortcut halves label
+paths every round, so convergence is O(log diameter) — a 1M-hop chain
+settles in ~20 rounds.
 
 Scale notes per round: ONE shuffle (the groupBy on node; the
 neighbor-message join reuses the edge partitioning), labels truncated
@@ -67,22 +66,45 @@ def connected_components(
     )
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]  # bounded: 1 row
 
+    converged = False
     for _ in range(max_iter):
         nbr_labels = sym.join(
             labels.select(F.col("node").alias("d"), "comp"), "d"
         ).select(F.col("s").alias("node"), "comp")
-        labels = (
+        propagated = (
             labels.unionByName(nbr_labels)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
+        )
+        # Pointer jumping: comp := comp(comp). Halves every label path,
+        # making convergence O(log diameter) instead of O(diameter) —
+        # one extra self-join on the (node-count sized) label table per
+        # round, no touch of the edge table.
+        labels = (
+            propagated.join(
+                propagated.select(
+                    F.col("node").alias("comp"), F.col("comp").alias("_cc")
+                ),
+                "comp",
+                "left",
+            )
+            .select("node", F.least("comp", "_cc").alias("comp"))
             .localCheckpoint()
         )
         # comp is elementwise non-increasing, so an unchanged sum is an
         # exact fixpoint, not a hash collision.
         cur_sum = labels.agg(F.sum("comp")).collect()[0][0]  # bounded: 1 row
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # A silent wrong answer (nodes still carrying non-minimal
+        # labels) is worse than failing: with pointer jumping this
+        # needs diameter > 2^max_iter, i.e. a pathological input.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
     return labels
 
 

@@ -61,3 +61,13 @@ def test_canonical_members_one_per_component(spark):
         "left_semi",
     )
     assert kept_rows.count() == 3
+
+
+def test_long_chain_converges_logarithmically(spark):
+    # 200-hop path: plain min-label propagation needs 200 rounds; the
+    # pointer-jumping step must settle it within 15.
+    edges = [(i, i + 1) for i in range(200)]
+    e = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    out = connected_components(e, max_iter=15)
+    comps = {r["comp"] for r in out.collect()}
+    assert comps == {0} and out.count() == 201
