@@ -63,8 +63,9 @@ def register(
 # driver-unchecked). This list pins an explicit order whose first 50
 # names jointly cover every SURVEY.md §2 operator id carried by the
 # registry; redundant coverage twins (extra TPC-H-shaped variety, scalar
-# singletons subsumed by combined carriers) sort after the cutoff and
-# remain verified by the local parity suite. Guarded by
+# singletons subsumed by combined carriers — e.g. shipping_priority_
+# top10, nation_volume_flows, whose ids all have in-window carriers)
+# sort after the cutoff and remain verified by the local parity suite. Guarded by
 # tests/test_registry_priority.py.
 _PRIORITY: tuple[str, ...] = (
     # core relational
@@ -87,8 +88,6 @@ _PRIORITY: tuple[str, ...] = (
     "order_priority_exists",        # B13 B14 B16
     "asof_join_events",             # B14 B29 B31
     "range_join_bucketed",          # B14 B46
-    "shipping_priority_top10",      # B15 B24 B16
-    "nation_volume_flows",          # B15 B10 B33
     "promo_revenue_share",          # B19 B11 B43
     # scale ops
     "salted_group_sum",             # B16 B18 (skew path)
@@ -110,6 +109,8 @@ _PRIORITY: tuple[str, ...] = (
     "json_sink_roundtrip",          # B2 B3 A6
     # LLM-pipeline ops
     "dedup_exact_documents",        # B53 B26
+    "dedup_cluster_canonical",      # B54 B53 B55 (CC closure, flagship)
+    "corpus_prep_pipeline",         # B53 B16 B6 (composite showcase)
     "jaccard_adjacent_docs",        # B54 B41
     "dedup_minhash_pairs",          # B54 (rows-only by design)
     "embedding_near_dup",           # B55 B54
