@@ -50,6 +50,17 @@ def _staged_events_stream(spark: SparkSession, sf: str) -> tuple[DataFrame, str]
     return sdf, stage
 
 
+# State-store partition count for the drained registry streams. Every
+# stateful operator instantiates one state store PER shuffle partition
+# PER micro-batch; at the fixture volumes the per-store fixed cost
+# dominates (32 -> 8 partitions cuts the stream-stream interval join
+# from ~12s to ~3s at sf0.1 while results are partition-invariant). A
+# real deployment sizes this to cores x state volume — the shuffle
+# partition count is pinned into the CHECKPOINT on first run, so it is
+# a per-query knob, not a global one.
+STREAM_SHUFFLE_PARTITIONS = "8"
+
+
 def _drain(plan: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
     """Run the streaming plan to completion and hand back a *detached*
     result: the memory-sink table is snapshotted via an eager
@@ -59,18 +70,23 @@ def _drain(plan: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
     per-run)."""
     cp = tempfile.mkdtemp(prefix="ag_stream_cp_")
     name = "mem_" + os.path.basename(cp).removeprefix("ag_stream_cp_")
-    q = (
-        plan.writeStream.outputMode(mode)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", cp)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    finished = q.awaitTermination(300)
-    if not finished:
-        q.stop()
-        raise TimeoutError("streaming drain did not finish within 300s")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    try:
+        q = (
+            plan.writeStream.outputMode(mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", cp)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        finished = q.awaitTermination(300)
+        if not finished:
+            q.stop()
+            raise TimeoutError("streaming drain did not finish within 300s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     out = spark.table(name).localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
     shutil.rmtree(cp, ignore_errors=True)
