@@ -180,3 +180,47 @@ def run_available_now(stream_df: DataFrame, checkpoint: str, table_name: str):
         .queryName(table_name)
         .start()
     )
+
+
+def stream_upsert_to_warehouse(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    key: str = "event_id",
+    version_col: str | None = None,
+):
+    """Stream -> idempotent warehouse MERGE via ``foreachBatch``: the
+    production sink pattern that turns at-least-once micro-batch
+    delivery into exactly-once AT THE TABLE.
+
+    Each micro-batch runs ``merge_into_warehouse`` (key-dedup + replace,
+    ``sources/sinks.py``): a batch replayed after a crash re-merges the
+    same keys and changes nothing, so the checkpoint (offset commit)
+    and the table (content) cannot drift apart. This is the streaming
+    closure of the reference's at-least-once loop
+    (``/root/reference/src/extract_github_data.py:714`` saves state
+    after each row, so re-runs refetch and re-deliver rows) — the
+    duplicates die in the merge instead of accumulating in the sink.
+
+    foreachBatch receives a BATCH DataFrame per trigger, so the whole
+    batch-side operator library (dedup, validation, merge) applies
+    unchanged; at scale, partition-prune the merge by routing each
+    batch to its affected date partitions.
+
+    Returns the started StreamingQuery; caller awaits termination.
+    """
+    from ag_data_ingestion_github_to_snowflake_spark.sources.sinks import (
+        merge_into_warehouse,
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        merge_into_warehouse(
+            batch_df.sparkSession, batch_df, path, key=key, version_col=version_col
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

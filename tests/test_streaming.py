@@ -230,3 +230,45 @@ def test_late_row_dropped_in_stream_present_in_batch(spark, tmp_path):
         if r.window_start.hour == 10
     }
     assert stream_n == {"10:00": 2}  # late row dropped past the watermark
+
+
+def test_stream_upsert_to_warehouse_idempotent(spark, tmp_path):
+    """foreachBatch merge sink: duplicate delivery across batches (and
+    across restarts) leaves exactly one row per key in the table."""
+    import shutil
+
+    from ag_data_ingestion_github_to_snowflake_spark.streaming.streams import (
+        stream_events_from_parquet,
+        stream_upsert_to_warehouse,
+    )
+
+    src = str(tmp_path / "src")
+    wh = str(tmp_path / "wh")
+    cp = str(tmp_path / "cp")
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)], "event_id bigint, v string, ver int"
+    )
+    dup = spark.createDataFrame(
+        [(2, "b2", 2), (4, "d", 1)], "event_id bigint, v string, ver int"
+    )
+    base.coalesce(1).write.mode("append").parquet(src)
+    dup.coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    s = stream_events_from_parquet(spark, src, schema, max_files_per_trigger=1)
+    q = stream_upsert_to_warehouse(s, wh, cp, key="event_id", version_col="ver")
+    assert q.awaitTermination(120)
+
+    out = {r["event_id"]: r["v"] for r in spark.read.parquet(wh).collect()}
+    assert out == {1: "a", 2: "b2", 3: "c", 4: "d"}  # key 2 upserted to ver 2
+
+    # replay from scratch (fresh checkpoint, same source): re-merging
+    # the same batches changes nothing
+    shutil.rmtree(cp)
+    q2 = stream_upsert_to_warehouse(
+        stream_events_from_parquet(spark, src, schema), wh, cp, key="event_id",
+        version_col="ver",
+    )
+    assert q2.awaitTermination(120)
+    out2 = {r["event_id"]: r["v"] for r in spark.read.parquet(wh).collect()}
+    assert out2 == out
