@@ -418,3 +418,45 @@ def posexplode_tokens(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("doc_id") < 20)
         .select("doc_id", F.posexplode(F.split("text", r"\s+")).alias("pos", "token"))
     )
+
+
+# ---------------------------------------------------------------------------
+# B37/B43 error-safe scalars: try_divide / try_cast under ANSI mode
+# ---------------------------------------------------------------------------
+@register(
+    "try_funcs_orders",
+    # The engine runs ANSI mode (overflow/div-by-zero/bad-cast THROW),
+    # so the try_* family is the row-level escape hatch: errors become
+    # NULL instead of failing the job — DuckDB's TRY_CAST / NULLIF
+    # division expresses the same contract.
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_totalprice AS DOUBLE) / NULLIF(o_custkey % 7, 0) AS price_per_bucket,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS priority_num,
+           TRY_CAST(o_orderstatus AS INT) AS status_as_int
+    FROM orders
+    WHERE o_orderkey < 200
+    """,
+    survey_ids=("B37", "B43"),
+    description="Error-safe scalars: try_divide (null on /0), try_cast (null on bad parse)",
+)
+def try_funcs_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """try_divide and try_cast: malformed rows yield NULL, the job
+    survives — the semantics a 100 TB pipeline needs when one corrupt
+    row must not kill a 6-hour job. Division in DOUBLE (IEEE-identical
+    both engines); 'F'/'P'/'O' statuses exercise the failed-parse path.
+    """
+    return (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderkey") < 200)
+        .select(
+            "o_orderkey",
+            F.try_divide(
+                F.col("o_totalprice").cast("double"), F.col("o_custkey") % 7
+            ).alias("price_per_bucket"),
+            F.expr(
+                "try_cast(substr(o_orderpriority, 1, 1) AS INT)"
+            ).alias("priority_num"),
+            F.expr("try_cast(o_orderstatus AS INT)").alias("status_as_int"),
+        )
+    )
