@@ -460,3 +460,82 @@ def try_funcs_orders(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("try_cast(o_orderstatus AS INT)").alias("status_as_int"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# B16/B41 ordered string aggregation (listagg / string_agg shape)
+# ---------------------------------------------------------------------------
+@register(
+    "string_agg_nations_by_region",
+    oracle="""
+    SELECT r.r_name,
+           array_to_string(list_sort(list(n.n_name)), ',') AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    survey_ids=("B16", "B41", "B36"),
+    description="Ordered string aggregation: sorted comma-joined group members",
+)
+def string_agg_nations_by_region(spark: SparkSession, sf: str) -> DataFrame:
+    """listagg/string_agg semantics made deterministic: collect_list's
+    arrival order is partition-dependent, so the list is array_sort'ed
+    BEFORE joining — the only way a string aggregate can be stable
+    under distributed execution (same rule as any order-sensitive
+    aggregate at scale). Per-group state is the member list: safe for
+    dimension-sized groups, bounded-sample the list for fact-sized.
+    """
+    r = t(spark, sf, "region")
+    n = t(spark, sf, "nation")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B33 date/interval arithmetic
+# ---------------------------------------------------------------------------
+@register(
+    "date_arith_orders",
+    oracle="""
+    SELECT o_orderkey,
+           -- 45 days, NOT 30: DuckDB's interval equality treats
+           -- 1 MONTH == 30 DAY, and common-subexpression elimination
+           -- then collapses the two additions into one (repro'd on
+           -- 1.0.0); 45 days is not "equal" to 1 month, so both
+           -- expressions survive.
+           o_orderdate + INTERVAL 45 DAY AS due_date,
+           o_orderdate + INTERVAL 1 MONTH AS next_month,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-01-01') AS INT)
+             AS days_to_y2001
+    FROM orders
+    WHERE o_orderkey < 200
+    """,
+    survey_ids=("B33", "B34"),
+    description="Date arithmetic: interval add, calendar month add, last_day, datediff",
+)
+def date_arith_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval and calendar arithmetic — fixed-length (+30 days) vs
+    calendar-aware (+1 month, clamped at month ends identically in
+    both engines), month boundary (cast to timestamp — pandas folds
+    DATE and TIMESTAMP differently), and day difference. Row-local,
+    codegen'd, no shuffle.
+    """
+    o = t(spark, sf, "orders").filter(F.col("o_orderkey") < 200)
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 45 DAY")).alias("due_date"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 MONTH")).alias("next_month"),
+        F.last_day("o_orderdate").cast("timestamp_ntz").alias("month_end"),
+        F.datediff(F.lit("2001-01-01").cast("date"), F.col("o_orderdate")).alias(
+            "days_to_y2001"
+        ),
+    )
