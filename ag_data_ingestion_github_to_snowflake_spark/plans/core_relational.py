@@ -641,3 +641,68 @@ def setops_all_variants(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(tag(c.exceptAll(s), "except_all"))
         .unionByName(tag(c.union(s).distinct(), "union_distinct"))
     )
+
+
+# ---------------------------------------------------------------------------
+# B23 scale path: approx_percentile sketch (rows-only, like B21's HLL)
+# ---------------------------------------------------------------------------
+@register(
+    "approx_percentiles_nchars",
+    oracle=None,  # sketch-based (KLL/GK-style): engine-specific, rows-only
+    survey_ids=("B23",),
+    description="approx_percentile sketch — the fixed-memory percentile scale path",
+)
+def approx_percentiles_nchars(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch percentiles per language: bounded-memory mergeable state
+    (vs exact percentile's full sort), accuracy 1/10000 — the path a
+    100 TB percentile actually takes. Exact twin: percentiles_nchars.
+    """
+    return (
+        t(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(
+            F.percentile_approx("n_chars", [0.5, 0.9, 0.99], 10000).alias(
+                "p50_p90_p99"
+            ),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select(
+            "lang",
+            F.col("p50_p90_p99")[0].alias("p50"),
+            F.col("p50_p90_p99")[1].alias("p90"),
+            F.col("p50_p90_p99")[2].alias("p99"),
+            "n_docs",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B43 bitwise operations
+# ---------------------------------------------------------------------------
+@register(
+    "bitwise_funcs_events",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS low_byte,
+           event_id | 4096 AS with_flag,
+           xor(event_id, 255) AS toggled,
+           CAST(event_id * 256 AS BIGINT) AS shifted
+    FROM events
+    WHERE event_id < 200
+    """,
+    survey_ids=("B43",),
+    description="Bitwise ops: and/or/xor + shift via multiply",
+)
+def bitwise_funcs_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Bit manipulation on ids — flag packing/unpacking. The shift is
+    expressed as *256 (identical semantics, and DuckDB's << on BIGINT
+    matches only on non-negative values anyway). Row-local, codegen'd.
+    """
+    e = t(spark, sf, "events").filter(F.col("event_id") < 200)
+    return e.select(
+        "event_id",
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("event_id").bitwiseOR(F.lit(4096)).alias("with_flag"),
+        F.col("event_id").bitwiseXOR(F.lit(255)).alias("toggled"),
+        (F.col("event_id") * 256).cast("bigint").alias("shifted"),
+    )
