@@ -1,0 +1,65 @@
+"""Embedding compression: symmetric int8 scalar quantization.
+
+At 100 TB an `array<float>` embedding column is often the widest thing
+in the table; int8 quantization cuts it 4× with bounded error, which is
+the standard storage/ANN-memory trade (FAISS `SQ8`, public knowledge).
+
+Everything is built-in array expressions (transform / aggregate /
+zip_with) — per-row, no shuffle, whole-stage codegen. The quantizer is
+defined as ``floor(x/scale + 0.5)`` (half-up toward +inf) rather than
+an engine ``round`` so Spark and the DuckDB oracle twin compute the
+exact same integer on ties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    q_col: str = "q8",
+    scale_col: str = "scale",
+) -> DataFrame:
+    """Add per-vector int8 codes + the dequantization scale.
+
+    scale = max(|x|)/127 (floored at 1e-12 so a zero vector encodes to
+    zeros instead of dividing by zero); code_i = floor(x_i/scale + 0.5).
+    Arithmetic in double — the float32 input is widened first so the
+    oracle twin (which also widens) matches bit-for-bit.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = (
+        F.greatest(
+            F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-12)
+        )
+        / F.lit(127.0)
+    )
+    df = df.withColumn(scale_col, scale)
+    q = F.transform(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        lambda x: F.floor(x / F.col(scale_col) + F.lit(0.5)).cast("int"),
+    )
+    return df.withColumn(q_col, q)
+
+
+def reconstruction_error(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    q_col: str = "q8",
+    scale_col: str = "scale",
+) -> DataFrame:
+    """Add max_abs_err / mse columns comparing dequantized codes to the
+    original vector (both widened to double)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    recon = F.transform(
+        F.col(q_col), lambda x: x.cast("double") * F.col(scale_col)
+    )
+    diff = F.zip_with(v, recon, lambda a, b: F.abs(a - b))
+    max_err = F.array_max(diff)
+    mse = F.aggregate(
+        diff, F.lit(0.0), lambda acc, x: acc + x * x
+    ) / F.greatest(F.size(v), F.lit(1)).cast("double")
+    return df.withColumn("max_abs_err", max_err).withColumn("mse", mse)

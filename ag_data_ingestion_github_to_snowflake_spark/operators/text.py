@@ -100,6 +100,71 @@ def language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -
     )
 
 
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def chunk_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    size: int = 32,
+    stride: int = 32,
+    out: str = "passage",
+) -> DataFrame:
+    """Explode documents into fixed-size token passages.
+
+    Training pipelines dedup and sample at passage granularity, not
+    whole-document: chunk starts at 1, 1+stride, ... and each passage
+    is ``size`` tokens re-joined with single spaces. Pure array
+    expressions (split → sequence → slice → explode): the explode
+    multiplies rows ~len/stride× but involves no shuffle — each
+    document chunks within its own partition, so the op scales linearly
+    with corpus bytes.
+    """
+    toks = F.split(F.col(text_col), "\\s+")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride))
+    chunks = F.transform(
+        starts, lambda s: F.array_join(F.slice(toks, s, size), " ")
+    )
+    return df.withColumn(out, F.explode(chunks))
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", out: str = "redacted") -> DataFrame:
+    """Redact emails / NANP phones / IPv4 literals, counting each kind.
+
+    Order matters: IPv4 runs after phone so ``555-123-4567`` is consumed
+    by the phone rule first (the patterns are disjoint anyway — phone
+    needs dashes, IPv4 dots). All regexp_replace/regexp_extract_all —
+    JVM-side, patterns restricted to the RE2-compatible subset so the
+    DuckDB oracle twin applies the identical expressions.
+    """
+    c = F.col(text_col)
+    return (
+        df.withColumn(
+            "n_emails", F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), F.lit(0))).cast("long")
+        )
+        .withColumn(
+            "n_phones", F.size(F.regexp_extract_all(c, F.lit(PII_PHONE_RE), F.lit(0))).cast("long")
+        )
+        .withColumn(
+            "n_ips", F.size(F.regexp_extract_all(c, F.lit(PII_IPV4_RE), F.lit(0))).cast("long")
+        )
+        .withColumn(
+            out,
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(c, PII_EMAIL_RE, "[EMAIL]"),
+                    PII_PHONE_RE,
+                    "[PHONE]",
+                ),
+                PII_IPV4_RE,
+                "[IP]",
+            ),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
     """Order-sensitive rolling (polynomial) hash over tokens.
 

@@ -608,3 +608,191 @@ def corpus_prep_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Passage-level dedup: chunk documents into fixed 32-token passages,
+# then exact-dedup at passage granularity — the unit training pipelines
+# actually dedup/sample at. Explode is partition-local (no shuffle);
+# the only exchange is the content-hash groupBy.
+# ---------------------------------------------------------------------------
+@register(
+    "passage_dedup_chunks",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id,
+             unnest([
+               array_to_string(toks[i:i+31], ' ')
+               FOR i IN range(1, GREATEST(len(toks), 1) + 1, 32)
+             ]) AS passage
+      FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+            FROM documents)
+    )
+    SELECT sha256(passage) AS passage_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(len(string_split_regex(passage, '\\s+'))) AS BIGINT)
+             AS n_tokens
+    FROM ch
+    GROUP BY sha256(passage)
+    """,
+    survey_ids=("B53", "B54"),
+    description="Passage-granularity exact dedup over 32-token chunks",
+)
+def passage_dedup_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Chunk every document into 32-token passages and dedup passages
+    by content hash, keeping the lowest contributing doc_id.
+
+    Chunking is ``operators/text.py:chunk_passages`` (split -> sequence
+    -> slice -> explode, all partition-local); dedup is one groupBy on
+    sha2(passage). At 100 TB this is the shape that matters: the row
+    multiplication happens map-side and the shuffle carries only
+    (hash, doc_id) pairs, never the passage text twice.
+    """
+    ch = X.chunk_passages(t(spark, sf, "documents"), size=32, stride=32)
+    return ch.groupBy(F.sha2("passage", 256).alias("passage_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min(F.size(F.split("passage", "\\s+")).cast("long")).alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction: deterministic synthetic PII is injected from existing
+# columns (the fixture corpus is clean), then the production redaction
+# operator strips it. Both engines apply identical injection + RE2-safe
+# patterns, so the redacted content hash is oracle-checkable.
+# ---------------------------------------------------------------------------
+@register(
+    "pii_redaction_docs",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact u' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or '
+                  || printf('%03d-%03d-%04d',
+                            doc_id % 1000, (doc_id * 7) % 1000, doc_id % 10000)
+                  || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+               AS text
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text,
+             '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text,
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT)
+             AS n_ips,
+           sha256(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '[EMAIL]', 'g'),
+                 '\\b\\d{3}-\\d{3}-\\d{4}\\b', '[PHONE]', 'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g')
+           ) AS redacted_hash
+    FROM aug
+    """,
+    survey_ids=("B40", "B56"),
+    description="PII scrub: email/phone/IPv4 redaction with per-kind counts",
+)
+def pii_redaction_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Redact synthetic-but-realistic PII (emails, NANP phones, IPv4)
+    and count each kind per document.
+
+    The redaction itself is ``operators/text.py:redact_pii`` — three
+    regexp_replace passes plus count columns, all JVM-side. The corpus
+    fixture is PII-free, so the query first injects deterministic PII
+    derived from doc_id; the oracle performs the identical injection,
+    making the redacted-content hash a hard equality check.
+    """
+    docs = t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or "),
+            F.format_string(
+                "%03d-%03d-%04d",
+                F.col("doc_id") % 1000,
+                (F.col("doc_id") * 7) % 1000,
+                F.col("doc_id") % 10000,
+            ),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+        ),
+    )
+    red = X.redact_pii(aug)
+    return red.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_ips",
+        F.sha2("redacted", 256).alias("redacted_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization: 4x storage cut with bounded error —
+# codes + scale + reconstruction error, all array expressions. The
+# oracle re-derives the identical quantizer in DuckDB (double-widened,
+# floor(x/s + 0.5) so tie behavior matches exactly).
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_quantize_error",
+    oracle="""
+    WITH wide AS (
+      SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+      FROM embeddings
+    ),
+    scaled AS (
+      SELECT vec_id, v,
+             GREATEST(list_max([abs(x) FOR x IN v]), 1e-12) / 127.0 AS scale
+      FROM wide
+    ),
+    coded AS (
+      SELECT vec_id, v, scale,
+             [CAST(floor(x / scale + 0.5) AS INT) FOR x IN v] AS q
+      FROM scaled
+    )
+    SELECT vec_id,
+           ROUND(scale, 9) AS scale_r,
+           CAST(list_max([abs(x) FOR x IN q]) AS BIGINT) AS max_code,
+           ROUND(list_max([abs(p[1] - CAST(p[2] AS DOUBLE) * scale)
+                           FOR p IN list_zip(v, q)]), 9) AS max_abs_err,
+           ROUND(list_sum([pow(p[1] - CAST(p[2] AS DOUBLE) * scale, 2)
+                           FOR p IN list_zip(v, q)])
+                 / GREATEST(len(v), 1), 9) AS mse_r
+    FROM coded
+    """,
+    survey_ids=("B41", "B43", "B55"),
+    description="Symmetric int8 embedding quantization + reconstruction error",
+)
+def embedding_quantize_error(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantize every embedding to int8 codes and audit the error.
+
+    ``operators/quantize.py``: scale = max|x|/127, code = floor(x/s+.5);
+    outputs the per-vector scale, the max |code| (must be <=127), the
+    max absolute reconstruction error (bounded by scale/2) and the MSE.
+    Per-row array math, no shuffle, codegen end-to-end — at 100 TB this
+    runs at scan speed and writes a quarter of the bytes.
+    """
+    from ag_data_ingestion_github_to_snowflake_spark.operators import quantize as Q
+
+    emb = t(spark, sf, "embeddings")
+    qd = Q.reconstruction_error(Q.quantize_int8(emb))
+    return qd.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale_r"),
+        F.array_max(F.transform(F.col("q8"), lambda x: F.abs(x)))
+        .cast("long")
+        .alias("max_code"),
+        F.round("max_abs_err", 9).alias("max_abs_err"),
+        F.round("mse", 9).alias("mse_r"),
+    )

@@ -362,3 +362,63 @@ def test_sample_frames_stride(spark):
     rows = M.sample_frames(df, every_n=10, deterministic_fake=True).collect()
     # 320 bytes -> 20 frames -> indices 0,10
     assert [r.frame_idx for r in sorted(rows, key=lambda r: r.frame_idx)] == [0, 10]
+
+
+# ---------------------------------------------------------------------------
+# passage chunking / PII redaction / int8 quantization
+# ---------------------------------------------------------------------------
+def test_chunk_passages_covers_all_tokens(spark):
+    text = " ".join(f"w{i}" for i in range(70))  # 70 tokens -> 3 chunks of 32/32/6
+    df = spark.createDataFrame([Row(doc_id=1, text=text)])
+    out = X.chunk_passages(df, size=32, stride=32).collect()
+    assert len(out) == 3
+    sizes = [len(r.passage.split(" ")) for r in out]
+    assert sizes == [32, 32, 6]
+    rejoined = " ".join(r.passage for r in out)
+    assert rejoined == text  # stride == size => exact partition of tokens
+
+
+def test_chunk_passages_short_and_empty_doc(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="only three tokens"), Row(doc_id=2, text="")]
+    )
+    out = {r.doc_id: r.passage for r in X.chunk_passages(df).collect()}
+    assert out[1] == "only three tokens"
+    assert out[2] == ""  # one empty passage, never zero rows
+
+
+def test_redact_pii_counts_and_replaces(spark):
+    df = spark.createDataFrame(
+        [
+            Row(
+                doc_id=1,
+                text="mail a.b+c@ex-ample.org and x@y.io call 514-555-0199 from 192.168.0.1",
+            ),
+            Row(doc_id=2, text="clean text no pii"),
+        ]
+    )
+    rows = {r.doc_id: r for r in X.redact_pii(df).collect()}
+    r1 = rows[1]
+    assert (r1.n_emails, r1.n_phones, r1.n_ips) == (2, 1, 1)
+    assert "[EMAIL]" in r1.redacted and "[PHONE]" in r1.redacted and "[IP]" in r1.redacted
+    assert "@" not in r1.redacted
+    r2 = rows[2]
+    assert (r2.n_emails, r2.n_phones, r2.n_ips) == (0, 0, 0)
+    assert r2.redacted == r2.text
+
+
+def test_quantize_int8_bounds_and_roundtrip(spark):
+    from ag_data_ingestion_github_to_snowflake_spark.operators import quantize as Q
+
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, -0.5, 0.25, 0.0]),
+            Row(vec_id=2, embedding=[0.0, 0.0, 0.0, 0.0]),  # zero vector
+        ]
+    )
+    out = {r.vec_id: r for r in Q.reconstruction_error(Q.quantize_int8(df)).collect()}
+    r1 = out[1]
+    assert max(abs(c) for c in r1.q8) == 127  # max element uses full code range
+    assert r1.max_abs_err <= r1.scale / 2 + 1e-12  # quantizer error bound
+    r2 = out[2]
+    assert r2.q8 == [0, 0, 0, 0] and r2.max_abs_err == 0.0 and r2.mse == 0.0
