@@ -272,3 +272,25 @@ def test_stream_upsert_to_warehouse_idempotent(spark, tmp_path):
     assert q2.awaitTermination(120)
     out2 = {r["event_id"]: r["v"] for r in spark.read.parquet(wh).collect()}
     assert out2 == out
+
+
+def test_streaming_dedup_rocksdb_state_store(spark, events_split_dir, tmp_path):
+    """B50 under the RocksDB state store: same dedup result as the
+    default heap-backed provider — the provider changes where state
+    lives (SSD + off-heap), never the semantics."""
+    ev = load_table(spark, SF, "events")
+    prev = S.use_rocksdb_state_store(spark)
+    try:
+        sdf = S.stream_events_from_parquet(
+            spark, events_split_dir, ev.schema, max_files_per_trigger=2
+        )
+        got = _drain(
+            spark,
+            S.dedup_stream(sdf.withColumn("ts", F.col("ts").cast("timestamp")), ["user_id"]),
+            str(tmp_path / "cp_rocks"),
+            "dedup_rocks",
+        )
+        # one surviving row per user, exactly the batch-distinct count
+        assert got.count() == ev.select("user_id").distinct().count()
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
