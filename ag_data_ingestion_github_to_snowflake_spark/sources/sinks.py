@@ -180,3 +180,65 @@ def compact_table(
         for f in os.listdir(path)
         if f.endswith(".parquet") and not f.startswith("_")
     )
+
+
+def compact_partitions(
+    spark,
+    path: str,
+    only_prefix: str | None = None,
+    target_records_per_file: int = 1_000_000,
+    sort_cols: list[str] | None = None,
+) -> dict[str, int]:
+    """Partition-scoped small-file compaction for hive-layout tables
+    (``year=…/month=…/day=…`` as written by ``partitioned_append``).
+
+    ``compact_table`` rewrites the whole table in one transaction —
+    right for unpartitioned tables, wrong at 100 TB where one day of a
+    year-long table is the only thing fragmented. This variant walks
+    the leaf partition directories and rewrites EACH LEAF independently
+    (read leaf → repartition/sort → staged write → atomic swap), so:
+
+    - each rewrite transaction is bounded by one partition's bytes;
+    - a crash mid-compaction leaves every other partition untouched
+      (the swapped leaf is all-old or all-new, never mixed);
+    - ``only_prefix`` (e.g. ``"year=2024/month=06"``) scopes the pass
+      to the partitions a maintenance job actually owns — the daily
+      cron compacts yesterday, never the archive;
+    - partition columns stay directory-encoded, so pruning and the
+      table schema are unchanged.
+
+    Returns {relative_partition_path: n_output_files}.
+    """
+    import math
+    import os
+
+    leaves: list[str] = []
+    for dirpath, _dirnames, filenames in os.walk(path):
+        if any(f.endswith(".parquet") and not f.startswith("_") for f in filenames):
+            rel = os.path.relpath(dirpath, path)
+            if rel == "." or "__" in rel:  # staging/old dirs never count
+                continue
+            if only_prefix is None or rel.startswith(only_prefix):
+                leaves.append(rel)
+
+    out: dict[str, int] = {}
+    for rel in sorted(leaves):
+        leaf = os.path.join(path, rel)
+        df = spark.read.parquet(leaf)
+        n_rows = df.count()
+        n_files = max(1, math.ceil(n_rows / target_records_per_file))
+        if sort_cols:
+            part = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+                *sort_cols
+            )
+        else:
+            part = df.repartition(n_files)
+        staging = f"{leaf}__compact"
+        part.write.mode("overwrite").parquet(staging)
+        _atomic_swap(leaf, staging)
+        out[rel] = sum(
+            1
+            for f in os.listdir(leaf)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+    return out

@@ -283,3 +283,46 @@ def test_load_evolving_table_unions_schemas(spark, tmp_path):
     # strict mode: single-footer schema, no merge cost (column set then
     # depends on which footer Spark samples — only assert it reads)
     assert load_evolving_table(spark, path, strict=True).count() == 3
+
+
+def test_compact_partitions_scoped_and_atomic(spark, tmp_path):
+    from ag_data_ingestion_github_to_snowflake_spark.sources.sinks import (
+        compact_partitions,
+        partitioned_append,
+    )
+
+    path = str(tmp_path / "part_tbl")
+    base = spark.range(0, 600).select(
+        F.col("id"),
+        F.to_timestamp(
+            F.concat(F.lit("2024-06-0"), (F.col("id") % 3 + 1).cast("string"), F.lit(" 12:00:00"))
+        ).alias("updated_at"),
+        (F.col("id") * 3).alias("v"),
+    )
+    # 5 fragmented appends -> every day partition holds many small files
+    for i in range(5):
+        partitioned_append(base.filter(F.col("id") % 5 == i), path, ts_col="updated_at")
+
+    def leaf_files(rel):
+        d = os.path.join(path, rel)
+        return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+
+    day1, day2 = "year=2024/month=06/day=01", "year=2024/month=06/day=02"
+    assert leaf_files(day1) >= 5 and leaf_files(day2) >= 5
+    before_other = leaf_files(day2)
+    checksum_before = spark.read.parquet(path).agg(
+        F.count(F.lit(1)), F.sum("id"), F.sum("v")
+    ).collect()[0]
+
+    out = compact_partitions(spark, path, only_prefix=day1, sort_cols=["id"])
+    assert list(out) == [day1] and out[day1] == 1  # 200 rows -> one file
+    assert leaf_files(day1) == 1
+    assert leaf_files(day2) == before_other  # out-of-scope partition untouched
+
+    checksum_after = spark.read.parquet(path).agg(
+        F.count(F.lit(1)), F.sum("id"), F.sum("v")
+    ).collect()[0]
+    assert checksum_before == checksum_after
+    # partition pruning still works on the compacted layout
+    pruned = spark.read.parquet(path).filter("year = '2024' AND day = '01'")
+    assert pruned.count() == 200
