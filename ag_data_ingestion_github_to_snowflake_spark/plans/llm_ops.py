@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ag_data_ingestion_github_to_snowflake_spark.operators import dedup as D
 from ag_data_ingestion_github_to_snowflake_spark.operators import graph as G
@@ -795,4 +796,135 @@ def embedding_quantize_error(spark: SparkSession, sf: str) -> DataFrame:
         .alias("max_code"),
         F.round("max_abs_err", 9).alias("max_abs_err"),
         F.round("mse", 9).alias("mse_r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus n-gram vocabulary: the tokenizer-training primitive — count
+# every bigram occurrence corpus-wide, keep the top of the vocabulary.
+# Explode is map-side; the single shuffle carries (ngram, partial
+# count) thanks to partial aggregation, and the final top-k is a
+# TakeOrdered on the tiny grouped result.
+# ---------------------------------------------------------------------------
+@register(
+    "ngram_vocab_topk",
+    oracle="""
+    WITH grams AS (
+      SELECT unnest([
+        toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))
+      ]) AS ngram
+      FROM (SELECT string_split_regex(text, '\\s+') AS toks FROM documents)
+    )
+    SELECT ngram, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM grams
+    GROUP BY ngram
+    ORDER BY freq DESC, ngram ASC
+    LIMIT 100
+    """,
+    survey_ids=("B56", "B16", "B24"),
+    description="Corpus-wide bigram vocabulary, top-100 by frequency",
+)
+def ngram_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-100 bigrams by corpus frequency (BPE/vocab-training shape).
+
+    All occurrences count (no per-doc distinct): the explode multiplies
+    rows map-side, partial aggregation combines before the shuffle, so
+    the exchange carries one row per (partition, distinct bigram) — at
+    100 TB that is vocabulary-sized, not corpus-sized.
+    """
+    toks = F.split(F.col("text"), "\\s+")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        t(spark, sf, "documents")
+        .select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("ngram"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF: term weights per document over a bounded doc subset. Two
+# aggregations (term-per-doc, doc-freq-per-term) + a broadcast of the
+# 1-row corpus count; top-3 terms per doc by score via row_number.
+# ---------------------------------------------------------------------------
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH docs_sub AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+      FROM documents WHERE doc_id < 100
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM docs_sub)
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS dfreq FROM tf GROUP BY term
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM docs_sub),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.dfreq,
+             ROUND(tf.tf * ln((nd.n_docs + 1.0) / (dfreq.dfreq + 1.0)), 6)
+               AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+    )
+    SELECT doc_id, term, tf, dfreq, tfidf
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS rn
+      FROM scored
+    )
+    WHERE rn <= 3
+    """,
+    survey_ids=("B56", "B16", "B29"),
+    description="TF-IDF top-3 terms per document (bounded doc subset)",
+)
+def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Classic TF-IDF: tf per (doc, term), document frequency per term,
+    idf = ln((N+1)/(df+1)), top-3 terms per doc.
+
+    Shuffle census: one exchange for the (doc, term) count, one for the
+    per-term doc frequency (vocabulary-sized), a broadcast of the 1-row
+    corpus count, then the per-doc window. The term→doc join is
+    vocabulary⋈termcounts — at 100 TB the vocabulary side stays small
+    enough to broadcast after AQE sees its size.
+    """
+    docs = t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    terms = docs.select(
+        "doc_id", F.explode(F.split("text", "\\s+")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "dfreq",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("dfreq") + F.lit(1.0))),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
     )

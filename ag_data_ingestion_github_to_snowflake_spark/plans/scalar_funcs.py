@@ -539,3 +539,49 @@ def date_arith_orders(spark: SparkSession, sf: str) -> DataFrame:
             "days_to_y2001"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# width_bucket histogram: fixed-range bucketing of customer balances.
+# DuckDB 1.0 has no width_bucket, so the oracle spells out the same
+# CASE + floor arithmetic (bucket edges are integer multiples of 1000,
+# exactly representable in double — no boundary drift).
+# ---------------------------------------------------------------------------
+@register(
+    "histogram_acctbal_buckets",
+    oracle="""
+    SELECT CAST(CASE WHEN v < -1000 THEN 0
+                WHEN v >= 10000 THEN 12
+                ELSE 1 + CAST(floor((v + 1000) / 1000) AS INT) END AS BIGINT)
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM (SELECT CAST(c_acctbal AS DOUBLE) AS v, c_acctbal FROM customer)
+    GROUP BY 1
+    """,
+    survey_ids=("B43", "B16"),
+)
+def histogram_acctbal_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-width histogram of c_acctbal over [-1000, 10000) in 11
+    buckets via width_bucket; exact decimal mass per bucket.
+
+    The bucket expression is map-side arithmetic; the only exchange is
+    the 13-key aggregation — the cheapest possible distribution sketch
+    at any scale.
+    """
+    cust = t(spark, sf, "customer")
+    bucket = F.width_bucket(
+        F.col("c_acctbal").cast("double"),
+        F.lit(-1000.0),
+        F.lit(10000.0),
+        F.lit(11),
+    ).alias("bucket")
+    return (
+        cust.groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+    )

@@ -295,3 +295,54 @@ def window_distribution_acctbal(spark: SparkSession, sf: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Window value functions: first_value / last_value / nth_value over an
+# unbounded frame — "first order, latest order, second order" per
+# customer in one shuffle+sort.
+# ---------------------------------------------------------------------------
+@register(
+    "window_value_funcs",
+    oracle="""
+    SELECT custkey, first_price, last_price, second_price
+    FROM (
+      SELECT o_custkey AS custkey,
+             first_value(o_totalprice) OVER w AS first_price,
+             last_value(o_totalprice) OVER w AS last_price,
+             nth_value(o_totalprice, 2) OVER w AS second_price,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    )
+    WHERE rn = 1
+    """,
+    survey_ids=("B29", "B31"),
+)
+def window_value_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """first/last/nth_value over each customer's order history.
+
+    One window spec shared by all four functions — Catalyst computes
+    them in a single Window physical node: one shuffle on o_custkey,
+    one sort, no matter how many value functions ride the frame.
+    """
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wr = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t(spark, sf, "orders")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.first("o_totalprice").over(w).alias("first_price"),
+            F.last("o_totalprice").over(w).alias("last_price"),
+            F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+            F.row_number().over(wr).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
