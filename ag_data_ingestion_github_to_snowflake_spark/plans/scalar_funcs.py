@@ -585,3 +585,53 @@ def histogram_acctbal_buckets(spark: SparkSession, sf: str) -> DataFrame:
             .alias("total_bal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT (Spark 4 semi-structured type): build nested JSON from typed
+# columns, parse to VARIANT, extract typed scalars back via JSON paths.
+# The oracle checks the round trip against the source columns directly
+# — if any variant_get lost or coerced a value, the hash breaks.
+# ---------------------------------------------------------------------------
+@register(
+    "variant_extract_events",
+    oracle="""
+    SELECT event_id,
+           event_type AS t,
+           CAST(user_id AS BIGINT) AS uid,
+           value AS val,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE event_id < 500
+    """,
+    survey_ids=("B38", "B5", "B37"),
+)
+def variant_extract_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured round trip through the VARIANT type.
+
+    to_json(struct(...)) -> parse_json -> variant_get with typed JSON
+    paths ("$.u.uid" etc). VARIANT is Spark 4's open-schema column:
+    unlike from_json it needs no schema up front, and the binary
+    encoding supports path extraction without re-parsing text — the
+    100 TB answer to schema-drifting event streams. All JVM
+    expressions; the oracle verifies values survived the round trip by
+    reading them straight off the source columns.
+    """
+    ev = t(spark, sf, "events").filter(F.col("event_id") < 500)
+    j = F.to_json(
+        F.struct(
+            F.col("event_type").alias("t"),
+            F.struct(
+                F.col("user_id").alias("uid"), F.col("value").alias("val")
+            ).alias("u"),
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+    )
+    v = F.parse_json(j)
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.t", "string").alias("t"),
+        F.variant_get(v, "$.u.uid", "long").alias("uid"),
+        F.variant_get(v, "$.u.val", "double").alias("val"),
+        F.variant_get(v, "$.k", "long").alias("k"),
+    )

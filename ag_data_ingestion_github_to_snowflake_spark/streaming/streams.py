@@ -256,3 +256,17 @@ def use_rocksdb_state_store(spark, changelog_checkpointing: bool = True) -> str:
         "true" if changelog_checkpointing else "false",
     )
     return prev
+
+
+def stream_static_enrich(
+    stream_df: DataFrame, dim_df: DataFrame, key: str, how: str = "left"
+) -> DataFrame:
+    """Stream-static join: enrich a stream with a broadcast dimension.
+
+    The static side is re-resolved per micro-batch (Spark re-plans the
+    batch side each trigger, so a refreshed dim table is picked up
+    without restarting the query) and explicitly broadcast — the
+    stream side never shuffles, which is the only sustainable plan for
+    an unbounded stream against a bounded dim at any scale.
+    """
+    return stream_df.join(F.broadcast(dim_df), key, how)

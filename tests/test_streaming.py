@@ -294,3 +294,23 @@ def test_streaming_dedup_rocksdb_state_store(spark, events_split_dir, tmp_path):
         assert got.count() == ev.select("user_id").distinct().count()
     finally:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stream_static_enrich_equals_batch(spark, events_split_dir, tmp_path):
+    """Stream-static broadcast join == the same join run in batch."""
+    ev = load_table(spark, SF, "events")
+    dim = (
+        ev.select("user_id").distinct()
+        .withColumn("tier", F.when(F.col("user_id") % 3 == 0, "gold").otherwise("std"))
+    )
+    batch = ev.join(dim, "user_id", "left").groupBy("tier").count()
+
+    sdf = S.stream_events_from_parquet(spark, events_split_dir, ev.schema, max_files_per_trigger=2)
+    got = _drain(
+        spark,
+        S.stream_static_enrich(sdf, dim, "user_id"),
+        str(tmp_path / "cp_enrich"),
+        "enriched",
+    )
+    got_counts = got.groupBy("tier").count()
+    assert sorted(got_counts.collect()) == sorted(batch.collect())
