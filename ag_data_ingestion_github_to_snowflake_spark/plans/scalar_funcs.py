@@ -635,3 +635,64 @@ def variant_extract_events(spark: SparkSession, sf: str) -> DataFrame:
         F.variant_get(v, "$.u.val", "double").alias("val"),
         F.variant_get(v, "$.k", "long").alias("k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Morton (Z-order) codes: the multi-dimensional data-skipping key used
+# by compact_table(zorder_cols=...). The oracle replays the identical
+# magic-number bit-spreading in SQL, so every interleaved bit is
+# value-checked.
+# ---------------------------------------------------------------------------
+@register(
+    "zorder_morton_events",
+    oracle="""
+    WITH src AS (
+      SELECT event_id,
+             event_id & 65535 AS a,
+             user_id & 65535 AS b
+      FROM events WHERE event_id < 1000
+    ),
+    sa AS (
+      SELECT event_id, a, b,
+             ((a | (a << 8)) & 16711935) AS a1,
+             ((b | (b << 8)) & 16711935) AS b1
+      FROM src
+    ),
+    sb AS (
+      SELECT event_id, a, b,
+             ((a1 | (a1 << 4)) & 252645135) AS a2,
+             ((b1 | (b1 << 4)) & 252645135) AS b2
+      FROM sa
+    ),
+    sc AS (
+      SELECT event_id, a, b,
+             ((a2 | (a2 << 2)) & 858993459) AS a3,
+             ((b2 | (b2 << 2)) & 858993459) AS b3
+      FROM sb
+    ),
+    sd AS (
+      SELECT event_id, a, b,
+             ((a3 | (a3 << 1)) & 1431655765) AS a4,
+             ((b3 | (b3 << 1)) & 1431655765) AS b4
+      FROM sc
+    )
+    SELECT event_id, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(a4 | (b4 << 1) AS BIGINT) AS morton
+    FROM sd
+    """,
+    survey_ids=("B43",),
+)
+def zorder_morton_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Morton interleave of (event_id, user_id) low 16 bits — the
+    Z-order locality key behind multi-dimensional compaction."""
+    from ag_data_ingestion_github_to_snowflake_spark.functions.zorder import morton_code
+
+    ev = t(spark, sf, "events").filter(F.col("event_id") < 1000)
+    a = F.col("event_id").bitwiseAND(F.lit(65535)).cast("long")
+    b = F.col("user_id").bitwiseAND(F.lit(65535)).cast("long")
+    return ev.select(
+        "event_id",
+        a.alias("a"),
+        b.alias("b"),
+        morton_code(a, b).alias("morton"),
+    )

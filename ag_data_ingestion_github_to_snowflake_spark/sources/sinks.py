@@ -136,6 +136,7 @@ def compact_table(
     path: str,
     target_records_per_file: int = 1_000_000,
     sort_cols: list[str] | None = None,
+    zorder_cols: tuple[str, str] | None = None,
 ) -> int:
     """Small-file compaction: rewrite a parquet table into the minimum
     number of right-sized files, optionally sorted for data-skipping.
@@ -158,15 +159,39 @@ def compact_table(
     half-compacted table. Partition-level compaction at scale = call
     per date partition, bounding each rewrite transaction.
 
+    ``zorder_cols=(a, b)`` range-sorts by the Morton interleave of the
+    two columns' low 16 bits instead: each file then covers a small
+    bounding BOX in (a, b), so min/max skipping fires for predicates
+    on either column — the public OPTIMIZE-ZORDER technique
+    (``functions/zorder.py``).
+
     Returns the number of output files.
     """
     import math
     import os
 
+    from ag_data_ingestion_github_to_snowflake_spark.functions.zorder import (
+        morton_code,
+    )
+
     df = spark.read.parquet(path)
     n_rows = df.count()
     n_files = max(1, math.ceil(n_rows / target_records_per_file))
-    if sort_cols:
+    if zorder_cols:
+        a, b = zorder_cols
+        z = df.withColumn(
+            "_z",
+            morton_code(
+                F.col(a).bitwiseAND(F.lit(65535)).cast("long"),
+                F.col(b).bitwiseAND(F.lit(65535)).cast("long"),
+            ),
+        )
+        out = (
+            z.repartitionByRange(n_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+    elif sort_cols:
         out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
             *sort_cols
         )

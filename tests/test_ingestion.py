@@ -326,3 +326,62 @@ def test_compact_partitions_scoped_and_atomic(spark, tmp_path):
     # partition pruning still works on the compacted layout
     pruned = spark.read.parquet(path).filter("year = '2024' AND day = '01'")
     assert pruned.count() == 200
+
+
+def test_morton_code_matches_python_reference(spark):
+    from ag_data_ingestion_github_to_snowflake_spark.functions.zorder import morton_code
+
+    def py_morton(a, b):
+        out = 0
+        for i in range(16):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321), (255, 256)]],
+        "a long, b long",
+    )
+    got = df.select("a", "b", morton_code(F.col("a"), F.col("b")).alias("m")).collect()
+    for r in got:
+        assert r.m == py_morton(r.a, r.b), (r.a, r.b)
+
+
+def test_compact_table_zorder_bounds_both_columns(spark, tmp_path):
+    from ag_data_ingestion_github_to_snowflake_spark.sources.sinks import compact_table
+
+    path = str(tmp_path / "grid_tbl")
+    # 64x64 grid, written in row-major order: a-sorted files would span
+    # the full b range.
+    grid = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("a"), (F.col("id") / 64).cast("long").alias("b")
+    )
+    grid.repartition(8).write.mode("overwrite").parquet(path)
+
+    n_files = compact_table(spark, path, target_records_per_file=1024, zorder_cols=("a", "b"))
+    assert n_files == 4  # 4096 rows / 1024
+
+    import pyarrow.parquet as pq
+
+    # Data-skipping quality metric: sum of per-file bounding-box AREAS
+    # in (a, b). Naive/unsorted layout: every file spans the whole
+    # 63x63 grid. A single-column sort makes one dimension tight but
+    # leaves the other at 63. Z-order bounds BOTH (files are roughly
+    # quadrants; a range cut that straddles a quadrant boundary can
+    # widen one file, so the guarantee is on the total, not per file).
+    total_area = 0
+    naive_area = 0
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(path, f))
+        a_lo = min(md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups))
+        a_hi = max(md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups))
+        b_lo = min(md.row_group(i).column(1).statistics.min for i in range(md.num_row_groups))
+        b_hi = max(md.row_group(i).column(1).statistics.max for i in range(md.num_row_groups))
+        total_area += (a_hi - a_lo) * (b_hi - b_lo)
+        naive_area += 63 * 63
+    assert total_area <= naive_area * 0.5, (total_area, naive_area)
+
+    total = spark.read.parquet(path).count()
+    assert total == 4096
