@@ -171,3 +171,64 @@ def weekly_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-path analysis: each user's first-8-events type sequence as a
+# path string, top-20 paths by user count. The MATCH_RECOGNIZE-ish
+# "what journeys do users take" query, built from one user-keyed
+# window + one ordered aggregation + a tiny path count.
+# ---------------------------------------------------------------------------
+@register(
+    "user_event_paths",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM ranked WHERE rn <= 8
+      GROUP BY user_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM paths
+    GROUP BY path
+    ORDER BY n_users DESC, path ASC
+    LIMIT 20
+    """,
+    survey_ids=("B29", "B16", "B24"),
+    description="Top-20 user journey paths (first-8-event type sequences)",
+)
+def user_event_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Top user journeys: ordered event-type path per user, counted.
+
+    One shuffle on user_id serves both the row_number window and the
+    path aggregation (same key, Catalyst reuses the exchange); the
+    path-frequency agg runs on one short row per user. Path length is
+    capped at 8 events so the state per user is bounded — the 100 TB
+    guard for power users with millions of events.
+    """
+    ev = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 8)
+    paths = ranked.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x.getField("event_type"),
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(20)
+    )

@@ -346,3 +346,46 @@ def window_value_funcs(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# B31 range frame: RANGE BETWEEN over a 90-day event-time horizon —
+# the time-based sibling of the row-count sliding frame. Ordering is
+# an integer day offset so the frame bound is exact in both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "window_range_frame_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY date_diff('day', DATE '1990-01-01', o_orderdate)
+             RANGE BETWEEN 90 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_90d_spend
+    FROM orders
+    """,
+    survey_ids=("B31",),
+)
+def window_range_frame_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-90-day spend per customer via a RANGE frame.
+
+    rangeBetween(-90, 0) over an integer day index: the frame holds
+    every order within 90 days of the current one — including same-day
+    peers, which a rowsBetween frame would miscount. Range frames make
+    the result tiebreak-independent, so the decimal-exact SUM needs no
+    unique ordering key. One shuffle on o_custkey.
+    """
+    day_idx = F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day_idx)
+        .rangeBetween(-90, Window.currentRow)
+    )
+    return t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_90d_spend"),
+    )
