@@ -158,3 +158,94 @@ def json_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Table profiling + expectation validation (operators/profile.py):
+# ANALYZE-style column stats and rule-based data-quality gates, each a
+# single-pass aggregation unpivoted to one row per column/rule.
+# ---------------------------------------------------------------------------
+@register(
+    "profile_orders_columns",
+    oracle="""
+    SELECT 'o_custkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+           CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+    FROM orders
+    """,
+    survey_ids=("B18", "B20", "A15"),
+    description="ANALYZE-style per-column profile of orders (one scan)",
+)
+def profile_orders_columns(spark: SparkSession, sf: str) -> DataFrame:
+    """Profile four orders columns: nulls / distincts / min / max in a
+    single aggregation pass, unpivoted to one row per column."""
+    from ag_data_ingestion_github_to_snowflake_spark.operators.profile import (
+        profile_table,
+    )
+
+    return profile_table(
+        t(spark, sf, "orders"),
+        ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
+    )
+
+
+@register(
+    "expectations_orders",
+    oracle="""
+    SELECT 'price_positive' AS rule, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations,
+           ROUND((COUNT(*) - SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END))
+                 / GREATEST(COUNT(*), 1), 6) AS pass_rate
+    FROM orders
+    UNION ALL
+    SELECT 'status_known', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE) THEN 1 ELSE 0 END) AS BIGINT),
+           ROUND((COUNT(*) - SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE) THEN 1 ELSE 0 END))
+                 / GREATEST(COUNT(*), 1), 6)
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_notnull', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           ROUND((COUNT(*) - SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END))
+                 / GREATEST(COUNT(*), 1), 6)
+    FROM orders
+    """,
+    survey_ids=("A12", "B19"),
+    description="Data-quality expectations: per-rule violation counts in one pass",
+)
+def expectations_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Three expectations over orders evaluated in one aggregation:
+    positive price, known status code, non-null customer key."""
+    from ag_data_ingestion_github_to_snowflake_spark.operators.profile import (
+        validate_expectations,
+    )
+
+    return validate_expectations(
+        t(spark, sf, "orders"),
+        {
+            "price_positive": F.col("o_totalprice") > 0,
+            "status_known": F.col("o_orderstatus").isin("O", "F", "P"),
+            "custkey_notnull": F.col("o_custkey").isNotNull(),
+        },
+    )

@@ -422,3 +422,31 @@ def test_quantize_int8_bounds_and_roundtrip(spark):
     assert r1.max_abs_err <= r1.scale / 2 + 1e-12  # quantizer error bound
     r2 = out[2]
     assert r2.q8 == [0, 0, 0, 0] and r2.max_abs_err == 0.0 and r2.mse == 0.0
+
+
+def test_validate_expectations_null_counts_as_violation(spark):
+    from ag_data_ingestion_github_to_snowflake_spark.operators.profile import (
+        validate_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [Row(x=5), Row(x=-1), Row(x=None)],
+        "x int",
+    )
+    out = {r.rule: r for r in validate_expectations(df, {"x_pos": F.col("x") > 0}).collect()}
+    r = out["x_pos"]
+    # -1 fails, NULL fails (unevaluable expectation = not met)
+    assert (r.n_rows, r.n_violations) == (3, 2)
+    assert abs(r.pass_rate - 1 / 3) < 1e-6
+
+
+def test_profile_table_counts(spark):
+    from ag_data_ingestion_github_to_snowflake_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [Row(a=1, b="x"), Row(a=1, b=None), Row(a=2, b="y")],
+        "a int, b string",
+    )
+    out = {r.col_name: r for r in profile_table(df).collect()}
+    assert (out["a"].n_nulls, out["a"].n_distinct, out["a"].min_value, out["a"].max_value) == (0, 2, "1", "2")
+    assert (out["b"].n_nulls, out["b"].n_distinct) == (1, 2)
