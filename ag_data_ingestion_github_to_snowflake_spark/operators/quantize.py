@@ -63,3 +63,59 @@ def reconstruction_error(
         diff, F.lit(0.0), lambda acc, x: acc + x * x
     ) / F.greatest(F.size(v), F.lit(1)).cast("double")
     return df.withColumn("max_abs_err", max_err).withColumn("mse", mse)
+
+
+def quantized_brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine top-k where the corpus side is int8-quantized.
+
+    The asymmetric-distance ANN memory trade (FAISS SQ8 shape): corpus
+    vectors are stored as codes + one scale (4× smaller, which at
+    100 TB is the difference between an in-memory and a spilling
+    index); queries stay full-precision. Scoring dequantizes inside
+    the fold — still JVM array expressions, still a broadcast of the
+    small query side, corpus never shuffles.
+
+    Deterministic end-to-end: the quantizer is exact integer math, so
+    the scores (rounded to 6) are oracle-reproducible — unlike most
+    ANN, this approximation is itself value-checkable.
+    """
+    from pyspark.sql.window import Window
+
+    qz = quantize_int8(corpus, vec_col=vec_col)
+    c = qz.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(
+            F.col("q8"), lambda x: x.cast("double") * F.col("scale")
+        ).alias("c_vec"),
+    )
+    c = c.withColumn(
+        "c_norm",
+        F.sqrt(F.aggregate(F.col("c_vec"), F.lit(0.0), lambda a, x: a + x * x)),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("q_vec"),
+    ).withColumn(
+        "q_norm",
+        F.sqrt(F.aggregate(F.col("q_vec"), F.lit(0.0), lambda a, x: a + x * x)),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_vec"), F.col("c_vec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).withColumn(
+        "cosine", F.round(dot / (F.col("q_norm") * F.col("c_norm")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.select(
+        "query_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rnk")
+    ).filter(F.col("rnk") <= k)

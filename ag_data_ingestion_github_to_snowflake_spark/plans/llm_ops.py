@@ -928,3 +928,57 @@ def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantized similarity search: top-k cosine over the int8-compressed
+# corpus (asymmetric distance). The quantizer is exact integer math,
+# so even the "approximate" scores hash-match an oracle that re-derives
+# the same codes in SQL.
+# ---------------------------------------------------------------------------
+@register(
+    "similarity_topk_quantized",
+    oracle="""
+    WITH wide AS (
+      SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+      FROM embeddings
+    ),
+    deq AS (
+      SELECT vec_id,
+             [CAST(floor(x / scale + 0.5) AS INT) * scale FOR x IN v] AS cv
+      FROM (
+        SELECT vec_id, v,
+               GREATEST(list_max([abs(x) FOR x IN v]), 1e-12) / 127.0 AS scale
+        FROM wide
+      )
+    ),
+    q AS (SELECT vec_id AS query_id, v AS q_vec FROM wide WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             ROUND(
+               list_sum(list_transform(list_zip(q.q_vec, c.cv),
+                        x -> x[1] * x[2]))
+               / (sqrt(list_sum(list_transform(q.q_vec, y -> y*y)))
+                * sqrt(list_sum(list_transform(c.cv, y -> y*y)))),
+             6) AS cosine
+      FROM deq c, q
+      WHERE q.query_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+    survey_ids=("B55", "B41", "B43"),
+    description="Cosine top-5 over the int8-quantized corpus (asymmetric distance)",
+)
+def similarity_topk_quantized(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-5 neighbors per query (vec_id < 10) scored against int8
+    codes — ``operators/quantize.py:quantized_brute_force_topk``."""
+    from ag_data_ingestion_github_to_snowflake_spark.operators.quantize import (
+        quantized_brute_force_topk,
+    )
+
+    emb = t(spark, sf, "embeddings")
+    return quantized_brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
