@@ -117,3 +117,36 @@ def stratified_sample_by_lang(spark: SparkSession, sf: str) -> DataFrame:
         .filter(hash_bucket(F.col("doc_id")) < threshold)
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "kfold_assign_documents",
+    oracle="""
+    SELECT CAST(CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) % 5
+             AS BIGINT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS n_chars_total,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+    survey_ids=("B16", "B43"),
+    description="Deterministic 5-fold cross-validation assignment, audited per fold",
+)
+def kfold_assign_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """5-fold CV assignment from the content-hash byte: fold(doc) =
+    sha_byte(doc_id) mod 5, audited as per-fold doc/char counts.
+
+    Same stability property as the 80/20 split — a document's fold is
+    a pure function of its id, so folds never reshuffle as the corpus
+    grows, and any engine reproduces the identical assignment. One
+    5-key aggregation; the assignment itself is map-side.
+    """
+    docs = t(spark, sf, "documents").withColumn(
+        "fold", (hash_bucket(F.col("doc_id")) % 5).cast("long")
+    )
+    return docs.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("n_chars_total"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
