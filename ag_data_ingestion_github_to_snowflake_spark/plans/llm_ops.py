@@ -982,3 +982,61 @@ def similarity_topk_quantized(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = t(spark, sf, "embeddings")
     return quantized_brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "similarity_ivf_quantized",
+    # Full probe (nprobe == n_cells) makes the IVF layer exhaustive, so
+    # the composed index provably equals quantized brute force and the
+    # int8-requantizing SQL oracle (same as similarity_topk_quantized)
+    # hash-verifies training + assignment + probing + the asymmetric
+    # int8 scoring in one go.
+    oracle="""
+    WITH wide AS (
+      SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+      FROM embeddings
+    ),
+    deq AS (
+      SELECT vec_id,
+             [CAST(floor(x / scale + 0.5) AS INT) * scale FOR x IN v] AS cv
+      FROM (
+        SELECT vec_id, v,
+               GREATEST(list_max([abs(x) FOR x IN v]), 1e-12) / 127.0 AS scale
+        FROM wide
+      )
+    ),
+    q AS (SELECT vec_id AS query_id, v AS q_vec FROM wide WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             ROUND(
+               list_sum(list_transform(list_zip(q.q_vec, c.cv),
+                        x -> x[1] * x[2]))
+               / (sqrt(list_sum(list_transform(q.q_vec, y -> y*y)))
+                * sqrt(list_sum(list_transform(c.cv, y -> y*y)))),
+             6) AS cosine
+      FROM deq c, q
+      WHERE q.query_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+    survey_ids=("B55", "B41", "B43"),
+    description="IVF cells over int8 codes (FAISS IVF,SQ8 shape) at full probe",
+)
+def similarity_ivf_quantized(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed ANN index: IVF coarse cells pruning + asymmetric int8
+    scoring — ``operators/quantize.py:ivf_quantized_topk``. Full probe
+    (oracle-exact); the approximate path is the same code at
+    ``nprobe < n_cells``."""
+    from ag_data_ingestion_github_to_snowflake_spark.operators.quantize import (
+        ivf_quantized_topk,
+    )
+
+    emb = t(spark, sf, "embeddings")
+    cents = S.train_ivf_centroids(emb, n_cells=8, iters=2)
+    return ivf_quantized_topk(
+        emb, emb.filter(F.col("vec_id") < 10), cents, k=5, nprobe=8
+    )

@@ -209,6 +209,49 @@ def test_ivf_full_probe_equals_brute_force(spark):
     assert ivf == bf
 
 
+def test_ivf_quantized_full_probe_equals_quantized_brute_force(spark):
+    """Composed IVF+SQ8 index at nprobe == n_cells must reproduce the
+    quantized brute-force result exactly (the IVF layer only prunes,
+    and at full probe it prunes nothing)."""
+    from ag_data_ingestion_github_to_snowflake_spark.operators.quantize import (
+        ivf_quantized_topk,
+        quantized_brute_force_topk,
+    )
+
+    df = vec_df(spark)
+    cents = S.train_ivf_centroids(df, n_cells=2, dim=3, iters=2)
+    queries = df.filter(F.col("vec_id") <= 2)
+    bf = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.cosine)
+        for r in quantized_brute_force_topk(df, queries, k=3).collect()
+    }
+    ivf = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.cosine)
+        for r in ivf_quantized_topk(df, queries, cents, k=3, nprobe=2).collect()
+    }
+    assert ivf == bf
+
+
+def test_ivf_quantized_probed_subset(spark):
+    """nprobe < n_cells drops rows but never mis-scores survivors."""
+    from ag_data_ingestion_github_to_snowflake_spark.operators.quantize import (
+        ivf_quantized_topk,
+        quantized_brute_force_topk,
+    )
+
+    df = vec_df(spark)
+    cents = S.train_ivf_centroids(df, n_cells=3, dim=3, iters=2)
+    queries = df.filter(F.col("vec_id") == 1)
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in quantized_brute_force_topk(df, queries, k=3).collect()
+    }
+    probed = ivf_quantized_topk(df, queries, cents, k=3, nprobe=1).collect()
+    assert probed
+    for r in probed:
+        assert exact[(r.query_id, r.neighbor_id)] == r.cosine
+
+
 def test_ivf_probed_returns_subset_of_exact(spark):
     """nprobe < n_cells: every returned neighbor must appear in the
     exhaustive result with the same cosine (approximation only drops
