@@ -137,6 +137,7 @@ def compact_table(
     target_records_per_file: int = 1_000_000,
     sort_cols: list[str] | None = None,
     zorder_cols: tuple[str, str] | None = None,
+    parquet_block_bytes: int | None = None,
 ) -> int:
     """Small-file compaction: rewrite a parquet table into the minimum
     number of right-sized files, optionally sorted for data-skipping.
@@ -164,6 +165,15 @@ def compact_table(
     bounding BOX in (a, b), so min/max skipping fires for predicates
     on either column — the public OPTIMIZE-ZORDER technique
     (``functions/zorder.py``).
+
+    ``parquet_block_bytes`` sizes the parquet row group (the skip
+    granularity): a sorted file with many small row groups lets the
+    reader drop most of the file from the footer stats alone, while one
+    giant row group forces a full read even when the predicate touches
+    1% of the key range. It is also the reader/writer memory unit — at
+    100 TB you pick it to balance skip resolution against per-column
+    buffer memory (default 128 MB; 16-64 MB is the common skip-tuned
+    range).
 
     Returns the number of output files.
     """
@@ -198,7 +208,10 @@ def compact_table(
     else:
         out = df.repartition(n_files)
     staging = f"{path}__compact"
-    out.write.mode("overwrite").parquet(staging)
+    writer = out.write.mode("overwrite")
+    if parquet_block_bytes is not None:
+        writer = writer.option("parquet.block.size", parquet_block_bytes)
+    writer.parquet(staging)
     _atomic_swap(path, staging)
     return sum(
         1
