@@ -300,3 +300,39 @@ def simhash_near_pairs(sig_df: DataFrame, id_col: str = "doc_id", max_hamming: i
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (train/eval n-gram overlap)
+# ---------------------------------------------------------------------------
+def decontaminate(
+    train: DataFrame,
+    evalset: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag (train_id, eval_id, n_shared) pairs of training docs that
+    share >= 1 distinct word n-gram with an eval/benchmark doc — the
+    standard pre-training decontamination check (GPT-3 App. C / PaLM
+    style: drop or scrub train docs overlapping the test set).
+
+    Scale shape: the eval side is benchmark-sized (10^3-10^5 docs), so
+    its exploded gram set is BROADCAST — the 100 TB train side is
+    never shuffled by the join; the only shuffle is the partial-
+    aggregated count over actual hit pairs, which is bounded by the
+    contamination volume, not the corpus. Both sides reuse
+    :func:`shingles` (distinct grams, so ``n_shared`` counts distinct
+    shared grams — symmetric and order-free).
+    """
+    tr = shingles(train, text_col, n).select(
+        F.col(id_col).alias("train_id"), F.explode("shingle").alias("gram")
+    )
+    ev = shingles(evalset, text_col, n).select(
+        F.col(id_col).alias("eval_id"), F.explode("shingle").alias("gram")
+    )
+    return (
+        tr.join(F.broadcast(ev), "gram")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

@@ -185,3 +185,58 @@ def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint")
             ),
         ),
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Add Gopher-style repetition signals (Rae et al. 2021 §A1.1):
+
+    - ``dup_word_frac``: 1 - distinct_words/total_words — the fraction
+      of word occurrences that are repeats;
+    - ``top_bigram_frac``: occurrences of the single most frequent
+      bigram over all bigram slots.
+
+    Both are pure per-row array expressions (no explode, no shuffle,
+    whole-stage codegen): the bigram mode is found by sorting the gram
+    list and taking the longest equal-run via an ``aggregate`` fold
+    with a (prev, run, best) struct accumulator — max run length of a
+    sorted list == max frequency. At 100 TB this is the difference
+    between a narrow scan-time filter and an explode that multiplies
+    the corpus by tokens-per-doc before a groupBy.
+    """
+    toks = F.split(F.lower(F.col(text_col)), "\\s+")
+    total = F.size(toks)
+    uniq = F.size(F.array_distinct(toks))
+    dup_frac = F.round(
+        F.lit(1.0) - uniq.cast("double") / F.greatest(total, F.lit(1)), 6
+    )
+    k = F.greatest(total - F.lit(1), F.lit(0))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.element_at(toks, i + F.lit(1)), F.element_at(toks, i + F.lit(2))
+    )
+    grams = F.when(k > 0, F.transform(F.sequence(F.lit(0), k - F.lit(1)), gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    run_next = lambda acc, x: F.when(x == acc["prev"], acc["run"] + 1).otherwise(  # noqa: E731
+        F.lit(1)
+    )
+    best = F.aggregate(
+        F.array_sort(grams),
+        acc0,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run_next(acc, x).alias("run"),
+            F.greatest(acc["best"], run_next(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    top_bigram = F.round(best.cast("double") / F.greatest(k, F.lit(1)), 6)
+    return df.select(
+        F.col(id_col),
+        dup_frac.alias("dup_word_frac"),
+        top_bigram.alias("top_bigram_frac"),
+    )

@@ -1040,3 +1040,77 @@ def similarity_ivf_quantized(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_quantized_topk(
         emb, emb.filter(F.col("vec_id") < 10), cents, k=5, nprobe=8
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination + Gopher repetition filter (corpus hygiene)
+# ---------------------------------------------------------------------------
+@register(
+    "decontaminate_train_eval",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+      FROM documents WHERE doc_id < 400
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([
+                array_to_string(toks[i:i+2], ' ')
+                FOR i IN range(1, len(toks) - 1)
+             ]) AS shingle
+      FROM toks
+    ),
+    tr AS (SELECT doc_id AS train_id, unnest(shingle) AS gram
+           FROM sh WHERE doc_id % 17 <> 0),
+    ev AS (SELECT doc_id AS eval_id, unnest(shingle) AS gram
+           FROM sh WHERE doc_id % 17 = 0)
+    SELECT train_id, eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM tr JOIN ev USING (gram)
+    GROUP BY train_id, eval_id
+    """,
+    survey_ids=("B54", "B53"),
+    description="Train/eval trigram-overlap decontamination (broadcast eval side)",
+)
+def decontaminate_train_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Pre-training decontamination: flag train docs sharing a distinct
+    trigram with the held-out eval slice (doc_id % 17 == 0) —
+    ``operators/dedup.py:decontaminate``."""
+    docs = t(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    evalset = docs.filter(F.col("doc_id") % 17 == 0)
+    return D.decontaminate(train, evalset, n=3)
+
+
+@register(
+    "repetition_stats_docs",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents WHERE doc_id < 300
+    ),
+    base AS (
+      SELECT doc_id, len(toks) AS total, len(list_distinct(toks)) AS uniq,
+             [array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))] AS grams
+      FROM d
+    ),
+    c AS (
+      SELECT doc_id, gram, COUNT(*) AS cnt
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM base)
+      GROUP BY doc_id, gram
+    ),
+    m AS (SELECT doc_id, MAX(cnt) AS mx FROM c GROUP BY doc_id)
+    SELECT b.doc_id,
+           ROUND(1.0 - CAST(uniq AS DOUBLE) / GREATEST(total, 1), 6) AS dup_word_frac,
+           ROUND(CAST(COALESCE(m.mx, 0) AS DOUBLE) / GREATEST(total - 1, 1), 6) AS top_bigram_frac
+    FROM base b LEFT JOIN m ON b.doc_id = m.doc_id
+    """,
+    survey_ids=("B56", "B41"),
+    description="Gopher repetition signals: dup-word and top-bigram fractions, explode-free",
+)
+def repetition_stats_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc repetition quality signals computed as pure array
+    expressions (sorted-run mode trick) —
+    ``operators/text.py:repetition_stats``. The oracle recomputes the
+    bigram mode the relational way (explode + group + max)."""
+    docs = t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    return X.repetition_stats(docs)

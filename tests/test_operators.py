@@ -493,3 +493,44 @@ def test_profile_table_counts(spark):
     out = {r.col_name: r for r in profile_table(df).collect()}
     assert (out["a"].n_nulls, out["a"].n_distinct, out["a"].min_value, out["a"].max_value) == (0, 2, "1", "2")
     assert (out["b"].n_nulls, out["b"].n_distinct) == (1, 2)
+
+
+# ---------------------------------------------------------------------------
+# Corpus hygiene: decontamination + repetition filter
+# ---------------------------------------------------------------------------
+def test_decontaminate_flags_overlapping_train_docs(spark):
+    from ag_data_ingestion_github_to_snowflake_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words here in this sentence"),
+        ],
+        "doc_id long, text string",
+    )
+    evalset = spark.createDataFrame(
+        [(100, "saw the quick brown fox yesterday")],
+        "doc_id long, text string",
+    )
+    hits = decontaminate(train, evalset, n=3).collect()
+    assert len(hits) == 1
+    r = hits[0]
+    # shared trigrams: "the quick brown", "quick brown fox"
+    assert (r.train_id, r.eval_id, r.n_shared) == (1, 100, 2)
+
+
+def test_repetition_stats_extremes(spark):
+    from ag_data_ingestion_github_to_snowflake_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # fully repetitive
+            (2, "w x y z"),          # no repetition
+            (3, "solo"),             # 1 token: no bigrams, no div-by-zero
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.dup_word_frac, r.top_bigram_frac) for r in repetition_stats(df).collect()}
+    assert got[1] == (0.75, 1.0)   # 1-1/4; "a a" fills all 3 bigram slots
+    assert got[2] == (0.0, 0.333333)  # distinct bigrams: mode run = 1 of 3
+    assert got[3] == (0.0, 0.0)
