@@ -150,3 +150,141 @@ def kfold_assign_documents(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("n_chars").cast("bigint")).alias("n_chars_total"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+@register(
+    "mixture_sample_counts",
+    oracle="""
+    WITH n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+               FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_total,
+                   CAST(COUNT(*) AS BIGINT) AS k FROM n),
+    rates AS (
+      SELECT source, n_s,
+             LEAST(CAST(1.0 AS DOUBLE),
+                   (CAST(0.4 AS DOUBLE) * n_total / k) / n_s) AS rate
+      FROM n, tot
+    ),
+    kept AS (
+      SELECT d.source, COUNT(*) AS n_kept
+      FROM documents d JOIN rates r ON d.source = r.source
+      WHERE CAST(('0x' || substr(sha256(CAST(d.doc_id AS VARCHAR)), 1, 2)) AS INT)
+            < r.rate * 256.0
+      GROUP BY d.source
+    )
+    SELECT r.source, r.n_s,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           ROUND(r.rate, 6) AS rate
+    FROM rates r LEFT JOIN kept k ON r.source = k.source
+    """,
+    survey_ids=("B16", "B11", "B19"),
+    description="Equal-domain-mix downsampling: data-driven per-source rates on one hash draw",
+)
+def mixture_sample_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-mixture rebalancing: draw ~40% of the corpus with every
+    source equally represented (budget/k docs per source, capped at a
+    source's full size) — the "flatten the domain mix" step of corpus
+    assembly (GPT-3/Pile-style mixture reweighting, deterministic).
+
+    Scale shape: the per-source counts are a k-row aggregate (map-side
+    partial), broadcast back onto the scan; the accept gate is then a
+    row-local hash threshold — no second shuffle over the corpus, rerun-
+    and repartition-stable.
+    """
+    docs = t(spark, sf, "documents")
+    n = docs.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_s"))
+    tot = n.agg(
+        F.sum("n_s").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    rates = n.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_s",
+        F.least(
+            F.lit(1.0),
+            (F.lit(0.4) * F.col("n_total") / F.col("k")) / F.col("n_s"),
+        ).alias("rate"),
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(hash_bucket(F.col("doc_id")) < F.col("rate") * F.lit(256.0))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_s",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            F.round("rate", 6).alias("rate"),
+        )
+    )
+
+
+@register(
+    "pack_sequences_bins",
+    oracle="""
+    WITH sharded AS (
+      SELECT doc_id, n_chars,
+             CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) % 8 AS shard
+      FROM documents
+    ),
+    binned AS (
+      SELECT shard, doc_id, n_chars,
+             CAST(FLOOR(
+               CAST(COALESCE(SUM(CAST(n_chars AS BIGINT)) OVER (
+                 PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+               / 50000.0) AS BIGINT) AS bin
+      FROM sharded
+    )
+    SELECT shard, bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars_total,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM binned
+    GROUP BY shard, bin
+    """,
+    survey_ids=("B31", "B16", "B43"),
+    description="Sequence packing: shard-local cumulative char-budget bins (50k chars)",
+)
+def pack_sequences_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-batch packing: assign documents to ~50k-char bins by
+    running cumulative size, computed independently inside 8
+    deterministic hash shards — the distributed form of greedy
+    sequence packing (a single global ordered cumsum would serialize
+    on one task; shard-local packing is how it runs at 100 TB, with
+    the shard count scaled to the cluster).
+
+    One shuffle (repartition by shard for the window), then map-side
+    aggregation of the bin audit.
+    """
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf, "documents").select(
+        "doc_id",
+        "n_chars",
+        (hash_bucket(F.col("doc_id")) % 8).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = docs.withColumn(
+        "bin",
+        F.floor(
+            F.coalesce(
+                F.sum(F.col("n_chars").cast("bigint")).over(w), F.lit(0)
+            ).cast("double")
+            / F.lit(50000.0)
+        ).cast("bigint"),
+    )
+    return binned.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("chars_total"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+    )

@@ -65,6 +65,10 @@ ALLOWED_FLAGS = {
     # score via an explicit broadcast cross join — one broadcast row,
     # map-side multiply, invariant in the data size.
     ("tfidf_top_terms", "BroadcastNestedLoopJoin"),
+    # Mixture sampling attaches the 1-row (n_total, k) aggregate to the
+    # k-row per-source table via a broadcast cross join — one broadcast
+    # row, invariant in the data size.
+    ("mixture_sample_counts", "BroadcastNestedLoopJoin"),
 }
 
 # Queries whose build() executes side work and returns a materialized
