@@ -168,3 +168,31 @@ def incremental_extract(
         flat.count()  # force the fetch/flatten to succeed first
         state.set(new_wm)
     return ExtractResult(valid=valid, invalid=invalid, metrics=metrics, new_watermark=new_wm)
+
+
+def observed_run_metrics(flat: DataFrame):
+    """A15 counters as a zero-extra-scan ``Observation``.
+
+    :func:`run_metrics` recomputes the counters with a second aggregate
+    over the data — at 100 TB that is a second full pass over the
+    warehouse write's input. ``df.observe`` instead piggybacks the
+    counters on whatever action consumes the returned DataFrame (the
+    sink write itself): accumulator-style, exactly-once per action, no
+    extra job.
+
+    Returns ``(observed_df, observation)`` — write ``observed_df``,
+    then read ``observation.get`` for the metrics dict.
+    """
+    from pyspark.sql import Observation
+
+    pred = valid_predicate()
+    obs = Observation("run_metrics")
+    observed = flat.observe(
+        obs,
+        F.count(F.lit(1)).alias("total_processed"),
+        F.sum(F.when(pred, 1).otherwise(0)).alias("valid_count"),
+        F.sum(F.when(~pred, 1).otherwise(0)).alias("invalid_count"),
+        F.min("id").alias("start_repo_id"),
+        F.max("id").alias("last_repo_id"),
+    )
+    return observed, obs

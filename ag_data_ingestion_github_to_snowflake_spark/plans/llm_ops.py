@@ -1114,3 +1114,78 @@ def repetition_stats_docs(spark: SparkSession, sf: str) -> DataFrame:
     bigram mode the relational way (explode + group + max)."""
     docs = t(spark, sf, "documents").filter(F.col("doc_id") < 300)
     return X.repetition_stats(docs)
+
+
+@register(
+    "per_domain_cap",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT),
+                        doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 100
+    """,
+    survey_ids=("B29", "B32", "B6"),
+    description="Per-domain document cap: deterministic hash-ordered top-100 per source",
+)
+def per_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """C4/RefinedWeb-style per-domain cap: keep at most 100 docs per
+    source, selected by hash order (not arrival order) so the kept set
+    is a stable uniform draw per domain, rerun- and partition-invariant.
+    One shuffle on ``source``; at 100 TB hot domains are exactly the
+    skewed keys this bounds.
+    """
+    from ag_data_ingestion_github_to_snowflake_spark.plans.sampling_queries import (
+        hash_bucket,
+    )
+
+    w = Window.partitionBy("source").orderBy(
+        hash_bucket(F.col("doc_id")), F.col("doc_id")
+    )
+    return (
+        t(spark, sf, "documents")
+        .select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 100)
+        .select("doc_id", "source")
+    )
+
+
+@register(
+    "incremental_dedup_new_batch",
+    oracle="""
+    WITH corpus AS (SELECT sha256(text) AS h FROM documents WHERE doc_id % 10 <> 7),
+    batch AS (SELECT doc_id, source, sha256(text) AS h
+              FROM documents WHERE doc_id % 10 = 7)
+    SELECT b.doc_id, b.source FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h)
+      AND b.doc_id = (SELECT MIN(b2.doc_id) FROM batch b2 WHERE b2.h = b.h)
+    """,
+    survey_ids=("B53", "B13", "B26"),
+    description="Incremental corpus update: new batch anti-joined against the corpus hash set",
+)
+def incremental_dedup_new_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """The dedup shape of a CONTINUOUSLY growing corpus: an arriving
+    batch (doc_id % 10 == 7) is admitted only if its content hash is
+    (a) absent from the existing corpus — LEFT ANTI join on sha256 —
+    and (b) the first occurrence within the batch itself (min-id per
+    hash). At 100 TB the corpus side is a bronze hash index read, not
+    a full-text scan, and the anti-join shuffles only 32-byte digests.
+    """
+    docs = t(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 7).select(
+        F.sha2(F.col("text"), 256).alias("h")
+    )
+    batch = docs.filter(F.col("doc_id") % 10 == 7).select(
+        "doc_id", "source", F.sha2(F.col("text"), 256).alias("h")
+    )
+    fresh = batch.join(corpus, "h", "left_anti")
+    w = Window.partitionBy("h").orderBy("doc_id")
+    return (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source")
+    )

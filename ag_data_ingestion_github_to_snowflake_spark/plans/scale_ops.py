@@ -130,3 +130,42 @@ def salted_group_sum(spark: SparkSession, sf: str) -> DataFrame:
         F.col("sum_qty").cast("double").alias("sum_qty"),
         F.col("n").cast("long").alias("n"),
     )
+
+
+@register(
+    "skew_join_revenue_by_segment",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    survey_ids=("B10", "B16", "B18"),
+    description="salted fact / replicated dim join equals the plain equi-join",
+)
+def skew_join_revenue_by_segment(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-safe join: orders (fact, salted on o_orderkey) x customer
+    (dim, replicated x8) — ``operators/skew.py:replicated_skew_join``.
+    A hot customer key spreads over 8 shuffle partitions instead of
+    melting one reducer; the oracle proves row-identity with the plain
+    join. At 100 TB this is the manual fallback when AQE's skew split
+    can't fire (e.g. the skew is in a join feeding another shuffle).
+    """
+    from ag_data_ingestion_github_to_snowflake_spark.operators.skew import (
+        replicated_skew_join,
+    )
+
+    orders = t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = replicated_skew_join(
+        orders, cust, key="o_custkey", fact_unique_col="o_orderkey", n_salts=8
+    )
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )

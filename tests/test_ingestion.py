@@ -385,3 +385,29 @@ def test_compact_table_zorder_bounds_both_columns(spark, tmp_path):
 
     total = spark.read.parquet(path).count()
     assert total == 4096
+
+
+def test_observed_run_metrics_single_pass(spark, tmp_path):
+    """Observation counters ride the sink write (no second scan) and
+    match the two-pass run_metrics aggregate."""
+    from ag_data_ingestion_github_to_snowflake_spark.pipeline.github import (
+        observed_run_metrics,
+        run_metrics,
+    )
+    from ag_data_ingestion_github_to_snowflake_spark.sources.rest import (
+        RAW_DETAIL_SCHEMA,
+    )
+    from tests.test_operators import raw_repo
+
+    rows = [raw_repo(i) for i in range(1, 6)]
+    rows[2]["description"] = None  # one invalid row
+    flat = flatten_repos(spark.createDataFrame(rows, RAW_DETAIL_SCHEMA))
+
+    observed, obs = observed_run_metrics(flat)
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))  # the one action
+    got = obs.get
+    want = run_metrics(flat).collect()[0]
+    assert got["total_processed"] == want.total_processed == 5
+    assert got["valid_count"] == want.valid_count == 4
+    assert got["invalid_count"] == want.invalid_count == 1
+    assert got["start_repo_id"] == 1 and got["last_repo_id"] == 5
