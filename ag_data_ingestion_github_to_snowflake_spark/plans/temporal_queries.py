@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ag_data_ingestion_github_to_snowflake_spark.operators.temporal import (
     asof_join,
@@ -97,4 +98,50 @@ def range_join_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     )
     return joined.groupBy("user_id", "s_start").agg(
         F.count("*").alias("n_events_in_window")
+    )
+
+
+@register(
+    "scd2_event_type_intervals",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    ch AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM o WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+    FROM ch
+    """,
+    survey_ids=("B29", "B30", "B32"),
+    description="SCD2 build: change-point islands to [valid_from, valid_to) intervals",
+)
+def scd2_event_type_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """Type-2 slowly-changing dimension from a change log: collapse
+    consecutive equal states per user (gaps-and-islands via LAG), then
+    LEAD supplies each island's exclusive end — the standard warehouse
+    dimension-build (Kimball SCD2), one shuffle on ``user_id`` for both
+    windows since they share partitioning and ordering.
+    """
+    ev = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    valid_to = F.lead("ts").over(w2)
+    return ch.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
     )

@@ -115,3 +115,23 @@ def test_range_predicate_is_pushed_to_scan(spark, tmp_path):
     # and the answer matches the predicate evaluated the slow way
     expected = spark.read.parquet(path).where((F.col("k") >= 4000) & (F.col("k") < 4400))
     assert df.count() == expected.count()
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """Hive-layout partition column filters must become PartitionFilters
+    (pruned at planning — zero IO for other partitions), not post-scan
+    predicates."""
+    path = str(tmp_path / "ptbl")
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 5).alias("part")
+    )
+    df.write.partitionBy("part").mode("overwrite").parquet(path)
+
+    q = spark.read.parquet(path).filter(F.col("part") == 3)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    text = buf.getvalue()
+    assert "PartitionFilters" in text
+    assert "(part" in text.split("PartitionFilters", 1)[1][:200]
+    assert q.count() == 200
