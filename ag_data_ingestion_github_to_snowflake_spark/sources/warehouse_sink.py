@@ -31,6 +31,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -87,8 +88,66 @@ class JsonlWarehouseWriter(DataSourceWriter):
             os.rmdir(staging)
 
 
+class JsonlWarehouseStreamWriter(DataSourceStreamWriter):
+    """Streaming flavor: one atomic load PER MICRO-BATCH, exactly-once
+    at the table.
+
+    ``commit(messages, batchId)`` publishes the epoch's staged files
+    under a ``batch=<id>`` manifest entry; a batch replayed after a
+    crash (same batchId) is detected in the manifest and its staged
+    files are discarded instead of double-loaded — idempotent re-commit,
+    which is exactly the contract Structured Streaming requires from a
+    sink for end-to-end exactly-once.
+    """
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator) -> FileCommit:
+        return JsonlWarehouseWriter({"path": self.path}, overwrite=False).write(
+            iterator
+        )
+
+    def _manifest(self) -> dict:
+        mpath = os.path.join(self.path, "_SUCCESS")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                return json.load(f)
+        return {"files": [], "n_rows": 0, "batches": []}
+
+    def commit(self, messages, batchId: int) -> None:
+        staging = os.path.join(self.path, "_staging")
+        man = self._manifest()
+        if batchId in man.get("batches", []):  # replayed epoch: drop, don't double-load
+            self.abort(messages, batchId)
+            return
+        for m in messages:
+            if m is None:
+                continue
+            os.rename(
+                os.path.join(staging, m.staged_name),
+                os.path.join(self.path, m.staged_name),
+            )
+            man["files"].append(m.staged_name)
+            man["n_rows"] += m.n_rows
+        man["batches"] = sorted(man.get("batches", []) + [batchId])
+        man["files"].sort()
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            json.dump(man, f)
+
+    def abort(self, messages, batchId: int) -> None:
+        staging = os.path.join(self.path, "_staging")
+        for m in messages:
+            if m is None:
+                continue
+            p = os.path.join(staging, m.staged_name)
+            if os.path.exists(p):
+                os.remove(p)
+
+
 class JsonlWarehouseDataSource(DataSource):
-    """``df.write.format("jsonl_warehouse").option("path", …)``."""
+    """``df.write.format("jsonl_warehouse").option("path", …)`` (batch)
+    and ``df.writeStream.format("jsonl_warehouse")`` (per-epoch loads)."""
 
     @classmethod
     def name(cls) -> str:
@@ -96,3 +155,6 @@ class JsonlWarehouseDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> JsonlWarehouseWriter:
         return JsonlWarehouseWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> JsonlWarehouseStreamWriter:
+        return JsonlWarehouseStreamWriter(self.options)

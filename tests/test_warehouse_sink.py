@@ -66,3 +66,65 @@ def test_append_accumulates_loads(spark, tmp_path):
             "append"
         ).save()
     assert len(_load(out)) == 50
+
+
+def test_stream_writer_loads_per_epoch_exactly_once(spark, tmp_path):
+    """writeStream → jsonl_warehouse: every micro-batch publishes one
+    atomic load; manifest tracks epochs for replay-idempotence."""
+    spark.dataSource.register(JsonlWarehouseDataSource)
+    out = str(tmp_path / "wh")
+    os.makedirs(out)
+    src = str(tmp_path / "src")
+    for i in range(3):  # 3 files -> 3 micro-batches at 1 file/trigger
+        spark.range(i * 10, (i + 1) * 10).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        sdf.writeStream.format("jsonl_warehouse")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240)
+    rows = _load(out)
+    assert {r["id"] for r in rows} == set(range(30))
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest["n_rows"] == 30
+    assert len(manifest["batches"]) >= 1
+    assert not os.listdir(os.path.join(out, "_staging")) if os.path.exists(
+        os.path.join(out, "_staging")
+    ) else True
+
+
+def test_stream_writer_replayed_epoch_not_double_loaded(spark, tmp_path):
+    """Simulate a crash-replay: committing the same batchId twice must
+    not load rows twice."""
+    from ag_data_ingestion_github_to_snowflake_spark.sources.warehouse_sink import (
+        FileCommit,
+        JsonlWarehouseStreamWriter,
+    )
+
+    out = str(tmp_path / "wh")
+    staging = os.path.join(out, "_staging")
+    os.makedirs(staging)
+    w = JsonlWarehouseStreamWriter({"path": out})
+
+    def stage(name, rows):
+        with open(os.path.join(staging, name), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        return FileCommit(staged_name=name, n_rows=len(rows))
+
+    m1 = stage("a.jsonl", [{"id": 1}, {"id": 2}])
+    w.commit([m1], batchId=0)
+    # replay of epoch 0 with re-staged output
+    m1b = stage("b.jsonl", [{"id": 1}, {"id": 2}])
+    w.commit([m1b], batchId=0)
+
+    assert len(_load(out)) == 2  # not 4
+    man = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert man["n_rows"] == 2 and man["batches"] == [0]
+    assert not os.listdir(staging)  # replayed staging discarded
