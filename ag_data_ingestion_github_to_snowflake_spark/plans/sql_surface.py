@@ -1,0 +1,119 @@
+"""ANSI-SQL surface carriers exercised through ``spark.sql`` and the
+less-traveled join/generator semantics: LATERAL correlated subqueries,
+null-safe equality joins, outer explode.
+
+These prove the engine speaks the *SQL dialect* a warehouse consumer
+would port over (reference consumers query Snowflake SQL directly —
+``/root/reference/README.md:285-291``), not only the DataFrame DSL:
+the LATERAL query is submitted as SQL text and planned by Catalyst
+like any DataFrame plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register, t
+
+
+@register(
+    "lateral_top_nations_per_region",
+    oracle="""
+    SELECT r.r_name AS region, l.n_name AS nation, l.total_bal
+    FROM region r,
+    LATERAL (
+      SELECT n.n_name,
+             CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_regionkey = r.r_regionkey
+      GROUP BY n.n_name
+      ORDER BY total_bal DESC, n.n_name
+      LIMIT 2
+    ) l
+    """,
+    survey_ids=("B14", "B15", "B24"),
+    description="LATERAL correlated top-2-per-group, submitted as SQL text",
+)
+def lateral_top_nations_per_region(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-2 nations by supplier balance per region via a LATERAL
+    correlated subquery — the SQL-text twin of the window top-k
+    pattern. Catalyst decorrelates the subquery into a ranked join
+    (same physical shape as ``window_topk_orders_per_customer``), so
+    "SQL consumer" and "DataFrame consumer" get one plan.
+    """
+    for name in ("region", "nation", "supplier"):
+        t(spark, sf, name).createOrReplaceTempView(f"{name}_v")
+    return spark.sql(
+        """
+        SELECT r.r_name AS region, l.n_name AS nation, l.total_bal
+        FROM region_v r,
+        LATERAL (
+          SELECT n.n_name,
+                 CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+          FROM nation_v n JOIN supplier_v s ON s.s_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = r.r_regionkey
+          GROUP BY n.n_name
+          ORDER BY total_bal DESC, n.n_name
+          LIMIT 2
+        ) l
+        """
+    )
+
+
+@register(
+    "join_null_safe_priority",
+    oracle="""
+    WITH o AS (SELECT NULLIF(o_orderpriority, '1-URGENT') AS pkey FROM orders),
+    d AS (SELECT DISTINCT NULLIF(o_orderpriority, '1-URGENT') AS pkey FROM orders)
+    SELECT d.pkey, CAST(COUNT(*) AS BIGINT) AS n
+    FROM o JOIN d ON o.pkey IS NOT DISTINCT FROM d.pkey
+    GROUP BY d.pkey
+    """,
+    survey_ids=("B10", "B16"),
+    description="null-safe equality join (<=>): NULL keys match NULL, once",
+)
+def join_null_safe_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-safe join semantics: NULLIF turns '1-URGENT' into NULL on
+    both sides; ``<=>`` must pair the NULL groups exactly once (a
+    plain equi-join silently drops them — the classic
+    late-night-dashboard bug). Null-safe equality stays a hash-join
+    key in Spark, not a nested loop.
+    """
+    o = t(spark, sf, "orders").select(
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("pkey")
+    )
+    d = o.distinct().select(F.col("pkey").alias("dkey"))
+    return (
+        o.join(d, F.col("pkey").eqNullSafe(F.col("dkey")))
+        .groupBy(F.col("dkey").alias("pkey"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+@register(
+    "explode_outer_long_words",
+    oracle="""
+    SELECT doc_id,
+           unnest(CASE WHEN len(w) = 0 THEN [NULL] ELSE w END) AS word
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, ' +'),
+                         tk -> len(tk) >= 12) AS w
+      FROM documents WHERE doc_id < 100
+    )
+    """,
+    survey_ids=("B41", "B39"),
+    description="explode_outer: rows with empty arrays survive as NULL rows",
+)
+def explode_outer_long_words(spark: SparkSession, sf: str) -> DataFrame:
+    """Outer explode over a usually-empty filtered token list: docs
+    with no >=12-char word must survive with a NULL element (inner
+    explode would silently drop them — lossy for left-side
+    accounting). Oracle emulates via CASE-to-[NULL] before unnest.
+    """
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    words = F.filter(
+        F.split(F.col("text"), " +"), lambda tk: F.length(tk) >= 12
+    )
+    return d.select("doc_id", F.explode_outer(words).alias("word"))

@@ -249,3 +249,44 @@ def expectations_orders(spark: SparkSession, sf: str) -> DataFrame:
             "custkey_notnull": F.col("o_custkey").isNotNull(),
         },
     )
+
+
+@register(
+    "csv_sink_roundtrip",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    survey_ids=("B2", "B3", "B16"),
+    description="CSV sink + explicit-schema scan round-trip (header, escaped fields)",
+)
+def csv_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Write customer as headered CSV, read back with a DECLARED schema
+    (inference is a correctness + extra-pass anti-pattern at scale),
+    aggregate — proving the text-format interchange path end-to-end.
+    Doubles survive the text round-trip because Spark prints them
+    shortest-roundtrip (IEEE exact); the money math still goes through
+    decimal for order-independence.
+    """
+    cust = t(spark, sf, "customer")
+    out = os.path.join(
+        tempfile.gettempdir(), f"ag_csv_sink_{os.path.basename(sf.rstrip('/'))}"
+    )
+    cust.write.mode("overwrite").option("header", True).csv(out)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).option("header", True).csv(out)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
+    )

@@ -135,3 +135,23 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
     assert "PartitionFilters" in text
     assert "(part" in text.split("PartitionFilters", 1)[1][:200]
     assert q.count() == 200
+
+
+def test_aqe_coalesces_shuffle_partitions(spark):
+    """With AQE on, a 32-partition shuffle over tiny data must coalesce
+    at runtime (AQEShuffleRead coalesced) — the mechanism that keeps
+    shuffle-partition sizing forgiving at any scale factor."""
+    df = (
+        spark.range(10_000)
+        .select((F.col("id") % 7).alias("k"), F.col("id").alias("v"))
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"))
+    )
+    df.collect()  # AQE finalizes the plan only on execution
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    text = buf.getvalue()
+    assert "AdaptiveSparkPlan" in text
+    assert "AQEShuffleRead" in text
+    assert "coalesced" in text.lower()
