@@ -141,6 +141,7 @@ def all_specs() -> dict[str, QuerySpec]:
         sampling_queries,
         scalar_funcs,
         scale_ops,
+        sketch_queries,
         sql_surface,
         temporal_queries,
         tpch_gaps,

@@ -1,0 +1,74 @@
+"""Accuracy + mergeability contracts for the DataSketches aggregates
+(the checks that replace a hash oracle for engine-specific sketch
+estimates)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ag_data_ingestion_github_to_snowflake_spark.catalog import load_table
+from ag_data_ingestion_github_to_snowflake_spark.plans.sketch_queries import (
+    hll_sketch_users_by_type,
+    kll_quantiles_value,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hll_estimates_within_tolerance(spark):
+    got = {
+        r.event_type: r.distinct_users_est
+        for r in hll_sketch_users_by_type(spark, SF).collect()
+    }
+    ev = load_table(spark, SF, "events")
+    exact_all = ev.select("user_id").distinct().count()
+    # default lgK=12 → relative error ~1.6%; allow 5% headroom
+    assert abs(got["__all__"] - exact_all) <= max(2, 0.05 * exact_all)
+    exact_by = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, exact in exact_by.items():
+        assert abs(got[et] - exact) <= max(2, 0.05 * exact), (et, got[et], exact)
+
+
+def test_hll_union_equals_sketch_of_union(spark):
+    """Mergeability: union of per-group sketches == sketch of the whole
+    stream (identical estimate, not merely close) — the property that
+    makes incremental rollup maintenance exact w.r.t. the sketch."""
+    ev = load_table(spark, SF, "events")
+    whole = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    ).collect()[0].est
+    merged = (
+        ev.groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]
+        .est
+    )
+    assert whole == merged
+
+
+def test_kll_quantiles_bracket_exact(spark):
+    row = kll_quantiles_value(spark, SF).collect()[0]
+    ev = load_table(spark, SF, "events")
+    exact = ev.agg(
+        F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("q")
+    ).collect()[0].q
+    n = row.n
+    assert n == ev.filter(F.col("value").isNotNull()).count()
+    # KLL default k=200: rank error ~1.65%; compare by value with a
+    # tolerant band derived from the exact p45-p55 etc. spread
+    for est, (lo_p, hi_p) in [
+        (row.p50, (0.45, 0.55)),
+        (row.p90, (0.85, 0.95)),
+        (row.p99, (0.97, 1.0)),
+    ]:
+        lo, hi = ev.agg(
+            F.expr(f"percentile(value, array({lo_p}, {hi_p}))").alias("b")
+        ).collect()[0].b
+        assert lo <= est <= hi, (est, lo, hi)
+    assert row.p50 <= row.p90 <= row.p99
