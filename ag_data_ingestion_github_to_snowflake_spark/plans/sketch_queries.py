@@ -77,3 +77,21 @@ def kll_quantiles_value(spark: SparkSession, sf: str) -> DataFrame:
         F.kll_sketch_get_quantile_double("sk", F.lit(0.99)).alias("p99"),
         F.kll_sketch_get_n_double("sk").cast("bigint").alias("n"),
     )
+
+
+def count_min_sketch_bytes(df: DataFrame, col: str, eps: float = 0.001) -> bytes:
+    """Build a count-min frequency sketch over ``col`` and return its
+    serialized bytes (Spark's ``CountMinSketch`` wire format).
+
+    CM never undercounts (estimate >= true count, overcount bounded by
+    eps*N with prob. delta) and merges associatively — the
+    heavy-hitter shape when the key space is too large for an exact
+    groupBy. Spark 4.1 exposes only the *builder* in SQL (no
+    ``count_min_sketch_estimate`` point lookup), so consumers read the
+    bytes back through ``org.apache.spark.util.sketch.CountMinSketch``
+    — see ``tests/test_sketches.py`` for the round-trip and the
+    overcount-only contract.
+    """
+    return df.agg(
+        F.count_min_sketch(col, F.lit(eps), F.lit(0.99), F.lit(1)).alias("sk")
+    ).collect()[0].sk

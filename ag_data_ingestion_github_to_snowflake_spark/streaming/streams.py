@@ -143,6 +143,49 @@ def interval_join(
     )
 
 
+def interval_join_outer(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    horizon: str = "30 minutes",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join.
+
+    Same keyed time-range pairing as :func:`interval_join`, but a left
+    row with no partner must still be emitted — and in a stream that
+    answer is only knowable once the right-side watermark has passed
+    ``l_ts + horizon`` (no future right row can match anymore). Spark
+    therefore emits matched pairs eagerly and null-padded unmatched
+    rows at state EVICTION, i.e. one-or-more micro-batches later; the
+    test drives that schedule explicitly. State stays bounded by the
+    horizon exactly as in the inner case.
+    """
+    l = with_watermark(left, delay).select(
+        F.col(key).alias("l_key"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    r = with_watermark(right, delay).select(
+        F.col(key).alias("r_key"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    return l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {horizon}")),
+        "leftOuter",
+    ).select(
+        F.col("l_key").alias(key),
+        "l_event_id",
+        F.col("l_ts").cast("timestamp_ntz").alias("l_ts"),
+        "r_event_id",
+        F.col("r_ts").cast("timestamp_ntz").alias("r_ts"),
+    )
+
+
 def stream_events_from_parquet(
     spark,
     source_dir: str,

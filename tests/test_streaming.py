@@ -314,3 +314,64 @@ def test_stream_static_enrich_equals_batch(spark, events_split_dir, tmp_path):
     )
     got_counts = got.groupBy("tier").count()
     assert sorted(got_counts.collect()) == sorted(batch.collect())
+
+
+def test_interval_join_outer_emits_unmatched_after_horizon(spark, tmp_path):
+    """Left-outer stream-stream join: the matched pair emits eagerly;
+    the unmatched click emits null-padded only after later batches push
+    the watermark past click_ts + horizon (state eviction) — and never
+    emits twice."""
+    import os as _os
+    import time as _time
+
+    src = str(tmp_path / "oj_src")
+    raw = "event_id long, user_id long, event_type string, ts string, value double"
+
+    def write_batch(rows, mtime):
+        (
+            spark.createDataFrame(rows, raw)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        for f in _os.listdir(src):
+            fp = _os.path.join(src, f)
+            _os.utime(fp, (mtime, mtime)) if _os.path.getmtime(fp) > mtime else None
+
+    base = _time.time() - 1000
+    # b0: one matched click+purchase, one unmatched click (user 2)
+    write_batch(
+        [
+            (1, 1, "click", "2024-01-01 10:00:00", 1.0),
+            (2, 1, "purchase", "2024-01-01 10:10:00", 5.0),
+            (3, 2, "click", "2024-01-01 10:05:00", 1.0),
+        ],
+        base,
+    )
+    # b1: advances both watermarks well past 10:35 + delay
+    write_batch([(8, 9, "click", "2024-01-01 12:00:00", 0.0),
+                 (9, 9, "purchase", "2024-01-01 12:00:00", 0.0)], base + 10)
+    # b2: one more advance so the evicted row is emitted under the new wm
+    write_batch([(10, 9, "click", "2024-01-01 13:00:00", 0.0),
+                 (11, 9, "purchase", "2024-01-01 13:00:00", 0.0)], base + 20)
+
+    ev_schema = spark.read.parquet(src).schema
+    sdf = S.stream_events_from_parquet(spark, src, ev_schema, max_files_per_trigger=1)
+    joined = S.interval_join_outer(
+        sdf.filter(F.col("event_type") == "click"),
+        sdf.filter(F.col("event_type") == "purchase"),
+    )
+    q = S.run_available_now(joined, str(tmp_path / "oj_cp"), "oj_out")
+    assert q.awaitTermination(240)
+
+    got = {
+        (r.l_event_id, r.r_event_id)
+        for r in spark.sql("SELECT l_event_id, r_event_id FROM oj_out").collect()
+    }
+    assert (1, 2) in got            # matched pair
+    assert (3, None) in got         # unmatched click, null-padded at eviction
+    n_unmatched = spark.sql(
+        "SELECT COUNT(*) n FROM oj_out WHERE l_event_id = 3"
+    ).collect()[0].n
+    assert n_unmatched == 1         # emitted exactly once
