@@ -534,3 +534,55 @@ def test_repetition_stats_extremes(spark):
     assert got[1] == (0.75, 1.0)   # 1-1/4; "a a" fills all 3 bigram slots
     assert got[2] == (0.0, 0.333333)  # distinct bigrams: mode run = 1 of 3
     assert got[3] == (0.0, 0.0)
+
+
+def test_repetition_stats_invariants_on_edge_cases(spark):
+    """Invariants over adversarial texts in one Spark job:
+    0 <= dup_word_frac < 1, 0 <= top_bigram_frac <= 1, and both are 0
+    for degenerate (<=1 token) inputs."""
+    from ag_data_ingestion_github_to_snowflake_spark.operators.text import repetition_stats
+
+    texts = [
+        (1, ""),                       # empty
+        (2, "   "),                    # whitespace only
+        (3, "x"),                      # single token
+        (4, "x " * 500),               # long fully-repetitive
+        (5, " ".join(f"w{i}" for i in range(500))),  # long all-distinct
+        (6, "héllo wörld héllo wörld"),  # unicode bigram repeat
+        (7, "a b a b a b a"),          # alternating
+        (8, "tab\tand  multiple   spaces"),  # mixed whitespace
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    for did, r in got.items():
+        assert 0.0 <= r.dup_word_frac < 1.0, (did, r)
+        assert 0.0 <= r.top_bigram_frac <= 1.0, (did, r)
+    # "x " * 500 splits to 500 "x" + one trailing "" token, so the
+    # fractions are 1 - 2/501 and 499/500 — near-1, not exactly 1
+    assert got[4].dup_word_frac > 0.99 and got[4].top_bigram_frac > 0.99
+    assert got[5].dup_word_frac == 0.0
+    # alternating "a b": bigrams 'a b' x3 + 'b a' x3 of 6 -> mode 0.5
+    assert got[7].top_bigram_frac == 0.5
+    assert got[3].top_bigram_frac == 0.0
+
+
+def test_decontaminate_invariants(spark):
+    from ag_data_ingestion_github_to_snowflake_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [(i, f"unique words only row {i} nothing shared") for i in range(5)]
+        + [(99, "the exact benchmark sentence appears here")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(1000, "the exact benchmark sentence appears here")],
+        "doc_id long, text string",
+    )
+    hits = decontaminate(train, ev, n=3).collect()
+    # self-identical doc shares ALL its distinct trigrams, others none
+    assert {(r.train_id, r.eval_id) for r in hits} == {(99, 1000)}
+    n_tri = len("the exact benchmark sentence appears here".split()) - 2
+    assert hits[0].n_shared == n_tri
+    # empty eval set -> no hits, no crash
+    empty = ev.filter("doc_id < 0")
+    assert decontaminate(train, empty, n=3).count() == 0
