@@ -271,3 +271,56 @@ def star_join_wide(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("qty"),
         )
     )
+
+
+@register(
+    "join_full_outer_daily_activity",
+    oracle="""
+    WITH clicks AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_clicks
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    buys AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_buys
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT CAST(COALESCE(c.day, b.day) AS TIMESTAMP) AS day,
+           CAST(COALESCE(c.n_clicks, 0) AS BIGINT) AS n_clicks,
+           CAST(COALESCE(b.n_buys, 0) AS BIGINT) AS n_buys
+    FROM clicks c FULL OUTER JOIN buys b ON c.day = b.day
+    """,
+    survey_ids=("B12", "B16", "B33"),
+    description="FULL OUTER join of two daily aggregates; one-sided days survive",
+)
+def join_full_outer_daily_activity(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily click vs purchase counts, FULL OUTER joined: a day with
+    only one activity type must survive with a zero on the other side
+    (inner/left would silently drop or bias it). Full outer shuffles
+    both sides on the day key — fine here because both inputs are
+    already small aggregates, the cheap-side pattern for outer
+    reconciliation at scale.
+    """
+    ev = t(spark, sf, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clicks"))
+    )
+    buys = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_buys"))
+    )
+    c, b = clicks.alias("c"), buys.alias("b")
+    return (
+        c.join(b, F.col("c.day") == F.col("b.day"), "full_outer")
+        .select(
+            # DATE hashes differently across engines (pandas object vs
+            # datetime64); both sides emit midnight TIMESTAMP instead
+            F.coalesce(F.col("c.day"), F.col("b.day"))
+            .cast("timestamp_ntz")
+            .alias("day"),
+            F.coalesce(F.col("c.n_clicks"), F.lit(0)).cast("bigint").alias("n_clicks"),
+            F.coalesce(F.col("b.n_buys"), F.lit(0)).cast("bigint").alias("n_buys"),
+        )
+    )
