@@ -17,6 +17,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register
 from ag_data_ingestion_github_to_snowflake_spark.streaming import streams as S
@@ -30,9 +31,12 @@ def _staged_events_stream(spark: SparkSession, sf: str) -> tuple[DataFrame, str]
     repeated builds in one session (bench warm-up + timed run + parity
     tests) must not accumulate /tmp copies.
 
-    The raw file stores ts as TIMESTAMP(ns) (read as long under
-    nanosAsLong); the same ns->us normalization as the batch catalog
-    applies on the stream.
+    ``ts`` normalization mirrors the batch catalog: a TIMESTAMP(ns)
+    file arrives as a raw nanosecond long (under ``nanosAsLong``) and is
+    integer-divided to microseconds; a TIMESTAMP(us) file already reads
+    as a timestamp and passes through untouched. Conditional on the
+    observed schema so the stream tracks whichever layout the fixture
+    generator produced.
     """
     src = os.path.join(sf, "events.parquet")
     stage = os.path.join(
@@ -44,9 +48,10 @@ def _staged_events_stream(spark: SparkSession, sf: str) -> tuple[DataFrame, str]
         shutil.copy(src, staged)
     raw_schema = spark.read.parquet(src).schema
     sdf = spark.readStream.schema(raw_schema).parquet(stage)
-    sdf = sdf.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-    )
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        sdf = sdf.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
     return sdf, stage
 
 
