@@ -1,0 +1,350 @@
+"""Corpus-curation completions: leakage-safe splits, ranked retrieval,
+classifier inference, snapshot diffing.
+
+Four shapes every production training-data pipeline eventually needs,
+none present in the reference (a single-pass ETL script — the closest
+grounding is its id-idempotent resume loop,
+/root/reference/src/extract_github_data.py:452-456, which implies a
+versioned corpus):
+
+- ``leakage_safe_split_clusters`` — train/test assignment keyed on the
+  near-dup CLUSTER, not the row: near-duplicates of a held-out document
+  must not land in train (the classic eval-contamination bug). Split =
+  hash of the component label, so cluster membership decides the split
+  atomically.
+- ``bm25_keyword_search`` — BM25-ranked retrieval over the corpus for a
+  keyword query, the lexical-search half of corpus exploration / RAG.
+  Pure JVM column ops: two aggregations + a broadcast of per-term
+  document frequencies.
+- ``quality_classifier_inference`` — hashing-trick linear classifier
+  scored distributedly: per-token weights derived by feature hashing
+  (Vowpal-Wabbit style), mean-pooled per document through a sigmoid.
+  A learned vocab-weight table would broadcast-join into the same plan.
+- ``corpus_snapshot_diff`` — content-digest diff of two corpus
+  snapshots (added / removed / changed / unchanged), the audit step
+  between corpus versions.
+
+All four carry exact DuckDB oracles; ``ln``/``exp`` parity at 6 dp is
+already proven by the TF-IDF and quantization oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ag_data_ingestion_github_to_snowflake_spark.operators import graph as G
+from ag_data_ingestion_github_to_snowflake_spark.operators import similarity as S
+from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register, t
+from ag_data_ingestion_github_to_snowflake_spark.plans.sampling_queries import (
+    hash_bucket,
+)
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe split: near-dup clusters assigned to train/test atomically
+# ---------------------------------------------------------------------------
+@register(
+    "leakage_safe_split_clusters",
+    # Same dup-seeded corpus shape as dedup_cluster_canonical (three
+    # copies of each vector under shifted ids -> triangle components);
+    # the oracle closes the pairs with a recursive CTE, then derives
+    # the split from the component minimum — identical hash gate.
+    oracle="""
+    WITH RECURSIVE corpus AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 100
+      UNION ALL
+      SELECT vec_id + 200000 AS vec_id, embedding FROM embeddings WHERE vec_id < 100
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))
+             * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)))))
+            >= 0.999
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT vec_id, vec_id FROM corpus
+      UNION
+      SELECT reach.node, e.d FROM reach JOIN edges e ON e.s = reach.r
+    ),
+    labels AS (
+      SELECT node AS vec_id, CAST(MIN(r) AS BIGINT) AS comp
+      FROM reach GROUP BY node
+    )
+    SELECT vec_id, comp,
+           CASE WHEN CAST(('0x' || substr(sha256(CAST(comp AS VARCHAR)), 1, 2)) AS INT) < 204
+                THEN 'train' ELSE 'test' END AS split
+    FROM labels
+    """,
+    survey_ids=("B54", "B55", "B26"),
+    description="Cluster-aware train/test split: near-dups never straddle the boundary",
+)
+def leakage_safe_split_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/test split that cannot leak near-duplicates across the
+    boundary: the hash gate is applied to the CLUSTER label (component
+    minimum), so all members of a duplicate cluster move together.
+
+    Composes the LSH pair stage (bucketed self-join, never all-pairs)
+    with min-label-propagation components; the split itself is one
+    map-side expression on the label — at 100 TB the added cost over
+    clustering is zero, and the assignment is engine-reproducible
+    months later (pure function of content ids).
+    """
+    base = (
+        t(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < 100)
+        .select("vec_id", "embedding")
+    )
+    corpus = base.unionByName(
+        base.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    ).unionByName(
+        base.select((F.col("vec_id") + 200000).alias("vec_id"), "embedding")
+    )
+    pairs = S.embedding_near_dup_pairs(corpus, threshold=0.999)
+    labels = G.connected_components(
+        pairs, src="id_a", dst="id_b", nodes=corpus, node_col="vec_id"
+    ).select(F.col("node").alias("vec_id"), "comp")
+    return labels.withColumn(
+        "split",
+        F.when(hash_bucket(F.col("comp")) < 204, F.lit("train")).otherwise(
+            F.lit("test")
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+BM25_TERMS = ("spark", "join", "hash")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@register(
+    "bm25_keyword_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+      FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             SUM(CAST(dl AS DOUBLE)) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE term IN ('spark', 'join', 'hash')
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS dfreq FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(
+               ln(1.0 + (stats.n_docs - dfreq.dfreq + 0.5) / (dfreq.dfreq + 0.5))
+               * (tf.tf * ({BM25_K1} + 1.0))
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))
+             ) AS score
+      FROM tf
+      JOIN dfreq USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, ROUND(score, 4) AS bm25
+    FROM scored
+    ORDER BY ROUND(score, 4) DESC, doc_id ASC
+    LIMIT 20
+    """,
+    survey_ids=("B56", "B24", "B16", "B11"),
+    description="BM25-ranked keyword retrieval (top-20 docs for a 3-term query)",
+)
+def bm25_keyword_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 documents by BM25 for the query {spark, join, hash}.
+
+    Plan shape: one explode+count for document lengths, one for
+    query-term frequencies (the IN filter prunes the explode output to
+    query terms BEFORE the aggregation — tf state is |terms|·|docs
+    containing them|, not the full vocabulary), then per-term document
+    frequencies (3 rows — broadcast) and the 1-row corpus stats
+    broadcast into a map-side score. At 100 TB the only fact-sized
+    shuffles are the two per-doc aggregations; everything the query
+    depends on is query-sized.
+    """
+    docs = t(spark, sf, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", "\\s+")).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.col("dl").cast("double")) / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dfreq") + F.lit(0.5)) / (F.col("dfreq") + F.lit(0.5))
+    )
+    tf_norm = (F.col("tf") * (BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tf_norm).alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.round("score", 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick linear classifier inference
+# ---------------------------------------------------------------------------
+@register(
+    "quality_classifier_inference",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+      FROM documents WHERE doc_id < 500
+    ),
+    feat AS (
+      SELECT doc_id,
+             (CAST(('0x' || substr(sha256(term), 1, 2)) AS INT) - 127.5) / 64.0
+               AS w
+      FROM toks
+    ),
+    logits AS (
+      SELECT doc_id, SUM(w) / COUNT(*) AS logit FROM feat GROUP BY doc_id
+    )
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + exp(-logit)), 6) AS prob,
+           CASE WHEN 1.0 / (1.0 + exp(-logit)) >= 0.5 THEN 1 ELSE 0 END AS keep
+    FROM logits
+    """,
+    survey_ids=("B56", "B43", "B16"),
+    description="Hashing-trick linear classifier: per-doc quality score + keep flag",
+)
+def quality_classifier_inference(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed inference of a linear text classifier via the
+    hashing trick: token weight = affine map of the token's sha256 lead
+    byte (a fixed random projection — exactly how Vowpal-Wabbit-style
+    models index weights, with the weight VALUE here derived from the
+    hash so the model ships as code, not data), mean-pooled per doc,
+    squashed through a sigmoid, thresholded at 0.5.
+
+    The plan is explode → map-side weight lookup → one per-doc
+    aggregation: classifier inference at corpus scale with zero Python
+    and zero model-broadcast cost. A learned vocabulary would replace
+    the hash expression with a broadcast join against a weights table —
+    same plan shape, same single shuffle.
+    """
+    docs = t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    toks = docs.select("doc_id", F.explode(F.split("text", "\\s+")).alias("term"))
+    w = (
+        F.conv(F.substring(F.sha2(F.col("term"), 256), 1, 2), 16, 10).cast("double")
+        - F.lit(127.5)
+    ) / F.lit(64.0)
+    logits = toks.select("doc_id", w.alias("w")).groupBy("doc_id").agg(
+        (F.sum("w") / F.count(F.lit(1))).alias("logit")
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit")))
+    return logits.select(
+        "doc_id",
+        F.round(prob, 6).alias("prob"),
+        F.when(prob >= 0.5, F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus snapshot diff
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_snapshot_diff",
+    oracle="""
+    WITH prev AS (
+      SELECT doc_id, sha256(text) AS digest
+      FROM documents WHERE doc_id % 7 != 3
+    ),
+    cur AS (
+      SELECT doc_id,
+             sha256(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END)
+               AS digest
+      FROM documents WHERE doc_id % 11 != 5
+    ),
+    diff AS (
+      SELECT COALESCE(prev.doc_id, cur.doc_id) AS doc_id,
+             CASE
+               WHEN prev.doc_id IS NULL THEN 'added'
+               WHEN cur.doc_id IS NULL THEN 'removed'
+               WHEN prev.digest != cur.digest THEN 'changed'
+               ELSE 'unchanged'
+             END AS status
+      FROM prev FULL OUTER JOIN cur ON prev.doc_id = cur.doc_id
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n
+    FROM diff GROUP BY status
+    """,
+    survey_ids=("B26", "B19", "B16"),
+    description="Content-digest diff of two corpus snapshots: added/removed/changed counts",
+)
+def corpus_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Audit the delta between two corpus versions by content digest:
+    FULL OUTER join of (doc_id → sha256(text)) maps, row status from
+    null-side and digest comparison, counts per status.
+
+    The two snapshots are derived from the fixture deterministically
+    (distinct modulus gates + a text revision on every 5th doc) so the
+    query is self-contained; in production both sides are table scans.
+    One join shuffle on doc_id + a 4-group aggregation — the cheapest
+    possible shape for a 100 TB version diff, and the digests mean text
+    never crosses the shuffle."""
+    docs = t(spark, sf, "documents")
+    prev = docs.filter(F.col("doc_id") % 7 != 3).select(
+        "doc_id", F.sha2("text", 256).alias("digest")
+    )
+    cur = (
+        docs.filter(F.col("doc_id") % 11 != 5)
+        .select(
+            "doc_id",
+            F.sha2(
+                F.when(
+                    F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+                ).otherwise(F.col("text")),
+                256,
+            ).alias("digest"),
+        )
+    )
+    p = prev.alias("p")
+    c = cur.alias("c")
+    diff = p.join(c, F.col("p.doc_id") == F.col("c.doc_id"), "full_outer").select(
+        F.when(F.col("p.doc_id").isNull(), F.lit("added"))
+        .when(F.col("c.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("p.digest") != F.col("c.digest"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status")
+    )
+    return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n"))

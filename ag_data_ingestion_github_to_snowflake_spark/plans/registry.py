@@ -135,6 +135,7 @@ def all_specs() -> dict[str, QuerySpec]:
     from ag_data_ingestion_github_to_snowflake_spark.plans import (  # noqa: F401
         behavior_queries,
         core_relational,
+        curation_queries,
         joins,
         llm_ops,
         reshape_queries,
