@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ag_data_ingestion_github_to_snowflake_spark.operators import graph as G
 from ag_data_ingestion_github_to_snowflake_spark.operators import similarity as S
@@ -348,3 +349,117 @@ def corpus_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
         .alias("status")
     )
     return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM cross-entropy (perplexity-proxy quality signal)
+# ---------------------------------------------------------------------------
+@register(
+    "doc_perplexity_unigram",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+      FROM documents
+    ),
+    vocab AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY term
+    ),
+    total AS (SELECT SUM(cnt) AS tot FROM vocab),
+    scored AS (
+      SELECT toks.doc_id,
+             -SUM(ln(CAST(vocab.cnt AS DOUBLE) / total.tot)) / COUNT(*) AS xent
+      FROM toks JOIN vocab USING (term) CROSS JOIN total
+      GROUP BY toks.doc_id
+    )
+    SELECT doc_id, ROUND(xent, 6) AS xent
+    FROM scored
+    """,
+    survey_ids=("B56", "B43", "B16"),
+    description="Unigram-LM cross-entropy per doc: the perplexity-proxy quality filter",
+)
+def doc_perplexity_unigram(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own unigram LM —
+    the classic perplexity-style quality signal (CCNet-shape, with the
+    n-gram LM reduced to unigrams so the whole computation is two
+    aggregations): p(term) = corpus frequency, doc score = mean
+    -ln p(term) over its tokens. Rare-token-heavy (low-quality or
+    off-domain) documents score high.
+
+    Plan: one explode feeding BOTH the vocabulary count and the
+    per-doc score; the vocabulary (term, count) re-joins the token
+    stream by term — vocabulary-sized, so AQE broadcasts it at any
+    corpus scale — and the total-token count is a 1-row broadcast.
+    Exactly two fact-sized shuffles at 100 TB.
+    """
+    docs = t(spark, sf, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", "\\s+")).alias("term"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("tot"))
+    scored = (
+        toks.join(vocab, "term")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            (
+                -F.sum(F.log(F.col("cnt").cast("double") / F.col("tot")))
+                / F.count(F.lit(1))
+            ).alias("xent")
+        )
+    )
+    return scored.select("doc_id", F.round("xent", 6).alias("xent"))
+
+
+# ---------------------------------------------------------------------------
+# Cross-source provenance-priority dedup
+# ---------------------------------------------------------------------------
+@register(
+    "provenance_dedup_priority",
+    # The mirror tier re-publishes every primary doc under a shifted id
+    # (exact duplicate content, lower-priority provenance); dedup must
+    # keep the primary copy, counted per source tier.
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text, source, 1 AS tier FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text, 'mirror_' || source AS source,
+             2 AS tier
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, tier,
+             ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                                ORDER BY tier ASC, doc_id ASC) AS rn
+      FROM corpus
+    )
+    SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM ranked WHERE rn = 1 GROUP BY tier
+    """,
+    survey_ids=("B53", "B29", "B26"),
+    description="Cross-source dedup keeping the highest-priority provenance copy",
+)
+def provenance_dedup_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup across source tiers with a provenance priority: when the
+    same content appears in multiple sources (here: a seeded mirror
+    tier republishing every primary doc), keep exactly one copy — the
+    highest-priority (lowest tier, then lowest id) — and report how
+    many survivors each tier contributed. All primaries must win.
+
+    One shuffle on the content digest (row_number window), digest
+    computed map-side so text never moves twice. This is the mixture-
+    assembly dedup rule: priority encodes source trust, and the window
+    tiebreak makes the keep decision total and reproducible.
+    """
+    docs = t(spark, sf, "documents")
+    primary = docs.select("doc_id", "text", "source", F.lit(1).alias("tier"))
+    mirror = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "text",
+        F.concat(F.lit("mirror_"), F.col("source")).alias("source"),
+        F.lit(2).alias("tier"),
+    )
+    corpus = primary.unionByName(mirror).withColumn(
+        "digest", F.sha2("text", 256)
+    )
+    w = Window.partitionBy("digest").orderBy(F.asc("tier"), F.asc("doc_id"))
+    kept = corpus.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return kept.groupBy("tier").agg(F.count(F.lit(1)).alias("n_kept"))
