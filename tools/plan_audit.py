@@ -69,6 +69,13 @@ ALLOWED_FLAGS = {
     # k-row per-source table via a broadcast cross join — one broadcast
     # row, invariant in the data size.
     ("mixture_sample_counts", "BroadcastNestedLoopJoin"),
+    # BM25 attaches the 1-row (n_docs, avgdl) corpus stats to every
+    # scored term occurrence via a broadcast cross join — one broadcast
+    # row, invariant in the data size.
+    ("bm25_keyword_search", "BroadcastNestedLoopJoin"),
+    # The unigram LM attaches the 1-row total-token count to the token
+    # stream the same way — one broadcast row.
+    ("doc_perplexity_unigram", "BroadcastNestedLoopJoin"),
 }
 
 # Queries whose build() executes side work and returns a materialized
@@ -82,6 +89,9 @@ MATERIALIZED = {
     # (and are lineage-truncated) inside connected_components; the
     # returned frame scans the final checkpoint.
     "dedup_cluster_canonical",
+    # Same CC core; the split column is one map-side expression on the
+    # checkpointed label table.
+    "leakage_safe_split_clusters",
 }
 
 
