@@ -1,0 +1,104 @@
+"""Invariant tests for the corpus-curation queries
+(``plans/curation_queries.py``) beyond their oracle parity: the
+properties a user relies on that a hash-match alone doesn't spell out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ag_data_ingestion_github_to_snowflake_spark.plans.registry import all_specs
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_leakage_safe_split_never_straddles_clusters(spark):
+    """Every near-dup cluster lands wholly in train or wholly in test —
+    the property the split exists to guarantee."""
+    df = all_specs()["leakage_safe_split_clusters"].build(spark, SF)
+    straddling = (
+        df.groupBy("comp")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert straddling == 0
+    # the seeded corpus has 3 copies of each base vector: component
+    # sizes must all be >= 3 (a copy may also near-dup a neighbor)
+    sizes = df.groupBy("comp").count()
+    assert sizes.filter(F.col("count") < 3).count() == 0
+    # both splits are non-empty at the default 80/20 gate
+    assert df.select("split").distinct().count() == 2
+
+
+def test_bm25_scores_rank_query_term_docs(spark):
+    """Top-ranked docs contain at least one query term, scores are
+    positive and non-increasing down the ranking."""
+    rows = all_specs()["bm25_keyword_search"].build(spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    scores = [r.bm25 for r in rows]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_classifier_prob_bounds_and_keep_flag(spark):
+    """Sigmoid output stays in (0,1); keep == (prob >= 0.5)."""
+    df = all_specs()["quality_classifier_inference"].build(spark, SF)
+    bad = df.filter(
+        (F.col("prob") <= 0)
+        | (F.col("prob") >= 1)
+        | (F.col("keep") != (F.col("prob") >= 0.5).cast("int"))
+    ).count()
+    assert bad == 0
+
+
+def test_snapshot_diff_partitions_the_union(spark):
+    """Statuses cover the id-union of both snapshots exactly once."""
+    from ag_data_ingestion_github_to_snowflake_spark.plans.registry import t
+
+    counts = {
+        r.status: r.n
+        for r in all_specs()["corpus_snapshot_diff"].build(spark, SF).collect()
+    }
+    docs = t(spark, SF, "documents")
+    n_prev = docs.filter(F.col("doc_id") % 7 != 3).count()
+    n_cur = docs.filter(F.col("doc_id") % 11 != 5).count()
+    n_union = docs.filter(
+        (F.col("doc_id") % 7 != 3) | (F.col("doc_id") % 11 != 5)
+    ).count()
+    assert sum(counts.values()) == n_union
+    assert counts.get("added", 0) == n_union - n_prev
+    assert counts.get("removed", 0) == n_union - n_cur
+    # every 5th doc present in both snapshots is a changed row
+    assert counts.get("changed", 0) == docs.filter(
+        (F.col("doc_id") % 7 != 3)
+        & (F.col("doc_id") % 11 != 5)
+        & (F.col("doc_id") % 5 == 0)
+    ).count()
+
+
+def test_perplexity_flags_rare_token_doc(spark):
+    """A doc made of corpus-rare tokens must out-score (higher xent)
+    the corpus median — the signal the filter exists to produce."""
+    df = all_specs()["doc_perplexity_unigram"].build(spark, SF)
+    stats = df.agg(
+        F.expr("percentile(xent, 0.5)").alias("med"),
+        F.max("xent").alias("mx"),
+        F.min("xent").alias("mn"),
+    ).collect()[0]
+    # sane spread: strictly positive, max above median above min
+    assert 0 < stats.mn <= stats.med <= stats.mx
+    assert stats.mx > stats.med
+
+
+def test_provenance_dedup_keeps_only_primaries(spark):
+    """Mirror copies are exact dups of primaries, so tier 1 keeps
+    everything and tier 2 keeps nothing."""
+    from ag_data_ingestion_github_to_snowflake_spark.plans.registry import t
+
+    rows = {
+        r.tier: r.n_kept
+        for r in all_specs()["provenance_dedup_priority"].build(spark, SF).collect()
+    }
+    n_docs = t(spark, SF, "documents").count()
+    assert rows == {1: n_docs}
