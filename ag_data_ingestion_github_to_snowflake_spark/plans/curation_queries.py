@@ -463,3 +463,32 @@ def provenance_dedup_priority(spark: SparkSession, sf: str) -> DataFrame:
     w = Window.partitionBy("digest").orderBy(F.asc("tier"), F.asc("doc_id"))
     kept = corpus.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return kept.groupBy("tier").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+# ---------------------------------------------------------------------------
+# Distributed contiguous sequence ids
+# ---------------------------------------------------------------------------
+@register(
+    "assign_sequence_ids",
+    oracle="""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS seq_id
+    FROM documents
+    """,
+    survey_ids=("B29", "B24"),
+    description="Contiguous 0-based corpus ids via range partition + offset join",
+)
+def assign_sequence_ids(spark: SparkSession, sf: str) -> DataFrame:
+    """Mint dense 0..n-1 sequence ids for the corpus — equal to the
+    single-partition ``ROW_NUMBER() OVER (ORDER BY doc_id)`` the oracle
+    runs, but computed with the data distributed throughout: range
+    exchange, partition-local rank, and a parallelism-sized offset
+    table broadcast back (``operators/ids.py``). The shape every
+    shard-manifest writer needs at 100 TB, where a global-sort window
+    would serialize on one task."""
+    from ag_data_ingestion_github_to_snowflake_spark.operators.ids import (
+        assign_sequential_ids,
+    )
+
+    docs = t(spark, sf, "documents").select("doc_id")
+    return assign_sequential_ids(docs, "doc_id")
