@@ -117,3 +117,89 @@ def explode_outer_long_words(spark: SparkSession, sf: str) -> DataFrame:
         F.split(F.col("text"), " +"), lambda tk: F.length(tk) >= 12
     )
     return d.select("doc_id", F.explode_outer(words).alias("word"))
+
+
+@register(
+    "recursive_cte_chunk_threading",
+    # Identical recursive CTE on both engines: DuckDB executes the same
+    # text the Spark side submits (modulo view names).
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT doc_id AS src, doc_id + 1 AS dst
+      FROM documents WHERE doc_id < 50 AND doc_id % 10 != 9
+    ),
+    thread(root, node) AS (
+      SELECT doc_id, doc_id FROM documents WHERE doc_id < 50 AND doc_id % 10 = 0
+      UNION ALL
+      SELECT thr.root, e.dst FROM thread thr JOIN edges e ON e.src = thr.node
+    )
+    SELECT root, CAST(COUNT(*) AS BIGINT) AS chain_len,
+           CAST(MAX(node) AS BIGINT) AS last_chunk
+    FROM thread GROUP BY root
+    """,
+    survey_ids=("B10", "B16"),
+    description="WITH RECURSIVE (Spark 4): next-chunk links threaded into documents",
+)
+def recursive_cte_chunk_threading(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive closure in pure Spark SQL via ``WITH RECURSIVE``
+    (new in Spark 4): chunk rows carry a next-chunk link (derived
+    deterministically here: consecutive ids within a decade), and the
+    recursion threads each chain from its root — the reassembly step
+    for chunked corpora, and the dialect twin of the DataFrame
+    connected-components operator (``operators/graph.py``), which
+    remains the log-rounds path for graphs whose depth is unbounded.
+    """
+    t(spark, sf, "documents").createOrReplaceTempView("documents_v")
+    return spark.sql(
+        """
+        WITH RECURSIVE edges AS (
+          SELECT doc_id AS src, doc_id + 1 AS dst
+          FROM documents_v WHERE doc_id < 50 AND doc_id % 10 != 9
+        ),
+        thread(root, node) AS (
+          SELECT doc_id, doc_id FROM documents_v
+          WHERE doc_id < 50 AND doc_id % 10 = 0
+          UNION ALL
+          SELECT thr.root, e.dst FROM thread thr JOIN edges e ON e.src = thr.node
+        )
+        SELECT root, CAST(COUNT(*) AS BIGINT) AS chain_len,
+               CAST(MAX(node) AS BIGINT) AS last_chunk
+        FROM thread GROUP BY root
+        """
+    )
+
+
+@register(
+    "pipe_syntax_quality_funnel",
+    # The oracle is the de-sugared ANSI equivalent of the pipe chain.
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE n_chars >= 200
+    GROUP BY lang
+    ORDER BY n_docs DESC, lang
+    LIMIT 5
+    """,
+    survey_ids=("B16", "B24", "B6"),
+    description="SQL pipe syntax (|>): filter -> aggregate -> rank, one left-to-right chain",
+)
+def pipe_syntax_quality_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """The corpus-funnel aggregation written in Spark 4's SQL pipe
+    syntax — each ``|>`` stage reads top-to-bottom the way the data
+    flows, the SQL the next generation of warehouse consumers writes.
+    Catalyst plans it identically to the de-sugared ANSI form the
+    oracle runs (filter pushed to the scan, partial agg, top-k)."""
+    t(spark, sf, "documents").createOrReplaceTempView("documents_v")
+    return spark.sql(
+        """
+        FROM documents_v
+        |> WHERE n_chars >= 200
+        |> AGGREGATE COUNT(*) AS n_docs,
+                     CAST(SUM(n_chars) AS BIGINT) AS total_chars
+           GROUP BY lang
+        |> SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, total_chars
+        |> ORDER BY n_docs DESC, lang
+        |> LIMIT 5
+        """
+    )
