@@ -831,19 +831,27 @@ def ngram_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
     rows map-side, partial aggregation combines before the shuffle, so
     the exchange carries one row per (partition, distinct bigram) — at
     100 TB that is vocabulary-sized, not corpus-sized.
+
+    Bigrams pair the token array with its own 1-shifted slice via
+    ``zip_with`` — one pass over the array. (The indexed alternative,
+    ``transform(sequence(...), i -> element_at(toks, i) ...)``, defeats
+    Catalyst's common-subexpression elimination: the inline split
+    re-evaluates per element_at, turning a 250-char regex split into
+    O(tokens) work per row — measured 12x slower at sf0.1.) ``zip_with``
+    pads the shorter slice with null, making the tail pair's concat
+    null; ``array_compact`` drops it.
     """
-    toks = F.split(F.col("text"), "\\s+")
-    grams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat(
-                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    toks = F.col("toks")
+    grams = F.array_compact(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    )
     return (
         t(spark, sf, "documents")
+        .select(F.split(F.col("text"), "\\s+").alias("toks"))
         .select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("freq"))
