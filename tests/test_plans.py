@@ -108,3 +108,36 @@ def test_scan_count_minimal_for_flagship(spark):
     plan = plan_of(df)
     # one InMemoryFileIndex location per table: each scanned exactly once
     assert plan.count("Location: InMemoryFileIndex") == 5
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """A selective dim filter on a shuffle join must inject Spark's
+    runtime Bloom filter (`might_contain`) into the fact side — the
+    scan-reduction lever for 100 TB fact⋈dim joins. Locally the join
+    is broadcast (better) and the probe side is tiny, so the two
+    thresholds are pinned to the values a warehouse-scale plan sees
+    organically; `runtime.bloomFilter.enabled` is Spark's default
+    `true` and is NOT overridden here."""
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    )
+    overrides = {
+        # fact side "large": the default 10GB gate, met trivially at scale
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # dim too big to broadcast (at scale: a million-row dim)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        orders = load_table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, SF, "lineitem")
+        df = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
