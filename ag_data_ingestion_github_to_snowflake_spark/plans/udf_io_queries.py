@@ -296,3 +296,38 @@ def csv_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
     )
+
+
+@register(
+    "orc_sink_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    survey_ids=("B2", "B3", "B16"),
+    description="ORC columnar sink + scan round-trip (zstd, schema preserved)",
+)
+def orc_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Write orders as ORC (Spark's second built-in columnar format,
+    zstd-compressed), read it back, aggregate — the interchange path
+    for warehouses standardized on ORC rather than parquet. Columnar
+    round-trips preserve types exactly (no text parse), so the only
+    parity rule needed is the usual decimal-exact money sum.
+    """
+    orders = t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(), f"ag_orc_sink_{os.path.basename(sf.rstrip('/'))}"
+    )
+    orders.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias(
+            "total_price"
+        ),
+    )
