@@ -492,3 +492,78 @@ def assign_sequence_ids(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = t(spark, sf, "documents").select("doc_id")
     return assign_sequential_ids(docs, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection: median/MAD z-scores per group
+# ---------------------------------------------------------------------------
+@register(
+    "robust_outlier_trim",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, quantile_cont(abs(e.value - med.med), 0.5) AS mad
+      FROM events e JOIN med USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN 0.6745 * abs(e.value - med.med)
+                              > 3.5 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           ROUND(med.med, 6) AS med,
+           ROUND(mad.mad, 6) AS mad
+    FROM events e
+    JOIN med USING (event_type)
+    JOIN mad USING (event_type)
+    GROUP BY e.event_type, med.med, mad.mad
+    """,
+    survey_ids=("B23", "B16", "B10"),
+    description="Median/MAD robust z-score outlier counts per event type",
+)
+def robust_outlier_trim(spark: SparkSession, sf: str) -> DataFrame:
+    """Outlier screening that survives the outliers themselves: flag
+    rows where the modified z-score 0.6745·|x − median|/MAD exceeds
+    3.5 (Iglewicz–Hoaglin), per event type. Mean/stddev screens move
+    with the contamination; median/MAD do not — this is the trim step
+    before any statistics a pipeline trusts.
+
+    Two grouped EXACT percentiles (median of values, then median of
+    absolute deviations — the second needs the first, so two passes by
+    definition) plus per-type medians re-joined broadcast; the flag
+    comparison is rearranged multiplication (no division), so zero-MAD
+    groups are well-defined with no epsilon."""
+    ev = t(spark, sf, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    withmed = ev.join(F.broadcast(med), "event_type")
+    mad = withmed.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad")
+    )
+    scored = withmed.join(F.broadcast(mad), "event_type")
+    return (
+        scored.groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(
+                    F.lit(0.6745) * F.abs(F.col("value") - F.col("med"))
+                    > F.lit(3.5) * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_outliers",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+        )
+    )
