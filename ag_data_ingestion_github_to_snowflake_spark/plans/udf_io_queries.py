@@ -166,6 +166,77 @@ def json_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "corrupt_json_quarantine",
+    # The oracle never reads the staged file: corruption is seeded by a
+    # deterministic rule (every 13th doc id), so the expected split is
+    # computable from the clean fixture alone.
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN doc_id % 13 != 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_valid,
+           CAST(SUM(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_corrupt,
+           CAST(SUM(CASE WHEN doc_id % 13 != 0 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS valid_chars
+    FROM documents WHERE doc_id < 500
+    """,
+    survey_ids=("B2", "A14", "B19"),
+    description="PERMISSIVE JSON scan: corrupt rows quarantined, valid rows survive",
+)
+def corrupt_json_quarantine(spark: SparkSession, sf: str) -> DataFrame:
+    """Malformed-input tolerance at the file-format level: a JSONL
+    stage with every 13th line truncated mid-record is read in
+    PERMISSIVE mode with an explicit ``_corrupt_record`` column —
+    corrupt lines surface as quarantine rows (null fields + raw text
+    preserved for forensics) instead of failing the scan, the
+    generalization of the reference's per-row error skip
+    (/root/reference/src/extract_github_data.py:480-491). The query
+    returns the valid/corrupt split and a checksum over the valid
+    side, verified against the seeding rule computed from the clean
+    fixture."""
+    docs = t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    out = os.path.join(
+        tempfile.gettempdir(), f"ag_badjson_{os.path.basename(sf.rstrip('/'))}"
+    )
+    # Stage: serialize each row to a JSON line, truncating every 13th
+    # to its first 10 chars (guaranteed malformed: the object never
+    # closes). substring is 1-based.
+    line = F.to_json(F.struct("doc_id", "lang", "n_chars"))
+    staged = docs.select(
+        F.when(F.col("doc_id") % 13 == 0, F.substring(line, 1, 10))
+        .otherwise(line)
+        .alias("value")
+    )
+    staged.write.mode("overwrite").text(out)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    return back.agg(
+        F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_valid"),
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), F.col("n_chars")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("valid_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Table profiling + expectation validation (operators/profile.py):
 # ANALYZE-style column stats and rule-based data-quality gates, each a
