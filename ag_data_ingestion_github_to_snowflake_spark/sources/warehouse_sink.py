@@ -43,6 +43,76 @@ class FileCommit(WriterCommitMessage):
     n_rows: int
 
 
+def load_manifest(path: str) -> dict:
+    """The table's load-boundary manifest (empty shape if never loaded)."""
+    mpath = os.path.join(path, "_SUCCESS")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            return json.load(f)
+    return {"files": [], "n_rows": 0, "batches": [], "versions": []}
+
+
+def read_warehouse(spark, path: str, schema, version: int | None = None):
+    """Manifest-gated (and optionally time-travelled) read of the table.
+
+    Readers must take the file set from the manifest, not the
+    directory: files not yet published (or left by a crashed job)
+    are invisible — the COPY INTO visibility contract. ``version``
+    (1-based) replays the version log up to that load boundary: an
+    overwrite entry resets the visible set, appends/epochs add to it —
+    Delta-style time travel, with the log carried in the same
+    ``_SUCCESS`` object the loads already commit atomically.
+    """
+    man = load_manifest(path)
+    versions = man.get("versions", [])
+    if version is None:
+        files = man["files"]
+    else:
+        if not 1 <= version <= len(versions):
+            raise ValueError(
+                f"version {version} out of range 1..{len(versions)}"
+            )
+        visible: list[str] = []
+        for entry in versions[:version]:
+            if entry.get("overwrite"):
+                visible = list(entry["files"])
+            else:
+                visible = visible + list(entry["files"])
+        files = sorted(visible)
+    if not files:
+        return spark.createDataFrame([], schema)
+    missing = [f for f in files if not os.path.exists(os.path.join(path, f))]
+    if missing:
+        raise FileNotFoundError(
+            f"version {version}: {len(missing)} file(s) reclaimed by vacuum"
+        )
+    return spark.read.schema(schema).json([os.path.join(path, f) for f in files])
+
+
+def vacuum_warehouse(path: str) -> int:
+    """Reclaim files no longer in the CURRENT view; returns the count.
+
+    Truncates the version log to one synthetic overwrite entry (the
+    current view): time travel before the vacuum point is gone, which
+    is the same retention trade Delta's VACUUM makes. The manifest is
+    rewritten first so a crash between manifest write and file
+    deletion leaves only unreferenced orphans, never a broken view.
+    """
+    man = load_manifest(path)
+    current = set(man["files"])
+    man["versions"] = [
+        {"files": sorted(current), "n_rows": man["n_rows"], "overwrite": True}
+    ]
+    with open(os.path.join(path, "_SUCCESS"), "w") as f:
+        json.dump(man, f)
+    removed = 0
+    for f in os.listdir(path):
+        if f.endswith(".jsonl") and f not in current:
+            os.remove(os.path.join(path, f))
+            removed += 1
+    return removed
+
+
 class JsonlWarehouseWriter(DataSourceWriter):
     def __init__(self, options: dict, overwrite: bool):
         self.path = options["path"]
@@ -61,10 +131,7 @@ class JsonlWarehouseWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         staging = os.path.join(self.path, "_staging")
-        if self.overwrite:
-            for f in os.listdir(self.path):
-                if f.endswith(".jsonl"):
-                    os.remove(os.path.join(self.path, f))
+        man = load_manifest(self.path)
         kept, total = [], 0
         for m in messages:
             os.rename(
@@ -77,8 +144,29 @@ class JsonlWarehouseWriter(DataSourceWriter):
         for f in os.listdir(staging):
             os.remove(os.path.join(staging, f))
         os.rmdir(staging)
+        # Append-mode loads MERGE into the standing manifest (previous
+        # files stay visible); overwrite REPLACES the visible set
+        # *logically* — superseded files stay on disk so earlier
+        # versions remain readable (``read_warehouse(version=…)``)
+        # until ``vacuum_warehouse`` reclaims them. Every commit
+        # records a version entry: the load-boundary log IS the
+        # time-travel log, carried in the same atomically-written
+        # ``_SUCCESS`` object.
+        if self.overwrite:
+            man["files"] = sorted(kept)
+            man["n_rows"] = total
+        else:
+            man["files"] = sorted(man["files"] + kept)
+            man["n_rows"] += total
+        man.setdefault("versions", []).append(
+            {
+                "files": sorted(kept),
+                "n_rows": total,
+                "overwrite": self.overwrite,
+            }
+        )
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
-            json.dump({"files": sorted(kept), "n_rows": total}, f)
+            json.dump(man, f)
 
     def abort(self, messages) -> None:
         staging = os.path.join(self.path, "_staging")
@@ -108,19 +196,13 @@ class JsonlWarehouseStreamWriter(DataSourceStreamWriter):
             iterator
         )
 
-    def _manifest(self) -> dict:
-        mpath = os.path.join(self.path, "_SUCCESS")
-        if os.path.exists(mpath):
-            with open(mpath) as f:
-                return json.load(f)
-        return {"files": [], "n_rows": 0, "batches": []}
-
     def commit(self, messages, batchId: int) -> None:
         staging = os.path.join(self.path, "_staging")
-        man = self._manifest()
+        man = load_manifest(self.path)
         if batchId in man.get("batches", []):  # replayed epoch: drop, don't double-load
             self.abort(messages, batchId)
             return
+        epoch_files, epoch_rows = [], 0
         for m in messages:
             if m is None:
                 continue
@@ -128,10 +210,19 @@ class JsonlWarehouseStreamWriter(DataSourceStreamWriter):
                 os.path.join(staging, m.staged_name),
                 os.path.join(self.path, m.staged_name),
             )
-            man["files"].append(m.staged_name)
-            man["n_rows"] += m.n_rows
+            epoch_files.append(m.staged_name)
+            epoch_rows += m.n_rows
+        man["files"] = sorted(man["files"] + epoch_files)
+        man["n_rows"] += epoch_rows
         man["batches"] = sorted(man.get("batches", []) + [batchId])
-        man["files"].sort()
+        man.setdefault("versions", []).append(
+            {
+                "files": sorted(epoch_files),
+                "n_rows": epoch_rows,
+                "overwrite": False,
+                "batch_id": batchId,
+            }
+        )
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
             json.dump(man, f)
 

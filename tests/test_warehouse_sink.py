@@ -8,9 +8,16 @@ import os
 
 from pyspark.sql import functions as F
 
+from pyspark.sql import types as T
+
 from ag_data_ingestion_github_to_snowflake_spark.sources.warehouse_sink import (
     JsonlWarehouseDataSource,
+    load_manifest,
+    read_warehouse,
+    vacuum_warehouse,
 )
+
+ID_SCHEMA = T.StructType([T.StructField("id", T.LongType())])
 
 
 def _load(path: str) -> list[dict]:
@@ -43,6 +50,9 @@ def test_commit_publishes_all_rows_with_manifest(spark, tmp_path):
 
 
 def test_overwrite_replaces_previous_load(spark, tmp_path):
+    """Overwrite replaces the VISIBLE set (manifest-gated, the reader
+    contract); superseded files stay on disk for time travel until
+    vacuum."""
     spark.dataSource.register(JsonlWarehouseDataSource)
     out = str(tmp_path / "wh")
     os.makedirs(out)
@@ -52,9 +62,59 @@ def test_overwrite_replaces_previous_load(spark, tmp_path):
     spark.range(10).write.format("jsonl_warehouse").option("path", out).mode(
         "overwrite"
     ).save()
-    rows = _load(out)
-    assert len(rows) == 10
+    assert read_warehouse(spark, out, ID_SCHEMA).count() == 10
     assert json.load(open(os.path.join(out, "_SUCCESS")))["n_rows"] == 10
+    # pre-overwrite rows retained on disk (reclaimable, not visible)
+    assert len(_load(out)) == 60
+
+
+def test_time_travel_reads_each_load_boundary(spark, tmp_path):
+    """version=N replays the load log: appends accumulate, an
+    overwrite resets the visible set."""
+    spark.dataSource.register(JsonlWarehouseDataSource)
+    out = str(tmp_path / "wh")
+    os.makedirs(out)
+    spark.range(0, 3).write.format("jsonl_warehouse").option("path", out).mode(
+        "append"
+    ).save()
+    spark.range(10, 12).write.format("jsonl_warehouse").option("path", out).mode(
+        "append"
+    ).save()
+    spark.range(20, 21).write.format("jsonl_warehouse").option("path", out).mode(
+        "overwrite"
+    ).save()
+    ids = lambda v: sorted(  # noqa: E731
+        r.id for r in read_warehouse(spark, out, ID_SCHEMA, version=v).collect()
+    )
+    assert ids(1) == [0, 1, 2]
+    assert ids(2) == [0, 1, 2, 10, 11]
+    assert ids(3) == [20]
+    assert sorted(
+        r.id for r in read_warehouse(spark, out, ID_SCHEMA).collect()
+    ) == [20]
+
+
+def test_vacuum_reclaims_superseded_files(spark, tmp_path):
+    spark.dataSource.register(JsonlWarehouseDataSource)
+    out = str(tmp_path / "wh")
+    os.makedirs(out)
+    spark.range(50).write.format("jsonl_warehouse").option("path", out).mode(
+        "append"
+    ).save()
+    spark.range(10).write.format("jsonl_warehouse").option("path", out).mode(
+        "overwrite"
+    ).save()
+    removed = vacuum_warehouse(out)
+    assert removed > 0
+    assert len(_load(out)) == 10  # directory now matches the view
+    assert read_warehouse(spark, out, ID_SCHEMA).count() == 10
+    # history collapsed to one entry; the old version is a clear error
+    assert len(load_manifest(out)["versions"]) == 1
+    try:
+        read_warehouse(spark, out, ID_SCHEMA, version=2)
+        raise AssertionError("expected version range error")
+    except ValueError:
+        pass
 
 
 def test_append_accumulates_loads(spark, tmp_path):
