@@ -384,3 +384,82 @@ def embedding_near_dup_pairs(
         )
         .distinct()
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_coarse: int = 30,
+    k_final: int = 10,
+    lambda_: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking: diversity-aware top-k.
+
+    Plain top-k returns near-duplicate neighbors (a duplicated corpus
+    returns the same passage k times); MMR (Carbonell & Goldstein,
+    SIGIR 1998) greedily picks argmax over candidates of
+    ``lambda * rel(c) - (1-lambda) * max_sim(c, selected)`` — relevance
+    traded against redundancy with what is already chosen.
+
+    Two-stage shape, which is how it scales: the DISTRIBUTED stage is
+    the coarse candidate retrieval (``brute_force_topk`` here; the LSH
+    or IVF paths compose identically) producing k_coarse rows per
+    query; the greedy selection is quadratic-in-k_coarse but
+    per-query-local, so it runs as one vectorized numpy kernel per
+    query via ``applyInPandas`` — never on the full corpus. Fully
+    deterministic: relevance is the stage-1 rounded cosine, and ties
+    break on neighbor id.
+
+    Returns (query_id, mmr_rank, neighbor_id, score) with mmr_rank
+    1..k_final.
+    """
+    cands = brute_force_topk(corpus, queries, k_coarse, id_col, vec_col)
+    with_vecs = cands.join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
+        ),
+        "neighbor_id",
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("mmr_rank", T.IntegerType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        vecs = np.asarray(pdf["n_vec"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms[:, None]
+        pair = np.round(unit @ unit.T, 6)  # candidate-candidate cosines
+        rel = pdf["cosine"].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        chosen: list[int] = []
+        penalty = np.zeros(n)
+        rows = []
+        for rank in range(1, min(k_final, n) + 1):
+            score = np.round(lambda_ * rel - (1.0 - lambda_) * penalty, 9)
+            score[chosen] = -np.inf
+            pick = int(np.argmax(score))  # ties: lowest index == lowest id
+            chosen.append(pick)
+            penalty = np.maximum(penalty, pair[:, pick])
+            rows.append(
+                (
+                    int(pdf["query_id"].iloc[0]),
+                    rank,
+                    int(pdf["neighbor_id"].iloc[pick]),
+                    float(score[pick]),
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["query_id", "mmr_rank", "neighbor_id", "score"]
+        )
+
+    return with_vecs.groupBy("query_id").applyInPandas(kernel, out_schema)

@@ -495,6 +495,31 @@ def assign_sequence_ids(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# MMR diversity re-ranking (rows-only: iterative greedy selection has no
+# clean ANSI twin; determinism + diversity semantics pinned in
+# tests/test_curation.py)
+# ---------------------------------------------------------------------------
+@register(
+    "mmr_rerank_topk",
+    oracle=None,
+    survey_ids=("B55", "B52", "B29"),
+    description="Diversity-aware retrieval: MMR greedy re-rank of coarse top-k",
+)
+def mmr_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximal-marginal-relevance top-10 per query over a coarse
+    top-30 candidate stage: the dedup-aware retrieval shape (a corpus
+    with near-duplicates returns the same passage k times under plain
+    top-k; MMR trades relevance against redundancy with what is
+    already selected). Distributed candidate retrieval, per-query
+    vectorized numpy greedy via applyInPandas — the quadratic step is
+    k_coarse², never corpus-sized."""
+    emb = t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 505))
+    return S.mmr_rerank(corpus, queries, k_coarse=30, k_final=10, lambda_=0.7)
+
+
+# ---------------------------------------------------------------------------
 # Robust outlier detection: median/MAD z-scores per group
 # ---------------------------------------------------------------------------
 @register(

@@ -91,6 +91,45 @@ def test_perplexity_flags_rare_token_doc(spark):
     assert stats.mx > stats.med
 
 
+def test_mmr_rerank_prefers_diversity(spark):
+    """With two near-identical top candidates, MMR must pick one of
+    them plus the diverse candidate — not both duplicates."""
+    from ag_data_ingestion_github_to_snowflake_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.01]),   # best relevance
+            (11, [1.0, 0.011]),  # near-duplicate of 10
+            (12, [0.0, 1.0]),    # orthogonal: diverse
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    # lambda below 0.5: when the best candidate nearly equals the
+    # query, every candidate's score collapses to (2*lambda-1)*rel, so
+    # only the diversity-leaning regime can displace the duplicate.
+    out = mmr_rerank(corpus, queries, k_coarse=3, k_final=2, lambda_=0.3)
+    picks = [r.neighbor_id for r in out.orderBy("mmr_rank").collect()]
+    assert picks == [10, 12]  # duplicate 11 displaced by diverse 12
+
+
+def test_mmr_rerank_registry_invariants(spark):
+    df = all_specs()["mmr_rerank_topk"].build(spark, SF)
+    rows = df.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, rs in per_q.items():
+        ranks = sorted(x.mmr_rank for x in rs)
+        assert ranks == list(range(1, len(rs) + 1))  # dense ranks
+        assert len({x.neighbor_id for x in rs}) == len(rs)  # no repeats
+        assert q not in {x.neighbor_id for x in rs}  # self excluded
+
+
 def test_provenance_dedup_keeps_only_primaries(spark):
     """Mirror copies are exact dups of primaries, so tier 1 keeps
     everything and tier 2 keeps nothing."""
