@@ -110,6 +110,33 @@ def test_scan_count_minimal_for_flagship(spark):
     assert plan.count("Location: InMemoryFileIndex") == 5
 
 
+def test_parquet_aggregate_pushdown_reads_only_footers(spark):
+    """COUNT/MIN/MAX over a bare scan must push into the parquet
+    reader (footer statistics, zero data pages) on the V2 source path
+    — the metadata-only shape for table-stats queries over 100 TB.
+    Both confs are runtime-settable; restored after."""
+    overrides = {
+        "spark.sql.sources.useV1SourceList": "",
+        "spark.sql.parquet.aggregatePushdown": "true",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        df = spark.read.parquet(f"{SF}/lineitem.parquet").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_orderkey").alias("mn"),
+            F.max("l_orderkey").alias("mx"),
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation: [COUNT(*)" in plan
+        row = df.collect()[0]
+        assert row.n > 0 and row.mn is not None and row.mx is not None
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_runtime_bloom_filter_prunes_fact_side(spark):
     """A selective dim filter on a shuffle join must inject Spark's
     runtime Bloom filter (`might_contain`) into the fact side — the
