@@ -71,7 +71,6 @@ _PRIORITY: tuple[str, ...] = (
     # core relational
     "pricing_summary",              # B16 B17 B18 B19
     "project_filter_part",          # B1 B4 B9
-    "filter_eq_events",             # B6
     "filter_all_notnull_customer",  # B7 B8 A12
     "global_agg_orders",            # B18 A15
     "conditional_counts_orders",    # B19 A13
@@ -126,6 +125,7 @@ _PRIORITY: tuple[str, ...] = (
     "json_extract_props",           # B38 A18
     "string_funcs_part",            # B39 B40
     "nested_struct_flatten",        # B5 B4 A10
+    "corrupt_json_quarantine",      # A14 B2 B19 (PERMISSIVE quarantine)
 )
 
 

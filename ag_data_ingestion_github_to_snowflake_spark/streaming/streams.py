@@ -313,3 +313,60 @@ def stream_static_enrich(
     an unbounded stream against a bounded dim at any scale.
     """
     return stream_df.join(F.broadcast(dim_df), key, how)
+
+
+def stream_dedup_ingest(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming corpus curation: content-dedup every micro-batch
+    against the STANDING corpus before appending — the continuously-
+    growing-corpus closure of ``incremental_dedup_new_batch``.
+
+    Per batch (inside ``foreachBatch``, so the whole batch operator
+    library applies):
+
+    1. digest the batch (sha2 over content, map-side);
+    2. in-batch dedup: keep the lowest id per digest (a batch can
+       carry its own duplicates);
+    3. anti-join against the standing table's digests — previously
+       ingested content never lands twice;
+    4. append survivors (with their digest, so step 3 stays an
+       index-shaped column scan at any corpus size).
+
+    Replay safety: a crashed batch may re-run, but its previously
+    appended rows now sit in the standing corpus, so the re-run's
+    anti-join drops them — content-level idempotence without a key
+    MERGE. At 100 TB the standing-digest side is one column of the
+    corpus table (dictionary-friendly); bucket it by digest to make
+    the anti-join shuffle-free.
+
+    Returns the started StreamingQuery; caller awaits termination.
+    """
+    from pyspark.sql.window import Window
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        digested = batch_df.withColumn("digest", F.sha2(F.col(text_col), 256))
+        w = Window.partitionBy("digest").orderBy(F.asc(id_col))
+        fresh = (
+            digested.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        try:
+            standing = spark.read.parquet(path).select("digest").distinct()
+            fresh = fresh.join(standing, "digest", "left_anti")
+        except Exception:
+            pass  # first batch: no standing corpus yet
+        fresh.write.mode("append").parquet(path)
+
+    return (
+        stream_df.writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

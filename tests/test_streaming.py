@@ -375,3 +375,46 @@ def test_interval_join_outer_emits_unmatched_after_horizon(spark, tmp_path):
         "SELECT COUNT(*) n FROM oj_out WHERE l_event_id = 3"
     ).collect()[0].n
     assert n_unmatched == 1         # emitted exactly once
+
+
+def test_stream_dedup_ingest_curates_growing_corpus(spark, tmp_path):
+    """Micro-batches with overlapping content: the standing corpus
+    ends with exactly one row per distinct text, keeping lowest ids."""
+    import json as _json
+    import os
+
+    src = str(tmp_path / "cur_src")
+    os.makedirs(src)
+    table = str(tmp_path / "cur_table")
+    # batch files dropped up front; AvailableNow drains them in order
+    # with maxFilesPerTrigger=1 => three micro-batches
+    batches = [
+        [(1, "alpha"), (2, "beta"), (3, "alpha")],      # in-batch dup
+        [(4, "beta"), (5, "gamma")],                    # cross-batch dup
+        [(6, "gamma"), (7, "delta"), (8, "alpha")],     # both
+    ]
+    import time as _time
+
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        p = os.path.join(src, f"b{i}.json")
+        with open(p, "w") as f:
+            for did, text in rows:
+                f.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
+        # the file source orders batches by modification time; sub-second
+        # writes tie, so pin strictly increasing mtimes to fix arrival order
+        os.utime(p, (now + i * 10, now + i * 10))
+    sdf = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = S.stream_dedup_ingest(sdf, table, str(tmp_path / "cur_cp"))
+    assert q.awaitTermination(120)
+    out = spark.read.parquet(table).select("doc_id", "text").collect()
+    assert sorted((r.text, r.doc_id) for r in out) == [
+        ("alpha", 1),
+        ("beta", 2),
+        ("delta", 7),
+        ("gamma", 5),
+    ]
