@@ -153,6 +153,79 @@ def streaming_interval_join_events(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "streaming_corpus_curation",
+    # Arrival order is pinned (one file per id-range batch, ascending
+    # mtimes), so cross-batch keep-first == global min-id per content
+    # digest — the SQL twin below. The mirror tier (shifted ids, same
+    # text) must lose everywhere.
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 300
+      UNION ALL
+      SELECT doc_id + 500000 AS doc_id, text
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id FROM corpus
+    WHERE doc_id = (
+      SELECT MIN(c2.doc_id) FROM corpus c2 WHERE c2.text = corpus.text
+    )
+    """,
+    survey_ids=("B50", "B44", "B53"),
+)
+def streaming_corpus_curation(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming corpus curation end-to-end: a dup-seeded corpus
+    (every doc re-arrives later under a shifted id) is drained as
+    THREE micro-batches through ``stream_dedup_ingest`` — in-batch
+    lowest-id keep, digest anti-join against the standing table,
+    append survivors. Because batch order is pinned to id order, the
+    surviving set equals the batch rule "min doc_id per content",
+    which is the hash-checked SQL twin: the foreachBatch execution
+    path itself is oracle-verified.
+    """
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet")).filter(
+        F.col("doc_id") < 300
+    ).select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 500000).alias("doc_id"), "text")
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"ag_stream_cur_{os.path.basename(os.path.normpath(sf))}",
+    )
+    src = os.path.join(base, "src")
+    table = os.path.join(base, "table")
+    cp = os.path.join(base, "cp")
+    for d in (src, table, cp):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src)
+    # one file per batch, ascending mtimes: primaries (two ranges),
+    # then the mirror re-arrivals
+    now = os.path.getmtime(os.path.join(sf, "documents.parquet"))
+    batches = [
+        corpus.filter(F.col("doc_id") < 150),
+        corpus.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 500000)),
+        corpus.filter(F.col("doc_id") >= 500000),
+    ]
+    for i, b in enumerate(batches):
+        rows = b.toJSON().collect()  # batch staging: bounded fixture slice
+        p = os.path.join(src, f"b{i}.json")
+        with open(p, "w") as f:
+            f.write("\n".join(rows))
+        os.utime(p, (now + i * 10, now + i * 10))
+    sdf = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = S.stream_dedup_ingest(sdf, table, cp)
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise TimeoutError("streaming curation did not finish within 300s")
+    return spark.read.parquet(table).select("doc_id").localCheckpoint(eager=True)
+
+
+@register(
     "streaming_dedup_events",
     oracle="""
     SELECT event_id FROM events

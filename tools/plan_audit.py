@@ -89,6 +89,7 @@ MATERIALIZED = {
     "streaming_tumbling_events",
     "streaming_dedup_events",
     "streaming_interval_join_events",
+    "streaming_corpus_curation",
     # Iterative label propagation: the per-round join+groupBy plans run
     # (and are lineage-truncated) inside connected_components; the
     # returned frame scans the final checkpoint.
