@@ -495,6 +495,90 @@ def assign_sequence_ids(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Blocked fuzzy join (entity resolution)
+# ---------------------------------------------------------------------------
+@register(
+    "fuzzy_join_part_names",
+    # Same seeded typos, same blocking, same edit-distance filter; the
+    # keep rule (best distance, then lowest key) is a window on both
+    # sides.
+    oracle="""
+    WITH dirty AS (
+      SELECT p_partkey AS dirty_key,
+             substr(p_name, 1, 2) || 'z' || substr(p_name, 4) AS name_dirty,
+             string_split(p_name, ' ')[-1] AS block
+      FROM part WHERE p_partkey < 200 AND len(p_name) >= 4
+    ),
+    clean AS (
+      SELECT p_partkey AS clean_key, p_name,
+             string_split(p_name, ' ')[-1] AS block
+      FROM part
+    ),
+    cand AS (
+      SELECT d.dirty_key, c.clean_key,
+             CAST(levenshtein(d.name_dirty, c.p_name) AS BIGINT) AS dist
+      FROM dirty d JOIN clean c USING (block)
+      WHERE abs(len(d.name_dirty) - len(c.p_name)) <= 2
+        AND levenshtein(d.name_dirty, c.p_name) <= 2
+    )
+    SELECT dirty_key, clean_key, dist
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY dirty_key
+                                   ORDER BY dist ASC, clean_key ASC) AS rn
+      FROM cand
+    ) WHERE rn = 1
+    """,
+    survey_ids=("B10", "B29", "B39"),
+    description="Entity resolution: blocked Levenshtein fuzzy join, best match per row",
+)
+def fuzzy_join_part_names(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy entity matching at scale: a dirty feed (deterministic
+    one-character typos seeded into part names) is resolved back to
+    the clean catalog. The join key is a BLOCK (the name's last
+    token + a length band), so the quadratic Levenshtein work runs
+    only inside blocks — the standard entity-resolution shape; the
+    all-pairs edit-distance join that beginners write is O(n·m) and
+    unrunnable at 100 TB. One window keeps the single best match per
+    dirty row (distance, then key — total order).
+    """
+    part = t(spark, sf, "part")
+    dirty = part.filter(
+        (F.col("p_partkey") < 200) & (F.length("p_name") >= 4)
+    ).select(
+        F.col("p_partkey").alias("dirty_key"),
+        F.concat(
+            F.substring("p_name", 1, 2), F.lit("z"), F.expr("substr(p_name, 4)")
+        ).alias("name_dirty"),
+        F.element_at(F.split("p_name", " "), -1).alias("block"),
+    )
+    clean = part.select(
+        F.col("p_partkey").alias("clean_key"),
+        "p_name",
+        F.element_at(F.split("p_name", " "), -1).alias("block"),
+    )
+    cand = (
+        dirty.join(clean, "block")
+        .filter(
+            (
+                F.abs(F.length("name_dirty") - F.length("p_name")) <= 2
+            )
+            & (F.levenshtein("name_dirty", "p_name") <= 2)
+        )
+        .select(
+            "dirty_key",
+            "clean_key",
+            F.levenshtein("name_dirty", "p_name").cast("bigint").alias("dist"),
+        )
+    )
+    w = Window.partitionBy("dirty_key").orderBy(F.asc("dist"), F.asc("clean_key"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
 # MMR diversity re-ranking (rows-only: iterative greedy selection has no
 # clean ANSI twin; determinism + diversity semantics pinned in
 # tests/test_curation.py)
