@@ -280,3 +280,86 @@ def compact_partitions(
             if f.endswith(".parquet") and not f.startswith("_")
         )
     return out
+
+
+def delete_keys_surgical(
+    spark,
+    path: str,
+    keys: list[int],
+    key_col: str,
+) -> dict:
+    """Targeted delete (right-to-be-forgotten shape): remove rows whose
+    ``key_col`` is in ``keys``, rewriting ONLY the parquet files whose
+    footer min/max range can contain a target key — every other file is
+    untouched (bit-identical, no read, no write).
+
+    This is the compliance-delete pattern for an immutable-file
+    warehouse: at 100 TB a delete of a handful of keys must not rewrite
+    the table. Footer statistics (the same min/max the scan planner
+    uses for row-group skipping) select the candidate files; candidates
+    are rewritten in place via write-to-staging + atomic rename, so a
+    reader sees each file before or after, never half. On a sorted /
+    compacted table (``compact_table``) key ranges are disjoint, so the
+    candidate set is minimal — typically one file per key.
+
+    Returns {"files_total", "files_rewritten", "rows_deleted"}.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    key_set = set(keys)
+    files = sorted(
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    candidates = []
+    for f in files:
+        fp = os.path.join(path, f)
+        meta = pq.ParquetFile(fp).metadata
+        schema_idx = {
+            meta.row_group(0).column(i).path_in_schema: i
+            for i in range(meta.row_group(0).num_columns)
+        }
+        ci = schema_idx[key_col]
+        hit = False
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(ci).statistics
+            if st is None or st.min is None:  # no stats: must assume hit
+                hit = True
+                break
+            if any(st.min <= k <= st.max for k in key_set):
+                hit = True
+                break
+        if hit:
+            candidates.append(f)
+
+    deleted = 0
+    for f in candidates:
+        fp = os.path.join(path, f)
+        df = spark.read.parquet(fp)
+        keep = df.filter(~F.col(key_col).isin(list(key_set)))
+        n_before = df.count()
+        n_after = keep.count()
+        if n_after == n_before:
+            continue  # stats range hit but no actual target rows
+        staged = fp + ".staging"
+        # one file in, one file out: coalesce(1) keeps the layout
+        keep.coalesce(1).write.mode("overwrite").parquet(staged)
+        part = [
+            p for p in os.listdir(staged) if p.endswith(".parquet")
+        ][0]
+        os.replace(os.path.join(staged, part), fp)
+        # Hadoop's local FS keeps a .crc sidecar per file; the stale
+        # one would fail every future read of the swapped file.
+        crc = os.path.join(path, f".{f}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        import shutil
+
+        shutil.rmtree(staged, ignore_errors=True)
+        deleted += n_before - n_after
+    return {
+        "files_total": len(files),
+        "files_rewritten": len(candidates),
+        "rows_deleted": deleted,
+    }
