@@ -249,3 +249,42 @@ class JsonlWarehouseDataSource(DataSource):
 
     def streamWriter(self, schema, overwrite: bool) -> JsonlWarehouseStreamWriter:
         return JsonlWarehouseStreamWriter(self.options)
+
+
+def warehouse_changes(
+    spark, path: str, schema, from_version: int, to_version: int
+):
+    """Change-data feed from the version log: rows ADDED by loads in
+    ``(from_version, to_version]`` — the incremental-consumer contract
+    ("give me everything since the version I last processed") that
+    pairs with ``read_warehouse(version=…)`` snapshots.
+
+    Each version entry owns exactly the files its load published, so
+    the feed is a file-list union — no data diffing. An overwrite
+    entry inside the window contributes its files like any load (its
+    *logical* deletions are visible to consumers as the snapshot
+    difference; this feed is additions-only, the JSONL-warehouse
+    analog of a Delta CDF restricted to inserts, which is the only
+    change kind an append/overwrite loader produces).
+    """
+    man = load_manifest(path)
+    versions = man.get("versions", [])
+    if not 0 <= from_version <= len(versions) or not from_version <= to_version <= len(
+        versions
+    ):
+        raise ValueError(
+            f"window ({from_version}, {to_version}] out of range 0..{len(versions)}"
+        )
+    files = sorted(
+        f
+        for entry in versions[from_version:to_version]
+        for f in entry["files"]
+    )
+    if not files:
+        return spark.createDataFrame([], schema)
+    missing = [f for f in files if not os.path.exists(os.path.join(path, f))]
+    if missing:
+        raise FileNotFoundError(
+            f"{len(missing)} file(s) in the window reclaimed by vacuum"
+        )
+    return spark.read.schema(schema).json([os.path.join(path, f) for f in files])

@@ -188,3 +188,26 @@ def test_stream_writer_replayed_epoch_not_double_loaded(spark, tmp_path):
     man = json.load(open(os.path.join(out, "_SUCCESS")))
     assert man["n_rows"] == 2 and man["batches"] == [0]
     assert not os.listdir(staging)  # replayed staging discarded
+
+
+def test_change_feed_returns_rows_between_versions(spark, tmp_path):
+    from ag_data_ingestion_github_to_snowflake_spark.sources.warehouse_sink import (
+        warehouse_changes,
+    )
+
+    spark.dataSource.register(JsonlWarehouseDataSource)
+    out = str(tmp_path / "wh")
+    os.makedirs(out)
+    spark.range(0, 3).write.format("jsonl_warehouse").option("path", out).mode(
+        "append"
+    ).save()
+    spark.range(10, 12).write.format("jsonl_warehouse").option("path", out).mode(
+        "append"
+    ).save()
+    spark.range(20, 22).write.format("jsonl_warehouse").option("path", out).mode(
+        "append"
+    ).save()
+    ids = lambda df: sorted(r.id for r in df.collect())  # noqa: E731
+    assert ids(warehouse_changes(spark, out, ID_SCHEMA, 1, 3)) == [10, 11, 20, 21]
+    assert ids(warehouse_changes(spark, out, ID_SCHEMA, 0, 1)) == [0, 1, 2]
+    assert ids(warehouse_changes(spark, out, ID_SCHEMA, 3, 3)) == []
