@@ -113,7 +113,14 @@ def leakage_safe_split_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
     pairs = S.embedding_near_dup_pairs(corpus, threshold=0.999)
     labels = G.connected_components(
-        pairs, src="id_a", dst="id_b", nodes=corpus, node_col="vec_id"
+        pairs,
+        src="id_a",
+        dst="id_b",
+        nodes=corpus,
+        node_col="vec_id",
+        # few-hundred-node label table: width 8 beats launching 32
+        # near-empty tasks per round (see connected_components doc)
+        shuffle_partitions=8,
     ).select(F.col("node").alias("vec_id"), "comp")
     return labels.withColumn(
         "split",
