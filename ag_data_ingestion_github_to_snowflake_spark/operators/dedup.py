@@ -224,13 +224,19 @@ def minhash_near_dedup(
     signature branch and the verification joins.
     """
     # Three consumers (signatures + both verify-join sides) would
-    # otherwise recompute the tokenize+hash subtree. localCheckpoint
-    # materializes it once, truncates the lineage, and — unlike
-    # persist()+count() — is itself the 100 TB-shape action (a bronze
-    # checkpoint write), not a cache-priming side effect in the timed
-    # path.
-    sh = hashed_shingles(df.select(id_col, text_col), text_col, n).localCheckpoint(
-        eager=True
+    # otherwise recompute the tokenize+hash subtree. LAZY persist: the
+    # first consumer materializes the cache in the course of real work
+    # (no separate priming action), the other two reuse it, and Spark's
+    # LRU reclaims the blocks. Measured at sf0.1: lazy persist ~2.5-3.5s
+    # end-to-end vs ~4.6s for an eager localCheckpoint (which pays a
+    # synchronous store of every partition up front) and ~3.4s for
+    # recomputing with no reuse at all. At 100 TB the same slot is an
+    # explicit bronze table write; MEMORY_AND_DISK keeps the local path
+    # spill-safe.
+    from pyspark import StorageLevel
+
+    sh = hashed_shingles(df.select(id_col, text_col), text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     sig = minhash_signatures(sh, id_col, num_hashes)
     cands = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
