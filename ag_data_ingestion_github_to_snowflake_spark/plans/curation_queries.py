@@ -502,6 +502,79 @@ def assign_sequence_ids(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Triangle counting over the near-dup graph
+# ---------------------------------------------------------------------------
+@register(
+    "graph_triangle_count",
+    # Same dup-seeded corpus as the clustering queries: three copies of
+    # each base vector form one triangle each; extra near-dup edges
+    # between distinct base vectors can add more. Ordered-id join
+    # counts each triangle exactly once.
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 100
+      UNION ALL
+      SELECT vec_id + 200000 AS vec_id, embedding FROM embeddings WHERE vec_id < 100
+    ),
+    edges AS (
+      SELECT a.vec_id AS s, b.vec_id AS d
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))
+             * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)))))
+            >= 0.999
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM edges e1
+    JOIN edges e2 ON e2.s = e1.d
+    JOIN edges e3 ON e3.s = e1.s AND e3.d = e2.d
+    """,
+    survey_ids=("B10", "B18", "B54"),
+    description="Triangle count over the near-dup edge set (ordered-id 3-way join)",
+)
+def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangles in the near-duplicate graph — the local-clustering
+    signal that separates tight duplicate cliques from chains of
+    borderline matches (a triangle means three documents all pairwise
+    near-identical; a path means pair A-B and B-C matched but A-C did
+    not — the transitive-closure false-merge risk).
+
+    The ordered-id convention (every edge stored s < d) makes the
+    3-way self-join count each triangle exactly once with no
+    post-dedup: wedges (e1: a-b, e2: b-c) close against the sorted
+    edge (a, c). Two shuffles over the edge table; at 100 TB the
+    standard refinement orients edges by degree so high-degree hubs
+    don't dominate the wedge stage."""
+    base = (
+        t(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < 100)
+        .select("vec_id", "embedding")
+    )
+    corpus = base.unionByName(
+        base.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    ).unionByName(
+        base.select((F.col("vec_id") + 200000).alias("vec_id"), "embedding")
+    )
+    edges = (
+        S.embedding_near_dup_pairs(corpus, threshold=0.999)
+        .select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
+        .localCheckpoint(eager=True)  # three consumers of the LSH pipeline
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    wedges = e1.join(e2, F.col("e2.s") == F.col("e1.d"))
+    tri = wedges.join(
+        e3,
+        (F.col("e3.s") == F.col("e1.s")) & (F.col("e3.d") == F.col("e2.d")),
+    )
+    return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+
+
+# ---------------------------------------------------------------------------
 # Blocked fuzzy join (entity resolution)
 # ---------------------------------------------------------------------------
 @register(
