@@ -502,6 +502,54 @@ def assign_sequence_ids(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Regression aggregates: least-squares trend over a metric series
+# ---------------------------------------------------------------------------
+@register(
+    "regr_trend_monthly_revenue",
+    oracle="""
+    WITH monthly AS (
+      SELECT (EXTRACT(year FROM o_orderdate) - 1992) * 12
+               + EXTRACT(month FROM o_orderdate) AS month_idx,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders
+      GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
+           ROUND(regr_slope(revenue, month_idx), 2) AS slope,
+           ROUND(regr_intercept(revenue, month_idx), 2) AS intercept,
+           ROUND(corr(revenue, month_idx), 4) AS r
+    FROM monthly
+    """,
+    survey_ids=("B18", "B23", "B33"),
+    description="Least-squares trend of monthly revenue (regr_slope/intercept/corr)",
+)
+def regr_trend_monthly_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Fit a trend line to the monthly revenue series with the SQL
+    regression aggregates — the two-level shape of every metric-trend
+    dashboard: an exact-decimal monthly rollup (fact-sized shuffle),
+    then regr_slope/intercept/corr over the handful of month points
+    (single-partition second aggregate, immaterial at any scale).
+    Month index is absolute (year delta × 12 + month) so the series is
+    one straight axis."""
+    orders = t(spark, sf, "orders")
+    monthly = orders.groupBy(
+        (
+            (F.year("o_orderdate") - F.lit(1992)) * 12 + F.month("o_orderdate")
+        ).alias("month_idx")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    return monthly.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.round(F.regr_slope("revenue", "month_idx"), 2).alias("slope"),
+        F.round(F.regr_intercept("revenue", "month_idx"), 2).alias("intercept"),
+        F.round(F.corr("revenue", "month_idx"), 4).alias("r"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Triangle counting over the near-dup graph
 # ---------------------------------------------------------------------------
 @register(
