@@ -502,6 +502,51 @@ def assign_sequence_ids(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Window-free argmax per group (max_by / arg_max)
+# ---------------------------------------------------------------------------
+@register(
+    "argmax_order_per_segment",
+    # The ordering key is a zero-padded composite string (cents, then
+    # order key), so the argmax is UNIQUE — engine tie-breaking of
+    # max_by/arg_max never gets a vote.
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(arg_max(o.o_orderkey,
+                        lpad(CAST(CAST(floor(o.o_totalprice * 100) AS BIGINT) AS VARCHAR), 14, '0')
+                        || '|' ||
+                        lpad(CAST(o.o_orderkey AS VARCHAR), 12, '0')) AS BIGINT)
+             AS top_orderkey,
+           ROUND(MAX(o.o_totalprice), 2) AS top_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    survey_ids=("B16", "B24", "B10"),
+    description="Argmax without a window: max_by per segment, one aggregation pass",
+)
+def argmax_order_per_segment(spark: SparkSession, sf: str) -> DataFrame:
+    """The most-valuable order per market segment via ``max_by`` — the
+    window-free argmax: one partial-aggregating pass instead of a
+    per-group sort window, which is the cheaper plan whenever only the
+    top-1 row is wanted (dedupe-to-latest, latest-snapshot-per-key).
+    The ordering key embeds the tiebreak (price cents, then order key,
+    zero-padded so string order == numeric order), making the answer
+    total — engine tie policy never matters."""
+    orders = t(spark, sf, "orders")
+    cust = t(spark, sf, "customer")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        F.expr(
+            "max_by(o_orderkey, concat("
+            "lpad(cast(cast(floor(o_totalprice * 100) as bigint) as string), 14, '0'),"
+            " '|', lpad(cast(o_orderkey as string), 12, '0')))"
+        )
+        .cast("bigint")
+        .alias("top_orderkey"),
+        F.round(F.max("o_totalprice"), 2).alias("top_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Regression aggregates: least-squares trend over a metric series
 # ---------------------------------------------------------------------------
 @register(
