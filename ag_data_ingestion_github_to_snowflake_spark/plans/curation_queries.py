@@ -502,6 +502,75 @@ def assign_sequence_ids(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Gaps-and-islands sessionization (oracle-checked session semantics)
+# ---------------------------------------------------------------------------
+@register(
+    "sessionize_events_gaps",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM marked
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(date_diff('microsecond', MIN(ts), MAX(ts)) AS BIGINT)
+             AS duration_us
+    FROM sessions
+    GROUP BY user_id, session_idx
+    """,
+    survey_ids=("B48", "B30", "B31"),
+    description="Gaps-and-islands sessionization: 30-min inactivity gap, per-session stats",
+)
+def sessionize_events_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch sessionization by inactivity gap via gaps-and-islands
+    (lag marks session starts, a running sum numbers them) — the
+    oracle-checkable twin of ``F.session_window``: identical session
+    semantics, but every step is a plain window function both engines
+    execute bit-identically, so B48's session logic gets a hash-checked
+    row rather than a rows-only waiver. One shuffle on user_id serves
+    both windows and the final per-session aggregation."""
+    # All time arithmetic in exact epoch MICROseconds (the ntz unit):
+    # interval comparison and duration agree with the oracle to the
+    # microsecond, with no second-boundary truncation ambiguity.
+    ev = (
+        t(spark, sf, "events")
+        .select("user_id", "ts", "event_id")
+        .withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > 1800 * 1_000_000),
+            1,
+        ).otherwise(0),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = marked.withColumn(
+        "session_idx", F.sum("new_session").over(ws).cast("bigint")
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.max("ts_us") - F.min("ts_us")).cast("bigint").alias("duration_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Window-free argmax per group (max_by / arg_max)
 # ---------------------------------------------------------------------------
 @register(
