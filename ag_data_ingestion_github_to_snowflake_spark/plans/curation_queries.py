@@ -502,6 +502,118 @@ def assign_sequence_ids(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Split-leakage audit: naive vs cluster-aware assignment
+# ---------------------------------------------------------------------------
+@register(
+    "split_leakage_audit",
+    oracle="""
+    WITH RECURSIVE corpus AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 100
+      UNION ALL
+      SELECT vec_id + 200000 AS vec_id, embedding FROM embeddings WHERE vec_id < 100
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))
+             * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)))))
+            >= 0.999
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT vec_id, vec_id FROM corpus
+      UNION
+      SELECT reach.node, e.d FROM reach JOIN edges e ON e.s = reach.r
+    ),
+    labels AS (
+      SELECT node AS vec_id, MIN(r) AS comp FROM reach GROUP BY node
+    ),
+    assigned AS (
+      SELECT l.vec_id,
+             CAST(('0x' || substr(sha256(CAST(l.vec_id AS VARCHAR)), 1, 2)) AS INT) < 204
+               AS naive_train,
+             CAST(('0x' || substr(sha256(CAST(l.comp AS VARCHAR)), 1, 2)) AS INT) < 204
+               AS cluster_train
+      FROM labels l
+    )
+    SELECT
+      CAST(SUM(CASE WHEN a.naive_train != b.naive_train THEN 1 ELSE 0 END) AS BIGINT)
+        AS naive_leaks,
+      CAST(SUM(CASE WHEN a.cluster_train != b.cluster_train THEN 1 ELSE 0 END) AS BIGINT)
+        AS cluster_leaks,
+      CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs p
+    JOIN assigned a ON a.vec_id = p.id_a
+    JOIN assigned b ON b.vec_id = p.id_b
+    """,
+    survey_ids=("B54", "B19", "B10"),
+    description="Eval-leakage audit: near-dup pairs straddling naive vs cluster splits",
+)
+def split_leakage_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantify eval contamination: of all near-duplicate pairs, how
+    many straddle the train/test boundary under (a) the naive per-row
+    hash split and (b) the cluster-aware split. The cluster count is
+    zero BY CONSTRUCTION (the gate hashes the component label); the
+    naive count is the number of held-out documents whose near-copy
+    sits in train — the audit every eval pipeline should run before
+    trusting a benchmark number."""
+    base = (
+        t(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < 100)
+        .select("vec_id", "embedding")
+    )
+    corpus = base.unionByName(
+        base.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    ).unionByName(
+        base.select((F.col("vec_id") + 200000).alias("vec_id"), "embedding")
+    )
+    pairs = S.embedding_near_dup_pairs(corpus, threshold=0.999).select(
+        "id_a", "id_b"
+    ).localCheckpoint(eager=True)  # feeds CC and the audit join
+    labels = G.connected_components(
+        pairs,
+        src="id_a",
+        dst="id_b",
+        nodes=corpus,
+        node_col="vec_id",
+        shuffle_partitions=8,
+    ).select(F.col("node").alias("vec_id"), "comp")
+    assigned = labels.select(
+        "vec_id",
+        (hash_bucket(F.col("vec_id")) < 204).alias("naive_train"),
+        (hash_bucket(F.col("comp")) < 204).alias("cluster_train"),
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    audited = (
+        pairs.join(a, F.col("a.vec_id") == F.col("id_a"))
+        .join(b, F.col("b.vec_id") == F.col("id_b"))
+    )
+    return audited.agg(
+        F.sum(
+            F.when(F.col("a.naive_train") != F.col("b.naive_train"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("naive_leaks"),
+        F.sum(
+            F.when(
+                F.col("a.cluster_train") != F.col("b.cluster_train"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("cluster_leaks"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Gaps-and-islands sessionization (oracle-checked session semantics)
 # ---------------------------------------------------------------------------
 @register(

@@ -97,6 +97,8 @@ MATERIALIZED = {
     # Same CC core; the split column is one map-side expression on the
     # checkpointed label table.
     "leakage_safe_split_clusters",
+    # Same CC core plus a checkpointed pair table feeding the audit join.
+    "split_leakage_audit",
 }
 
 
