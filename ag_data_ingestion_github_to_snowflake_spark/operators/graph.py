@@ -62,6 +62,15 @@ def connected_components(
     (32→8 partitions halves the fixture-scale wall clock). Size it to
     the node-table volume: None keeps the session setting, which is
     the right call at warehouse scale.
+
+    CONCURRENCY CAVEAT: pinning mutates ``spark.sql.shuffle.partitions``
+    session-wide for the duration of the call (saved/restored in a
+    try/finally). Any query running concurrently on the same
+    SparkSession inherits the narrowed width, and two concurrent
+    pinned calls can clobber each other's save/restore. Pass
+    ``shuffle_partitions=None`` (the default) when the session is
+    shared; pin only from a dedicated session or a single-threaded
+    driver loop.
     """
     spark = edges.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")

@@ -270,7 +270,16 @@ def resize_images(
                     ((np.arange(target_w) + 0.5) * (w / target_w)).astype(int), w - 1
                 )
                 resized = img[ys[:, None], xs[None, :]]
-                luma = round(float(resized.mean()) / 255.0, 6)
+                # Same integer-Rec.601 luma as codecs.image_features, so
+                # pre/post-resize comparisons of mean_luma are coherent
+                # (plain channel mean diverges on any non-gray image).
+                px = resized.astype(np.int64)
+                luma_sum = int(
+                    px[:, :, 0].sum() * 299
+                    + px[:, :, 1].sum() * 587
+                    + px[:, :, 2].sum() * 114
+                )
+                luma = round(luma_sum / (target_h * target_w * 255000.0), 6)
                 rows.append(
                     (
                         int(did),

@@ -302,11 +302,21 @@ def delete_keys_surgical(
     compacted table (``compact_table``) key ranges are disjoint, so the
     candidate set is minimal — typically one file per key.
 
-    Returns {"files_total", "files_rewritten", "rows_deleted"}.
+    Returns {"files_total", "files_scanned", "files_rewritten",
+    "rows_deleted"} — ``files_scanned`` counts footer-range hits,
+    ``files_rewritten`` counts files actually swapped (a range hit
+    whose rows contain no target key is scanned but not rewritten).
     """
     import os
+    import shutil
 
     import pyarrow.parquet as pq
+
+    # A crash mid-delete can leave *.staging dirs behind; they would
+    # break later recursive reads of the table, so clear them first.
+    for entry in os.listdir(path):
+        if entry.endswith(".staging"):
+            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
 
     key_set = set(keys)
     files = sorted(
@@ -316,6 +326,8 @@ def delete_keys_surgical(
     for f in files:
         fp = os.path.join(path, f)
         meta = pq.ParquetFile(fp).metadata
+        if meta.num_row_groups == 0:
+            continue  # empty part file: cannot contain target keys
         schema_idx = {
             meta.row_group(0).column(i).path_in_schema: i
             for i in range(meta.row_group(0).num_columns)
@@ -334,6 +346,7 @@ def delete_keys_surgical(
             candidates.append(f)
 
     deleted = 0
+    rewritten = 0
     for f in candidates:
         fp = os.path.join(path, f)
         df = spark.read.parquet(fp)
@@ -354,12 +367,12 @@ def delete_keys_surgical(
         crc = os.path.join(path, f".{f}.crc")
         if os.path.exists(crc):
             os.remove(crc)
-        import shutil
-
         shutil.rmtree(staged, ignore_errors=True)
         deleted += n_before - n_after
+        rewritten += 1
     return {
         "files_total": len(files),
-        "files_rewritten": len(candidates),
+        "files_scanned": len(candidates),
+        "files_rewritten": rewritten,
         "rows_deleted": deleted,
     }

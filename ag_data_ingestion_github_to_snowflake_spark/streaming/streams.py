@@ -26,6 +26,7 @@ how the oracle verifies streaming semantics (batch-equivalence).
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -357,11 +358,17 @@ def stream_dedup_ingest(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+        # Only the first batch legitimately finds no standing corpus
+        # (PATH_NOT_FOUND / empty dir -> AnalysisException at plan
+        # time). Any other failure — corrupt file, IO error, schema
+        # drift — must fail the micro-batch, or duplicates would be
+        # appended silently: the exact outcome this operator prevents.
         try:
             standing = spark.read.parquet(path).select("digest").distinct()
+        except AnalysisException:
+            standing = None  # first batch: no standing corpus yet
+        if standing is not None:
             fresh = fresh.join(standing, "digest", "left_anti")
-        except Exception:
-            pass  # first batch: no standing corpus yet
         fresh.write.mode("append").parquet(path)
 
     return (
