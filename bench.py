@@ -96,7 +96,20 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+    # Persist the full line in-repo: the driver's BENCH artifact keeps
+    # only a byte-bounded stdout tail, which truncated r2's line mid-
+    # object and lost the headline dict. A repo-side copy means the
+    # round-over-round comparison (tools/bench_regress.py) always has a
+    # complete artifact regardless of driver truncation.
+    try:
+        here = Path(__file__).resolve().parent
+        (here / "bench_latest.local.json").write_text(line + "\n")
+        with open(here / "BENCHLOG.jsonl", "a") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass  # bench output on stdout is still authoritative
 
 
 if __name__ == "__main__":

@@ -16,11 +16,20 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
 import sys
 
 
 def load_bench(path: str) -> dict:
-    """Extract the bench JSON object from a raw line or driver wrapper."""
+    """Extract the bench JSON object from a raw line or driver wrapper.
+
+    The driver wrapper keeps only the last N bytes of stdout in its
+    ``tail`` field, which can cut the bench line mid-object (BENCH_r02
+    did exactly this). When no complete JSON line survives, fall back
+    to a regex pair-scan over the tail: every ``"name": float`` pair
+    is a per-query timing, so a truncated artifact still yields a
+    usable (partial) per-query dict instead of an error.
+    """
     with open(path) as f:
         obj = json.load(f)
     if "queries" in obj or "queries_full" in obj:
@@ -31,6 +40,19 @@ def load_bench(path: str) -> dict:
         line = line.strip().lstrip("\r")
         if line.startswith("{") and '"metric"' in line:
             return json.loads(line)
+    pairs = re.findall(r'"([A-Za-z0-9_]+)":\s*([0-9]+\.[0-9]+)', tail)
+    timings = {
+        name: float(val)
+        for name, val in pairs
+        if name not in ("value", "full_total", "sf")
+    }
+    if timings:
+        return {
+            "metric": "recovered_from_truncated_tail",
+            "value": None,
+            "queries_full": timings,
+            "truncated": True,
+        }
     raise ValueError(f"{path}: no bench JSON line found")
 
 
