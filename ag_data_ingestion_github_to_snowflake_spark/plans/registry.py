@@ -58,74 +58,74 @@ def register(
 
 
 # The correctness driver records at most the FIRST 50 entries of
-# ``queries()`` (CORRECTNESS_r01.json had exactly the first 50 of 77, in
-# registration order, leaving every window/streaming/temporal operator
-# driver-unchecked). This list pins an explicit order whose first 50
-# names jointly cover every SURVEY.md §2 operator id carried by the
-# registry; redundant coverage twins (extra TPC-H-shaped variety, scalar
-# singletons subsumed by combined carriers — e.g. shipping_priority_
-# top10, nation_volume_flows, whose ids all have in-window carriers)
-# sort after the cutoff and remain verified by the local parity suite. Guarded by
-# tests/test_registry_priority.py.
+# ``queries()``. This list pins an explicit order whose first 50 names
+# jointly cover every SURVEY.md §2 operator id carried by the registry
+# (guarded by tests/test_registry_priority.py).
+#
+# ROTATION (round 3): the window is re-drawn each round so cumulative
+# driver-verified coverage grows past the 50-query cap. The r3 window
+# keeps the 15 r2-green names that are the SOLE §2-id carriers (their
+# ids have no other oracle-bearing query), re-covers every other id
+# with never-driver-checked carriers, and fills the remaining slots
+# with more never-checked names — 35 of the 50 are first-time entries;
+# every name rotated out stayed green in r1/r2 and remains verified by
+# the local parity suite each round. The cumulative per-round ledger is
+# the "Driver-check ledger" section of COVERAGE.md
+# (tools/gen_coverage.py reads CORRECTNESS_r*.json).
 _PRIORITY: tuple[str, ...] = (
-    # core relational
-    "pricing_summary",              # B16 B17 B18 B19
+    # -- retained r2-green sole carriers of their §2 ids --
     "project_filter_part",          # B1 B4 B9
     "filter_all_notnull_customer",  # B7 B8 A12
-    "global_agg_orders",            # B18 A15
     "conditional_counts_orders",    # B19 A13
-    "count_distinct_customers",     # B20
     "approx_distinct_users",        # B21 (rows-only by design)
-    "rollup_orders",                # B22 (cube_counts twin sits past the cutoff)
-    "percentiles_nchars",           # B23
     "limit_first_orders",           # B25 A11
-    "intersect_nations",            # B28 (except_nations twin past the cutoff)
-    # joins / star shapes
-    "join_left_customer_orders",    # B12
-    "top_revenue_nations",          # B15 B10 B11 B16 B24
-    "star_join_wide",               # B15
-    "order_priority_exists",        # B13 B14 B16
-    "asof_join_events",             # B14 B29 B31
-    "range_join_bucketed",          # B14 B46
-    "promo_revenue_share",          # B19 B11 B43
-    # scale ops
-    "salted_group_sum",             # B16 B18 (skew path)
-    "rollup_incremental_merge",     # B46 B18 B27
-    # windows
-    "window_topk_orders_per_customer",  # B29 B32
-    "window_lag_lead_orders",       # B30
-    "window_moving_avg_events",     # B31
-    "tumbling_window_events",       # B46
-    "sliding_window_events",        # B47
-    "session_window_events",        # B48
-    # streaming
-    "streaming_tumbling_events",    # B44 B46 A22
-    "streaming_dedup_events",       # B50 B44
-    "streaming_interval_join_events",  # B44 B49 (stream-stream join)
-    # UDF / IO
-    "grouped_zscore_events",        # B52 B51
-    "weighted_avg_udaf_parts",      # B51
-    "json_sink_roundtrip",          # B2 B3 A6
-    # LLM-pipeline ops
-    "dedup_exact_documents",        # B53 B26
-    "dedup_cluster_canonical",      # B54 B53 B55 (CC closure, flagship)
-    "corpus_prep_pipeline",         # B53 B16 B6 (composite showcase)
-    "jaccard_adjacent_docs",        # B54 B41
-    "dedup_minhash_pairs",          # B54 (rows-only by design)
-    "embedding_near_dup",           # B55 B54
-    "similarity_topk_cosine",       # B55 B41 B43
-    "text_stats_by_lang",           # B56
-    "multimodal_pack",              # B57 B42
-    "multimodal_image_features",    # B57 B51 B52
-    "multimodal_decode_real",       # B57 (real numpy decode path)
-    # scalar functions
     "date_format_keys",             # B33 B36 A16 A19
-    "to_timestamp_iso8601",         # B34 B37
     "from_unixtime_reset",          # B35 A17
     "json_extract_props",           # B38 A18
-    "string_funcs_part",            # B39 B40
+    "json_sink_roundtrip",          # B2 B3 A6
     "nested_struct_flatten",        # B5 B4 A10
     "corrupt_json_quarantine",      # A14 B2 B19 (PERMISSIVE quarantine)
+    "sliding_window_events",        # B47
+    "streaming_tumbling_events",    # B44 B46 A22
+    "streaming_interval_join_events",  # B44 B49 (stream-stream join)
+    "multimodal_image_features",    # B57 B51 B52
+    # -- first-time names that re-cover the remaining §2 ids --
+    "bm25_keyword_search",          # B56 B24 B16 B11
+    "stats_corr_quantity_price",    # B23 B18 B43
+    "leakage_safe_split_clusters",  # B54 B55 B26
+    "sessionize_events_gaps",       # B48 B30 B31
+    "fuzzy_join_part_names",        # B10 B29 B39
+    "gapfill_hourly_events",        # B46 B41 B12
+    "variant_extract_events",       # B38 B5 B37
+    "streaming_corpus_curation",    # B50 B44 B53
+    "weekly_cohort_retention",      # B16 B20 B33
+    "conditional_scalar_funcs",     # B36 B43 B9
+    "setops_all_variants",          # B28 B27
+    "stratified_sample_by_lang",    # B6 B19
+    "lateral_top_nations_per_region",  # B14 B15 B24
+    "idle_rich_customers",          # B13 B18 B17
+    "csv_sink_roundtrip",           # B2 B3 B16
+    "pii_redaction_docs",           # B40 B56
+    "per_domain_cap",               # B29 B32 B6
+    "unpivot_customer_metrics",     # B27 B4
+    "grouping_sets_orders",         # B22
+    "map_funcs_orders",             # B42
+    "date_arith_orders",            # B33 B34
+    "profile_orders_columns",       # B18 B20 A15
+    "expectations_orders",          # A12 B19
+    # -- first-time fills (extra evidence breadth) --
+    "rollup_cascade_daily",         # B46 B18 B27 (headline query)
+    "skew_join_revenue_by_segment", # B10 B16 (skew path)
+    "pivot_priority_by_year",       # B22 B19
+    "window_rank_price",            # B29
+    "window_distribution_acctbal",  # B29 B23
+    "window_value_funcs",           # B30 B29
+    "window_range_frame_orders",    # B31
+    "argmax_order_per_segment",     # B16 B10
+    "regr_trend_monthly_revenue",   # B18 B43
+    "graph_triangle_count",         # B10 B16
+    "decontaminate_train_eval",     # B54 B41
+    "assign_sequence_ids",          # B29 (scale-safe id assignment)
 )
 
 

@@ -66,6 +66,37 @@ class FileWatermark(WatermarkStore):
 
 
 @dataclass
+class EnvWatermark(WatermarkStore):
+    """Environment-variable watermark (the reference's env backend,
+    /root/reference/src/extract_github_data.py:176-183,251-258).
+
+    The reference reads LAST_REPO_ID from the process environment and
+    "persists" by exporting the new value — durable only within the
+    process (its scheduled-run harness re-injects it per run). Same
+    semantics here: get() parses the variable, set() writes it back to
+    ``os.environ``. ``environ`` is injectable so tests don't mutate
+    the real process environment.
+    """
+
+    var: str = "LAST_REPO_ID"
+    default: int = 0
+    environ: object = None  # mapping; defaults to os.environ
+
+    def _env(self):
+        return os.environ if self.environ is None else self.environ
+
+    def get(self) -> int:
+        try:
+            raw = self._env().get(self.var)
+            return int(str(raw).strip()) if raw is not None else self.default
+        except ValueError:
+            return self.default
+
+    def set(self, value: int) -> None:
+        self._env()[self.var] = str(int(value))
+
+
+@dataclass
 class KVWatermark(WatermarkStore):
     """Remote-KV watermark (the reference's S3 / DynamoDB backends,
     /root/reference/src/extract_github_data.py:164-286) with an

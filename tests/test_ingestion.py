@@ -411,3 +411,29 @@ def test_observed_run_metrics_single_pass(spark, tmp_path):
     assert got["valid_count"] == want.valid_count == 4
     assert got["invalid_count"] == want.invalid_count == 1
     assert got["start_repo_id"] == 1 and got["last_repo_id"] == 5
+
+
+def test_incremental_extract_resume_from_env_state(spark):
+    """A4/A8 env backend (reference env-var watermark, src/
+    extract_github_data.py:176-183,251-258): resume through an
+    injected environ mapping — completes the file/env/KV matrix."""
+    from ag_data_ingestion_github_to_snowflake_spark.sources.state import EnvWatermark
+
+    env: dict[str, str] = {}
+    state = EnvWatermark(var="LAST_REPO_ID", environ=env)
+    assert state.get() == 0  # unset var -> default
+
+    tr = StubTransport(n_repos=80)
+    cfg = RestSourceConfig(per_page=40, max_requests_per_run=1000, detail_partitions=2)
+
+    r1 = incremental_extract(spark, tr, state, cfg, max_pages=1)
+    assert r1.new_watermark == 40
+    assert env["LAST_REPO_ID"] == "40"  # exported as a string
+
+    r2 = incremental_extract(spark, tr, state, cfg, max_pages=1)
+    assert r2.new_watermark == 80
+    ids2 = {r.id for r in r2.valid.select("id").collect()}
+    assert min(ids2) > 40  # resumed past the env watermark
+
+    env["LAST_REPO_ID"] = "not-a-number"
+    assert state.get() == 0  # corrupt value -> default

@@ -20,7 +20,7 @@ MODULE_EVIDENCE = {
     "A1": ["sources/rest.py:fetch_repo_list", "sources/rest_datasource.py (parallel DataSource + SimpleDataSourceStreamReader)", "tests/test_rest_datasource.py"],
     "A2": ["sources/rest.py:enrich_details (mapInPandas)", "tests/test_ingestion.py::test_enrichment_skips_404_and_flattens"],
     "A3": ["sources/sinks.py:bronze_cache_write"],
-    "A4": ["sources/state.py (File/Memory/KVWatermark)", "tests/test_ingestion.py::test_incremental_extract_resume_from_remote_kv_state"],
+    "A4": ["sources/state.py (File/Env/Memory/KVWatermark)", "tests/test_ingestion.py::test_incremental_extract_resume_from_remote_kv_state"],
     "A5": ["sources/rest.py:http_transport", "config.py (token tier)"],
     "A6": ["sources/sinks.py:partitioned_append", "tests/test_ingestion.py::test_partitioned_sink_layout"],
     "A7": ["sources/sinks.py:bronze_cache_write"],
@@ -54,6 +54,64 @@ MODULE_EVIDENCE = {
 SURVEY_IDS_ALL = [f"A{i}" for i in range(1, 23)] + [f"B{i}" for i in range(1, 58)]
 
 
+def driver_ledger(specs) -> list[str]:
+    """Cumulative driver-check ledger: for every registry query, which
+    round's CORRECTNESS artifact recorded it (and with what outcome),
+    plus whether it sits in the current _PRIORITY window (scheduled for
+    the next driver run)."""
+    import json
+
+    from ag_data_ingestion_github_to_snowflake_spark.plans.registry import _PRIORITY
+
+    rounds: dict[int, dict] = {}
+    for p in sorted(ROOT.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", p.name)
+        if m:
+            rounds[int(m.group(1))] = json.loads(p.read_text())
+
+    def outcome(rec: dict) -> str:
+        if rec.get("hash_match"):
+            return "green"
+        if rec.get("err") == "no_oracle":
+            return "rows-only"
+        return "FAIL"
+
+    next_round = (max(rounds) + 1) if rounds else 1
+    window = set(list(_PRIORITY)[:50])
+    lines = [
+        "",
+        "## Driver-check ledger (cumulative across rounds)",
+        "",
+        "The driver records at most 50 queries per round; `_PRIORITY`",
+        "(plans/registry.py) rotates the window so cumulative coverage",
+        "grows. Queries never yet driver-checked are verified by the",
+        "local parity suite (tests/test_oracle_parity.py, same compare).",
+        "",
+        "| query | driver rounds (outcome) | in r%d window |" % next_round,
+        "|---|---|---|",
+    ]
+    ever = 0
+    for name in specs:
+        hist = [
+            f"r{r} ({outcome(res[name])})"
+            for r, res in sorted(rounds.items())
+            if name in res
+        ]
+        if hist:
+            ever += 1
+        sched = "yes" if name in window else ""
+        lines.append(f"| `{name}` | {', '.join(hist) or '—'} | {sched} |")
+    newly = len(window - {n for r in rounds.values() for n in r})
+    lines.append("")
+    lines.append(
+        f"**Ledger totals:** {ever}/{len(specs)} queries driver-checked at "
+        f"least once through r{max(rounds) if rounds else 0}; the r{next_round} "
+        f"window schedules {newly} first-time names "
+        f"(projected cumulative {ever + newly}/{len(specs)})."
+    )
+    return lines
+
+
 def main() -> None:
     by_id: dict[str, list[str]] = defaultdict(list)
     specs = all_specs()
@@ -85,6 +143,7 @@ def main() -> None:
         f"**Totals:** {len(specs)} registry queries, {n_or} oracle-verified, "
         f"{len(specs) - n_or} rows-only; uncovered ids: {', '.join(missing) or 'none'}."
     )
+    lines.extend(driver_ledger(specs))
     (ROOT / "COVERAGE.md").write_text("\n".join(lines) + "\n")
     print(f"wrote COVERAGE.md: {len(specs)} queries, {n_or} oracles, missing={missing}")
 
