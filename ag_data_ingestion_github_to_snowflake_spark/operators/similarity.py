@@ -228,6 +228,7 @@ def train_ivf_centroids(
     dim: int = 64,
     iters: int = 2,
     seed: int = 7,
+    sample_fraction: float | None = None,
 ) -> np.ndarray:
     """Distributed Lloyd's k-means for IVF cells, fully deterministic.
 
@@ -235,36 +236,49 @@ def train_ivf_centroids(
       on every run/executor);
     - each iteration: one Arrow-batched argmax assignment pass + one
       ``groupBy(cell, pos)`` shuffle computing per-cell mean components
-      (posexplode widens rows by ``dim`` — at 100 TB you train on a
-      bounded sample, which is standard IVF practice; the index is then
-      applied to the full corpus);
+      (posexplode widens rows by ``dim``);
     - only the (n_cells x dim) aggregate ever reaches the driver —
       O(k*dim), independent of corpus size;
     - cells that lose all members keep their previous centroid.
+
+    ``sample_fraction`` trains on a seeded Bernoulli sample of the
+    corpus — standard IVF practice (FAISS trains on ~30-256 vectors per
+    cell): every Lloyd iteration then scans fraction*N rows instead of
+    N, and the index is still applied to the FULL corpus afterwards.
+    At full probe (nprobe == n_cells) search results are exact
+    regardless of where the centroids landed, so sampling changes only
+    training cost, never full-probe answers. The (sampled) training set
+    is persisted across the ``iters`` scans and released before return.
 
     Returns a unit-normalized (n_cells, dim) float64 matrix.
     """
     cents = np.array(_hyperplanes(dim, n_cells, seed=seed), dtype=np.float64)
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
     vecs = df.select(F.col(vec_col).alias("_v"))
-    for _ in range(iters):
-        assigned = vecs.withColumn("_cell", _nearest_cell_udf(cents)(F.col("_v")))
-        means = (
-            assigned.select("_cell", F.posexplode("_v").alias("_pos", "_x"))
-            .groupBy("_cell", "_pos")
-            .agg(F.avg(F.col("_x").cast("double")).alias("_m"))
-            .collect()  # bounded: n_cells * dim aggregate rows
-        )
-        nxt = cents.copy()
-        touched = set()
-        for row in means:
-            nxt[row._cell, row._pos] = row._m
-            touched.add(row._cell)
-        for cell in touched:
-            norm = np.linalg.norm(nxt[cell])
-            if norm > 0:
-                nxt[cell] /= norm
-        cents = nxt
+    if sample_fraction is not None and sample_fraction < 1.0:
+        vecs = vecs.sample(fraction=sample_fraction, seed=seed)
+    vecs = vecs.persist()  # scanned once per Lloyd iteration
+    try:
+        for _ in range(iters):
+            assigned = vecs.withColumn("_cell", _nearest_cell_udf(cents)(F.col("_v")))
+            means = (
+                assigned.select("_cell", F.posexplode("_v").alias("_pos", "_x"))
+                .groupBy("_cell", "_pos")
+                .agg(F.avg(F.col("_x").cast("double")).alias("_m"))
+                .collect()  # bounded: n_cells * dim aggregate rows
+            )
+            nxt = cents.copy()
+            touched = set()
+            for row in means:
+                nxt[row._cell, row._pos] = row._m
+                touched.add(row._cell)
+            for cell in touched:
+                norm = np.linalg.norm(nxt[cell])
+                if norm > 0:
+                    nxt[cell] /= norm
+            cents = nxt
+    finally:
+        vecs.unpersist()
     return cents
 
 

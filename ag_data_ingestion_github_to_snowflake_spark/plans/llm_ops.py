@@ -203,7 +203,7 @@ def similarity_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 def _ivf_query(spark: SparkSession, sf: str, nprobe: int) -> DataFrame:
     emb = t(spark, sf, "embeddings")
-    cents = S.train_ivf_centroids(emb, n_cells=8, iters=2)
+    cents = S.train_ivf_centroids(emb, n_cells=8, iters=2, sample_fraction=0.25)
     return S.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 10), cents, k=5, nprobe=nprobe
     )
@@ -1051,7 +1051,7 @@ def similarity_ivf_quantized(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     emb = t(spark, sf, "embeddings")
-    cents = S.train_ivf_centroids(emb, n_cells=8, iters=2)
+    cents = S.train_ivf_centroids(emb, n_cells=8, iters=2, sample_fraction=0.25)
     return ivf_quantized_topk(
         emb, emb.filter(F.col("vec_id") < 10), cents, k=5, nprobe=8
     )

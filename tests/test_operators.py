@@ -586,3 +586,26 @@ def test_decontaminate_invariants(spark):
     # empty eval set -> no hits, no crash
     empty = ev.filter("doc_id < 0")
     assert decontaminate(train, empty, n=3).count() == 0
+
+
+def test_ivf_sampled_training_full_probe_still_exact(spark):
+    """sample_fraction changes where centroids land, never full-probe
+    answers: cells partition the corpus, and full probe searches all."""
+    df = vec_df(spark)
+    queries = df.limit(2)
+    cents = S.train_ivf_centroids(
+        df, n_cells=2, dim=3, iters=2, sample_fraction=0.5
+    )
+    c2 = S.train_ivf_centroids(
+        df, n_cells=2, dim=3, iters=2, sample_fraction=0.5
+    )
+    assert (cents == c2).all()  # seeded sample: still deterministic
+    bf = {
+        (r.query_id, r.rnk): r.neighbor_id
+        for r in S.brute_force_topk(df, queries, k=3).collect()
+    }
+    ivf = {
+        (r.query_id, r.rnk): r.neighbor_id
+        for r in S.ivf_topk(df, queries, cents, k=3, nprobe=2).collect()
+    }
+    assert ivf == bf
