@@ -1,4 +1,4 @@
-"""Pure-numpy codecs for uncompressed media formats: BMP, PPM, WAV.
+"""Pure-numpy codecs for dependency-free media formats: BMP, PPM, PNG, WAV.
 
 These are real decoders for the public, dependency-free subset of the
 multimodal surface (reference north-star "multimodal columns"):
@@ -8,9 +8,12 @@ multimodal surface (reference north-star "multimodal columns"):
 - PPM: binary ``P6`` with maxval 255.
 - WAV: RIFF/WAVE, PCM (format 1), 16-bit little-endian samples.
 
-Compressed formats (PNG/JPEG/MP3/...) need codec libraries that are not
-in this container; ``decode_image``/``decode_audio`` detect their magic
-bytes and raise ``NotImplementedError`` explicitly rather than guessing.
+PNG is decoded with stdlib ``zlib`` + the public spec (8-bit depths,
+all five scanline filters, gray/RGB/palette/alpha color types, CRC
+verification; 16-bit and Adam7 raise explicitly). Remaining compressed
+formats (JPEG/MP3/...) need codec libraries that are not in this
+container; ``decode_image``/``decode_audio`` detect their magic bytes
+and raise ``NotImplementedError`` explicitly rather than guessing.
 
 Feature conventions (shared with ``operators/multimodal.py`` kernels):
 
@@ -129,6 +132,171 @@ def decode_ppm(data: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# PNG (stdlib zlib + public spec, no codec library)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an 8-bit truecolor PNG.
+
+    ``filter_type`` applies one scanline filter (0-4) to every row —
+    type 0 is the natural writer; the others exist so round-trip tests
+    exercise every defilter path in ``decode_png``.
+    """
+    import zlib
+
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_png expects (h, w, 3) uint8 RGB")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"bad filter type {filter_type}")
+    h, w, _ = img.shape
+    raw = img.astype(np.int64)
+    prev = np.zeros((w, 3), dtype=np.int64)
+    lines = []
+    for y in range(h):
+        cur = raw[y]
+        left = np.vstack([np.zeros((1, 3), dtype=np.int64), cur[:-1]])
+        ul = np.vstack([np.zeros((1, 3), dtype=np.int64), prev[:-1]])
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 1:
+            enc = cur - left
+        elif filter_type == 2:
+            enc = cur - prev
+        elif filter_type == 3:
+            enc = cur - (left + prev) // 2
+        else:
+            enc = cur - _paeth(left, prev, ul)
+        lines.append(bytes([filter_type]) + (enc % 256).astype(np.uint8).tobytes())
+        prev = cur
+    idat = zlib.compress(b"".join(lines))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized (a=left, b=up, c=upper-left)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG into (h, w, 3) uint8 RGB.
+
+    Pure stdlib-zlib + numpy: chunk walk (CRC-verified), one inflate,
+    then scanline defiltering (all five filter types). Color types
+    grayscale (0), truecolor (2), palette (3), gray+alpha (4) and
+    RGBA (6) are supported — alpha is dropped, palette is expanded via
+    PLTE. Bit depths other than 8 and Adam7 interlacing raise
+    ``NotImplementedError`` explicitly.
+    """
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    i = 8
+    ihdr = None
+    plte = None
+    idat = []
+    while i + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, i)
+        ctype = data[i + 4 : i + 8]
+        body = data[i + 8 : i + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, i + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        i += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} unsupported (need 8)")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG unsupported")
+    if comp != 0 or filt != 0:
+        raise ValueError("invalid PNG compression/filter method")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {color} unsupported")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data has wrong length")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int64)
+        if ft == 0:
+            cur = line
+        elif ft == 2:
+            cur = (line + prev) % 256
+        elif ft in (1, 3, 4):
+            # left-referencing filters are a per-pixel recurrence; walk
+            # pixel groups (bytes-per-pixel lanes stay vectorized)
+            cur = np.zeros(stride, dtype=np.int64)
+            for x in range(w):
+                lo = x * channels
+                hi = lo + channels
+                left = cur[lo - channels : lo] if x else np.zeros(channels, dtype=np.int64)
+                up = prev[lo:hi]
+                ul = prev[lo - channels : lo] if x else np.zeros(channels, dtype=np.int64)
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + up) // 2
+                else:
+                    pred = _paeth(left, up, ul)
+                cur[lo:hi] = (line[lo:hi] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(h, w, channels)
+    if color == 2:
+        return px.copy()
+    if color == 0:
+        return np.repeat(px, 3, axis=2).copy()
+    if color == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2).copy()
+    if color == 6:
+        return px[:, :, :3].copy()
+    # color == 3: palette expansion
+    if plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    return plte[px[:, :, 0]].copy()
+
+
+# ---------------------------------------------------------------------------
 # WAV (RIFF/WAVE, PCM16)
 # ---------------------------------------------------------------------------
 
@@ -175,7 +343,6 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int, int]:
 # ---------------------------------------------------------------------------
 
 _COMPRESSED_MAGIC = {
-    b"\x89PNG": "PNG",
     b"\xff\xd8\xff": "JPEG",
     b"GIF8": "GIF",
     b"ID3": "MP3",
@@ -189,13 +356,15 @@ def _check_compressed(data: bytes) -> None:
         if data[: len(magic)] == magic:
             raise NotImplementedError(
                 f"{name} payloads need a codec library unavailable in this "
-                "environment; transcode to BMP/PPM/WAV upstream"
+                "environment; transcode to PNG/BMP/PPM/WAV upstream"
             )
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Decode BMP or PPM bytes to an (h, w, 3) uint8 RGB array."""
+    """Decode BMP, PPM, or PNG bytes to an (h, w, 3) uint8 RGB array."""
     _check_compressed(data)
+    if data[:8] == _PNG_SIG:
+        return decode_png(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
     if data[:2] == b"P6":
@@ -204,7 +373,7 @@ def decode_image(data: bytes) -> np.ndarray:
 
 
 def image_features(data: bytes) -> tuple[int, int, float]:
-    """(width, height, mean_luma) from BMP/PPM bytes.
+    """(width, height, mean_luma) from BMP/PPM/PNG bytes.
 
     mean_luma = sum(299R + 587G + 114B) / (n_pixels * 255000), the
     integer-Rec.601 convention documented in the module docstring.

@@ -1,6 +1,7 @@
 """Deterministic multimodal fixtures for the real-decode path.
 
-Eight payloads — 24-bit BMPs, binary P6 PPMs, PCM16 WAVs — whose
+Ten payloads — 24-bit BMPs, binary P6 PPMs, zlib-compressed PNGs,
+PCM16 WAVs — whose
 features are analytically computable from the generation parameters
 with exact integer arithmetic. ``expected_features()`` derives the
 expected (width, height, mean_luma) / (duration, rate, rms) straight
@@ -38,6 +39,12 @@ def _images() -> list[tuple[int, str, np.ndarray]]:
         (2, "bmp", np.stack([gray_ramp] * 3, axis=2).astype(np.uint8)),
         (3, "ppm", np.full((4, 4, 3), [10, 20, 30], dtype=np.uint8)),
         (4, "ppm", _ramp_image(8, 2, (10, 5, 2))),
+        # PNG (compressed; stdlib-zlib decoder, operators/codecs.py):
+        # one flat color (filter-0 writer path) and one ramp that the
+        # writer encodes with the Paeth filter, so the decode query
+        # exercises real defiltering, not just inflate.
+        (8, "png", np.full((5, 6, 3), [0, 128, 255], dtype=np.uint8)),
+        (9, "png", _ramp_image(9, 3, (7, 11, 13))),
     ]
 
 
@@ -53,9 +60,13 @@ def _audios() -> list[tuple[int, np.ndarray, int]]:
 def media_fixture_rows() -> list[tuple[int, str, bytes]]:
     """(doc_id, modality, payload) rows for the decode query."""
     rows: list[tuple[int, str, bytes]] = []
+    encoders = {
+        "bmp": codecs.encode_bmp,
+        "ppm": codecs.encode_ppm,
+        "png": lambda im: codecs.encode_png(im, filter_type=4),
+    }
     for doc_id, fmt, img in _images():
-        enc = codecs.encode_bmp if fmt == "bmp" else codecs.encode_ppm
-        rows.append((doc_id, "image", enc(img)))
+        rows.append((doc_id, "image", encoders[fmt](img)))
     for doc_id, samples, rate in _audios():
         rows.append((doc_id, "audio", codecs.encode_wav(samples, rate)))
     return rows

@@ -99,7 +99,7 @@ def decode_image_features(
 ) -> DataFrame:
     """Image decode + feature extraction via mapInPandas.
 
-    Default path REALLY decodes: BMP/PPM payloads are parsed by the
+    Default path REALLY decodes: BMP/PPM/PNG payloads are parsed by the
     pure-numpy codecs in ``operators/codecs.py`` and (width, height,
     mean_luma) computed from actual pixels; compressed formats raise
     NotImplementedError naming the codec. ``deterministic_fake``
@@ -242,7 +242,7 @@ def resize_images(
     payload_col: str = "payload",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Real image resize via mapInPandas: decode (BMP/PPM, pure-numpy
+    """Real image resize via mapInPandas: decode (BMP/PPM/PNG, pure-numpy
     codecs), nearest-neighbor resample to (target_w, target_h) with a
     single fancy-index gather, re-encode as P6 PPM. Emits the resized
     payload plus its dimensions and mean luma so downstream feature

@@ -117,7 +117,7 @@ _PRIORITY: tuple[str, ...] = (
     "rollup_cascade_daily",         # B46 B18 B27 (headline query)
     "skew_join_revenue_by_segment", # B10 B16 (skew path)
     "pivot_priority_by_year",       # B22 B19
-    "window_rank_price",            # B29
+    "multimodal_decode_real",       # B57 (real decode incl. PNG defilter path)
     "window_distribution_acctbal",  # B29 B23
     "window_value_funcs",           # B30 B29
     "window_range_frame_orders",    # B31

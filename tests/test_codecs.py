@@ -121,8 +121,6 @@ def test_audio_features_exact_constant():
 
 
 def test_compressed_magic_raises():
-    with pytest.raises(NotImplementedError, match="PNG"):
-        codecs.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20)
     with pytest.raises(NotImplementedError, match="JPEG"):
         codecs.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 20)
     with pytest.raises(ValueError, match="magic"):
@@ -134,3 +132,88 @@ def test_unsupported_bmp_depth_raises():
     struct.pack_into("<H", data, 28, 8)  # claim 8-bit
     with pytest.raises(NotImplementedError, match="24-bit"):
         codecs.decode_bmp(bytes(data))
+
+
+# ---------------------------------------------------------------------------
+# PNG (stdlib zlib decode)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_roundtrip_all_filters(filter_type):
+    rng = np.random.default_rng(7 + filter_type)
+    img = rng.integers(0, 256, (11, 13, 3), dtype=np.uint8)
+    assert (codecs.decode_png(codecs.encode_png(img, filter_type)) == img).all()
+
+
+def test_png_golden_bytes():
+    """1x2 RGB PNG, filter 0, hand-assembled: pins signature, chunk
+    layout, CRC check, and inflate path against fixed bytes."""
+    import struct as st
+    import zlib
+
+    raw = b"\x00" + bytes([255, 0, 0, 0, 128, 255])  # one row: red, then (0,128,255)
+    ihdr = st.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+
+    def chunk(t, b):
+        return st.pack(">I", len(b)) + t + b + st.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    img = codecs.decode_png(data)
+    assert img.shape == (1, 2, 3)
+    assert img[0, 0].tolist() == [255, 0, 0]
+    assert img[0, 1].tolist() == [0, 128, 255]
+    # corrupt the IDAT CRC -> must be detected
+    bad = bytearray(data)
+    bad[-13] ^= 0xFF  # inside IDAT CRC (IEND is last 12 bytes)
+    with pytest.raises(ValueError, match="CRC"):
+        codecs.decode_png(bytes(bad))
+
+
+def test_png_gray_and_rgba_and_palette():
+    import struct as st
+    import zlib
+
+    def chunk(t, b):
+        return st.pack(">I", len(b)) + t + b + st.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    g = np.array([[0, 100], [200, 255]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + g[y].tobytes() for y in range(2))
+    png = sig + chunk(b"IHDR", st.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    assert (codecs.decode_png(png) == np.repeat(g[:, :, None], 3, axis=2)).all()
+
+    rgba = np.arange(2 * 2 * 4, dtype=np.uint8).reshape(2, 2, 4)
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(2))
+    png = sig + chunk(b"IHDR", st.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0)) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    assert (codecs.decode_png(png) == rgba[:, :, :3]).all()
+
+    pal = np.array([[10, 20, 30], [40, 50, 60]], dtype=np.uint8)
+    idx = np.array([[0, 1], [1, 0]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    png = sig + chunk(b"IHDR", st.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)) + chunk(b"PLTE", pal.tobytes()) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    assert (codecs.decode_png(png) == pal[idx]).all()
+
+
+def test_png_unsupported_variants_raise():
+    import struct as st
+    import zlib
+
+    def chunk(t, b):
+        return st.pack(">I", len(b)) + t + b + st.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    png16 = sig + chunk(b"IHDR", st.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)) + chunk(b"IDAT", zlib.compress(b"\x00" * 7)) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        codecs.decode_png(png16)
+    adam7 = sig + chunk(b"IHDR", st.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)) + chunk(b"IDAT", zlib.compress(b"\x00" * 4)) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        codecs.decode_png(adam7)
+
+
+def test_png_through_decode_image_dispatch():
+    img = np.full((2, 3, 3), [1, 2, 3], dtype=np.uint8)
+    assert (codecs.decode_image(codecs.encode_png(img)) == img).all()

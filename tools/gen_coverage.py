@@ -48,7 +48,7 @@ MODULE_EVIDENCE = {
     "B52": ["plans/udf_io_queries.py:grouped_zscore_events (applyInPandas)"],
     "B54": ["operators/dedup.py (MinHash-LSH, SimHash)", "tests/test_operators.py::test_minhash_finds_near_dups_not_unrelated"],
     "B55": ["operators/similarity.py", "tests/test_operators.py::test_topk_ranks_by_similarity"],
-    "B57": ["operators/multimodal.py + operators/codecs.py (real BMP/PPM/WAV decode)", "tests/test_codecs.py"],
+    "B57": ["operators/multimodal.py + operators/codecs.py (real BMP/PPM/PNG/WAV decode)", "tests/test_codecs.py"],
 }
 
 SURVEY_IDS_ALL = [f"A{i}" for i in range(1, 23)] + [f"B{i}" for i in range(1, 58)]
