@@ -1,0 +1,66 @@
+"""Measure the headline suite's scaling curve: run every headline query
+at sf0.1 (driver fixture) and sf1.0 (tools/gen_scale_fixture.py, 10x)
+in ONE session, take the min of N reps per (query, sf), and report the
+per-query scaling exponent  alpha = log10(t_sf1 / t_sf0.1)  — alpha 1.0
+is perfectly linear in data volume, alpha 0 is fixed-overhead bound,
+>1 super-linear.
+
+Usage: python tools/scale_curve.py [reps]   (writes scale_curve.json)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+from ag_data_ingestion_github_to_snowflake_spark.plans.registry import all_specs
+from ag_data_ingestion_github_to_snowflake_spark.session import get_spark
+from bench import HEADLINE
+
+SF_SMALL = os.environ.get("SPARK_GRAFT_SCALE_SMALL", "/root/testdata/sf0.1")
+SF_BIG = os.environ.get(
+    "SPARK_GRAFT_SCALE_BIG", str(ROOT / ".localdata" / "sf1.0")
+)
+
+
+def main() -> None:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    spark = get_spark("scale-curve")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_specs()
+    # JIT/codegen warm-up on the smallest fixture
+    for name in HEADLINE:
+        specs[name].build(spark, "/root/testdata/sf0.001").write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    out: dict[str, dict] = {}
+    for name in HEADLINE:
+        times = {}
+        for sf_dir, key in ((SF_SMALL, "t_small"), (SF_BIG, "t_big")):
+            best = math.inf
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                specs[name].build(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            times[key] = round(best, 3)
+        alpha = math.log10(times["t_big"] / times["t_small"])
+        out[name] = {**times, "alpha": round(alpha, 3)}
+        print(f"{name:36s} {times['t_small']:7.3f}s -> {times['t_big']:8.3f}s  alpha={alpha:+.3f}")
+
+    (ROOT / "scale_curve.json").write_text(json.dumps(out, indent=1) + "\n")
+    worst = max(out.items(), key=lambda kv: kv[1]["alpha"])
+    print(f"\nworst exponent: {worst[0]} alpha={worst[1]['alpha']}")
+
+
+if __name__ == "__main__":
+    main()
