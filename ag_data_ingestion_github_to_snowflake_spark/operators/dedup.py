@@ -453,3 +453,96 @@ def decontaminate(
         .groupBy("train_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity self-join via prefix filtering (AllPairs/PPJoin)
+# ---------------------------------------------------------------------------
+def prefix_filter_similar_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """EXACT whole-document token-set Jaccard join: every (id_a, id_b,
+    jaccard) pair with ``jaccard >= threshold`` — no approximation, no
+    missed pairs — without an all-pairs comparison.
+
+    The prefix-filtering principle (Chaudhuri et al. ICDE'06 /
+    Bayardo et al. WWW'07 "All Pairs"; the same family PPJoin refines):
+    order the vocabulary by ascending global frequency (rarest first)
+    and keep only each document's first ``s - ceil(t*s) + 1`` tokens as
+    its *prefix*. Two sets with Jaccard >= t MUST share at least one
+    prefix token, so joining on prefix tokens alone loses nothing,
+    while the candidate space collapses because prefixes are built from
+    RARE tokens — the frequent-token skew that would dominate a naive
+    token join is structurally excluded. MinHash-LSH
+    (:func:`minhash_near_dedup`) is the probabilistic sibling; this is
+    the exact one, and the right choice when recall must be 1.0
+    (contractual dedup, eval decontamination).
+
+    Scale shape at 100 TB: the vocabulary table is corpus-vocabulary
+    sized (≪ corpus); its global frequency rank is minted by the
+    range-partitioned id assigner (:mod:`..operators.ids` — no
+    single-task sort). The candidate join shuffles only exploded
+    PREFIX tokens (a ``1 - t/(1+t)`` fraction of each doc, rare tokens
+    only), the verify step joins back the full sorted rank arrays by
+    id, and a size-band filter (``min >= t * max``) prunes candidates
+    whose lengths already forbid the threshold. No cartesian anywhere.
+    """
+    from ag_data_ingestion_github_to_snowflake_spark.operators.ids import (
+        assign_sequential_ids,
+    )
+
+    toks = F.array_distinct(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    )
+    docs = df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+    tok = docs.select("_id", F.explode("_toks").alias("token"))
+
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    # Total order (cnt asc, token asc) as one zero-padded string key so
+    # the range-partitioned rank assigner (no global single-task sort)
+    # can mint the frequency rank in one pass.
+    vocab = vocab.withColumn(
+        "_ord", F.format_string("%019d|%s", F.col("cnt"), F.col("token"))
+    )
+    ranked_vocab = assign_sequential_ids(vocab, "_ord", out_col="rank").select(
+        "token", "rank"
+    )
+
+    ranked = tok.join(ranked_vocab, "token")
+    arr = (
+        ranked.groupBy("_id")
+        .agg(F.sort_array(F.collect_list("rank")).alias("ranks"))
+        .withColumn("s", F.size("ranks"))
+    )
+    # Lossless prefix length: s - ceil(t*s) + 1 (AllPairs lemma).
+    plen = (F.col("s") - F.ceil(F.lit(threshold) * F.col("s")) + 1).cast("int")
+    prefix = arr.select(
+        "_id", "s", F.explode(F.slice("ranks", 1, plen)).alias("rank")
+    )
+
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.rank") == F.col("b.rank"))
+            & (F.col("a._id") < F.col("b._id"))
+            # size band: jaccard <= min(s)/max(s), so min >= t*max or prune
+            & (F.least("a.s", "b.s") >= F.lit(threshold) * F.greatest("a.s", "b.s")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+    va = arr.select(F.col("_id").alias("id_a"), F.col("ranks").alias("ra"), F.col("s").alias("sa"))
+    vb = arr.select(F.col("_id").alias("id_b"), F.col("ranks").alias("rb"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("ra", "rb"))
+    jacc = inter / (F.col("sa") + F.col("sb") - inter)
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(jacc >= threshold)
+        .select("id_a", "id_b", F.round(jacc, 6).alias("jaccard"))
+    )

@@ -1030,3 +1030,70 @@ def robust_outlier_trim(spark: SparkSession, sf: str) -> DataFrame:
             F.round("mad", 6).alias("mad"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity self-join via prefix filtering (AllPairs/PPJoin):
+# the recall-1.0 sibling of MinHash-LSH. The oracle is the brute-force
+# exploded-token Jaccard join — tractable at oracle SF, while the Spark
+# side runs the prefix-filtered plan that scales (rare-token candidate
+# join + size band + array verify). Prefix filtering is LOSSLESS, so
+# the two must agree exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "ssjoin_prefix_jaccard",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, tk AS token
+      FROM (SELECT doc_id, UNNEST(string_split_regex(text, '\\s+')) AS tk
+            FROM documents
+            WHERE CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2))
+                       AS INT) < 26)
+      WHERE tk <> ''
+    ),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS s FROM tok GROUP BY 1),
+    ins AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS INT) AS c
+      FROM tok a JOIN tok b ON b.token = a.token AND b.doc_id > a.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(c AS DOUBLE) / (sa.s + sb.s - c), 6) AS jaccard
+    FROM ins
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE CAST(c AS DOUBLE) / (sa.s + sb.s - c) >= 0.6
+    ORDER BY id_a, id_b
+    """,
+    survey_ids=("B54", "B41", "B10"),
+    description="Exact Jaccard>=0.6 pairs via lossless prefix filtering (AllPairs)",
+)
+def ssjoin_prefix_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact token-set Jaccard >= 0.6 self-join, prefix-filtered, on
+    the deterministic 10% hash sample (the dedup-rate audit shape).
+
+    Recall-1.0 near-dup discovery (vs the probabilistic
+    ``dedup_minhash_pairs``): candidates only where two docs share a
+    RARE-token prefix, verified on full sorted rank arrays. See
+    :func:`...operators.dedup.prefix_filter_similar_pairs` for the
+    scale argument (vocabulary-rank pass, prefix-only shuffle, size
+    band, no cartesian). The fixture corpus is near-dup SATURATED
+    (~11% of ALL doc pairs clear Jaccard 0.6 — 7.1M pairs at sf0.1),
+    so the full-corpus exact join is output-bound by construction; the
+    carrier therefore audits the hash-gated 10% sample, which scales
+    the OUTPUT quadratically down (~1% of pair volume) while still
+    exercising the full prefix-filter plan, and is itself the
+    production shape: measure the near-dup rate on a reproducible
+    sample before paying for the full-corpus dedup.
+    """
+    from ag_data_ingestion_github_to_snowflake_spark.operators.dedup import (
+        prefix_filter_similar_pairs,
+    )
+    from ag_data_ingestion_github_to_snowflake_spark.plans.sampling_queries import (
+        hash_bucket,
+    )
+
+    docs = t(spark, sf, "documents").filter(hash_bucket(F.col("doc_id")) < 26)
+    return prefix_filter_similar_pairs(docs, "text", "doc_id", 0.6).orderBy(
+        "id_a", "id_b"
+    )

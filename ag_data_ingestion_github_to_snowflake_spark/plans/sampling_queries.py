@@ -288,3 +288,135 @@ def pack_sequences_bins(spark: SparkSession, sf: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("first_doc"),
         F.max("doc_id").cast("bigint").alias("last_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement, deterministic (Efraimidis-
+# Spirakis A-ES): key_i = ln(u_i)/w_i with u_i a hash-derived uniform,
+# take the k largest keys. Char-weighted draws favor long documents —
+# the "sample by token budget, not doc count" primitive of corpus
+# assembly. The 32-bit uniform comes from the first 8 sha256 hex chars
+# (same engine-parity trick as hash_bucket, 4 bytes instead of 1); the
+# ln() and division are IEEE doubles on byte-identical inputs both
+# sides. The selected SET is ulp-robust (keys of distinct docs differ
+# by many orders of magnitude more than 1 ulp); the float key itself is
+# excluded from the output so the hash compare sees integers/strings
+# only.
+# ---------------------------------------------------------------------------
+@register(
+    "weighted_sample_docs",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    ORDER BY ln((CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) + 0.5) / 4294967296.0)
+             / n_chars DESC,
+             doc_id
+    LIMIT 25
+    """,
+    survey_ids=("B24", "B43", "B6"),
+    description="Deterministic char-weighted sample w/o replacement (A-ES top-k)",
+)
+def weighted_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Draw 25 documents with probability proportional to length,
+    without replacement, reproducibly (no RNG state).
+
+    A-ES (Efraimidis-Spirakis 2006): item i gets key u_i^(1/w_i); the
+    k largest keys ARE a weight-proportional sample without
+    replacement. Maximizing u^(1/w) == maximizing ln(u)/w (ln u < 0),
+    so the key needs one log and one divide per row — map-side — and
+    the draw is a global top-k (Spark TakeOrdered: per-partition heaps,
+    no full sort, no single-task shuffle). Rerun-, partition- and
+    engine-stable because u_i is minted from sha256(doc_id).
+    """
+    docs = t(spark, sf, "documents")
+    u32 = F.conv(
+        F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 8), 16, 10
+    ).cast("double")
+    key = F.log((u32 + F.lit(0.5)) / F.lit(4294967296.0)) / F.col("n_chars")
+    return (
+        docs.orderBy(key.desc(), F.col("doc_id"))
+        .select("doc_id", "lang", "source", "n_chars")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture sampling (alpha = 0.5): per-source accept
+# rate proportional to 1/sqrt(n_s), normalized so the SMALLEST source
+# keeps everything — the standard low-resource up-weighting used by
+# multilingual corpora (mT5/XLM-R style p^alpha re-weighting), applied
+# as a deterministic hash gate. alpha = 0.5 keeps the whole pipeline
+# bit-exact across engines: sqrt is correctly rounded by IEEE 754 (a
+# REQUIRED operation, unlike pow/exp), so rate and the floor'd integer
+# threshold are identical in Spark and DuckDB with zero tolerance.
+# ---------------------------------------------------------------------------
+@register(
+    "temperature_mixture_sample",
+    oracle="""
+    WITH n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+               FROM documents GROUP BY source),
+    mn AS (SELECT MIN(n_s) AS n_min FROM n),
+    rates AS (
+      SELECT source, n_s,
+             CAST(FLOOR(256.0 * sqrt(CAST(n_min AS DOUBLE))
+                        / sqrt(CAST(n_s AS DOUBLE))) AS INT) AS thr
+      FROM n, mn
+    ),
+    kept AS (
+      SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM documents d JOIN rates r ON d.source = r.source
+      WHERE CAST(('0x' || substr(sha256(CAST(d.doc_id AS VARCHAR)), 1, 2))
+                 AS INT) < r.thr
+      GROUP BY d.source
+    )
+    SELECT r.source, r.n_s, r.thr,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM rates r LEFT JOIN kept k ON k.source = r.source
+    ORDER BY r.source
+    """,
+    survey_ids=("B16", "B11", "B19"),
+    description="Temperature (alpha=0.5) mixture re-weighting via exact-parity hash gates",
+)
+def temperature_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Flatten the source mix with temperature alpha = 0.5: source s
+    keeps a fraction proportional to 1/sqrt(n_s) (kept mass then grows
+    as sqrt(n_s) — big sources down-weighted, small ones kept whole).
+
+    Scale shape mirrors ``mixture_sample_counts``: a source-count
+    aggregate (k rows) broadcast back onto the scan, then a row-local
+    integer hash gate — one corpus pass, one tiny shuffle. The
+    threshold is floor'd to an INTEGER byte bound so the accept
+    decision is exact (no float boundary), and sqrt keeps cross-engine
+    bit parity (IEEE-correctly-rounded, unlike pow).
+    """
+    docs = t(spark, sf, "documents")
+    n = docs.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_s"))
+    mn = n.agg(F.min("n_s").alias("n_min"))
+    rates = n.crossJoin(F.broadcast(mn)).select(
+        "source",
+        "n_s",
+        F.floor(
+            F.lit(256.0)
+            * F.sqrt(F.col("n_min").cast("double"))
+            / F.sqrt(F.col("n_s").cast("double"))
+        )
+        .cast("int")
+        .alias("thr"),
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(hash_bucket(F.col("doc_id")) < F.col("thr"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_s",
+            "thr",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+        .orderBy("source")
+    )

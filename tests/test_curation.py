@@ -141,3 +141,76 @@ def test_provenance_dedup_keeps_only_primaries(spark):
     }
     n_docs = t(spark, SF, "documents").count()
     assert rows == {1: n_docs}
+
+
+def test_prefix_filter_ssjoin_lossless_vs_brute_force(spark):
+    """The prefix-filtered exact Jaccard join must equal the all-pairs
+    brute force bit-for-bit (the AllPairs lemma says the filter loses
+    nothing) on a synthetic corpus with known overlap structure."""
+    from ag_data_ingestion_github_to_snowflake_spark.operators.dedup import (
+        prefix_filter_similar_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (0, base),
+        (1, base),                                   # exact dup of 0
+        (2, base.replace("kappa", "lambda")),        # 9/11 overlap
+        (3, "one two three four five"),              # disjoint
+        (4, "one two three four five six"),          # 5/6 vs doc 3
+        (5, "alpha beta"),                           # size-band pruned vs 0
+        (6, "   "),                                  # empty token set
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_filter_similar_pairs(df, "text", "doc_id", 0.6).collect()
+    }
+
+    # brute force over all pairs
+    def tokset(s):
+        return {w for w in s.split() if w}
+
+    want = {}
+    for i, (ia, ta) in enumerate(docs):
+        for ib, tb in docs[i + 1 :]:
+            sa, sb = tokset(ta), tokset(tb)
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.6:
+                want[(ia, ib)] = round(j, 6)
+    assert got == want
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+    assert (3, 4) in got
+    assert all(k[0] != 5 and k[1] != 5 for k in got)  # band-pruned
+
+
+def test_weighted_sample_favors_long_docs(spark):
+    """A-ES with w = n_chars must over-represent long documents
+    relative to a uniform draw: the mean sampled length should exceed
+    the corpus mean (deterministic fixture, deterministic assertion)."""
+    from ag_data_ingestion_github_to_snowflake_spark.plans.registry import t
+    from pyspark.sql import functions as F
+
+    picked = all_specs()["weighted_sample_docs"].build(spark, SF)
+    mean_picked = picked.agg(F.avg("n_chars")).first()[0]
+    mean_all = t(spark, SF, "documents").agg(F.avg("n_chars")).first()[0]
+    assert picked.count() == 25
+    assert mean_picked > mean_all
+
+
+def test_temperature_mixture_flattens_source_shares(spark):
+    """alpha=0.5 re-weighting: the smallest source keeps (nearly) all
+    its docs (thr=256 > any byte), and kept mass ordering follows
+    sqrt(n_s) — larger sources never keep a LARGER fraction."""
+    rows = all_specs()["temperature_mixture_sample"].build(spark, SF).collect()
+    n_min = min(r.n_s for r in rows)
+    for r in rows:
+        if r.n_s == n_min:
+            assert r.thr == 256 and r.n_kept == r.n_s
+    # accept-rate thresholds are non-increasing in source size
+    by_size = sorted(rows, key=lambda r: r.n_s)
+    for a, b in zip(by_size, by_size[1:]):
+        assert a.thr >= b.thr

@@ -69,6 +69,9 @@ ALLOWED_FLAGS = {
     # k-row per-source table via a broadcast cross join — one broadcast
     # row, invariant in the data size.
     ("mixture_sample_counts", "BroadcastNestedLoopJoin"),
+    # Temperature mixture attaches the 1-row global n_min aggregate to
+    # the k-row per-source rate table the same way — one broadcast row.
+    ("temperature_mixture_sample", "BroadcastNestedLoopJoin"),
     # BM25 attaches the 1-row (n_docs, avgdl) corpus stats to every
     # scored term occurrence via a broadcast cross join — one broadcast
     # row, invariant in the data size.
