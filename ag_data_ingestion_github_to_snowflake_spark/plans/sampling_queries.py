@@ -420,3 +420,53 @@ def temperature_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-k per-stratum draw: exactly min(k, n_s) docs from EVERY source,
+# chosen by hash rank — the "balanced eval slice" primitive (rate-based
+# stratified_sample_by_lang keeps proportions; this one pins counts).
+# Deterministic twin of per-group reservoir sampling: rank by a
+# content-hash key and keep the k smallest, so membership is stable
+# under reruns, repartitioning, and engine choice.
+# ---------------------------------------------------------------------------
+@register(
+    "stratified_topk_sample",
+    oracle="""
+    SELECT source, doc_id, lang
+    FROM (
+      SELECT source, doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY substr(sha256(CAST(doc_id AS VARCHAR)), 1, 16), doc_id
+             ) AS rk
+      FROM documents
+    )
+    WHERE rk <= 5
+    ORDER BY source, doc_id
+    """,
+    survey_ids=("B32", "B29", "B6"),
+    description="Exactly-k-per-source deterministic draw (hash-ranked reservoir twin)",
+)
+def stratified_topk_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Exactly 5 documents per source, hash-ranked: the balanced
+    audit/eval slice every corpus pipeline cuts.
+
+    One hash-partitioned window per stratum (no global sort); the rank
+    key is the first 16 sha256 hex chars of the id — an order both
+    engines compute bit-identically as a STRING compare, with doc_id
+    as total-order tiebreak. Per-group top-k via window filter lets
+    Catalyst push the rank limit into the sort (WindowGroupLimit), so
+    each stratum keeps a 5-row heap rather than sorting its partition.
+    """
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf, "documents")
+    key = F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 16)
+    w = Window.partitionBy("source").orderBy(key, F.col("doc_id"))
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("source", "doc_id", "lang")
+        .orderBy("source", "doc_id")
+    )

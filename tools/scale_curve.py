@@ -5,7 +5,9 @@ per-query scaling exponent  alpha = log10(t_sf1 / t_sf0.1)  — alpha 1.0
 is perfectly linear in data volume, alpha 0 is fixed-overhead bound,
 >1 super-linear.
 
-Usage: python tools/scale_curve.py [reps]   (writes scale_curve.json)
+Usage: python tools/scale_curve.py [reps] [--all]
+  (writes scale_curve.json; --all sweeps EVERY registry query instead
+   of the headline set and writes scale_curve_full.json)
 """
 
 from __future__ import annotations
@@ -31,34 +33,47 @@ SF_BIG = os.environ.get(
 
 
 def main() -> None:
-    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    full = "--all" in sys.argv
+    reps = int(args[0]) if args else 2
     spark = get_spark("scale-curve")
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_specs()
+    names = list(specs) if full else list(HEADLINE)
     # JIT/codegen warm-up on the smallest fixture
-    for name in HEADLINE:
-        specs[name].build(spark, "/root/testdata/sf0.001").write.format(
-            "noop"
-        ).mode("overwrite").save()
+    for name in names:
+        try:
+            specs[name].build(spark, "/root/testdata/sf0.001").write.format(
+                "noop"
+            ).mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001 — record, keep sweeping
+            print(f"{name}: warm-up failed: {e}")
 
     out: dict[str, dict] = {}
-    for name in HEADLINE:
+    for name in names:
         times = {}
-        for sf_dir, key in ((SF_SMALL, "t_small"), (SF_BIG, "t_big")):
-            best = math.inf
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                specs[name].build(spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                best = min(best, time.perf_counter() - t0)
-            times[key] = round(best, 3)
+        try:
+            for sf_dir, key in ((SF_SMALL, "t_small"), (SF_BIG, "t_big")):
+                best = math.inf
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    specs[name].build(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, time.perf_counter() - t0)
+                times[key] = round(best, 3)
+        except Exception as e:  # noqa: BLE001
+            out[name] = {"error": str(e)[:200]}
+            print(f"{name:36s} ERROR {str(e)[:120]}")
+            continue
         alpha = math.log10(times["t_big"] / times["t_small"])
         out[name] = {**times, "alpha": round(alpha, 3)}
         print(f"{name:36s} {times['t_small']:7.3f}s -> {times['t_big']:8.3f}s  alpha={alpha:+.3f}")
 
-    (ROOT / "scale_curve.json").write_text(json.dumps(out, indent=1) + "\n")
-    worst = max(out.items(), key=lambda kv: kv[1]["alpha"])
+    dest = ROOT / ("scale_curve_full.json" if full else "scale_curve.json")
+    dest.write_text(json.dumps(out, indent=1) + "\n")
+    timed = {k: v for k, v in out.items() if "alpha" in v}
+    worst = max(timed.items(), key=lambda kv: kv[1]["alpha"])
     print(f"\nworst exponent: {worst[0]} alpha={worst[1]['alpha']}")
 
 
