@@ -187,6 +187,64 @@ def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint")
     )
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003): hash every k-gram of the token stream, slide a
+    window over ``window`` consecutive gram hashes, and keep each
+    window's minimum. The selection guarantee: any token run of length
+    >= k + window - 1 shared by two documents yields at least one
+    shared selected fingerprint — the local-dedup / plagiarism-scan
+    primitive.
+
+    Unlike :func:`fingerprint` (xxhash64, engine-specific), the gram
+    hash here is the first 8 hex digits of sha256 over the
+    space-joined gram, so the output is exactly reproducible in any
+    engine (the registry carrier cross-checks it against DuckDB).
+
+    All per-document work — tokenize, k-gram build, hashing,
+    window-min selection, dedup — happens in codegen array expressions
+    (``transform``/``slice``/``array_min``): zero Python, no explode
+    until the final distinct fingerprint set, so the only shuffle a
+    caller pays is whatever it does with the (id, fp) pairs. At 100 TB
+    the fingerprint table is the join-ready near-dup index: group by
+    ``fp`` to find candidate pairs, exactly like the MinHash band
+    buckets in ``operators/dedup.py`` but with a shared-substring
+    (not set-overlap) guarantee.
+
+    Returns one row per distinct selected fingerprint per document:
+    ``(id_col, fp)``.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    ghash = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.sha2(g, 256), 1, 8), 16, 10).cast("bigint"),
+    )
+    selected = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ghash) - (window - 1)),
+            lambda j: F.array_min(F.slice(ghash, j, window)),
+        )
+    )
+    # Guard BEFORE building sequences: sequence(1, m) with m < 1 would
+    # generate a descending range, not an empty one.
+    return df.filter(n >= k + window - 1).select(
+        F.col(id_col), F.explode(selected).alias("fp")
+    )
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

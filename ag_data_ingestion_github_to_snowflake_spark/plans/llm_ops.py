@@ -365,6 +365,45 @@ def doc_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     return X.fingerprint(t(spark, sf, "documents")).select("doc_id", "fingerprint")
 
 
+@register(
+    "winnowing_fingerprints",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')
+               AS tk
+      FROM documents
+      WHERE doc_id < 300
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_transform(range(1, len(tk) - 3), i ->
+               CAST(('0x' || substr(sha256(array_to_string(
+                      list_slice(tk, i, i + 4), ' ')), 1, 8)) AS BIGINT)) AS gh
+      FROM toks
+      WHERE len(tk) >= 8
+    )
+    SELECT doc_id,
+           UNNEST(list_distinct(list_transform(range(1, len(gh) - 2), j ->
+             list_min(list_slice(gh, j, j + 3))))) AS fp
+    FROM grams
+    """,
+    survey_ids=("B56", "B41"),
+    description="Winnowing (SIGMOD'03) k-gram fingerprints, engine-exact via sha256",
+)
+def winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing fingerprint selection — the cross-engine-EXACT
+    fingerprint twin of ``doc_fingerprints`` (which is rows-only
+    because xxhash64 is engine-specific). k=5-gram sha256 hashes,
+    window-4 minimum selection, all in codegen array expressions;
+    the guarantee is that any >= 8-token run shared between two
+    documents shares a selected fingerprint. See
+    :func:`...operators.text.winnowing_fingerprints` for the 100 TB
+    shape (the output is the shared-substring candidate index)."""
+    docs = t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    return X.winnowing_fingerprints(docs)
+
+
 # ---------------------------------------------------------------------------
 # B57 multimodal packing (+ mapInPandas decode plumbing, stubbed codecs)
 # ---------------------------------------------------------------------------

@@ -470,3 +470,61 @@ def stratified_topk_sample(spark: SparkSession, sf: str) -> DataFrame:
         .select("source", "doc_id", "lang")
         .orderBy("source", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Reproducible epoch shuffle: seeded hash order -> shard + intra-shard
+# position. The training-data counterpart of ORDER BY random(): every
+# engine, run, and partition layout produces the SAME permutation, and
+# changing the seed string re-shuffles. No global sort — one hash
+# partition per shard and a partition-local sort, which is how a
+# 100 TB corpus gets a fresh epoch order without a terabyte range
+# exchange (shard files are then read sequentially by the trainer).
+# ---------------------------------------------------------------------------
+@register(
+    "training_shuffle_shards",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             sha256('42:' || CAST(doc_id AS VARCHAR)) AS skey,
+             CAST(('0x' || substr(sha256('42:' || CAST(doc_id AS VARCHAR)), 1, 2))
+                  AS INT) % 8 AS shard
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+                AS BIGINT) AS shard_pos
+    FROM keyed
+    """,
+    survey_ids=("B24", "B29", "B6"),
+    description="Seeded deterministic epoch shuffle: shard + intra-shard position",
+)
+def training_shuffle_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic training-epoch shuffle. The permutation key is
+    sha256(seed ':' doc_id): uniformly mixing, seed-swappable per
+    epoch, and engine-reproducible (vs ``ORDER BY rand()``, whose
+    stream depends on partitioning and cannot be replayed). The first
+    key byte picks one of 8 shards; ``row_number`` over (shard, key)
+    gives the intra-shard read order.
+
+    Plan shape: map-side hashing, ONE shuffle on the 8 shard keys,
+    partition-local sort — no global range exchange. At real scale
+    shard count = number of trainer data-loader workers (hundreds),
+    so each window partition stays bounded and the sort spills at
+    most one shard, not the corpus.
+    """
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf, "documents").select("doc_id")
+    skey = F.sha2(F.concat(F.lit("42:"), F.col("doc_id").cast("string")), 256)
+    keyed = docs.select(
+        "doc_id",
+        skey.alias("skey"),
+        (F.conv(F.substring(skey, 1, 2), 16, 10).cast("int") % 8).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("shard_pos"),
+    )

@@ -214,3 +214,39 @@ def test_temperature_mixture_flattens_source_shares(spark):
     by_size = sorted(rows, key=lambda r: r.n_s)
     for a, b in zip(by_size, by_size[1:]):
         assert a.thr >= b.thr
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    """Winnowing guarantee (SIGMOD'03): documents sharing a token run
+    of length >= k + window - 1 (= 8 here) must share at least one
+    selected fingerprint; a document with disjoint vocabulary must
+    share none."""
+    from ag_data_ingestion_github_to_snowflake_spark.operators.text import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"intro words {shared} trailing tail"),
+            (2, f"{shared} completely different suffix here"),
+            (3, "nothing in common with either document at all yes"),
+        ],
+        "doc_id int, text string",
+    )
+    fp = winnowing_fingerprints(df).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared 8-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
+def test_winnowing_short_docs_dropped_not_errored(spark):
+    df = spark.createDataFrame(
+        [(1, "too short to fingerprint"), (2, "a b c d e f g h")],
+        "doc_id int, text string",
+    )
+    from ag_data_ingestion_github_to_snowflake_spark.operators.text import winnowing_fingerprints
+
+    rows = winnowing_fingerprints(df).collect()
+    assert {r.doc_id for r in rows} == {2}
