@@ -50,9 +50,10 @@ def dedup_exact_documents(spark: SparkSession, sf: str) -> DataFrame:
 )
 def dedup_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs verified by exact Jaccard."""
-    return D.minhash_near_dedup(
-        t(spark, sf, "documents"), threshold=0.4
-    ).orderBy("id_a", "id_b")
+    # No orderBy: rows-only gate; an unlimited global sort would
+    # range-SAMPLE its input, re-executing the whole LSH pipeline
+    # twice (see ssjoin_prefix_jaccard).
+    return D.minhash_near_dedup(t(spark, sf, "documents"), threshold=0.4)
 
 
 @register(
@@ -63,7 +64,8 @@ def dedup_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
 def dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs within Hamming distance 3."""
     sig = D.simhash(t(spark, sf, "documents"))
-    return D.simhash_near_pairs(sig).orderBy("id_a", "id_b")
+    # No orderBy — same double-execution trap as dedup_minhash_pairs.
+    return D.simhash_near_pairs(sig)
 
 
 # ---------------------------------------------------------------------------
@@ -514,7 +516,9 @@ def multimodal_decode_real(spark: SparkSession, sf: str) -> DataFrame:
         F.col("sample_rate").cast("double").alias("feat_b"),
         F.col("rms_energy").alias("feat_c"),
     )
-    return img_feats.unionByName(aud_feats).orderBy("doc_id")
+    # No orderBy: the compare gate is order-insensitive, and sorting
+    # would re-run the mapInPandas decode for range sampling.
+    return img_feats.unionByName(aud_feats)
 
 
 # ---------------------------------------------------------------------------
