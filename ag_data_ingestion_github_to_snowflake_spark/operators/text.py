@@ -223,25 +223,60 @@ def winnowing_fingerprints(
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
     )
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
-    ghash = F.transform(
-        grams,
-        lambda g: F.conv(F.substring(F.sha2(g, 256), 1, 8), 16, 10).cast("bigint"),
-    )
-    selected = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(ghash) - (window - 1)),
-            lambda j: F.array_min(F.slice(ghash, j, window)),
+    # Each stage is materialized as its OWN column: the hash array is
+    # referenced twice downstream (size + every window slice), and a
+    # single nested expression would re-evaluate the full sha256 gram
+    # pass per reference — O(n_windows * n) hashes per document.
+    # Multiply-referenced non-cheap aliases also stop CollapseProject
+    # from fusing the projections back together.
+    #
+    # Two hardening details, both learned from the plan:
+    # - sequence(1, m) with m < 1 generates a DESCENDING range, not an
+    #   empty one, so each sequence is CASE-guarded; the n >= k+w-1
+    #   row filter alone does not protect evaluation, because filter
+    #   subexpression elimination can evaluate a pushed-down predicate
+    #   subtree before the short-circuiting AND reaches it.
+    # - explode_outer, not explode: InferFiltersFromGenerate turns a
+    #   plain explode into a pushed-down `size(_sel) > 0` predicate
+    #   with the ENTIRE fingerprint tree inlined — re-evaluated in an
+    #   interpreted Filter (measured 17 s vs sub-second at sf0.1).
+    #   The outer variant infers nothing; pre-filtered docs never
+    #   produce a null fp anyway, and the cheap isnotnull keeps the
+    #   contract if a caller removes the row filter.
+    def seq1(m):
+        return F.when(m >= 1, F.sequence(F.lit(1), m)).otherwise(
+            F.array().cast("array<int>")
+        )
+
+    staged = (
+        df.withColumn("_toks", toks)
+        .filter(F.size("_toks") >= k + window - 1)
+        .withColumn(
+            "_gh",
+            F.transform(
+                seq1(F.size("_toks") - (k - 1)),
+                lambda i: F.conv(
+                    F.substring(
+                        F.sha2(F.concat_ws(" ", F.slice("_toks", i, k)), 256), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+            ),
+        )
+        .withColumn(
+            "_sel",
+            F.array_distinct(
+                F.transform(
+                    seq1(F.size("_gh") - (window - 1)),
+                    lambda j: F.array_min(F.slice("_gh", j, window)),
+                )
+            ),
         )
     )
-    # Guard BEFORE building sequences: sequence(1, m) with m < 1 would
-    # generate a descending range, not an empty one.
-    return df.filter(n >= k + window - 1).select(
-        F.col(id_col), F.explode(selected).alias("fp")
+    return (
+        staged.select(F.col(id_col), F.explode_outer("_sel").alias("fp"))
+        .filter(F.col("fp").isNotNull())
     )
 
 
