@@ -226,6 +226,65 @@ def streaming_corpus_curation(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "streaming_neardup_curation",
+    # Rows-only by design: the MinHash family is engine-specific and
+    # LSH recall on sub-1.0 Jaccard pairs is probabilistic, so no SQL
+    # twin can pin the exact surviving set. Semantics (fuzzy
+    # re-arrivals blocked, fresh content admitted, replay idempotence)
+    # are pinned in tests/test_streaming.py.
+    oracle=None,
+    survey_ids=("B50", "B44", "B54"),
+    description="Streaming near-dup curation: LSH-banded probe of the standing corpus per micro-batch",
+)
+def streaming_neardup_curation(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming NEAR-dup curation end-to-end: batch 0 ingests 100
+    originals; batch 1 carries 50 fresh docs plus every original
+    RE-ARRIVING with one appended token under a shifted id — content an
+    exact-digest gate (``streaming_corpus_curation``) would admit.
+    ``stream_neardup_ingest`` LSH-probes each batch against the
+    standing corpus index, so the mutated tier is (near-)entirely
+    dropped while fresh docs land."""
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    originals = docs.filter(F.col("doc_id") < 100)
+    fresh = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150))
+    mutated = originals.select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zqxtoken")).alias("text"),
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"ag_stream_nd_{os.path.basename(os.path.normpath(sf))}",
+    )
+    src = os.path.join(base, "src")
+    table = os.path.join(base, "table")
+    cp = os.path.join(base, "cp")
+    for d in (src, table, cp):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src)
+    now = os.path.getmtime(os.path.join(sf, "documents.parquet"))
+    batches = [originals, fresh.unionByName(mutated)]
+    for i, b in enumerate(batches):
+        rows = b.toJSON().collect()  # batch staging: bounded fixture slice
+        pth = os.path.join(src, f"b{i}.json")
+        with open(pth, "w") as f:
+            f.write("\n".join(rows))
+        os.utime(pth, (now + i * 10, now + i * 10))
+    sdf = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = S.stream_neardup_ingest(sdf, table, cp)
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise TimeoutError("streaming near-dup curation did not finish within 300s")
+    return spark.read.parquet(table).select("doc_id").localCheckpoint(eager=True)
+
+
+@register(
     "streaming_dedup_events",
     oracle="""
     SELECT event_id FROM events

@@ -377,3 +377,113 @@ def stream_dedup_ingest(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def stream_neardup_ingest(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+):
+    """Streaming NEAR-dup corpus curation: every micro-batch is
+    near-dedup'ed within itself AND against the standing corpus via
+    MinHash-LSH bands before appending — the fuzzy closure of
+    :func:`stream_dedup_ingest` (which only stops byte-identical
+    content; a one-word edit walks right through it).
+
+    Standing-table layout: each appended row carries its LSH index
+    columns (``hshingle`` long array + ``bands`` band-hash array)
+    alongside the document, so the per-batch probe is
+
+    1. in-batch near-dedup: drop any doc with a verified near-dup of
+       smaller id in the same batch (the standard greedy LSH rule —
+       slightly more aggressive than transitive-closure clustering,
+       see ``operators/graph.py`` for the batch CC alternative);
+    2. band-bucketed probe against the standing corpus: explode both
+       sides' band arrays, join on (band_idx, band_hash), verify exact
+       shingle Jaccard on collisions only — batch cost ~ batch size x
+       collision volume, never |corpus| x |batch|;
+    3. append survivors WITH their index columns.
+
+    The standing side reads only (id, hshingle, bands) — an
+    index-shaped column scan, no text. At 100 TB, bucket the standing
+    table by band hash to make the probe shuffle-free.
+
+    Replay safety: a re-run batch finds its own previously appended
+    rows in the standing index; every doc self-matches at Jaccard 1.0
+    and is dropped — content-level idempotence, same contract as
+    ``stream_dedup_ingest``. Documents too short to shingle (< n
+    tokens) have empty shingle sets, can never reach a positive
+    Jaccard, and always pass — compose with exact digest dedup for
+    those.
+
+    Returns the started StreamingQuery; caller awaits termination.
+    """
+    from ag_data_ingestion_github_to_snowflake_spark.operators.dedup import (
+        _band_hashes,
+        _sig_arrow_udf,
+        hashed_shingles,
+        minhash_near_dedup,
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        pairs = minhash_near_dedup(
+            batch_df.select(id_col, text_col),
+            text_col,
+            id_col,
+            n=n,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+        )
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        kept = batch_df.join(losers, id_col, "left_anti")
+        sh = hashed_shingles(kept, text_col, n)
+        indexed = (
+            sh.withColumn("sig", _sig_arrow_udf(num_hashes)(F.col("hshingle")))
+            .withColumn("bands", _band_hashes(num_hashes, bands))
+            .drop("sig")
+            .localCheckpoint(eager=True)  # feeds the probe AND the append
+        )
+        # Only the first batch legitimately finds no standing corpus;
+        # any other read failure must fail the micro-batch (same
+        # rationale as stream_dedup_ingest).
+        try:
+            standing = spark.read.parquet(path).select(id_col, "hshingle", "bands")
+        except AnalysisException:
+            standing = None
+        if standing is not None:
+            b_side = indexed.select(
+                F.col(id_col).alias("_bid"),
+                F.col("hshingle").alias("_bsh"),
+                F.posexplode("bands").alias("band_idx", "band_hash"),
+            )
+            s_side = standing.select(
+                F.col("hshingle").alias("_ssh"),
+                F.posexplode("bands").alias("band_idx", "band_hash"),
+            )
+            inter = F.size(F.array_intersect("_bsh", "_ssh"))
+            union = F.size(F.array_union("_bsh", "_ssh"))
+            hit = (
+                b_side.join(s_side, ["band_idx", "band_hash"])
+                .filter(inter / F.greatest(union, F.lit(1)) >= threshold)
+                .select(F.col("_bid").alias(id_col))
+                .distinct()
+            )
+            survivors = indexed.join(hit, id_col, "left_anti")
+        else:
+            survivors = indexed
+        survivors.write.mode("append").parquet(path)
+
+    return (
+        stream_df.writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -418,3 +418,45 @@ def test_stream_dedup_ingest_curates_growing_corpus(spark, tmp_path):
         ("delta", 7),
         ("gamma", 5),
     ]
+
+
+def test_stream_neardup_ingest_blocks_fuzzy_rearrivals(spark, tmp_path):
+    """Near-dup streaming curation: a one-word edit of standing content
+    is dropped (exact digest dedup would admit it); unrelated content
+    passes; in-batch near-dups keep only the lowest id."""
+    import json as _json
+    import os
+    import time as _time
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    variant = "the quick brown fox jumps over the lazy dog again and AGAIN2"
+    other = "completely different subject matter entirely here with many words"
+    other_edit = "completely different subject matter entirely here with many WORDS2"
+    lone = "short isolated text that resembles nothing else in the corpus"
+
+    src = str(tmp_path / "nd_src")
+    os.makedirs(src)
+    table = str(tmp_path / "nd_table")
+    batches = [
+        [(1, base), (2, other)],
+        [(3, variant), (4, lone)],          # 3 near-dups standing 1
+        [(5, other_edit), (6, other_edit + " x")],  # 5~2 standing; 6~5 in-batch
+    ]
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        p = os.path.join(src, f"b{i}.json")
+        with open(p, "w") as f:
+            for did, text in rows:
+                f.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
+        os.utime(p, (now + i * 10, now + i * 10))
+    sdf = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = S.stream_neardup_ingest(sdf, table, str(tmp_path / "nd_cp"))
+    assert q.awaitTermination(120)
+    out = spark.read.parquet(table)
+    assert set(out.columns) >= {"doc_id", "text", "hshingle", "bands"}
+    kept = sorted(r.doc_id for r in out.select("doc_id").collect())
+    assert kept == [1, 2, 4]
