@@ -460,3 +460,43 @@ def test_stream_neardup_ingest_blocks_fuzzy_rearrivals(spark, tmp_path):
     assert set(out.columns) >= {"doc_id", "text", "hshingle", "bands"}
     kept = sorted(r.doc_id for r in out.select("doc_id").collect())
     assert kept == [1, 2, 4]
+
+
+def test_stream_neardup_ingest_replay_idempotent(spark, tmp_path):
+    """Worst-case replay: re-running the whole source against a FRESH
+    checkpoint (as if every batch commit was lost) leaves the standing
+    table unchanged — every replayed doc self-matches its previously
+    appended row at Jaccard 1.0 and is dropped."""
+    import json as _json
+    import os
+    import time as _time
+
+    src = str(tmp_path / "rp_src")
+    os.makedirs(src)
+    table = str(tmp_path / "rp_table")
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "completely different subject matter entirely here with many words"),
+    ]
+    now = _time.time()
+    for i, (did, text) in enumerate(texts):
+        p = os.path.join(src, f"b{i}.json")
+        with open(p, "w") as f:
+            f.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
+        os.utime(p, (now + i * 10, now + i * 10))
+
+    def drain(cp):
+        sdf = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = S.stream_neardup_ingest(sdf, table, str(tmp_path / cp))
+        assert q.awaitTermination(120)
+
+    drain("rp_cp1")
+    first = sorted(r.doc_id for r in spark.read.parquet(table).select("doc_id").collect())
+    drain("rp_cp2")  # fresh checkpoint: full replay
+    second = sorted(r.doc_id for r in spark.read.parquet(table).select("doc_id").collect())
+    assert first == [1, 2]
+    assert second == [1, 2]
