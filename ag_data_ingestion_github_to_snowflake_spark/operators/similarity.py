@@ -382,20 +382,70 @@ def embedding_near_dup_pairs(
     Thresholds the RAW cosine (rounding only the reported value), and
     works directly on the candidate set — no top-k cap, so vectors
     with many duplicates surface every pair.
+
+    Unlike the query/corpus path (``_lsh_candidates``), the self-join
+    variant materializes its two intermediates with lazy local
+    checkpoints: the generic path referenced the input subtree FIVE
+    times (two bucket-UDF passes + two vector re-attaches + the scan
+    under each), so its cost scaled with the size of the UPSTREAM scan
+    even when the filtered corpus was fixed — measured alpha 0.68 on
+    the 10x scale fixture for a constant 400-vector corpus, vs ~0
+    after (one scan, one Arrow bucket pass).
     """
-    cand = _lsh_candidates(df, df, id_col, vec_col, n_planes, n_tables, dim)
+    vecs = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            _norm(F.col(vec_col)).alias("_n"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    planes_matrix = np.array(
+        [
+            plane
+            for t_idx in range(n_tables)
+            for plane in _hyperplanes(dim, n_planes, seed=42 + t_idx * 1009)
+        ],
+        dtype=np.float64,
+    )
+    powers = np.array([1 << p for p in range(n_planes)], dtype=np.int64)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def bucket_ids(vs: pd.Series) -> pd.Series:
+        mat = np.array(vs.tolist(), dtype=np.float64)
+        signs = (mat @ planes_matrix.T) >= 0
+        signs = signs.reshape(len(mat), n_tables, n_planes)
+        return pd.Series(list((signs * powers).sum(axis=2)))
+
+    buckets = (
+        vecs.withColumn("_buckets", bucket_ids(F.col("_v")))
+        .select("_id", F.posexplode("_buckets").alias("tbl", "bucket"))
+        .localCheckpoint(eager=False)
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pair_ids = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    va = vecs.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("q_vec"), F.col("_n").alias("q_norm")
+    )
+    vb = vecs.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("c_vec"), F.col("_n").alias("c_norm")
+    )
     raw = _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
     return (
-        # id-order filter BEFORE scoring: the self-join surfaces both
-        # (a,b) and (b,a); score only one orientation.
-        cand.filter(F.col("query_id") < F.col("neighbor_id"))
+        pair_ids.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("_raw", raw)
         .filter(F.col("_raw") >= threshold)
-        .select(
-            F.col("query_id").alias("id_a"),
-            F.col("neighbor_id").alias("id_b"),
-            F.round("_raw", 6).alias("cosine"),
-        )
+        .select("id_a", "id_b", F.round("_raw", 6).alias("cosine"))
         .distinct()
     )
 
