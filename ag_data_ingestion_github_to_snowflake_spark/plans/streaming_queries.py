@@ -42,10 +42,25 @@ def _staged_events_stream(spark: SparkSession, sf: str) -> tuple[DataFrame, str]
     stage = os.path.join(
         tempfile.gettempdir(), f"ag_stream_events_{os.path.basename(os.path.normpath(sf))}"
     )
-    staged = os.path.join(stage, "events.parquet")
-    if not os.path.exists(staged) or os.path.getmtime(staged) < os.path.getmtime(src):
-        os.makedirs(stage, exist_ok=True)
-        shutil.copy(src, staged)
+    # `_`-prefixed marker: invisible to the Spark file source (which
+    # skips `_`/`.` files), so it can carry the staleness stamp for
+    # both file- and directory-style fixtures.
+    marker = os.path.join(stage, "_staged")
+    if not os.path.exists(marker) or os.path.getmtime(marker) < os.path.getmtime(src):
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage)
+        if os.path.isdir(src):
+            # directory-style fixture (e.g. the generated sf1.0 scale
+            # fixture): stage each part file flat
+            for part in sorted(os.listdir(src)):
+                if part.endswith(".parquet"):
+                    shutil.copy(
+                        os.path.join(src, part), os.path.join(stage, f"events_{part}")
+                    )
+        else:
+            shutil.copy(src, os.path.join(stage, "events.parquet"))
+        with open(marker, "w") as fh:
+            fh.write("staged\n")
     raw_schema = spark.read.parquet(src).schema
     sdf = spark.readStream.schema(raw_schema).parquet(stage)
     if isinstance(raw_schema["ts"].dataType, T.LongType):
