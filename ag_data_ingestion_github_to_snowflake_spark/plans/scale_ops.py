@@ -169,3 +169,56 @@ def skew_join_revenue_by_segment(spark: SparkSession, sf: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@register(
+    "incremental_join_refresh",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    survey_ids=("B10", "B16", "B27"),
+    description="delta-join view maintenance over appended batches equals the full join",
+)
+def incremental_join_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental JOIN view maintenance: both orders and lineitem
+    arrive in two appends (split on their date columns); the standing
+    join view is refreshed via the delta-join identity
+    (J ∪ ΔL⋈R ∪ L⋈ΔR ∪ ΔL⋈ΔR — ``operators/incremental.py``) and
+    aggregated. The oracle is the one-shot full join: incremental
+    maintenance must be indistinguishable from recompute.
+
+    Plan shape: the standing tables are scanned once each, the delta
+    terms broadcast the delta side — refresh cost is O(|Δ| x fan-out),
+    never a re-shuffle of the standing view. This is the joined-fact
+    sibling of ``rollup_incremental_merge``'s algebraic rollup.
+    """
+    from ag_data_ingestion_github_to_snowflake_spark.operators.incremental import (
+        delta_join_append,
+    )
+
+    cut = F.lit("1997-01-01").cast("timestamp_ntz")
+    o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_orderdate")
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_extendedprice", "l_shipdate")
+    o_old, o_new = o.filter(F.col("o_orderdate") < cut), o.filter(
+        F.col("o_orderdate") >= cut
+    )
+    l_old, l_new = li.filter(F.col("l_shipdate") < cut), li.filter(
+        F.col("l_shipdate") >= cut
+    )
+    cond_old = o_old.o_orderkey == l_old.l_orderkey
+    standing = o_old.join(l_old, cond_old)
+    appended = delta_join_append(
+        o_old, o_new, l_old, l_new, F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    view = standing.unionByName(appended)
+    return view.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )

@@ -636,3 +636,28 @@ def test_minhash_arrow_kernel_matches_hof_signatures(spark):
         for r in sh.select("doc_id", D._sig_arrow_udf(32)(F.col("hshingle")).alias("sig")).collect()
     }
     assert ref == got
+
+
+def test_delta_join_append_equals_full_join(spark):
+    """Delta-join identity: standing ∪ appended == full L ⋈ R,
+    row-for-row, for arbitrary append splits of both sides."""
+    from ag_data_ingestion_github_to_snowflake_spark.operators.incremental import (
+        delta_join_append,
+    )
+    from pyspark.sql import functions as F
+
+    L = spark.createDataFrame(
+        [(k, f"l{k}") for k in range(20)], "k int, lv string"
+    )
+    R = spark.createDataFrame(
+        [(k % 10, f"r{k}") for k in range(30)], "k int, rv string"
+    )
+    l_old, l_new = L.filter("k < 12"), L.filter("k >= 12")
+    r_old, r_new = R.filter("rv < 'r15'"), R.filter("rv >= 'r15'")
+    standing = l_old.join(r_old, "k")
+    appended = delta_join_append(l_old, l_new, r_old, r_new, "k")
+    got = sorted(
+        (r.k, r.lv, r.rv) for r in standing.unionByName(appended).collect()
+    )
+    want = sorted((r.k, r.lv, r.rv) for r in L.join(R, "k").collect())
+    assert got == want and len(want) == 30
