@@ -376,3 +376,63 @@ def delete_keys_surgical(
         "files_rewritten": rewritten,
         "rows_deleted": deleted,
     }
+
+
+def pruned_point_lookup(
+    spark,
+    path: str,
+    keys: list[int],
+    key_col: str,
+) -> tuple["DataFrame", dict]:
+    """Point lookup over an immutable parquet table reading ONLY the
+    files whose footer min/max range can contain a requested key — the
+    read-side twin of :func:`delete_keys_surgical`'s candidate
+    selection, and the poor-man's secondary index every immutable-file
+    warehouse gets for free from parquet footers.
+
+    Spark's own scan prunes ROW GROUPS once a file is opened; this
+    prunes at the FILE level before the scan is even planned, which at
+    100 TB is the difference between listing+footer-reading a table and
+    opening a million files. On a sorted / compacted table
+    (:func:`compact_table`) key ranges are disjoint and the candidate
+    set is ~one file per key.
+
+    Returns ``(df, stats)`` where ``df`` is the matching rows (the
+    residual ``IN`` filter still applies — footer ranges over-approximate)
+    and ``stats`` = {"files_total", "files_pruned", "files_read"}.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    key_set = sorted(set(keys))
+    files = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+    candidates = []
+    for f in files:
+        fp = os.path.join(path, f)
+        meta = pq.ParquetFile(fp).metadata
+        if meta.num_row_groups == 0:
+            continue
+        names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        idx = names[key_col]
+        hit = False
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            if st is None or st.min is None or st.max is None:
+                hit = True  # no stats: cannot prune this file
+                break
+            if any(st.min <= k <= st.max for k in key_set):
+                hit = True
+                break
+        if hit:
+            candidates.append(fp)
+    stats = {
+        "files_total": len(files),
+        "files_pruned": len(files) - len(candidates),
+        "files_read": len(candidates),
+    }
+    if not candidates:
+        empty = spark.read.parquet(path).limit(0)
+        return empty.filter(F.col(key_col).isin(key_set)), stats
+    df = spark.read.parquet(*candidates).filter(F.col(key_col).isin(key_set))
+    return df, stats

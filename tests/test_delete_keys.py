@@ -64,3 +64,31 @@ def test_delete_spanning_files(spark, tmp_path):
     stats = delete_keys_surgical(spark, path, [5, 500, 995], "id")
     assert stats["rows_deleted"] == 3
     assert spark.read.parquet(path).count() == 997
+
+
+def test_pruned_point_lookup_reads_only_range_hit_files(spark, tmp_path):
+    from ag_data_ingestion_github_to_snowflake_spark.sources.sinks import (
+        pruned_point_lookup,
+    )
+
+    path = str(tmp_path / "pl")
+    _write_sorted_files(spark, path)  # 4 range-disjoint files over 0..999
+    df, stats = pruned_point_lookup(spark, path, [3, 7], "id")
+    rows = sorted(r.id for r in df.collect())
+    assert rows == [3, 7]
+    assert stats["files_total"] == 4
+    # both keys live in the lowest range: one file read, three pruned
+    assert stats["files_read"] == 1
+    assert stats["files_pruned"] == 3
+
+
+def test_pruned_point_lookup_missing_key_returns_empty(spark, tmp_path):
+    from ag_data_ingestion_github_to_snowflake_spark.sources.sinks import (
+        pruned_point_lookup,
+    )
+
+    path = str(tmp_path / "pl2")
+    _write_sorted_files(spark, path)
+    df, stats = pruned_point_lookup(spark, path, [10_000_000], "id")
+    assert df.count() == 0
+    assert stats["files_read"] == 0 and stats["files_pruned"] == 4
