@@ -250,3 +250,40 @@ def test_winnowing_short_docs_dropped_not_errored(spark):
 
     rows = winnowing_fingerprints(df).collect()
     assert {r.doc_id for r in rows} == {2}
+
+
+def test_winnowing_matches_pure_python_reference(spark):
+    """Batch differential: the codegen array-expression pipeline must
+    equal a direct Python transcription of the algorithm (tokenize ->
+    5-gram sha256 -> window-4 min -> distinct) on seeded random docs."""
+    import hashlib
+    import random
+    import re
+
+    from ag_data_ingestion_github_to_snowflake_spark.operators.text import (
+        winnowing_fingerprints,
+    )
+
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+        for i in range(30)
+    ]
+
+    def reference(text):
+        toks = [t for t in re.split(r"\s+", text.lower()) if t]
+        if len(toks) < 8:
+            return set()
+        grams = [" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)]
+        gh = [
+            int(hashlib.sha256(g.encode()).hexdigest()[:8], 16) for g in grams
+        ]
+        return {min(gh[j : j + 4]) for j in range(len(gh) - 3)}
+
+    want = {i: reference(t) for i, t in docs if reference(t)}
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {}
+    for r in winnowing_fingerprints(df).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    assert got == want
