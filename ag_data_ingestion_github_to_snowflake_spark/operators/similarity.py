@@ -527,3 +527,99 @@ def mmr_rerank(
         )
 
     return with_vecs.groupBy("query_id").applyInPandas(kernel, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# IVF index persistence: build once, query many
+# ---------------------------------------------------------------------------
+def write_ivf_index(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index: ``<path>/centroids`` (n_cells x dim, one
+    bounded parquet) and ``<path>/cells`` — the corpus with norms and
+    cell assignment, PARTITIONED BY cell.
+
+    Partitioning by cell is the on-disk form of the IVF invariant:
+    a probed search touches ``nprobe`` directories and never lists the
+    rest (partition pruning at the file-listing level, the coarse
+    sibling of parquet row-group skipping). Norms ride along so the
+    query path never recomputes them. Build cost is one assignment
+    pass + one partitioned write; afterwards any number of query
+    batches reuse it — FAISS's build/search split, expressed as a
+    lakehouse table layout.
+    """
+    spark = corpus.sparkSession
+    cent_rows = [
+        (i, [float(x) for x in row]) for i, row in enumerate(centroids)
+    ]
+    spark.createDataFrame(
+        cent_rows, "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
+    ).withColumn("cell", _nearest_cell_udf(centroids)(F.col("c_vec")))
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+
+
+def read_ivf_index(spark, path: str) -> tuple[np.ndarray, DataFrame]:
+    """Load a persisted IVF index: (centroid matrix, assigned corpus).
+
+    The centroid collect is bounded at n_cells x dim (same bound as
+    training); the assigned corpus stays distributed.
+    """
+    rows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = np.array(
+        [r.centroid for r in sorted(rows, key=lambda r: r.cell)],
+        dtype=np.float64,
+    )
+    return cents, spark.read.parquet(f"{path}/cells")
+
+
+def ivf_index_topk(
+    assigned: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search over a PERSISTED index (``read_ivf_index``): same
+    semantics as :func:`ivf_topk`, but assignment and norms come from
+    the index table, so the corpus-side work is a pruned scan + the
+    cell equi-join. The probed query side is batch-sized; broadcasting
+    it lets dynamic partition pruning drop unprobed cell directories
+    from the scan entirely.
+    """
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            _norm(F.col(vec_col)).alias("q_norm"),
+        )
+        .withColumn("_cells", _probe_cells_udf(centroids, nprobe)(F.col("q_vec")))
+        .select("query_id", "q_vec", "q_norm", F.explode("_cells").alias("cell"))
+    )
+    scored = (
+        assigned.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.select(
+            "query_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rnk")
+        )
+        .filter(F.col("rnk") <= k)
+    )

@@ -258,6 +258,60 @@ def similarity_ivf_probed(spark: SparkSession, sf: str) -> DataFrame:
     return _ivf_query(spark, sf, nprobe=2)
 
 
+@register(
+    "similarity_ivf_persisted",
+    # Same full-probe argument as similarity_ivf_topk: searching every
+    # cell of the PERSISTED index provably equals brute force, so the
+    # exact-cosine oracle hash-verifies the whole build/write/read/
+    # search round-trip, including the partitioned cell layout.
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id,
+             c.vec_id AS neighbor_id,
+             ROUND(
+               list_sum(list_transform(list_zip(q.q_vec, c.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.q_vec,  v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))
+                * sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))),
+             6) AS cosine
+      FROM embeddings c, q
+      WHERE q.query_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+    survey_ids=("B55", "B3"),
+    description="IVF index persisted as a cell-partitioned table, reloaded, searched",
+)
+def similarity_ivf_persisted(spark: SparkSession, sf: str) -> DataFrame:
+    """Build-once / query-many ANN: train IVF cells, persist the index
+    (centroid parquet + cell-PARTITIONED corpus with precomputed
+    norms), reload it from disk, and search at full probe —
+    ``operators/similarity.py:write_ivf_index/read_ivf_index/
+    ivf_index_topk``. The partitioned layout means a probed search
+    lists only nprobe cell directories at any corpus size."""
+    import os
+    import shutil
+    import tempfile
+
+    emb = t(spark, sf, "embeddings")
+    cents = S.train_ivf_centroids(emb, n_cells=8, iters=2, sample_fraction=0.25)
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        f"ag_ivf_idx_{os.path.basename(os.path.normpath(sf))}",
+    )
+    shutil.rmtree(idx, ignore_errors=True)
+    S.write_ivf_index(emb, cents, idx)
+    cents2, assigned = S.read_ivf_index(spark, idx)
+    return S.ivf_index_topk(
+        assigned, emb.filter(F.col("vec_id") < 10), cents2, k=5, nprobe=8
+    )
+
+
 # ---------------------------------------------------------------------------
 # B56 text analysis
 # ---------------------------------------------------------------------------

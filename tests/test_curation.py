@@ -287,3 +287,31 @@ def test_winnowing_matches_pure_python_reference(spark):
     for r in winnowing_fingerprints(df).collect():
         got.setdefault(r.doc_id, set()).add(r.fp)
     assert got == want
+
+
+def test_ivf_index_roundtrip_partition_layout(spark, tmp_path):
+    """The persisted index partitions the corpus by cell (probed search
+    lists only nprobe directories) and the reloaded search equals the
+    in-memory IVF path exactly."""
+    import os
+
+    from ag_data_ingestion_github_to_snowflake_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = S.train_ivf_centroids(emb, n_cells=4, iters=1)
+    idx = str(tmp_path / "ivf")
+    S.write_ivf_index(emb, cents, idx)
+    dirs = [d for d in os.listdir(os.path.join(idx, "cells")) if d.startswith("cell=")]
+    assert 1 <= len(dirs) <= 4
+    cents2, assigned = S.read_ivf_index(spark, idx)
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.rnk)
+        for r in S.ivf_index_topk(assigned, queries, cents2, k=3, nprobe=4).collect()
+    )
+    want = sorted(
+        (r.query_id, r.neighbor_id, r.rnk)
+        for r in S.ivf_topk(emb, queries, cents, k=3, nprobe=4).collect()
+    )
+    assert got == want and len(want) > 0
