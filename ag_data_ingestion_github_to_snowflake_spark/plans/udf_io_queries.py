@@ -402,3 +402,51 @@ def orc_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             "total_price"
         ),
     )
+
+
+@register(
+    "schema_evolution_merge",
+    # The oracle is over the ORIGINAL table: a schema-evolving
+    # round-trip must lose nothing — rows written before the column
+    # existed read back as NULLs, counted via the same parity split
+    # that decided which batch carried the column.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_price,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 1
+                         THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END)
+                AS DOUBLE) AS evolved_revenue
+    FROM orders
+    """,
+    survey_ids=("B1", "B3", "B7"),
+    description="mergeSchema read over batches written before/after a column was added",
+)
+def schema_evolution_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema evolution on an append-only table: batch 1 was written
+    BEFORE ``o_totalprice`` existed (two columns), batch 2 after
+    (three). ``mergeSchema`` unifies the footers at read time — old
+    rows surface the new column as NULL, no rewrite of historical
+    files (the additive-evolution contract every long-lived lakehouse
+    table depends on; for the scan side, schema merging is why
+    ReadSchema must be checked against the UNION of file footers, not
+    the first file)."""
+    o = t(spark, sf, "orders")
+    out = os.path.join(
+        tempfile.gettempdir(), f"ag_schema_evo_{os.path.basename(sf.rstrip('/'))}"
+    )
+    b1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_custkey")
+    b2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    b1.write.mode("overwrite").parquet(out)
+    b2.write.mode("append").parquet(out)
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("o_totalprice").cast("bigint").alias("n_with_price"),
+        F.coalesce(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+            F.lit(0.0),
+        ).alias("evolved_revenue"),
+    )
