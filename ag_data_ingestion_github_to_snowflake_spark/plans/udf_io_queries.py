@@ -450,3 +450,51 @@ def schema_evolution_merge(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(0.0),
         ).alias("evolved_revenue"),
     )
+
+
+@register(
+    "udtf_split_sentences",
+    # Parallel UNNESTs zip in DuckDB, so sentence/word-count/ordinal
+    # stay row-aligned; trim matches Python str.strip() via the
+    # explicit whitespace set.
+    oracle="""
+    WITH sents AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(string_split(text, '.'),
+                              s -> trim(s, ' ' || chr(9) || chr(10) || chr(13))),
+               s -> s <> '') AS ss
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           UNNEST(ss) AS sentence,
+           UNNEST(list_transform(ss, s ->
+             CAST(len(list_filter(string_split_regex(s, '\\s+'), w -> w <> ''))
+                  AS INT))) AS n_words,
+           UNNEST(list_transform(range(len(ss)), i -> CAST(i AS INT))) AS position
+    FROM sents
+    """,
+    survey_ids=("B51", "B52", "B40"),
+    description="Python UDTF lateral join: one doc row -> N sentence rows with metadata",
+)
+def udtf_split_sentences(spark: SparkSession, sf: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function) in a LATERAL join: each
+    document explodes into (sentence, n_words, position) rows — the
+    one-row-to-N-rows shape scalar UDFs cannot express. The UDTF
+    itself is ``functions/pandas_udfs.py:make_split_sentences_udtf``;
+    at scale the lateral join is row-local (no shuffle), the same
+    explode-style cost model as chunk_passages."""
+    from ag_data_ingestion_github_to_snowflake_spark.functions.pandas_udfs import (
+        make_split_sentences_udtf,
+    )
+
+    spark.udtf.register("split_sentences", make_split_sentences_udtf())
+    t(spark, sf, "documents").filter(F.col("doc_id") < 100).createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sentence, s.n_words, s.position
+        FROM _udtf_docs d, LATERAL split_sentences(d.text) s
+        """
+    )
