@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ag_data_ingestion_github_to_snowflake_spark.functions.exact import DEC2 as DEC
-from ag_data_ingestion_github_to_snowflake_spark.functions.exact import DEC6, dsum  # noqa: F401
+from ag_data_ingestion_github_to_snowflake_spark.functions.exact import DEC6, count_if, davg, dsum  # noqa: F401
 from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register, t
 
 
@@ -135,7 +135,7 @@ def group_avg_acctbal(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("c_acctbal") > 0)
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
-            (F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count("*")).alias("avg_bal"),
+            davg("c_acctbal", "avg_bal"),
             F.count("*").alias("n"),
         )
     )
@@ -185,16 +185,12 @@ def global_agg_orders(spark: SparkSession, sf: str) -> DataFrame:
 def conditional_counts_orders(spark: SparkSession, sf: str) -> DataFrame:
     """count-if split counters — the reference's valid/invalid/failed tallies."""
     df = t(spark, sf, "orders")
-
-    def cnt(p, alias):
-        return F.sum(F.when(p, 1).otherwise(0)).alias(alias)
-
     return df.agg(
         F.count("*").alias("total"),
-        cnt(F.col("o_orderstatus") == "F", "n_finished"),
-        cnt(F.col("o_orderstatus") == "O", "n_open"),
-        cnt(F.col("o_orderstatus") == "P", "n_pending"),
-        cnt(F.col("o_totalprice") > 100000, "n_large"),
+        count_if(F.col("o_orderstatus") == "F", "n_finished"),
+        count_if(F.col("o_orderstatus") == "O", "n_open"),
+        count_if(F.col("o_orderstatus") == "P", "n_pending"),
+        count_if(F.col("o_totalprice") > 100000, "n_large"),
     )
 
 

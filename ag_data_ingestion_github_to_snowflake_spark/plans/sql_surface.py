@@ -42,16 +42,17 @@ def lateral_top_nations_per_region(spark: SparkSession, sf: str) -> DataFrame:
     (same physical shape as ``window_topk_orders_per_customer``), so
     "SQL consumer" and "DataFrame consumer" get one plan.
     """
-    for name in ("region", "nation", "supplier"):
-        t(spark, sf, name).createOrReplaceTempView(f"{name}_v")
+    from ag_data_ingestion_github_to_snowflake_spark.catalog import register_views
+
+    register_views(spark, sf)  # every fixture table as a temp view
     return spark.sql(
         """
         SELECT r.r_name AS region, l.n_name AS nation, l.total_bal
-        FROM region_v r,
+        FROM region r,
         LATERAL (
           SELECT n.n_name,
                  CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
-          FROM nation_v n JOIN supplier_v s ON s.s_nationkey = n.n_nationkey
+          FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
           WHERE n.n_regionkey = r.r_regionkey
           GROUP BY n.n_name
           ORDER BY total_bal DESC, n.n_name

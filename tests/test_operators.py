@@ -661,3 +661,30 @@ def test_delta_join_append_equals_full_join(spark):
     )
     want = sorted((r.k, r.lv, r.rv) for r in L.join(R, "k").collect())
     assert got == want and len(want) == 30
+
+
+def test_with_cosine_and_run_metrics_roundtrip(spark, tmp_path):
+    """with_cosine: exact 1.0 on identical vectors, 0.0 on orthogonal;
+    write_run_metrics: append-only envelope accumulates run rows."""
+    from pyspark.sql import functions as F
+
+    from ag_data_ingestion_github_to_snowflake_spark.operators.similarity import (
+        with_cosine,
+    )
+    from ag_data_ingestion_github_to_snowflake_spark.sources.sinks import (
+        write_run_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 2.0])],
+        "a array<double>, b array<double>",
+    )
+    got = [round(r.cosine, 9) for r in with_cosine(df, "a", "b").collect()]
+    assert got == [1.0, 0.0]
+
+    path = str(tmp_path / "metrics")
+    m = spark.createDataFrame([(1, 10)], "run int, n int")
+    write_run_metrics(m, path)
+    write_run_metrics(m.select(F.lit(2).alias("run"), F.lit(20).alias("n")), path)
+    rows = sorted((r.run, r.n) for r in spark.read.parquet(path).collect())
+    assert rows == [(1, 10), (2, 20)]
