@@ -498,3 +498,54 @@ def udtf_split_sentences(spark: SparkSession, sf: str) -> DataFrame:
         FROM _udtf_docs d, LATERAL split_sentences(d.text) s
         """
     )
+
+
+@register(
+    "arrow_normalize_embeddings",
+    # The kernel is pure float64 arithmetic on both sides, so the
+    # rounded values hash-match: DuckDB recomputes the same unit
+    # normalization with list lambdas.
+    oracle="""
+    SELECT vec_id,
+           ROUND(sqrt(list_sum(list_transform(embedding,
+                 v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))), 6) AS norm,
+           ROUND(CAST(embedding[1] AS DOUBLE)
+                 / sqrt(list_sum(list_transform(embedding,
+                       v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))), 6) AS u0
+    FROM embeddings
+    WHERE vec_id < 500
+    """,
+    survey_ids=("B51", "B41"),
+    description="mapInArrow kernel: zero-copy RecordBatch in, unit-normalized vectors out",
+)
+def arrow_normalize_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """``mapInArrow`` — the lowest-overhead Python batch API: the
+    kernel receives raw ``pyarrow.RecordBatch``es (no pandas
+    conversion at all) and answers with Arrow batches. The numpy body
+    is one vectorized (batch, dim) pass, the same compute shape as the
+    pandas-UDF kernels but skipping the Series boxing — the right tier
+    when the per-batch work is a dense matmul/norm and the 100 TB cost
+    is serialization, not math. Emits each vector's L2 norm and first
+    unit-normalized component."""
+    import numpy as np
+    import pyarrow as pa
+
+    def kernel(batches):
+        for batch in batches:
+            vec_ids = batch.column("vec_id")
+            mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            u0 = mat[:, 0] / norms
+            yield pa.RecordBatch.from_arrays(
+                [
+                    vec_ids,
+                    pa.array(np.round(norms, 6), type=pa.float64()),
+                    pa.array(np.round(u0, 6), type=pa.float64()),
+                ],
+                names=["vec_id", "norm", "u0"],
+            )
+
+    emb = t(spark, sf, "embeddings").filter(F.col("vec_id") < 500).select(
+        "vec_id", "embedding"
+    )
+    return emb.mapInArrow(kernel, "vec_id long, norm double, u0 double")
