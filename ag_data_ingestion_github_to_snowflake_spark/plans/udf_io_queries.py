@@ -488,6 +488,11 @@ def udtf_split_sentences(spark: SparkSession, sf: str) -> DataFrame:
         make_split_sentences_udtf,
     )
 
+    # Arrow-optimized UDTF execution (ArrowEvalPythonUDTF): without it
+    # the UDTF runs row-at-a-time BatchEvalPython — the exact red flag
+    # the plan audit exists to catch. Pure execution-mode toggle, no
+    # semantics change; set here so bare driver sessions get it too.
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
     spark.udtf.register("split_sentences", make_split_sentences_udtf())
     t(spark, sf, "documents").filter(F.col("doc_id") < 100).createOrReplaceTempView(
         "_udtf_docs"

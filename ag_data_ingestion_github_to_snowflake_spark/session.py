@@ -41,6 +41,7 @@ def get_spark(app_name: str = "ag-data-ingestion-spark", master: str | None = No
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow for pandas UDF / toPandas boundaries.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         # Fixtures store TIMESTAMP(ns), which the Spark parquet reader
         # rejects; read nanos as LongType and let the catalog convert to
         # microsecond timestamps (matches DuckDB's ns->us cast).
