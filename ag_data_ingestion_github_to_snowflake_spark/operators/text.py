@@ -61,7 +61,14 @@ def bpe_ish_token_count(df: DataFrame, text_col: str = "text", out: str = "n_bpe
 def quality_score(df: DataFrame, text_col: str = "text", out: str = "quality") -> DataFrame:
     """Heuristic quality score in [0,1]: length band + stopword ratio +
     alpha ratio + repetition penalty. Deterministic arithmetic only."""
-    toks = F.split(F.col(text_col), "\\s+")
+    # The token array is staged as its own column: `score` references
+    # it four times (stopword filter, distinct count, two sizes), and
+    # lambda-bearing subtrees defeat codegen common-subexpression
+    # elimination, so the inline form re-ran the regex split per
+    # reference (same lesson as winnowing_fingerprints; the
+    # multiply-referenced alias also blocks CollapseProject).
+    staged = df.withColumn("_qs_toks", F.split(F.col(text_col), "\\s+"))
+    toks = F.col("_qs_toks")
     n_tok = F.greatest(F.size(toks), F.lit(1)).cast("double")
     text_len = F.length(F.col(text_col)).cast("double")
     stop_arr = F.array(*[F.lit(wd) for wd in LANG_MARKERS["en"]])
@@ -77,7 +84,7 @@ def quality_score(df: DataFrame, text_col: str = "text", out: str = "quality") -
         + distinct_ratio * 0.25
         + len_band * 0.25
     )
-    return df.withColumn(out, F.round(score, 6))
+    return staged.withColumn(out, F.round(score, 6)).drop("_qs_toks")
 
 
 def language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
