@@ -291,23 +291,43 @@ def nested_struct_flatten(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# B42 struct/map constructors (multimodal packing shape) — rows-only:
-# cross-engine struct hashing is representation-dependent.
+# B42 struct/map constructors (multimodal packing shape). Typed struct
+# columns hash engine-dependently, so the compare surface is the JSON
+# serialization: the double is printf-pinned to 6dp BEFORE packing, and
+# Spark's Jackson and DuckDB's to_json then agree byte-for-byte — the
+# constructors stay in the plan, and the driver hash-verifies them.
 # ---------------------------------------------------------------------------
 @register(
     "struct_pack_events",
-    oracle=None,
-    survey_ids=("B42",),
+    oracle="""
+    SELECT event_id,
+           to_json({'kind': event_type,
+                    'score': printf('%.6f', CAST(value AS DOUBLE))}) AS meta_json,
+           to_json(MAP {'user': CAST(user_id AS VARCHAR)}) AS tags_json
+    FROM events
+    WHERE event_type IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL
+    """,
+    survey_ids=("B42", "B38"),
+    description="struct + map constructors, hash-verified via pinned JSON serialization",
 )
 def struct_pack_events(spark: SparkSession, sf: str) -> DataFrame:
     """Pack typed struct + map columns (multimodal metadata shape)."""
-    e = t(spark, sf, "events")
+    e = t(spark, sf, "events").filter(
+        F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
     return e.select(
         "event_id",
-        F.struct(
-            F.col("event_type").alias("kind"), F.col("value").alias("score")
-        ).alias("meta"),
-        F.create_map(F.lit("user"), F.col("user_id").cast("string")).alias("tags"),
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("kind"),
+                F.format_string("%.6f", F.col("value")).alias("score"),
+            )
+        ).alias("meta_json"),
+        F.to_json(
+            F.create_map(F.lit("user"), F.col("user_id").cast("string"))
+        ).alias("tags_json"),
     )
 
 
