@@ -179,16 +179,25 @@ def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint")
     Rabin-Karp-style document fingerprint that distinguishes
     permutations (unlike a token-set hash). The accumulator stays below
     2^31 so the multiply never overflows a long under ANSI arithmetic.
+
+    The per-token hash is the first 8 sha256 hex digits (mod p), NOT
+    xxhash64: a provenance fingerprint is only useful if every system
+    that touches the corpus computes the same value, and sha256 is the
+    one hash every engine agrees on (the registry carrier cross-checks
+    the full fold against DuckDB's ``list_reduce``).
     """
     toks = F.split(F.col(text_col), "\\s+")
     mod = F.lit(2147483647).cast("long")  # 2^31 - 1 (prime)
+    tok_hash = lambda x: F.pmod(  # noqa: E731
+        F.conv(F.substring(F.sha2(x, 256), 1, 8), 16, 10).cast("long"), mod
+    )
     return df.withColumn(
         out,
         F.aggregate(
             toks,
             F.lit(1469598103).cast("long"),
             lambda acc, x: F.pmod(
-                acc * F.lit(1000003).cast("long") + F.pmod(F.xxhash64(x), mod), mod
+                acc * F.lit(1000003).cast("long") + tok_hash(x), mod
             ),
         ),
     )

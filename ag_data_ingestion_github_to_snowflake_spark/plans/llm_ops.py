@@ -413,11 +413,25 @@ def language_id_confusion(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "doc_fingerprints",
-    oracle=None,  # xxhash64-based rolling hash — engine-specific
-    survey_ids=("B56",),
+    # DuckDB replays the exact fold: list_reduce over sha256-derived
+    # token hashes with the init value prepended (list_reduce seeds
+    # from the first element).
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(1469598103 AS BIGINT),
+               list_transform(string_split_regex(text, '\\s+'),
+                 t -> CAST(('0x' || substr(sha256(t), 1, 8)) AS BIGINT)
+                      % 2147483647)),
+             (acc, x) -> (acc * 1000003 + x) % 2147483647) AS fingerprint
+    FROM documents
+    """,
+    survey_ids=("B56", "B41"),
+    description="Rolling polynomial fingerprint, engine-exact via sha256 token hashes",
 )
 def doc_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
-    """Rolling-hash document fingerprints (order-sensitive)."""
+    """Rolling-hash document fingerprints (order-sensitive; the
+    cross-engine provenance id — see operators/text.py:fingerprint)."""
     return X.fingerprint(t(spark, sf, "documents")).select("doc_id", "fingerprint")
 
 
