@@ -62,7 +62,8 @@ def register(
 # jointly cover every SURVEY.md §2 operator id carried by the registry
 # (guarded by tests/test_registry_priority.py).
 #
-# ROTATION (round 3): the window is re-drawn each round so cumulative
+# ROTATION (round 3, amended in-round): the window is re-drawn each
+# round so cumulative
 # driver-verified coverage grows past the 50-query cap. The r3 window
 # keeps the 15 r2-green names that are the SOLE §2-id carriers (their
 # ids have no other oracle-bearing query), re-covers every other id
@@ -109,7 +110,8 @@ _PRIORITY: tuple[str, ...] = (
     "per_domain_cap",               # B29 B32 B6
     "unpivot_customer_metrics",     # B27 B4
     "grouping_sets_orders",         # B22
-    "map_funcs_orders",             # B42
+    "struct_pack_events",           # B42 B38 (constructors, JSON-pinned oracle)
+    "winnowing_fingerprints",       # B56 B41 (engine-exact fingerprint index)
     "date_arith_orders",            # B33 B34
     "profile_orders_columns",       # B18 B20 A15
     "expectations_orders",          # A12 B19
@@ -118,11 +120,11 @@ _PRIORITY: tuple[str, ...] = (
     "skew_join_revenue_by_segment", # B10 B16 (skew path)
     "pivot_priority_by_year",       # B22 B19
     "multimodal_decode_real",       # B57 (real decode incl. PNG defilter path)
-    "window_distribution_acctbal",  # B29 B23
-    "window_value_funcs",           # B30 B29
-    "window_range_frame_orders",    # B31
-    "argmax_order_per_segment",     # B16 B10
-    "regr_trend_monthly_revenue",   # B18 B43
+    "similarity_ivf_persisted",     # B55 B3 (persisted cell-partitioned index)
+    "training_shuffle_shards",      # B24 B29 B6 (seeded epoch shuffle)
+    "incremental_join_refresh",     # B10 B16 B27 (delta-join view maintenance)
+    "udtf_split_sentences",         # B51 B52 B40 (Arrow Python UDTF)
+    "schema_evolution_merge",       # B1 B3 B7 (mergeSchema round-trip)
     "graph_triangle_count",         # B10 B16
     "decontaminate_train_eval",     # B54 B41
     "assign_sequence_ids",          # B29 (scale-safe id assignment)
