@@ -168,3 +168,15 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_window_topk_uses_group_limit(spark):
+    """Per-group top-k must plan as WindowGroupLimit (Spark 3.5+): each
+    partition keeps a k-row heap instead of fully sorting every group —
+    the difference between O(n log k) and O(n log n) per group at
+    100 TB. A regression to a bare Window + Filter would silently keep
+    working but sort every customer's entire history."""
+    for name in ("window_topk_orders_per_customer", "per_domain_cap"):
+        df = all_specs()[name].build(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan, f"{name} lost the group-limit plan"
