@@ -75,7 +75,6 @@ def register(
 # (tools/gen_coverage.py reads CORRECTNESS_r*.json).
 _PRIORITY: tuple[str, ...] = (
     # -- retained r2-green sole carriers of their §2 ids --
-    "project_filter_part",          # B1 B4 B9
     "filter_all_notnull_customer",  # B7 B8 A12
     "conditional_counts_orders",    # B19 A13
     "approx_distinct_users",        # B21 (rows-only by design)
@@ -127,6 +126,9 @@ _PRIORITY: tuple[str, ...] = (
     "schema_evolution_merge",       # B1 B3 B7 (mergeSchema round-trip)
     "graph_triangle_count",         # B10 B16
     "decontaminate_train_eval",     # B54 B41
+    "bloom_prefilter_join",         # B10 B11 (runtime bloom join pruning)
+    # -- past the 50-cap; driver-checked in a later rotation --
+    "project_filter_part",          # B1 B4 B9 (r1+r2 green, rotated out)
     "assign_sequence_ids",          # B29 (scale-safe id assignment)
 )
 

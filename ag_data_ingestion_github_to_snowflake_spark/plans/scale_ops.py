@@ -222,3 +222,60 @@ def incremental_join_refresh(spark: SparkSession, sf: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@register(
+    "bloom_prefilter_join",
+    oracle="""
+    SELECT l.l_returnflag AS returnflag,
+           l.l_linestatus AS linestatus,
+           count(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag, l.l_linestatus
+    """,
+    survey_ids=("B10", "B11"),
+    description="runtime bloom filter prunes the fact before the join shuffle; exact join removes false positives",
+)
+def bloom_prefilter_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Runtime-filter pattern: bloom-prune lineitem on the urgent
+    orders' keys BEFORE the join shuffle, then exact-join to strip the
+    bloom's false positives. Must be row-identical to the plain join
+    (the oracle), because the bloom has no false negatives.
+
+    Scale shape: the bitmap build is one bounded shuffle (≤ num_bits/64
+    word groups) independent of fact size; the probe is a broadcast +
+    codegen ``forall``; only surviving rows (~1/5 of lineitem here)
+    enter the join shuffle. This is the public-API twin of Spark's
+    internal ``BloomFilterAggregate`` runtime filter.
+    """
+    from ag_data_ingestion_github_to_snowflake_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    urgent = (
+        t(spark, sf, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    li = t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_linestatus", "l_extendedprice"
+    )
+    bloom = bloom_build(urgent, "o_orderkey")
+    pruned = bloom_probe(li, "l_orderkey", bloom)
+    return (
+        pruned.join(urgent, pruned.l_orderkey == urgent.o_orderkey)
+        .groupBy(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
