@@ -83,6 +83,10 @@ ALLOWED_FLAGS = {
     # broadcast into a map-side loop (same contract as
     # similarity_topk_cosine); the greedy rerank is grouped-map.
     ("mmr_rerank_topk", "BroadcastNestedLoopJoin"),
+    # The bloom probe attaches the 1-row bitmap aggregate to the fact
+    # via a broadcast cross join (the membership forall rides the join
+    # condition) — one broadcast row, invariant in the data size.
+    ("bloom_prefilter_join", "BroadcastNestedLoopJoin"),
 }
 
 # Queries whose build() executes side work and returns a materialized
