@@ -102,19 +102,22 @@ def bloom_build(
     )
 
 
-def bloom_probe(
+def with_bloom_member(
     fact: DataFrame,
     key: str,
     bloom: DataFrame,
     num_bits: int = DEFAULT_NUM_BITS,
     num_hashes: int = DEFAULT_NUM_HASHES,
+    col: str = "bloom_member",
 ) -> DataFrame:
-    """Keep only fact rows whose key has every bloom bit set.
+    """Attach a boolean ``col``: does ``key`` hit every bloom bit?
 
-    The 1-row bitmap broadcasts; the membership conjunction (Catalyst
-    folds it into the broadcast join's condition) costs k O(1) array
-    lookups per fact row. May pass false positives — follow with the
-    exact join.
+    The 1-row bitmap broadcasts; the membership conjunction costs k
+    O(1) dense-array lookups per fact row. ``False`` is definitive
+    (the key is NOT in the build set — no false negatives); ``True``
+    may be a false positive. Callers that need both branches (e.g.
+    bloom-pruned anti-join: non-members are definitively fresh) use
+    this directly; plain pruning uses :func:`bloom_probe`.
     """
     probed = fact.crossJoin(F.broadcast(bloom))
     checks = []
@@ -129,4 +132,19 @@ def bloom_probe(
     member = checks[0]
     for c in checks[1:]:
         member = member & c
-    return probed.where(member).drop("bloom_bm")
+    return probed.withColumn(col, member).drop("bloom_bm")
+
+
+def bloom_probe(
+    fact: DataFrame,
+    key: str,
+    bloom: DataFrame,
+    num_bits: int = DEFAULT_NUM_BITS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """Keep only fact rows whose key has every bloom bit set.
+
+    May pass false positives — follow with the exact join.
+    """
+    tagged = with_bloom_member(fact, key, bloom, num_bits, num_hashes)
+    return tagged.where(F.col("bloom_member")).drop("bloom_member")

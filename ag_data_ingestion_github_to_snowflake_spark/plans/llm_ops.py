@@ -1315,3 +1315,54 @@ def incremental_dedup_new_batch(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "source")
     )
+
+
+@register(
+    "incremental_dedup_bloom",
+    oracle="""
+    WITH corpus AS (SELECT sha256(text) AS h FROM documents WHERE doc_id % 10 <> 7),
+    batch AS (SELECT doc_id, source, sha256(text) AS h
+              FROM documents WHERE doc_id % 10 = 7)
+    SELECT b.doc_id, b.source FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h)
+      AND b.doc_id = (SELECT MIN(b2.doc_id) FROM batch b2 WHERE b2.h = b.h)
+    """,
+    survey_ids=("B53", "B13", "B26"),
+    description="bloom-pruned incremental dedup: only bloom-positive rows enter the anti-join shuffle",
+)
+def incremental_dedup_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """``incremental_dedup_new_batch`` with a runtime bloom filter on
+    the corpus digest set: batch rows whose digest misses the bloom
+    are DEFINITIVELY fresh (no false negatives) and skip the anti-join
+    entirely; only bloom-positive rows — true dups plus a sub-percent
+    of false positives — enter the exact anti-join shuffle. Same
+    oracle as the plain anti-join carrier: the physical strategy must
+    be invisible in the result.
+
+    At 100 TB this inverts the dedup cost model: when most arriving
+    content is new (the normal corpus-growth regime), the anti-join
+    shuffle carries a few percent of the batch instead of all of it,
+    for one broadcast of a 64 KiB bitmap.
+    """
+    from ag_data_ingestion_github_to_snowflake_spark.operators.bloom import (
+        bloom_build,
+        with_bloom_member,
+    )
+
+    docs = t(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 7).select(
+        F.sha2(F.col("text"), 256).alias("h")
+    )
+    batch = docs.filter(F.col("doc_id") % 10 == 7).select(
+        "doc_id", "source", F.sha2(F.col("text"), 256).alias("h")
+    )
+    tagged = with_bloom_member(batch, "h", bloom_build(corpus, "h"))
+    fresh_sure = tagged.where(~F.col("bloom_member")).drop("bloom_member")
+    maybe_dup = tagged.where(F.col("bloom_member")).drop("bloom_member")
+    fresh = fresh_sure.unionByName(maybe_dup.join(corpus, "h", "left_anti"))
+    w = Window.partitionBy("h").orderBy("doc_id")
+    return (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source")
+    )

@@ -87,6 +87,8 @@ ALLOWED_FLAGS = {
     # via a broadcast cross join (the membership forall rides the join
     # condition) — one broadcast row, invariant in the data size.
     ("bloom_prefilter_join", "BroadcastNestedLoopJoin"),
+    # Same 1-row bitmap attach inside the bloom-pruned anti-join.
+    ("incremental_dedup_bloom", "BroadcastNestedLoopJoin"),
 }
 
 # Queries whose build() executes side work and returns a materialized
