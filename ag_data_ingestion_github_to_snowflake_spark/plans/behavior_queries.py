@@ -232,3 +232,103 @@ def user_event_paths(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("n_users"), F.asc("path"))
         .limit(20)
     )
+
+
+@register(
+    "ab_test_two_proportion_z",
+    oracle="""
+    WITH exposed AS (
+        SELECT DISTINCT user_id, user_id % 2 AS arm
+        FROM events WHERE event_type = 'view'
+    ),
+    conv AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ),
+    stats AS (
+        SELECT e.arm,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(c.user_id) AS BIGINT) AS x
+        FROM exposed e LEFT JOIN conv c ON e.user_id = c.user_id
+        GROUP BY e.arm
+    ),
+    wide AS (
+        SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+               MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+               MAX(CASE WHEN arm = 0 THEN x END) AS x0,
+               MAX(CASE WHEN arm = 1 THEN x END) AS x1
+        FROM stats
+    )
+    SELECT n0, n1, x0, x1,
+           CAST(x0 AS DOUBLE) / NULLIF(n0, 0) AS p0,
+           CAST(x1 AS DOUBLE) / NULLIF(n1, 0) AS p1,
+           (CAST(x1 AS DOUBLE) / NULLIF(n1, 0)
+            - CAST(x0 AS DOUBLE) / NULLIF(n0, 0))
+           / NULLIF(sqrt((CAST(x0 + x1 AS DOUBLE) / NULLIF(n0 + n1, 0))
+                  * (1 - CAST(x0 + x1 AS DOUBLE) / NULLIF(n0 + n1, 0))
+                  * (1.0 / NULLIF(n0, 0) + 1.0 / NULLIF(n1, 0))), 0) AS z
+    FROM wide
+    """,
+    survey_ids=("B18", "B19", "B43"),
+    description="two-proportion z-test over deterministic experiment arms (conversion = purchase after view)",
+)
+def ab_test_two_proportion_z(spark: SparkSession, sf: str) -> DataFrame:
+    """A/B significance readout: users split into two arms by
+    ``user_id % 2`` (the deterministic stand-in for experiment
+    assignment), exposure = a view event, conversion = a purchase
+    event; the pooled two-proportion z statistic compares arm
+    conversion rates. Division/sqrt expression trees mirror the oracle
+    token-for-token so the doubles are IEEE-identical cross-engine.
+
+    Scale shape: two distinct-user sets (hash aggregates), one
+    broadcast-able join on user_id, then a 2-row -> 1-row conditional
+    pivot — no full-event shuffle beyond the distincts.
+    """
+    ev = t(spark, sf, "events")
+    exposed = (
+        ev.where(F.col("event_type") == "view")
+        .select("user_id")
+        .distinct()
+        .withColumn("arm", F.col("user_id") % 2)
+    )
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("cuid"))
+        .distinct()
+    )
+    stats = (
+        exposed.join(conv, exposed.user_id == conv.cuid, "left")
+        .groupBy("arm")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.count("cuid").cast("bigint").alias("x"),
+        )
+    )
+    wide = stats.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 0, F.col("x"))).alias("x0"),
+        F.max(F.when(F.col("arm") == 1, F.col("x"))).alias("x1"),
+    )
+    n0 = F.nullif(F.col("n0"), F.lit(0))
+    n1 = F.nullif(F.col("n1"), F.lit(0))
+    n01 = F.nullif(F.col("n0") + F.col("n1"), F.lit(0))
+    p0 = F.col("x0").cast("double") / n0
+    p1 = F.col("x1").cast("double") / n1
+    p_pool = (F.col("x0") + F.col("x1")).cast("double") / n01
+    z = (p1 - p0) / F.nullif(
+        F.sqrt(
+            p_pool
+            * (F.lit(1) - p_pool)
+            * (F.lit(1.0) / n0 + F.lit(1.0) / n1)
+        ),
+        F.lit(0.0),
+    )
+    return wide.select(
+        "n0",
+        "n1",
+        "x0",
+        "x1",
+        p0.alias("p0"),
+        p1.alias("p1"),
+        z.alias("z"),
+    )

@@ -279,3 +279,61 @@ def bloom_prefilter_join(spark: SparkSession, sf: str) -> DataFrame:
             .alias("sum_price"),
         )
     )
+
+
+@register(
+    "skew_diagnostic_orders",
+    oracle="""
+    WITH c AS (
+        SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY o_custkey
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(SUM(n) AS BIGINT) AS total_rows,
+               CAST(MAX(n) AS BIGINT) AS max_rows
+        FROM c
+    )
+    SELECT n_keys, total_rows, max_rows,
+           (SELECT k FROM c ORDER BY n DESC, k ASC LIMIT 1) AS hottest_key,
+           CAST(max_rows AS DOUBLE)
+             / (CAST(total_rows AS DOUBLE) / n_keys) AS skew_ratio
+    FROM agg
+    """,
+    survey_ids=("B16", "B18"),
+    description="key-skew diagnostic: hottest key and max/mean partition-load ratio",
+)
+def skew_diagnostic_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """The decide-when-to-salt operator: per-key row counts rolled into
+    one diagnostic row — distinct key count, hottest key (ties broken
+    by smallest key), and the max/mean load ratio a shuffle on this
+    key would see. A ratio near 1 means a plain hash shuffle balances;
+    a large ratio says salt this key (C9) or let AQE split it.
+
+    Scale shape: one partial-agg count shuffle on the key, then a
+    global one-row rollup; max_by with a (count, -key) struct avoids
+    any sort or LIMIT over the key counts.
+    """
+    c = (
+        t(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    agg = c.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("n").cast("bigint").alias("total_rows"),
+        F.max("n").cast("bigint").alias("max_rows"),
+        F.max_by(
+            F.col("k"), F.struct(F.col("n"), (-F.col("k")).alias("nk"))
+        ).alias("hottest_key"),
+    )
+    return agg.select(
+        "n_keys",
+        "total_rows",
+        "max_rows",
+        "hottest_key",
+        (
+            F.col("max_rows").cast("double")
+            / (F.col("total_rows").cast("double") / F.col("n_keys"))
+        ).alias("skew_ratio"),
+    )

@@ -145,3 +145,72 @@ def scd2_event_type_intervals(spark: SparkSession, sf: str) -> DataFrame:
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+@register(
+    "concurrent_intervals_sweep",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type, epoch_us(ts) AS t, 1 AS delta FROM events
+        UNION ALL
+        SELECT event_type,
+               epoch_us(ts) + CAST(value AS INT) * 1000000 AS t,
+               -1 AS delta
+        FROM events
+    ),
+    runs AS (
+        SELECT event_type,
+               SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                                ROWS UNBOUNDED PRECEDING) AS conc
+        FROM pts
+    )
+    SELECT event_type, CAST(MAX(conc) AS BIGINT) AS max_concurrent
+    FROM runs GROUP BY event_type
+    """,
+    survey_ids=("B30", "B31"),
+    description="sweep-line max-concurrency: +1/-1 boundary points, running sum, max per group",
+)
+def concurrent_intervals_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Max concurrent intervals per event type (sweep-line): each event
+    spans [ts, ts + value seconds); explode into +1 start / -1 end
+    boundary points, running-sum in boundary order (ends sort before
+    starts at the same instant, so touching intervals don't count as
+    overlapping), take the per-group max. The classic interval-
+    concurrency operator (peak sessions online, max parallel jobs).
+
+    Scale shape: 2 boundary rows per interval, ONE shuffle on the
+    group key for the window sort, partial-agg max on top — no
+    interval self-join (the naive overlap-count pairs every
+    overlapping interval: quadratic in peak concurrency).
+
+    ROWS (not the default RANGE) frame so tied boundary instants
+    accumulate one row at a time: identical deltas within a tie group
+    make every prefix value deterministic, and RANGE would hide a
+    same-instant peak. Epoch-microsecond arithmetic keeps both engines
+    integer-exact.
+    """
+    ev = t(spark, sf, "events").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("start_us"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + F.col("value").cast("int").cast("bigint") * F.lit(1000000)
+        ).alias("end_us"),
+    )
+    pts = ev.select(
+        "event_type", F.col("start_us").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        ev.select(
+            "event_type", F.col("end_us").alias("t"), F.lit(-1).alias("delta")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        pts.withColumn("conc", F.sum("delta").over(w))
+        .groupBy("event_type")
+        .agg(F.max("conc").cast("bigint").alias("max_concurrent"))
+    )
