@@ -214,3 +214,61 @@ def concurrent_intervals_sweep(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.max("conc").cast("bigint").alias("max_concurrent"))
     )
+
+
+@register(
+    "ewma_events_daily",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               list(value ORDER BY ts, event_id) AS vals
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(day AS TIMESTAMP) AS day,
+           CAST(len(vals) AS BIGINT) AS n,
+           list_reduce(vals, (acc, x) -> 0.25 * x + 0.75 * acc) AS ewma
+    FROM seq
+    """,
+    survey_ids=("B31", "B33"),
+    description="exact per-(type,day) EWMA: ordered fold, alpha=0.25 (binary fraction, IEEE-exact cross-engine)",
+)
+def ewma_events_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponentially-weighted moving average per (event_type, day):
+    s_i = 0.25*v_i + 0.75*s_{i-1}, seeded with the first value in
+    (ts, event_id) order. EWMA is inherently sequential, so it runs as
+    an ordered fold (``F.aggregate`` over a sorted collect_list) —
+    alpha=0.25 is an exact binary fraction, and DuckDB's
+    ``list_reduce`` replays the identical left fold, so the doubles
+    match bit-for-bit (the same replay technique as the rolling
+    fingerprint carrier).
+
+    Scale shape: state is one shuffle row per (type, day) group — the
+    DAY key bounds the fold length by design; an unbounded per-key
+    EWMA over years of events would instead chunk by calendar window
+    and chain the carried state across chunks.
+    """
+    ev = t(spark, sf, "events").select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.struct("ts", "event_id", "value").alias("s"),
+    )
+    seq = ev.groupBy("event_type", "day").agg(
+        F.transform(
+            F.array_sort(F.collect_list("s")), lambda s: s["value"]
+        ).alias("vals")
+    )
+    fold = F.aggregate(
+        F.slice(F.col("vals"), 2, F.size(F.col("vals"))),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: F.lit(0.25) * x + F.lit(0.75) * acc,
+    )
+    return seq.select(
+        "event_type",
+        # DATE hashes differently across engines; emit midnight TIMESTAMP
+        F.col("day").cast("timestamp_ntz").alias("day"),
+        F.size("vals").cast("bigint").alias("n"),
+        fold.alias("ewma"),
+    )
