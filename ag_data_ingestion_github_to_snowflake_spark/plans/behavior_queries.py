@@ -332,3 +332,67 @@ def ab_test_two_proportion_z(spark: SparkSession, sf: str) -> DataFrame:
         p1.alias("p1"),
         z.alias("z"),
     )
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH first_click AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS t_click
+        FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    first_buy AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS t_buy
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    delays AS (
+        SELECT (b.t_buy - c.t_click) / 1000000.0 AS delay_s
+        FROM first_click c JOIN first_buy b ON c.user_id = b.user_id
+        WHERE b.t_buy >= c.t_click
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           quantile_cont(delay_s, 0.5) AS p50_s,
+           quantile_cont(delay_s, 0.9) AS p90_s
+    FROM delays
+    """,
+    survey_ids=("B16", "B23"),
+    description="funnel latency: exact p50/p90 seconds from first click to first purchase per user",
+)
+def funnel_time_to_convert(spark: SparkSession, sf: str) -> DataFrame:
+    """Conversion-latency readout: per user, first click and first
+    purchase (min-aggregates, no window), join, keep users who
+    converted after clicking, then exact p50/p90 of the delay in
+    seconds. Epoch-microsecond arithmetic keeps the delays
+    integer-derived so the interpolated percentiles match DuckDB's
+    quantile_cont exactly.
+
+    Scale shape: two partial-agg min shuffles on user_id, an equi-join
+    of the (already aggregated, one row per user) sides, and a global
+    percentile — the standard two-event funnel without any event-level
+    self-join.
+    """
+    ev = t(spark, sf, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+    )
+    first_click = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("t_us").alias("t_click"))
+    )
+    first_buy = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("t_us").alias("t_buy"))
+    )
+    delays = (
+        first_click.join(first_buy, "user_id")
+        .where(F.col("t_buy") >= F.col("t_click"))
+        .select(((F.col("t_buy") - F.col("t_click")) / F.lit(1000000.0)).alias("delay_s"))
+    )
+    return delays.agg(
+        F.count("*").cast("bigint").alias("n_converted"),
+        F.percentile(F.col("delay_s"), F.lit(0.5)).alias("p50_s"),
+        F.percentile(F.col("delay_s"), F.lit(0.9)).alias("p90_s"),
+    )

@@ -702,3 +702,76 @@ def bitwise_funcs_events(spark: SparkSession, sf: str) -> DataFrame:
         F.col("event_id").bitwiseXOR(F.lit(255)).alias("toggled"),
         (F.col("event_id") * 256).cast("bigint").alias("shifted"),
     )
+
+
+@register(
+    "fk_integrity_audit",
+    oracle="""
+    SELECT 'lineitem.orderkey->orders' AS fk,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'orders.custkey->customer',
+           CAST(count(*) AS BIGINT),
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'customer.nationkey->nation',
+           CAST(count(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    UNION ALL
+    SELECT 'lineitem.partkey->part',
+           CAST(count(*) AS BIGINT),
+           CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'lineitem.suppkey->supplier',
+           CAST(count(*) AS BIGINT),
+           CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    """,
+    survey_ids=("B12", "B16", "B19"),
+    description="star-schema FK audit: per-relationship row and orphan counts in one pass",
+)
+def fk_integrity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential-integrity audit across the star schema's five FK
+    edges: for each, total child rows and orphan rows (child key with
+    no parent). The warehouse-load health check that runs after every
+    ingest — constraints aren't enforced on data-lake tables, so
+    they're audited instead.
+
+    Scale shape: each edge is a LEFT join that only carries the key
+    columns; parents here are broadcastable dims except orders
+    (fact-fact, shuffles on the key like any Q3-class join). Counting
+    via left-join nulls rather than anti-join lets one pass emit both
+    totals.
+    """
+
+    def edge(name: str, child: DataFrame, ck: str, parent: DataFrame, pk: str) -> DataFrame:
+        return (
+            child.select(F.col(ck).alias("ck"))
+            .join(parent.select(F.col(pk).alias("pk")), F.col("ck") == F.col("pk"), "left")
+            .agg(
+                F.lit(name).alias("fk"),
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(F.when(F.col("pk").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_orphans"),
+            )
+        )
+
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    p = t(spark, sf, "part")
+    s = t(spark, sf, "supplier")
+    return (
+        edge("lineitem.orderkey->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(edge("orders.custkey->customer", o, "o_custkey", c, "c_custkey"))
+        .unionByName(edge("customer.nationkey->nation", c, "c_nationkey", n, "n_nationkey"))
+        .unionByName(edge("lineitem.partkey->part", li, "l_partkey", p, "p_partkey"))
+        .unionByName(edge("lineitem.suppkey->supplier", li, "l_suppkey", s, "s_suppkey"))
+    )
