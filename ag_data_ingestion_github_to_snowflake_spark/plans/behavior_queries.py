@@ -396,3 +396,101 @@ def funnel_time_to_convert(spark: SparkSession, sf: str) -> DataFrame:
         F.percentile(F.col("delay_s"), F.lit(0.5)).alias("p50_s"),
         F.percentile(F.col("delay_s"), F.lit(0.9)).alias("p90_s"),
     )
+
+
+@register(
+    "cumulative_distinct_users",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+        FROM events GROUP BY user_id
+    ),
+    per_day AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS new_users
+        FROM first_seen GROUP BY day
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+    FROM per_day
+    """,
+    survey_ids=("B20", "B31"),
+    description="running distinct-user count per day via first-seen-day reduction plus running sum",
+)
+def cumulative_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Cumulative distinct users by day — the growing-window
+    COUNT(DISTINCT) that a naive window spec cannot express without
+    carrying the full user set as window state. Reduction: each user
+    contributes exactly once, on their first-seen day, so the answer
+    is first-seen-day counts plus a running sum over days.
+
+    Scale shape: one shuffle on user_id (min-day), one tiny shuffle on
+    day, and a running sum over the per-day frame (rows = distinct
+    days, trivially single-partition); no per-row distinct state
+    anywhere.
+    """
+    ev = t(spark, sf, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("day")
+    )
+    per_day = first_seen.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_day.select(
+        F.col("day").cast("timestamp_ntz").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )
+
+
+@register(
+    "session_event_type_pairs",
+    oracle="""
+    WITH sess AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+        FROM events
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_sessions
+    FROM sess a JOIN sess b
+      ON a.user_id = b.user_id AND a.day = b.day
+     AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    """,
+    survey_ids=("B10", "B16", "B26"),
+    description="market-basket pair mining: event-type co-occurrence within (user, day) sessions",
+)
+def session_event_type_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Which event types co-occur in the same (user, day) session —
+    the market-basket pair-count at the heart of association mining.
+    Distinct-reduce each session to its item set FIRST, then self-join
+    within the session with an ordered (a < b) predicate so each
+    unordered pair counts once.
+
+    Scale shape: the distinct bounds the self-join side to (session x
+    item-type) rows — the item vocabulary, not the event volume —
+    and the equi-join on (user, day) co-locates each session's items
+    in one task; the a < b predicate halves the pair space and kills
+    self-pairs. Event-level self-joins (quadratic in session length)
+    never happen.
+    """
+    ev = t(spark, sf, "events")
+    sess = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day"), "event_type"
+    ).distinct()
+    a = sess.alias("a")
+    b = sess.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+    )
