@@ -13,6 +13,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ag_data_ingestion_github_to_snowflake_spark.functions.exact import DEC2 as DEC
 from ag_data_ingestion_github_to_snowflake_spark.functions.exact import DEC6, count_if, davg, dsum  # noqa: F401
@@ -774,4 +775,122 @@ def fk_integrity_audit(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(edge("customer.nationkey->nation", c, "c_nationkey", n, "n_nationkey"))
         .unionByName(edge("lineitem.partkey->part", li, "l_partkey", p, "p_partkey"))
         .unionByName(edge("lineitem.suppkey->supplier", li, "l_suppkey", s, "s_suppkey"))
+    )
+
+
+@register(
+    "gini_revenue_concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey AS k,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY x, k) AS i FROM rev
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS total_rev,
+           2.0 * CAST(SUM(CAST(i AS DECIMAL(38,2)) * CAST(x AS DECIMAL(18,2))) AS DOUBLE)
+             / (count(*) * CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE))
+             - (count(*) + 1.0) / count(*) AS gini
+    FROM ranked
+    """,
+    survey_ids=("B16", "B18", "B29"),
+    description="Gini coefficient of per-customer revenue: rank-weighted exact-decimal sums",
+)
+def gini_revenue_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """Revenue-concentration Gini over customers (0 = equal, 1 = one
+    customer is all revenue) via the rank formula
+    G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over ascending-sorted
+    revenues. The rank-weighted sum is computed in DECIMAL so the
+    accumulation order (Spark partial aggregation vs DuckDB serial)
+    cannot perturb the doubles; only the final ratio is IEEE.
+
+    Scale shape: one shuffle for per-key revenue, a global sort for
+    ranks (rank assignment is inherently a total order — at 100 TB the
+    same statistic would use assign_sequence_ids' range-partition rank
+    instead of a single-task window), then one partial-agg rollup.
+    """
+    rev = (
+        t(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("x")
+        )
+    )
+    ranked = rev.select(
+        "x", F.row_number().over(Window.orderBy("x", "k")).alias("i")
+    )
+    n = F.count("*")
+    total = F.sum(F.col("x").cast("decimal(18,2)"))
+    weighted = F.sum(F.col("i").cast("decimal(38,2)") * F.col("x").cast("decimal(18,2)"))
+    return ranked.agg(
+        n.cast("bigint").alias("n_customers"),
+        total.cast("double").alias("total_rev"),
+        (
+            F.lit(2.0) * weighted.cast("double") / (n * total.cast("double"))
+            - (n + F.lit(1.0)) / n
+        ).alias("gini"),
+    )
+
+
+@register(
+    "decile_lift_acctbal",
+    oracle="""
+    WITH scored AS (
+        SELECT c.c_custkey,
+               CAST(c.c_acctbal AS DECIMAL(18,2)) AS score,
+               CASE WHEN EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_custkey = c.c_custkey)
+                    THEN 1 ELSE 0 END AS converted
+        FROM customer c
+    ),
+    deciles AS (
+        SELECT NTILE(10) OVER (ORDER BY score, c_custkey) AS decile,
+               score, converted
+        FROM scored
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(score) AS DOUBLE) / count(*) AS mean_score,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           CAST(SUM(converted) AS DOUBLE) / count(*) AS conv_rate
+    FROM deciles GROUP BY decile
+    """,
+    survey_ids=("B13", "B16", "B29"),
+    description="decile lift table: conversion rate by account-balance decile (ntile with unique tiebreak)",
+)
+def decile_lift_acctbal(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-eval-style decile lift: customers ranked into 10 equal
+    buckets by account balance (score), per-decile conversion rate
+    (converted = has at least one order). NTILE over a total order
+    with a unique tiebreak key so both engines cut the deciles at
+    identical rows; the score mean goes through exact decimal sums.
+
+    Scale shape: one semi-join for the label, a rank sort for the
+    decile cut (same total-order caveat and assign_sequence_ids
+    alternative as the Gini carrier), one group-by rollup.
+    """
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders").select("o_custkey").distinct()
+    scored = c.join(
+        o, c.c_custkey == o.o_custkey, "left"
+    ).select(
+        "c_custkey",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("score"),
+        F.when(F.col("o_custkey").isNull(), 0).otherwise(1).alias("converted"),
+    )
+    deciles = scored.select(
+        F.ntile(10).over(Window.orderBy("score", "c_custkey")).alias("decile"),
+        "score",
+        "converted",
+    )
+    return deciles.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n"),
+        (F.sum("score").cast("double") / F.count("*")).alias("mean_score"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        (F.sum("converted").cast("double") / F.count("*")).alias("conv_rate"),
     )
