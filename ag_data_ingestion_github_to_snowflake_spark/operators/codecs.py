@@ -10,10 +10,15 @@ multimodal surface (reference north-star "multimodal columns"):
 
 PNG is decoded with stdlib ``zlib`` + the public spec (8-bit depths,
 all five scanline filters, gray/RGB/palette/alpha color types, CRC
-verification; 16-bit and Adam7 raise explicitly). Remaining compressed
-formats (JPEG/MP3/...) need codec libraries that are not in this
-container; ``decode_image``/``decode_audio`` detect their magic bytes
-and raise ``NotImplementedError`` explicitly rather than guessing.
+verification; 16-bit and Adam7 raise explicitly). GIF (87a/89a) is
+decoded with a from-scratch LZW implementation straight from the
+public spec — variable code widths grown in decoder lockstep, the
+cScSc self-referential code case, sub-block reassembly, global color
+table; animation/local-palette/interlace variants raise explicitly.
+Remaining compressed formats (JPEG/MP3/...) need codec libraries that
+are not in this container; ``decode_image``/``decode_audio`` detect
+their magic bytes and raise ``NotImplementedError`` explicitly rather
+than guessing.
 
 Feature conventions (shared with ``operators/multimodal.py`` kernels):
 
@@ -339,12 +344,204 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int, int]:
 
 
 # ---------------------------------------------------------------------------
+# GIF (87a/89a, single frame, global color table, from-scratch LZW)
+# ---------------------------------------------------------------------------
+
+_GIF_MAX_CODE = 4096  # 12-bit LZW ceiling (public GIF spec)
+
+
+def _lzw_compress(indices: list[int], mcs: int) -> bytes:
+    """GIF LZW: variable-width codes, LSB-first bit packing.
+
+    Code width grows when next_code reaches 2^width + 1 (one later
+    than the decoder's 2^width — the decoder's table add lags the
+    encoder's by one code, the classic GIF lockstep). When the table
+    hits 4096 this encoder simply stops adding entries (spec-legal;
+    the decoder mirrors by not adding past 4096).
+    """
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    code_size = mcs + 1
+    codes: list[tuple[int, int]] = [(clear, code_size)]
+    buf: tuple[int, ...] = ()
+    for sym in indices:
+        cand = buf + (sym,)
+        if cand in table:
+            buf = cand
+            continue
+        codes.append((table[buf], code_size))
+        if next_code < _GIF_MAX_CODE:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        buf = (sym,)
+    if buf:
+        codes.append((table[buf], code_size))
+        # The decoder performs one more table add after this final real
+        # code; if that add fills the current width, it reads EOI at
+        # width+1 — mirror that phantom growth here.
+        if (
+            next_code < _GIF_MAX_CODE
+            and next_code == (1 << code_size)
+            and code_size < 12
+        ):
+            code_size += 1
+    codes.append((eoi, code_size))
+    acc = nbits = 0
+    out = bytearray()
+    for code, size in codes:
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, mcs: int) -> list[int]:
+    """Inverse of :func:`_lzw_compress`, including the cScSc case
+    (received code == next table slot -> prev + prev[0])."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+
+    def fresh() -> tuple[dict[int, tuple[int, ...]], int, int]:
+        return {i: (i,) for i in range(clear)}, eoi + 1, mcs + 1
+
+    table, next_code, code_size = fresh()
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    acc = nbits = pos = 0
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream (no EOI)")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table, next_code, code_size = fresh()
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + (prev[0],)
+        else:
+            raise ValueError(f"corrupt GIF LZW code {code}")
+        out.extend(entry)
+        if prev is not None and next_code < _GIF_MAX_CODE:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array (<=256 distinct colors) as a
+    single-frame GIF89a with a global color table."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_gif expects (h, w, 3) uint8 RGB")
+    h, w, _ = img.shape
+    flat = img.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    inverse = inverse.ravel()  # numpy 2.0 returns (n,1) for axis unique
+    if len(palette) > 256:
+        raise ValueError(f"GIF needs <=256 colors, image has {len(palette)}")
+    bits = max(1, int(len(palette) - 1).bit_length())  # GCT size exponent
+    n_entries = 1 << bits
+    mcs = max(2, bits)
+    gct = np.zeros((n_entries, 3), dtype=np.uint8)
+    gct[: len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | (bits - 1))  # GCT present, size field = bits-1
+    out += b"\x00\x00"  # background index, aspect ratio
+    out += gct.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out.append(mcs)
+    payload = _lzw_compress([int(i) for i in inverse], mcs)
+    for i in range(0, len(payload), 255):
+        block = payload[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """Decode a single-frame GIF into an (h, w, 3) uint8 RGB array.
+
+    Supports 87a/89a with a global color table; extension blocks are
+    skipped. Interlaced images, local color tables, and multi-frame
+    animations raise ``NotImplementedError`` explicitly.
+    """
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h = struct.unpack_from("<HH", data, 6)
+    packed = data[10]
+    pos = 13
+    if not packed & 0x80:
+        raise NotImplementedError("GIF without a global color table")
+    n_entries = 2 << (packed & 0x07)
+    gct = np.frombuffer(data, np.uint8, n_entries * 3, pos).reshape(-1, 3)
+    pos += n_entries * 3
+    while True:
+        if pos >= len(data):
+            raise ValueError("truncated GIF (no image descriptor)")
+        block = data[pos]
+        pos += 1
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:
+            break
+        elif block == 0x3B:
+            raise ValueError("GIF trailer before any image data")
+        else:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+    left, top, iw, ih = struct.unpack_from("<HHHH", data, pos)
+    flags = data[pos + 8]
+    pos += 9
+    if flags & 0x80:
+        raise NotImplementedError("GIF local color tables unsupported")
+    if flags & 0x40:
+        raise NotImplementedError("interlaced GIF unsupported")
+    if (left, top, iw, ih) != (0, 0, w, h):
+        raise NotImplementedError("GIF sub-rectangle frames unsupported")
+    mcs = data[pos]
+    pos += 1
+    payload = bytearray()
+    while data[pos] != 0:
+        n = data[pos]
+        payload += data[pos + 1 : pos + 1 + n]
+        pos += 1 + n
+    indices = _lzw_decompress(bytes(payload), mcs)
+    if len(indices) != w * h:
+        raise ValueError(f"GIF pixel count {len(indices)} != {w}x{h}")
+    idx = np.asarray(indices, dtype=np.int64)
+    if idx.max(initial=0) >= len(gct):
+        raise ValueError("GIF index outside the color table")
+    return gct[idx].reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
 # Dispatch + features
 # ---------------------------------------------------------------------------
 
 _COMPRESSED_MAGIC = {
     b"\xff\xd8\xff": "JPEG",
-    b"GIF8": "GIF",
     b"ID3": "MP3",
     b"OggS": "OGG",
     b"fLaC": "FLAC",
@@ -361,10 +558,12 @@ def _check_compressed(data: bytes) -> None:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Decode BMP, PPM, or PNG bytes to an (h, w, 3) uint8 RGB array."""
+    """Decode BMP, PPM, PNG, or GIF bytes to an (h, w, 3) uint8 RGB array."""
     _check_compressed(data)
     if data[:8] == _PNG_SIG:
         return decode_png(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
     if data[:2] == b"P6":

@@ -1,7 +1,7 @@
 """Deterministic multimodal fixtures for the real-decode path.
 
-Ten payloads — 24-bit BMPs, binary P6 PPMs, zlib-compressed PNGs,
-PCM16 WAVs — whose
+Twelve payloads — 24-bit BMPs, binary P6 PPMs, zlib-compressed PNGs,
+LZW-compressed GIFs, PCM16 WAVs — whose
 features are analytically computable from the generation parameters
 with exact integer arithmetic. ``expected_features()`` derives the
 expected (width, height, mean_luma) / (duration, rate, rms) straight
@@ -45,6 +45,11 @@ def _images() -> list[tuple[int, str, np.ndarray]]:
         # exercises real defiltering, not just inflate.
         (8, "png", np.full((5, 6, 3), [0, 128, 255], dtype=np.uint8)),
         (9, "png", _ramp_image(9, 3, (7, 11, 13))),
+        # GIF (LZW; operators/codecs.py): one flat color (2-entry
+        # palette, immediate cScSc codes) and one 12-color ramp whose
+        # code stream grows past the initial LZW width.
+        (10, "gif", np.full((6, 4, 3), [200, 40, 90], dtype=np.uint8)),
+        (11, "gif", _ramp_image(12, 4, (3, 5, 7))),
     ]
 
 
@@ -64,6 +69,7 @@ def media_fixture_rows() -> list[tuple[int, str, bytes]]:
         "bmp": codecs.encode_bmp,
         "ppm": codecs.encode_ppm,
         "png": lambda im: codecs.encode_png(im, filter_type=4),
+        "gif": codecs.encode_gif,
     }
     for doc_id, fmt, img in _images():
         rows.append((doc_id, "image", encoders[fmt](img)))

@@ -530,7 +530,7 @@ def multimodal_image_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# B57 REAL multimodal decode: pure-numpy BMP/PPM/WAV codecs
+# B57 REAL multimodal decode: pure-numpy BMP/PPM/PNG/GIF/WAV codecs
 # ---------------------------------------------------------------------------
 from pyspark.sql import types as T  # noqa: E402
 
@@ -550,7 +550,7 @@ from ag_data_ingestion_github_to_snowflake_spark.operators import (  # noqa: E40
     survey_ids=("B57",),
 )
 def multimodal_decode_real(spark: SparkSession, sf: str) -> DataFrame:
-    """Real numpy decode of BMP/PPM images + PCM16 WAV through the
+    """Real numpy decode of BMP/PPM/PNG/GIF images + PCM16 WAV through the
     distributed mapInPandas kernels (no deterministic_fake).
 
     Images emit (width, height, mean_luma) from actual pixels; audio

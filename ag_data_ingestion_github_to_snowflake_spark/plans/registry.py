@@ -118,7 +118,7 @@ _PRIORITY: tuple[str, ...] = (
     "rollup_cascade_daily",         # B46 B18 B27 (headline query)
     "skew_join_revenue_by_segment", # B10 B16 (skew path)
     "pivot_priority_by_year",       # B22 B19
-    "multimodal_decode_real",       # B57 (real decode incl. PNG defilter path)
+    "multimodal_decode_real",       # B57 (real decode incl. PNG defilter + GIF LZW paths)
     "similarity_ivf_persisted",     # B55 B3 (persisted cell-partitioned index)
     "training_shuffle_shards",      # B24 B29 B6 (seeded epoch shuffle)
     "incremental_join_refresh",     # B10 B16 B27 (delta-join view maintenance)

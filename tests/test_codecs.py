@@ -217,3 +217,90 @@ def test_png_unsupported_variants_raise():
 def test_png_through_decode_image_dispatch():
     img = np.full((2, 3, 3), [1, 2, 3], dtype=np.uint8)
     assert (codecs.decode_image(codecs.encode_png(img)) == img).all()
+
+
+# ---------------------------------------------------------------------------
+# GIF (from-scratch LZW)
+# ---------------------------------------------------------------------------
+
+
+def _golden_gif_2x1() -> bytes:
+    """Hand-assembled 2x1 GIF89a: palette [black, white], pixels [0, 1].
+
+    LZW by hand: mcs=2 -> clear=4, eoi=5, 3-bit codes. Stream is
+    [clear=4, 0, 1, eoi=5]; LSB-first bit order 100 000 100 101 packs
+    to bytes 0x44, 0x0A.
+    """
+    return (
+        b"GIF89a"
+        + b"\x02\x00\x01\x00"  # logical screen 2x1
+        + b"\x80\x00\x00"      # GCT present, 2 entries; bg 0; aspect 0
+        + b"\x00\x00\x00\xff\xff\xff"  # palette: black, white
+        + b"\x2c\x00\x00\x00\x00\x02\x00\x01\x00\x00"  # image descriptor
+        + b"\x02"              # LZW min code size
+        + b"\x02\x44\x0a"      # one 2-byte data sub-block
+        + b"\x00\x3b"          # block terminator + trailer
+    )
+
+
+def test_decode_gif_golden_bytes():
+    img = codecs.decode_gif(_golden_gif_2x1())
+    assert img.shape == (1, 2, 3)
+    assert img[0, 0].tolist() == [0, 0, 0]
+    assert img[0, 1].tolist() == [255, 255, 255]
+
+
+def test_gif_roundtrip_images():
+    rng = np.random.default_rng(7)
+    # few-color image (dict stays small) and a 200-color image large
+    # enough to force LZW code-width growth past 9 bits
+    few = rng.integers(0, 4, size=(13, 17, 3), dtype=np.uint8) * 80
+    palette = rng.integers(0, 256, size=(200, 3), dtype=np.uint8)
+    idx = rng.integers(0, 200, size=(40, 60))
+    many = palette[idx]
+    for img in (few, many, np.full((3, 3, 3), 7, dtype=np.uint8)):
+        out = codecs.decode_gif(codecs.encode_gif(img))
+        assert np.array_equal(out, img)
+
+
+def test_gif_roundtrip_through_dispatch_and_features():
+    img = np.full((4, 5, 3), [10, 200, 30], dtype=np.uint8)
+    data = codecs.encode_gif(img)
+    assert data[:6] == b"GIF89a"
+    assert np.array_equal(codecs.decode_image(data), img)
+    w, h, luma = codecs.image_features(data)
+    assert (w, h) == (5, 4)
+    assert luma == round((299 * 10 + 587 * 200 + 114 * 30) / 255000.0, 6)
+
+
+def test_gif_skips_extension_blocks():
+    golden = _golden_gif_2x1()
+    # splice a graphic-control extension between the GCT and the image
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    spliced = golden[:19] + gce + golden[19:]
+    img = codecs.decode_gif(spliced)
+    assert img[0, 1].tolist() == [255, 255, 255]
+
+
+def test_gif_unsupported_variants_raise():
+    golden = bytearray(_golden_gif_2x1())
+    interlaced = bytearray(golden)
+    interlaced[27] = 0x40  # image-descriptor packed byte: interlace flag
+    with pytest.raises(NotImplementedError):
+        codecs.decode_gif(bytes(interlaced))
+    local = bytearray(golden)
+    local[27] = 0x80  # local color table flag
+    with pytest.raises(NotImplementedError):
+        codecs.decode_gif(bytes(local))
+    i = np.arange(300, dtype=np.int64)
+    too_many = np.stack([i % 256, i // 256, np.full(300, 7)], axis=1)
+    too_many = too_many.reshape(30, 10, 3).astype(np.uint8)  # 300 colors
+    with pytest.raises(ValueError):
+        codecs.encode_gif(too_many)
+
+
+def test_gif_lzw_cscsc_case():
+    # 'aaaa...' runs hit the code==next_code branch immediately
+    img = np.zeros((1, 50, 3), dtype=np.uint8)
+    img[0, 0] = [255, 255, 255]
+    assert np.array_equal(codecs.decode_gif(codecs.encode_gif(img)), img)
