@@ -15,10 +15,13 @@ decoded with a from-scratch LZW implementation straight from the
 public spec — variable code widths grown in decoder lockstep, the
 cScSc self-referential code case, sub-block reassembly, global color
 table; animation/local-palette/interlace variants raise explicitly.
-Remaining compressed formats (JPEG/MP3/...) need codec libraries that
-are not in this container; ``decode_image``/``decode_audio`` detect
-their magic bytes and raise ``NotImplementedError`` explicitly rather
-than guessing.
+Baseline JPEG (SOF0, Huffman, 4:4:4 / 4:2:0) is decoded by
+``operators/jpeg.py`` — a from-scratch matrix-DCT implementation of
+the public spec; progressive/arithmetic/restart variants raise
+explicitly there. Remaining compressed formats (MP3/OGG/FLAC) need
+codec libraries that are not in this container; ``audio_features``
+detects their magic bytes and raises ``NotImplementedError``
+explicitly rather than guessing.
 
 Feature conventions (shared with ``operators/multimodal.py`` kernels):
 
@@ -541,7 +544,6 @@ def decode_gif(data: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 _COMPRESSED_MAGIC = {
-    b"\xff\xd8\xff": "JPEG",
     b"ID3": "MP3",
     b"OggS": "OGG",
     b"fLaC": "FLAC",
@@ -564,6 +566,10 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_png(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(data)
+    if data[:3] == b"\xff\xd8\xff":
+        from ag_data_ingestion_github_to_snowflake_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
     if data[:2] == b"P6":

@@ -1,7 +1,7 @@
 """Deterministic multimodal fixtures for the real-decode path.
 
-Twelve payloads — 24-bit BMPs, binary P6 PPMs, zlib-compressed PNGs,
-LZW-compressed GIFs, PCM16 WAVs — whose
+Fourteen payloads — 24-bit BMPs, binary P6 PPMs, zlib-compressed PNGs,
+LZW-compressed GIFs, baseline JPEGs, PCM16 WAVs — whose
 features are analytically computable from the generation parameters
 with exact integer arithmetic. ``expected_features()`` derives the
 expected (width, height, mean_luma) / (duration, rate, rms) straight
@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ag_data_ingestion_github_to_snowflake_spark.operators import codecs
+from ag_data_ingestion_github_to_snowflake_spark.operators import codecs, jpeg
 
 LUMA_W = (299, 587, 114)  # integer Rec.601, /1000
 
@@ -50,6 +50,13 @@ def _images() -> list[tuple[int, str, np.ndarray]]:
         # code stream grows past the initial LZW width.
         (10, "gif", np.full((6, 4, 3), [200, 40, 90], dtype=np.uint8)),
         (11, "gif", _ramp_image(12, 4, (3, 5, 7))),
+        # JPEG (baseline SOF0, operators/jpeg.py): FLAT images only —
+        # with all-ones quantization a flat block is a single exactly-
+        # quantized DC coefficient, so the decode is pixel-exact and
+        # the analytic luma oracle stays valid (ramps would be lossy).
+        # One 4:4:4 and one 4:2:0 (flat chroma survives subsampling).
+        (12, "jpg", np.full((10, 9, 3), [60, 180, 20], dtype=np.uint8)),
+        (13, "jpg444", np.full((7, 11, 3), [240, 10, 130], dtype=np.uint8)),
     ]
 
 
@@ -70,6 +77,8 @@ def media_fixture_rows() -> list[tuple[int, str, bytes]]:
         "ppm": codecs.encode_ppm,
         "png": lambda im: codecs.encode_png(im, filter_type=4),
         "gif": codecs.encode_gif,
+        "jpg": lambda im: jpeg.encode_jpeg(im, subsample=True),
+        "jpg444": jpeg.encode_jpeg,
     }
     for doc_id, fmt, img in _images():
         rows.append((doc_id, "image", encoders[fmt](img)))

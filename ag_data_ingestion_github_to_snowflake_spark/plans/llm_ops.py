@@ -550,7 +550,7 @@ from ag_data_ingestion_github_to_snowflake_spark.operators import (  # noqa: E40
     survey_ids=("B57",),
 )
 def multimodal_decode_real(spark: SparkSession, sf: str) -> DataFrame:
-    """Real numpy decode of BMP/PPM/PNG/GIF images + PCM16 WAV through the
+    """Real numpy decode of BMP/PPM/PNG/GIF/JPEG images + PCM16 WAV through the
     distributed mapInPandas kernels (no deterministic_fake).
 
     Images emit (width, height, mean_luma) from actual pixels; audio

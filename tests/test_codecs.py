@@ -121,8 +121,13 @@ def test_audio_features_exact_constant():
 
 
 def test_compressed_magic_raises():
-    with pytest.raises(NotImplementedError, match="JPEG"):
+    # JPEG now routes to the real baseline decoder (operators/jpeg.py):
+    # a truncated payload is a ValueError from the parser, not a
+    # NotImplementedError from magic detection.
+    with pytest.raises(ValueError):
         codecs.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 20)
+    with pytest.raises(NotImplementedError, match="MP3"):
+        codecs.audio_features(b"ID3" + b"\x00" * 20)
     with pytest.raises(ValueError, match="magic"):
         codecs.decode_image(b"????????")
 
