@@ -229,6 +229,7 @@ def train_ivf_centroids(
     iters: int = 2,
     seed: int = 7,
     sample_fraction: float | None = None,
+    max_train: int | None = None,
 ) -> np.ndarray:
     """Distributed Lloyd's k-means for IVF cells, fully deterministic.
 
@@ -250,6 +251,17 @@ def train_ivf_centroids(
     training cost, never full-probe answers. The (sampled) training set
     is persisted across the ``iters`` scans and released before return.
 
+    ``max_train`` caps the training set and moves the Lloyd iterations
+    to the DRIVER: one cluster-side sample + limit + collect, then pure
+    numpy. This is FAISS's training regime (a bounded sample — ~30-256
+    vectors per cell — trains the coarse quantizer; the index is then
+    applied to the full corpus): driver memory is O(max_train * dim)
+    regardless of corpus size, and per-iteration cost drops from a full
+    cluster scan to one (max_train x dim) @ (dim x n_cells) matmul. The
+    collected rows are lex-sorted before training so the centroid
+    matrix is a pure function of the sampled SET, not of partition
+    arrival order.
+
     Returns a unit-normalized (n_cells, dim) float64 matrix.
     """
     cents = np.array(_hyperplanes(dim, n_cells, seed=seed), dtype=np.float64)
@@ -257,6 +269,27 @@ def train_ivf_centroids(
     vecs = df.select(F.col(vec_col).alias("_v"))
     if sample_fraction is not None and sample_fraction < 1.0:
         vecs = vecs.sample(fraction=sample_fraction, seed=seed)
+    if max_train is not None:
+        rows = vecs.limit(max_train).collect()  # bounded: max_train * dim
+        mat = np.array([r._v for r in rows], dtype=np.float64)
+        if mat.size == 0:
+            return cents
+        mat = mat[np.lexsort(mat.T[::-1])]  # order-insensitive training set
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = mat / norms
+        for _ in range(iters):
+            assign = (unit @ cents.T).argmax(axis=1)
+            nxt = cents.copy()
+            for cell in range(n_cells):
+                members = mat[assign == cell]
+                if len(members) == 0:
+                    continue  # empty cell keeps its previous centroid
+                mean = members.mean(axis=0)
+                norm = np.linalg.norm(mean)
+                nxt[cell] = mean / norm if norm > 0 else mean
+            cents = nxt
+        return cents
     vecs = vecs.persist()  # scanned once per Lloyd iteration
     try:
         for _ in range(iters):
@@ -564,7 +597,13 @@ def write_ivf_index(
         F.col(vec_col).alias("c_vec"),
         _norm(F.col(vec_col)).alias("c_norm"),
     ).withColumn("cell", _nearest_cell_udf(centroids)(F.col("c_vec")))
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+    # repartition("cell") before partitionBy: without it every write
+    # task emits one file per cell it happens to hold (tasks x cells
+    # small files at scale); with it each cell's rows are co-located,
+    # so the layout is n_cells coherent file sets.
+    assigned.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/cells")
 
 
 def read_ivf_index(spark, path: str) -> tuple[np.ndarray, DataFrame]:

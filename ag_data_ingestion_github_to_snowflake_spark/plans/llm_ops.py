@@ -205,7 +205,9 @@ def similarity_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 def _ivf_query(spark: SparkSession, sf: str, nprobe: int) -> DataFrame:
     emb = t(spark, sf, "embeddings")
-    cents = S.train_ivf_centroids(emb, n_cells=8, iters=2, sample_fraction=0.25)
+    cents = S.train_ivf_centroids(
+        emb, n_cells=8, iters=2, sample_fraction=0.25, max_train=1024
+    )
     return S.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 10), cents, k=5, nprobe=nprobe
     )
@@ -299,7 +301,9 @@ def similarity_ivf_persisted(spark: SparkSession, sf: str) -> DataFrame:
     import tempfile
 
     emb = t(spark, sf, "embeddings")
-    cents = S.train_ivf_centroids(emb, n_cells=8, iters=2, sample_fraction=0.25)
+    cents = S.train_ivf_centroids(
+        emb, n_cells=8, iters=2, sample_fraction=0.25, max_train=1024
+    )
     idx = os.path.join(
         tempfile.gettempdir(),
         f"ag_ivf_idx_{os.path.basename(os.path.normpath(sf))}",
@@ -1162,7 +1166,9 @@ def similarity_ivf_quantized(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     emb = t(spark, sf, "embeddings")
-    cents = S.train_ivf_centroids(emb, n_cells=8, iters=2, sample_fraction=0.25)
+    cents = S.train_ivf_centroids(
+        emb, n_cells=8, iters=2, sample_fraction=0.25, max_train=1024
+    )
     return ivf_quantized_topk(
         emb, emb.filter(F.col("vec_id") < 10), cents, k=5, nprobe=8
     )
