@@ -1,13 +1,19 @@
 """Guard the driver-facing registry order.
 
 The correctness driver records at most the first 50 entries of
-``__spark_entry__.queries()``. These tests pin the invariant that those
-first 50 jointly cover every SURVEY.md §2 operator id any registry query
-carries, so no operator is driver-unchecked merely because its carrier
-registered late (the round-1 failure mode).
+``__spark_entry__.queries()``. Rounds 1-3 proved every SURVEY.md §2 id
+inside a single window; from round 4 the window ROTATES to grow
+cumulative driver coverage past the 50-query cap, so the invariant is
+now cumulative: the current window UNION the names already recorded in
+CORRECTNESS_r*.json artifacts must jointly cover every §2 operator id
+any registry query carries. A fresh checkout with no artifacts falls
+back to the window-only check against ids the window can carry.
 """
 
 from __future__ import annotations
+
+import json
+from pathlib import Path
 
 from ag_data_ingestion_github_to_snowflake_spark.plans.registry import (
     _PRIORITY,
@@ -15,6 +21,17 @@ from ag_data_ingestion_github_to_snowflake_spark.plans.registry import (
 )
 
 DRIVER_CAP = 50
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def _driver_checked_names() -> set[str]:
+    names: set[str] = set()
+    for artifact in sorted(ROOT.glob("CORRECTNESS_r*.json")):
+        try:
+            names |= set(json.loads(artifact.read_text()).keys())
+        except (json.JSONDecodeError, OSError):
+            continue
+    return names
 
 
 def test_priority_names_exist_and_lead():
@@ -25,20 +42,38 @@ def test_priority_names_exist_and_lead():
     assert names[: len(_PRIORITY)] == list(_PRIORITY)
 
 
-def test_first_50_cover_every_survey_id():
+def test_window_plus_ledger_cover_every_survey_id():
     specs = all_specs()
     names = list(specs)
     all_ids = {sid for s in specs.values() for sid in s.survey_ids}
-    head_ids = {
-        sid for n in names[:DRIVER_CAP] for sid in specs[n].survey_ids
-    }
-    assert head_ids == all_ids, f"uncovered past cap: {sorted(all_ids - head_ids)}"
+    covered_names = set(names[:DRIVER_CAP]) | (
+        _driver_checked_names() & set(names)
+    )
+    covered_ids = {sid for n in covered_names for sid in specs[n].survey_ids}
+    assert covered_ids == all_ids, (
+        f"ids with no driver evidence (window or ledger): "
+        f"{sorted(all_ids - covered_ids)}"
+    )
 
 
-def test_first_50_mostly_oracle_checked():
-    """Rows-only entries in the head should be the two declared-by-design
-    sketch ops (approx_count_distinct, MinHash pair generation)."""
+def test_window_maximizes_first_time_evidence():
+    """Every slot in the 50-name window should either be a retained core
+    carrier or a name never yet driver-checked — re-checking an already
+    multi-green non-core name wastes a rotation slot."""
+    specs = all_specs()
+    head = list(specs)[:DRIVER_CAP]
+    checked = _driver_checked_names()
+    if not checked:  # fresh checkout: nothing to assert
+        return
+    core = set(head[:14])  # retained sole-carrier core, kept green in-window
+    wasted = [n for n in head if n not in core and n in checked]
+    assert not wasted, f"window re-checks non-core already-checked: {wasted}"
+
+
+def test_first_50_all_oracle_checked():
+    """The r4+ window carries only oracle-bearing names (rows-only
+    declared-by-design entries rotate through on their own slot budget)."""
     specs = all_specs()
     head = list(specs)[:DRIVER_CAP]
     rows_only = {n for n in head if specs[n].oracle is None}
-    assert rows_only <= {"approx_distinct_users", "dedup_minhash_pairs"}, rows_only
+    assert rows_only == set(), rows_only
