@@ -18,10 +18,12 @@ table; animation/local-palette/interlace variants raise explicitly.
 Baseline JPEG (SOF0, Huffman, 4:4:4 / 4:2:0) is decoded by
 ``operators/jpeg.py`` — a from-scratch matrix-DCT implementation of
 the public spec; progressive/arithmetic/restart variants raise
-explicitly there. Remaining compressed formats (MP3/OGG/FLAC) need
-codec libraries that are not in this container; ``audio_features``
-detects their magic bytes and raises ``NotImplementedError``
-explicitly rather than guessing.
+explicitly there. FLAC is decoded by ``operators/flac.py`` — a
+from-scratch implementation of the public spec (RFC 9639): Rice-coded
+fixed/LPC predictors, stereo decorrelation, CRC-8/16 + MD5 verified.
+The remaining compressed audio formats (MP3/OGG) need codec libraries
+not in this container; ``audio_features`` detects their magic bytes
+and raises ``NotImplementedError`` explicitly rather than guessing.
 
 Feature conventions (shared with ``operators/multimodal.py`` kernels):
 
@@ -546,7 +548,6 @@ def decode_gif(data: bytes) -> np.ndarray:
 _COMPRESSED_MAGIC = {
     b"ID3": "MP3",
     b"OggS": "OGG",
-    b"fLaC": "FLAC",
 }
 
 
@@ -590,10 +591,21 @@ def image_features(data: bytes) -> tuple[int, int, float]:
     return w, h, round(luma_sum / (h * w * 255000.0), 6)
 
 
-def audio_features(data: bytes) -> tuple[float, int, float]:
-    """(duration_s, sample_rate, rms_energy) from PCM16 WAV bytes."""
+def decode_audio(data: bytes) -> tuple[np.ndarray, int, int]:
+    """Decode WAV or FLAC bytes to (interleaved int16 PCM, rate, channels)."""
     _check_compressed(data)
-    pcm, sample_rate, channels = decode_wav(data)
+    if data[:4] == b"fLaC":
+        from ag_data_ingestion_github_to_snowflake_spark.operators.flac import decode_flac
+
+        return decode_flac(data)
+    if data[:4] == b"RIFF":
+        return decode_wav(data)
+    raise ValueError(f"unrecognised audio magic {data[:4]!r}")
+
+
+def audio_features(data: bytes) -> tuple[float, int, float]:
+    """(duration_s, sample_rate, rms_energy) from PCM16 WAV or FLAC bytes."""
+    pcm, sample_rate, channels = decode_audio(data)
     n_frames = len(pcm) // channels
     duration = round(n_frames / float(sample_rate), 6)
     sq_sum = int((pcm.astype(np.int64) ** 2).sum())

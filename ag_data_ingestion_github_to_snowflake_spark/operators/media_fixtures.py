@@ -1,7 +1,7 @@
 """Deterministic multimodal fixtures for the real-decode path.
 
-Fourteen payloads — 24-bit BMPs, binary P6 PPMs, zlib-compressed PNGs,
-LZW-compressed GIFs, baseline JPEGs, PCM16 WAVs — whose
+Seventeen payloads — 24-bit BMPs, binary P6 PPMs, zlib-compressed PNGs,
+LZW-compressed GIFs, baseline JPEGs, PCM16 WAVs, Rice-coded FLACs — whose
 features are analytically computable from the generation parameters
 with exact integer arithmetic. ``expected_features()`` derives the
 expected (width, height, mean_luma) / (duration, rate, rms) straight
@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ag_data_ingestion_github_to_snowflake_spark.operators import codecs, jpeg
+from ag_data_ingestion_github_to_snowflake_spark.operators import codecs, flac, jpeg
 
 LUMA_W = (299, 587, 114)  # integer Rec.601, /1000
 
@@ -60,12 +60,24 @@ def _images() -> list[tuple[int, str, np.ndarray]]:
     ]
 
 
-def _audios() -> list[tuple[int, np.ndarray, int]]:
+def _audios() -> list[tuple[int, str, np.ndarray, int]]:
     square = np.tile(np.array([8192, -8192], dtype=np.int16), 8000)
+    # FLAC fixtures (operators/flac.py): a constant tone (CONSTANT
+    # subframes), a sawtooth whose fixed-predictor residuals exercise
+    # real Rice coding across multiple frames, and a mid/side stereo
+    # pair (decorrelated side channel at bps+1). All are lossless, so
+    # the analytic oracle from the source arrays stays exact.
+    saw = (((np.arange(6000, dtype=np.int64) * 37) % 4096 - 2048) * 8).astype(
+        np.int16
+    )
+    stereo = np.stack([saw[:3000], (saw[:3000] // 3).astype(np.int16)], axis=1)
     return [
-        (5, np.full(4000, 16384, dtype=np.int16), 8000),
-        (6, square, 16000),
-        (7, np.zeros(2205, dtype=np.int16), 22050),
+        (5, "wav", np.full(4000, 16384, dtype=np.int16), 8000),
+        (6, "wav", square, 16000),
+        (7, "wav", np.zeros(2205, dtype=np.int16), 22050),
+        (14, "flac", np.full(4410, 12288, dtype=np.int16), 44100),
+        (15, "flac", saw, 16000),
+        (16, "flac_ms", stereo, 22050),
     ]
 
 
@@ -80,10 +92,17 @@ def media_fixture_rows() -> list[tuple[int, str, bytes]]:
         "jpg": lambda im: jpeg.encode_jpeg(im, subsample=True),
         "jpg444": jpeg.encode_jpeg,
     }
+    audio_encoders = {
+        "wav": lambda s, r: codecs.encode_wav(s, r),
+        "flac": lambda s, r: flac.encode_flac(s, r, block_size=2048),
+        "flac_ms": lambda s, r: flac.encode_flac(
+            s, r, block_size=1024, mid_side=True
+        ),
+    }
     for doc_id, fmt, img in _images():
         rows.append((doc_id, "image", encoders[fmt](img)))
-    for doc_id, samples, rate in _audios():
-        rows.append((doc_id, "audio", codecs.encode_wav(samples, rate)))
+    for doc_id, fmt, samples, rate in _audios():
+        rows.append((doc_id, "audio", audio_encoders[fmt](samples, rate)))
     return rows
 
 
@@ -100,11 +119,16 @@ def expected_features() -> list[tuple[int, str, float, float, float]]:
         )
         luma = round(luma_sum / (h * w * 255000.0), 6)
         out.append((doc_id, "image", float(w), float(h), luma))
-    for doc_id, samples, rate in _audios():
-        n = len(samples)
-        duration = round(n / float(rate), 6)
-        sq_sum = sum(int(s) ** 2 for s in samples.tolist())
-        rms = round(float(np.sqrt(sq_sum / n)) / 32768.0, 6) if n else 0.0
+    for doc_id, _, samples, rate in _audios():
+        n_frames = samples.shape[0]
+        flat = samples.reshape(-1)
+        duration = round(n_frames / float(rate), 6)
+        sq_sum = sum(int(s) ** 2 for s in flat.tolist())
+        rms = (
+            round(float(np.sqrt(sq_sum / len(flat))) / 32768.0, 6)
+            if len(flat)
+            else 0.0
+        )
         out.append((doc_id, "audio", duration, float(rate), rms))
     return out
 

@@ -142,10 +142,12 @@ def extract_audio_features(
     """Audio feature extraction via mapInPandas.
 
     Default path REALLY decodes PCM16 WAV (RIFF chunk walk, int16
-    samples) via ``operators/codecs.py`` and computes (duration,
-    sample_rate, rms_energy) from actual samples; compressed audio
-    raises NotImplementedError. ``deterministic_fake`` keeps the
-    sha256-derived pseudo-features for plumbing-only tests.
+    samples) and FLAC (from-scratch Rice/fixed/LPC decoder with
+    CRC-8/16 + MD5 verification, ``operators/flac.py``) via
+    ``operators/codecs.py`` and computes (duration, sample_rate,
+    rms_energy) from actual samples; MP3/OGG raise NotImplementedError.
+    ``deterministic_fake`` keeps the sha256-derived pseudo-features for
+    plumbing-only tests.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
