@@ -354,17 +354,29 @@ def minhash_near_dedup(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn=None,
+) -> DataFrame:
     """64-bit SimHash signature per document, computed via explode+agg.
 
     Token hash bits vote per position: sum(+1/-1) per bit -> sign ->
     signature. Implemented as explode(tokens) -> per-(doc,bit) weight
     via bitwise ops -> groupBy doc. One shuffle on doc_id; partial
     aggregation makes the map side cheap.
+
+    ``hash_fn`` (Column -> Column) overrides the token hash family —
+    default ``xxhash64`` (fastest JVM path). The registry query passes
+    a sha2-derived 60-bit hash so a DuckDB oracle can replay the
+    signature bit-for-bit; any hash whose bits are uniform works, and
+    the voting/blocking machinery is identical either way.
     """
+    token_hash = hash_fn if hash_fn is not None else F.xxhash64
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), "\\s+")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", token_hash(F.col("tok")))
     # Bit-packed voting: the naive form needs 64 sum aggregates (one
     # per signature bit) over the exploded token table — the dominant
     # cost at corpus scale. Instead pack the per-bit ONES-counters into

@@ -58,14 +58,53 @@ def dedup_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "dedup_simhash_pairs",
-    oracle=None,
+    # Exact DuckDB replay of the whole SimHash pipeline (r4: flipped
+    # from rows-only): the token hash is a sha2-derived 60-bit value
+    # available bit-identically in both engines (the xxhash64 default
+    # stays the fast path for operator users), the per-bit majority
+    # vote is replayed via a range(60) explode, and the twin emits ALL
+    # pairs at hamming <= 3 — so the oracle also proves the pigeonhole
+    # 16-bit-chunk blocking loses no pair (recall 1.0), which a
+    # blocking-replay twin could not.
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, CAST(('0x' || substr(sha256(tok), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+            FROM documents)
+    ),
+    bits AS (
+      SELECT doc_id, i, SUM((h >> i) & 1) AS ones, COUNT(*) AS n
+      FROM toks, range(0, 60) t(i)
+      GROUP BY doc_id, i
+    ),
+    sig AS (
+      SELECT doc_id,
+             SUM(CASE WHEN 2 * ones > n THEN (CAST(1 AS BIGINT) << i)
+                      ELSE 0 END) AS simhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
     survey_ids=("B54",),
 )
 def dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup pairs within Hamming distance 3."""
-    sig = D.simhash(t(spark, sf, "documents"))
+    """SimHash near-dup pairs within Hamming distance 3, hash-verified.
+
+    The signature hash is the top 60 bits (15 hex chars) of
+    sha2-256(token) so DuckDB can replay it exactly; voting and
+    pigeonhole blocking are the standard operator machinery.
+    """
+    sha60 = lambda tok: F.conv(  # noqa: E731
+        F.substring(F.sha2(tok, 256), 1, 15), 16, 10
+    ).cast("long")
+    sig = D.simhash(t(spark, sf, "documents"), hash_fn=sha60)
     # No orderBy — same double-execution trap as dedup_minhash_pairs.
-    return D.simhash_near_pairs(sig)
+    return D.simhash_near_pairs(sig).withColumn(
+        "hamming", F.col("hamming").cast("long")
+    )
 
 
 # ---------------------------------------------------------------------------

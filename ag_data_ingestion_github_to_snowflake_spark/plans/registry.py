@@ -92,6 +92,7 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_interval_join_events",  # B44 B49 (stream-stream join)
     "multimodal_image_features",    # B57 B51 B52
     "multimodal_decode_real",       # B57 (real decode; r4 adds FLAC audio rows)
+    "dedup_simhash_pairs",          # B54 (r4: flipped rows-only -> sha2-replayed oracle)
     # -- first-time: TPC-H analog suite --
     "shipping_priority_top10",      # B15 B24 (TPC-H Q3)
     "market_share_by_year",         # B11 B15 B19 (TPC-H Q8)
@@ -135,8 +136,8 @@ _PRIORITY: tuple[str, ...] = (
     "ssjoin_prefix_jaccard",        # B10 B41 (PPJoin prefix filter)
     "incremental_dedup_bloom",      # B13 B26 (bloom-gated incremental dedup)
     "try_funcs_orders",             # B37 B43
-    "string_agg_nations_by_region", # B36 B41 B16
     # -- past the 50-cap; driver-checked in the r5 rotation --
+    "string_agg_nations_by_region", # B36 B41 B16
     "approx_distinct_users",        # B21 (rows-only by design; green r1-r3)
     "assign_sequence_ids",          # B29 (scale-safe id assignment)
 )

@@ -65,7 +65,10 @@ def test_window_maximizes_first_time_evidence():
     checked = _driver_checked_names()
     if not checked:  # fresh checkout: nothing to assert
         return
-    core = set(head[:14])  # retained sole-carrier core, kept green in-window
+    # retained sole-carrier core + the r4 rows-only->oracle flip
+    # (dedup_simhash_pairs: re-checking it converts prior rows-only
+    # driver rows into a hash-green row — new evidence, not waste)
+    core = set(head[:15])
     wasted = [n for n in head if n not in core and n in checked]
     assert not wasted, f"window re-checks non-core already-checked: {wasted}"
 
