@@ -70,6 +70,38 @@ def _staged_events_stream(spark: SparkSession, sf: str) -> tuple[DataFrame, str]
     return sdf, stage
 
 
+def _staged_json_batches(base: str, sf: str, batches) -> str:
+    """Stage DataFrame micro-batches as one JSON file each (ascending
+    mtimes pin the batch order for ``maxFilesPerTrigger=1``), cached
+    behind a ``_staged`` marker like ``_staged_events_stream``.
+
+    The batches are deterministic slices of the source parquet, so the
+    staging (a bounded ``toJSON().collect()`` + file writes) runs ONCE
+    per (fixture, sf) and later builds of the same query — bench
+    warm-up, timed run, parity tests — do pure engine work; only the
+    streaming table/checkpoint dirs are cleared per run (the stream
+    itself must re-execute). Returns the source directory.
+    """
+    src = os.path.join(base, "src")
+    marker = os.path.join(src, "_staged")
+    ref = os.path.join(sf, "documents.parquet")
+    now = os.path.getmtime(ref)
+    if os.path.exists(marker) and os.path.getmtime(marker) >= now:
+        return src
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+    for i, b in enumerate(batches):
+        rows = b.toJSON().collect()  # batch staging: bounded fixture slice
+        p = os.path.join(src, f"b{i}.json")
+        with open(p, "w") as f:
+            f.write("\n".join(rows))
+        os.utime(p, (now + i * 10, now + i * 10))
+    with open(marker, "w") as fh:
+        fh.write("staged\n")
+    os.utime(marker, (now, now))
+    return src
+
+
 # State-store partition count for the drained registry streams. Every
 # stateful operator instantiates one state store PER shuffle partition
 # PER micro-batch; at the fixture volumes the per-store fixed cost
@@ -207,26 +239,21 @@ def streaming_corpus_curation(spark: SparkSession, sf: str) -> DataFrame:
         tempfile.gettempdir(),
         f"ag_stream_cur_{os.path.basename(os.path.normpath(sf))}",
     )
-    src = os.path.join(base, "src")
     table = os.path.join(base, "table")
     cp = os.path.join(base, "cp")
-    for d in (src, table, cp):
+    for d in (table, cp):
         shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(src)
     # one file per batch, ascending mtimes: primaries (two ranges),
     # then the mirror re-arrivals
-    now = os.path.getmtime(os.path.join(sf, "documents.parquet"))
-    batches = [
-        corpus.filter(F.col("doc_id") < 150),
-        corpus.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 500000)),
-        corpus.filter(F.col("doc_id") >= 500000),
-    ]
-    for i, b in enumerate(batches):
-        rows = b.toJSON().collect()  # batch staging: bounded fixture slice
-        p = os.path.join(src, f"b{i}.json")
-        with open(p, "w") as f:
-            f.write("\n".join(rows))
-        os.utime(p, (now + i * 10, now + i * 10))
+    src = _staged_json_batches(
+        base,
+        sf,
+        [
+            corpus.filter(F.col("doc_id") < 150),
+            corpus.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 500000)),
+            corpus.filter(F.col("doc_id") >= 500000),
+        ],
+    )
     sdf = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1)
@@ -272,20 +299,13 @@ def streaming_neardup_curation(spark: SparkSession, sf: str) -> DataFrame:
         tempfile.gettempdir(),
         f"ag_stream_nd_{os.path.basename(os.path.normpath(sf))}",
     )
-    src = os.path.join(base, "src")
     table = os.path.join(base, "table")
     cp = os.path.join(base, "cp")
-    for d in (src, table, cp):
+    for d in (table, cp):
         shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(src)
-    now = os.path.getmtime(os.path.join(sf, "documents.parquet"))
-    batches = [originals, fresh.unionByName(mutated)]
-    for i, b in enumerate(batches):
-        rows = b.toJSON().collect()  # batch staging: bounded fixture slice
-        pth = os.path.join(src, f"b{i}.json")
-        with open(pth, "w") as f:
-            f.write("\n".join(rows))
-        os.utime(pth, (now + i * 10, now + i * 10))
+    src = _staged_json_batches(
+        base, sf, [originals, fresh.unionByName(mutated)]
+    )
     sdf = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1)
