@@ -27,7 +27,7 @@ dedup is the north-star extension (BASELINE.json).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -104,20 +104,26 @@ def minhash_signatures(
     return df.withColumn("sig", sig).drop("_h")
 
 
-def hashed_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+def hashed_shingles(
+    df: DataFrame, text_col: str = "text", n: int = 3, hash_fn=None
+) -> DataFrame:
     """Add ``hshingle`` — the distinct shingle set as 31-bit hashes.
 
     Hashing each n-gram down to a long as it is built means the gram
     strings are never materialized as a column: signatures AND Jaccard
     verification both run over compact long arrays (hash-collision
     error ~2^-31 — immaterial for near-dup detection).
+
+    ``hash_fn`` overrides the gram hash family (default xxhash64);
+    pass ``md5_hash60`` for a DuckDB-replayable pipeline.
     """
     p = 2147483647
+    gram_hash = hash_fn if hash_fn is not None else F.xxhash64
     df = df.withColumn("_toks", F.split(F.col(text_col), "\\s+"))
     toks = F.col("_toks")
     k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
     gram = lambda i: F.pmod(  # noqa: E731
-        F.xxhash64(
+        gram_hash(
             F.concat_ws(" ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(n)])
         ),
         F.lit(p).cast("long"),
@@ -161,7 +167,7 @@ def _sig_arrow_udf(num_hashes: int):
     return pandas_udf(sig, T.ArrayType(T.LongType()))
 
 
-def _band_hashes(num_hashes: int, bands: int):
+def _band_hashes(num_hashes: int, bands: int, hash_fn=None):
     """Array of ``bands`` LSH band hashes over the ``sig`` column.
 
     Index-parameterized (one nested transform) rather than unrolled per
@@ -169,11 +175,13 @@ def _band_hashes(num_hashes: int, bands: int):
     constant-size expression tree (see minhash_signatures on why
     compile time matters). ``array_join`` and ``concat_ws`` agree on
     null handling (both drop nulls), so hashes are unchanged.
+    ``hash_fn`` overrides the bucket hash family (default xxhash64).
     """
     rows_per_band = num_hashes // bands
+    bucket_hash = hash_fn if hash_fn is not None else F.xxhash64
     return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(
+        lambda b: bucket_hash(
             F.array_join(
                 F.transform(
                     F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
@@ -285,6 +293,7 @@ def minhash_near_dedup(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    hash_fn=None,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle -> minhash -> LSH -> verify,
     with BAND-LOCAL verification.
@@ -306,12 +315,14 @@ def minhash_near_dedup(
     (both kept public) over a persisted shingle table instead.
     Measured at sf0.1: 2.5-2.8 s (persist + verify joins) -> ~1.5 s.
     """
-    sh = hashed_shingles(df.select(id_col, text_col), text_col, n)
+    sh = hashed_shingles(df.select(id_col, text_col), text_col, n, hash_fn=hash_fn)
     sig = sh.withColumn("sig", _sig_arrow_udf(num_hashes)(F.col("hshingle")))
     banded = sig.select(
         F.col(id_col),
         F.col("hshingle"),
-        F.posexplode(_band_hashes(num_hashes, bands)).alias("band_idx", "band_hash"),
+        F.posexplode(
+            _band_hashes(num_hashes, bands, hash_fn=hash_fn)
+        ).alias("band_idx", "band_hash"),
     )
     members = F.array_sort(
         F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("hshingle")))
@@ -352,6 +363,17 @@ def minhash_near_dedup(
         .filter(F.col("jaccard") >= threshold)
         .distinct()
     )
+
+
+def md5_hash60(col) -> Column:
+    """60-bit integer hash from md5 — bit-identical in Spark and DuckDB.
+
+    ``CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)`` on the DuckDB
+    side; 15 hex chars = 60 bits keeps the value in positive BIGINT
+    range on both engines. Used by oracle-verified registry queries;
+    xxhash64 remains the default fast path for operator users.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def simhash(

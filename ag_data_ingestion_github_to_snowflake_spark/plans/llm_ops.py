@@ -57,6 +57,78 @@ def dedup_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_verified",
+    # Exact DuckDB replay of the ENTIRE MinHash-LSH pipeline (r4):
+    # md5-derived 60-bit gram and band-bucket hashes are bit-identical
+    # in both engines, the (2i+1)x + (40503i+7) mod p signature family
+    # is pure arithmetic, and the twin replays shingling, signatures,
+    # banding, bucket collision pairs, and exact-Jaccard verification —
+    # so LSH recall itself is pinned, not just the verified scores.
+    # `dedup_minhash_pairs` (above) keeps the xxhash64 fast path and
+    # its rows-only gate; this twin is the same operator machinery
+    # under the replayable hash family.
+    oracle=r"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct([
+               CAST(('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 15))
+                    AS BIGINT) % 2147483647
+               FOR i IN range(1, len(toks) - 1)
+             ]) AS hshingle
+      FROM docs
+      WHERE len(toks) >= 3
+    ),
+    sigs AS (
+      SELECT doc_id, hshingle,
+             [list_min([((2*i + 1) * x + (40503*i + 7)) % 2147483647
+                        FOR x IN hshingle])
+              FOR i IN range(0, 32)] AS sig
+      FROM grams
+      WHERE len(hshingle) > 0
+    ),
+    banded AS (
+      SELECT doc_id, hshingle, b AS band_idx,
+             CAST(('0x' || substr(md5(array_to_string(
+                    [CAST(v AS VARCHAR) FOR v IN sig[4*b+1:4*b+4]], ',')), 1, 15))
+                  AS BIGINT) AS band_hash
+      FROM sigs, range(0, 8) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.hshingle AS sh_a, b.hshingle AS sh_b
+      FROM banded a
+      JOIN banded b
+        ON a.band_idx = b.band_idx
+       AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT id_a, id_b,
+             ROUND(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+                   / GREATEST(len(list_distinct(list_concat(sh_a, sh_b))), 1),
+                   6) AS jaccard
+      FROM cand
+    ) WHERE jaccard >= 0.4
+    """,
+    survey_ids=("B54",),
+    description="MinHash-LSH near-dedup under a DuckDB-replayable hash family: recall + scores hash-verified",
+)
+def dedup_minhash_verified(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs with every stage oracle-replayed.
+
+    Same pipeline as ``dedup_minhash_pairs`` (shingle -> signature ->
+    band buckets -> in-bucket pairs -> exact Jaccard) under the
+    md5-derived 60-bit hash family DuckDB can replay bit-for-bit.
+    """
+    return D.minhash_near_dedup(
+        t(spark, sf, "documents"), threshold=0.4, hash_fn=D.md5_hash60
+    )
+
+
+@register(
     "dedup_simhash_pairs",
     # Exact DuckDB replay of the whole SimHash pipeline (r4: flipped
     # from rows-only): the token hash is a sha2-derived 60-bit value
@@ -68,7 +140,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # blocking-replay twin could not.
     oracle=r"""
     WITH toks AS (
-      SELECT doc_id, CAST(('0x' || substr(sha256(tok), 1, 15)) AS BIGINT) AS h
+      SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
       FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
             FROM documents)
     ),
@@ -94,13 +166,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs within Hamming distance 3, hash-verified.
 
     The signature hash is the top 60 bits (15 hex chars) of
-    sha2-256(token) so DuckDB can replay it exactly; voting and
-    pigeonhole blocking are the standard operator machinery.
+    md5(token) so DuckDB can replay it exactly (md5 over sha2-256:
+    half the per-token cost, same replayability and bit uniformity);
+    voting and pigeonhole blocking are the standard operator machinery.
     """
-    sha60 = lambda tok: F.conv(  # noqa: E731
-        F.substring(F.sha2(tok, 256), 1, 15), 16, 10
-    ).cast("long")
-    sig = D.simhash(t(spark, sf, "documents"), hash_fn=sha60)
+    sig = D.simhash(t(spark, sf, "documents"), hash_fn=D.md5_hash60)
     # No orderBy — same double-execution trap as dedup_minhash_pairs.
     return D.simhash_near_pairs(sig).withColumn(
         "hamming", F.col("hamming").cast("long")

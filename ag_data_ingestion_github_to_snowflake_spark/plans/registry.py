@@ -138,6 +138,7 @@ _PRIORITY: tuple[str, ...] = (
     "try_funcs_orders",             # B37 B43
     # -- past the 50-cap; driver-checked in the r5 rotation --
     "string_agg_nations_by_region", # B36 B41 B16
+    "dedup_minhash_verified",       # B54 (r4: LSH recall + scores replayed in DuckDB)
     "approx_distinct_users",        # B21 (rows-only by design; green r1-r3)
     "assign_sequence_ids",          # B29 (scale-safe id assignment)
 )
