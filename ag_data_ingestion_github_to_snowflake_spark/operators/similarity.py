@@ -503,21 +503,59 @@ def mmr_rerank(
     Two-stage shape, which is how it scales: the DISTRIBUTED stage is
     the coarse candidate retrieval (``brute_force_topk`` here; the LSH
     or IVF paths compose identically) producing k_coarse rows per
-    query; the greedy selection is quadratic-in-k_coarse but
-    per-query-local, so it runs as one vectorized numpy kernel per
-    query via ``applyInPandas`` — never on the full corpus. Fully
-    deterministic: relevance is the stage-1 rounded cosine, and ties
-    break on neighbor id.
+    query, plus the k_coarse² candidate-pair cosines computed with the
+    SAME JVM ``F.aggregate`` fold as stage 1 — so every float entering
+    the greedy step is bit-identical to an independent SQL replay
+    (`dedup_minhash_verified`'s discipline applied to retrieval). The
+    greedy selection is quadratic-in-k_coarse but per-query-local: one
+    vectorized numpy kernel per query via cogrouped ``applyInPandas``
+    — never on the full corpus. Fully deterministic: relevance and
+    pair penalties are rounded(6) cosines, scores are plain IEEE
+    ``lambda*rel - (1-lambda)*penalty`` on those values (no
+    intermediate re-rounding), and ties break on lowest neighbor id.
 
     Returns (query_id, mmr_rank, neighbor_id, score) with mmr_rank
-    1..k_final.
+    1..k_final; score is the raw IEEE selection score (inputs already
+    rounded(6)), so an independent replay produces the identical double.
     """
     cands = brute_force_topk(corpus, queries, k_coarse, id_col, vec_col)
-    with_vecs = cands.join(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
+    sides = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    ca = cands.select("query_id", F.col("neighbor_id").alias("id_a")).join(
+        sides.select(
+            F.col("nid").alias("id_a"),
+            F.col("vec").alias("vec_a"),
+            F.col("nrm").alias("nrm_a"),
         ),
-        "neighbor_id",
+        "id_a",
+    )
+    cb = cands.select("query_id", F.col("neighbor_id").alias("id_b")).join(
+        sides.select(
+            F.col("nid").alias("id_b"),
+            F.col("vec").alias("vec_b"),
+            F.col("nrm").alias("nrm_b"),
+        ),
+        "id_b",
+    )
+    pairs = (
+        ca.alias("ca")
+        .join(
+            cb.alias("cb"),
+            F.col("ca.query_id") == F.col("cb.query_id"),
+        )
+        .select(
+            F.col("ca.query_id").alias("query_id"),
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("nrm_a") * F.col("nrm_b")),
+                6,
+            ).alias("pc"),
+        )
     )
 
     out_schema = T.StructType(
@@ -529,29 +567,39 @@ def mmr_rerank(
         ]
     )
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
-        vecs = np.asarray(pdf["n_vec"].tolist(), dtype=np.float64)
-        norms = np.linalg.norm(vecs, axis=1)
-        norms[norms == 0] = 1.0
-        unit = vecs / norms[:, None]
-        pair = np.round(unit @ unit.T, 6)  # candidate-candidate cosines
-        rel = pdf["cosine"].to_numpy(dtype=np.float64)
-        n = len(pdf)
+    def kernel(cand_pdf: pd.DataFrame, pair_pdf: pd.DataFrame) -> pd.DataFrame:
+        if cand_pdf.empty:
+            return pd.DataFrame(
+                columns=["query_id", "mmr_rank", "neighbor_id", "score"]
+            )
+        cand_pdf = cand_pdf.sort_values("neighbor_id").reset_index(drop=True)
+        ids = cand_pdf["neighbor_id"].to_numpy()
+        idx = {int(v): i for i, v in enumerate(ids)}
+        n = len(ids)
+        rel = cand_pdf["cosine"].to_numpy(dtype=np.float64)
+        pair = np.zeros((n, n))
+        for ia, ib, c in zip(
+            pair_pdf["id_a"], pair_pdf["id_b"], pair_pdf["pc"]
+        ):
+            pair[idx[int(ia)], idx[int(ib)]] = c
         chosen: list[int] = []
         penalty = np.zeros(n)
         rows = []
         for rank in range(1, min(k_final, n) + 1):
-            score = np.round(lambda_ * rel - (1.0 - lambda_) * penalty, 9)
+            score = lambda_ * rel - (1.0 - lambda_) * penalty
             score[chosen] = -np.inf
             pick = int(np.argmax(score))  # ties: lowest index == lowest id
             chosen.append(pick)
             penalty = np.maximum(penalty, pair[:, pick])
+            # No final rounding: rel/penalty are already rounded(6)
+            # cosines, so the score double is bit-identical to the SQL
+            # twin's — decimal re-rounding would only reintroduce the
+            # engines' half-rounding-mode divergence at midpoints.
             rows.append(
                 (
-                    int(pdf["query_id"].iloc[0]),
+                    int(cand_pdf["query_id"].iloc[0]),
                     rank,
-                    int(pdf["neighbor_id"].iloc[pick]),
+                    int(ids[pick]),
                     float(score[pick]),
                 )
             )
@@ -559,7 +607,11 @@ def mmr_rerank(
             rows, columns=["query_id", "mmr_rank", "neighbor_id", "score"]
         )
 
-    return with_vecs.groupBy("query_id").applyInPandas(kernel, out_schema)
+    return (
+        cands.groupBy("query_id")
+        .cogroup(pairs.groupBy("query_id"))
+        .applyInPandas(kernel, out_schema)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -939,9 +939,102 @@ def fuzzy_join_part_names(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "mmr_rerank_topk",
-    oracle=None,
+    # Exact DuckDB replay of the greedy MMR selection (r4: flipped from
+    # rows-only): every float entering the greedy step is a rounded(6)
+    # cosine computed with the same fold in both engines, the
+    # lambda*rel - (1-lambda)*penalty arithmetic is plain IEEE on
+    # identical doubles, and a recursive CTE replays the selection loop
+    # (list-state row per query: chosen ids + per-candidate penalty;
+    # argmax via list_position(scores, list_max(scores)), whose
+    # first-occurrence semantics equal np.argmax's lowest-index
+    # tie-break). 1e18 is the -inf sentinel for already-chosen slots.
+    oracle=r"""
+    WITH RECURSIVE
+    qv AS (SELECT vec_id AS query_id, embedding AS q_vec
+           FROM embeddings WHERE vec_id < 5),
+    cv AS (SELECT vec_id AS nid, embedding AS c_vec
+           FROM embeddings WHERE vec_id >= 5 AND vec_id < 505),
+    scored AS (
+      SELECT qv.query_id, cv.nid,
+             ROUND(
+               list_sum(list_transform(list_zip(qv.q_vec, cv.c_vec),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(qv.q_vec,
+                        v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))
+                * sqrt(list_sum(list_transform(cv.c_vec,
+                        v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))),
+             6) AS cosine
+      FROM qv, cv
+    ),
+    cand AS (
+      SELECT query_id, nid, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, nid ASC) AS rnk
+        FROM scored
+      ) WHERE rnk <= 30
+    ),
+    base AS (
+      SELECT query_id, list(nid ORDER BY nid) AS ids,
+             list(cosine ORDER BY nid) AS rel
+      FROM cand GROUP BY query_id
+    ),
+    pairc AS (
+      SELECT a.query_id, a.nid AS ida, b.nid AS idb,
+             ROUND(
+               list_sum(list_transform(list_zip(va.c_vec, vb.c_vec),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(va.c_vec,
+                        v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))
+                * sqrt(list_sum(list_transform(vb.c_vec,
+                        v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))),
+             6) AS pc
+      FROM cand a
+      JOIN cand b ON a.query_id = b.query_id
+      JOIN cv va ON va.nid = a.nid
+      JOIN cv vb ON vb.nid = b.nid
+    ),
+    mat AS (
+      SELECT query_id, ida, list(pc ORDER BY idb) AS prow
+      FROM pairc GROUP BY query_id, ida
+    ),
+    mats AS (
+      SELECT query_id, list(prow ORDER BY ida) AS m
+      FROM mat GROUP BY query_id
+    ),
+    setup AS (
+      SELECT b.query_id, b.ids, b.rel, m.m
+      FROM base b JOIN mats m ON b.query_id = m.query_id
+    ),
+    sel AS (
+      SELECT query_id, 0 AS rank, CAST([] AS BIGINT[]) AS chosen,
+             [0.0::DOUBLE FOR i IN range(1, len(ids)+1)] AS penalty,
+             CAST(NULL AS BIGINT) AS picked, CAST(NULL AS DOUBLE) AS score
+      FROM setup
+      UNION ALL
+      SELECT query_id, rank, list_append(chosen, ids[pick]) AS chosen,
+             [GREATEST(penalty[i], m[pick][i])
+              FOR i IN range(1, len(ids)+1)] AS penalty,
+             ids[pick] AS picked, scores[pick] AS score
+      FROM (
+        SELECT *, list_position(scores, list_max(scores)) AS pick
+        FROM (
+          SELECT s.query_id, s.rank + 1 AS rank, s.chosen, s.penalty,
+                 su.ids, su.rel, su.m,
+                 [CASE WHEN list_contains(s.chosen, su.ids[i]) THEN -1e18
+                       ELSE 0.7::DOUBLE * su.rel[i]
+                            - (1.0::DOUBLE - 0.7::DOUBLE) * s.penalty[i] END
+                  FOR i IN range(1, len(su.ids)+1)] AS scores
+          FROM sel s JOIN setup su ON s.query_id = su.query_id
+          WHERE s.rank < 10
+        )
+      )
+    )
+    SELECT query_id, CAST(rank AS INT) AS mmr_rank, picked AS neighbor_id,
+           score
+    FROM sel WHERE rank >= 1
+    """,
     survey_ids=("B55", "B52", "B29"),
-    description="Diversity-aware retrieval: MMR greedy re-rank of coarse top-k",
+    description="Diversity-aware retrieval: MMR greedy re-rank, selection loop replayed by a recursive CTE",
 )
 def mmr_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Maximal-marginal-relevance top-10 per query over a coarse
