@@ -5,9 +5,11 @@ per-query scaling exponent  alpha = log10(t_sf1 / t_sf0.1)  — alpha 1.0
 is perfectly linear in data volume, alpha 0 is fixed-overhead bound,
 >1 super-linear.
 
-Usage: python tools/scale_curve.py [reps] [--all]
+Usage: python tools/scale_curve.py [reps] [--all] [name ...]
   (writes scale_curve.json; --all sweeps EVERY registry query instead
-   of the headline set and writes scale_curve_full.json)
+   of the headline set and writes scale_curve_full.json; explicit query
+   names measure just those and MERGE them into scale_curve_full.json —
+   the per-round refresh path for new or changed queries)
 """
 
 from __future__ import annotations
@@ -35,11 +37,18 @@ SF_BIG = os.environ.get(
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     full = "--all" in sys.argv
-    reps = int(args[0]) if args else 2
+    reps = int(args[0]) if args and args[0].isdigit() else 2
+    explicit = [a for a in args if not a.isdigit()]
     spark = get_spark("scale-curve")
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_specs()
-    names = list(specs) if full else list(HEADLINE)
+    if explicit:
+        missing = [n for n in explicit if n not in specs]
+        if missing:
+            raise SystemExit(f"unknown queries: {missing}")
+        names = explicit
+    else:
+        names = list(specs) if full else list(HEADLINE)
     # JIT/codegen warm-up on the smallest fixture
     for name in names:
         try:
@@ -70,7 +79,13 @@ def main() -> None:
         out[name] = {**times, "alpha": round(alpha, 3)}
         print(f"{name:36s} {times['t_small']:7.3f}s -> {times['t_big']:8.3f}s  alpha={alpha:+.3f}")
 
-    dest = ROOT / ("scale_curve_full.json" if full else "scale_curve.json")
+    dest = ROOT / (
+        "scale_curve_full.json" if (full or explicit) else "scale_curve.json"
+    )
+    if explicit and dest.exists():
+        merged = json.loads(dest.read_text())
+        merged.update(out)
+        out = merged
     dest.write_text(json.dumps(out, indent=1) + "\n")
     timed = {k: v for k, v in out.items() if "alpha" in v}
     worst = max(timed.items(), key=lambda kv: kv[1]["alpha"])
