@@ -110,10 +110,48 @@ def main() -> None:
                 times.append(dt)
         return times
 
+    # Aggregation twin experiment: the SAME hot key under a plain
+    # groupBy vs salted_aggregate. Algebraic aggregates partial-combine
+    # map-side, so a hot KEY does not melt a reducer the way a hot JOIN
+    # key does — this measurement documents when NOT to salt (salting
+    # adds a second shuffle stage for nothing). Checked row-identical
+    # like the join plans.
+    from ag_data_ingestion_github_to_snowflake_spark.operators.skew import (
+        salted_aggregate,
+    )
+
+    def agg_plain():
+        return li.groupBy("l_suppkey").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev"),
+        )
+
+    def agg_salted():
+        fact = li.withColumn("_uid", F.xxhash64("l_orderkey", "l_linenumber"))
+        return salted_aggregate(
+            fact,
+            keys=["l_suppkey"],
+            aggs={"n": ("l_extendedprice", "count"),
+                  "rev": ("_price_dec", "sum")},
+            unique_col="_uid",
+            n_salts=n_salts,
+        )
+
+    # salted_aggregate sums a pre-cast column; stage it once
+    li = li.withColumn("_price_dec", F.col("l_extendedprice").cast("decimal(18,2)"))
+    set_aqe(False)
+    a_plain = sorted(map(tuple, agg_plain().collect()))
+    a_salted = sorted(
+        map(tuple, agg_salted().select("l_suppkey", "n", "rev").collect())
+    )
+    assert a_plain == a_salted, "aggregation plans disagree"
+
     results = {
         "plain_aqe_off": timed(plain, aqe=False),
         "plain_aqe_on": timed(plain, aqe=True),
         f"salted_{n_salts}_aqe_off": timed(salted, aqe=False),
+        "agg_plain_groupby": timed(agg_plain, aqe=False),
+        f"agg_salted_{n_salts}": timed(agg_salted, aqe=False),
     }
     medians = {k: round(statistics.median(v), 3) for k, v in results.items()}
     report = {
