@@ -79,7 +79,8 @@ def main() -> None:
         out[name] = {**times, "alpha": round(alpha, 3)}
         print(f"{name:36s} {times['t_small']:7.3f}s -> {times['t_big']:8.3f}s  alpha={alpha:+.3f}")
 
-    dest = ROOT / (
+    dest_env = os.environ.get("SPARK_GRAFT_SCALE_OUT")
+    dest = Path(dest_env) if dest_env else ROOT / (
         "scale_curve_full.json" if (full or explicit) else "scale_curve.json"
     )
     if explicit and dest.exists():
