@@ -555,8 +555,9 @@ def _check_compressed(data: bytes) -> None:
     for magic, name in _COMPRESSED_MAGIC.items():
         if data[: len(magic)] == magic:
             raise NotImplementedError(
-                f"{name} payloads need a codec library unavailable in this "
-                "environment; transcode to PNG/BMP/PPM/WAV upstream"
+                f"{name} DSP decode needs a codec library unavailable in "
+                "this environment; transcode to PNG/BMP/PPM/WAV upstream "
+                "(container metadata IS available — operators/media_meta.py)"
             )
 
 

@@ -133,6 +133,76 @@ def expected_features() -> list[tuple[int, str, float, float, float]]:
     return out
 
 
+def audio_meta_fixture_rows() -> list[tuple[int, bytes]]:
+    """(doc_id, payload) rows for the container-metadata probe query:
+    the WAV/FLAC fixtures above plus spec-true MP3 frame streams and
+    Ogg/Vorbis pages (operators/media_meta.py writers), and one
+    deliberately corrupt payload for the quarantine path."""
+    from ag_data_ingestion_github_to_snowflake_spark.operators import media_meta
+
+    rows: list[tuple[int, bytes]] = []
+    audio_encoders = {
+        "wav": lambda s, r: codecs.encode_wav(s, r),
+        "flac": lambda s, r: flac.encode_flac(s, r, block_size=2048),
+        "flac_ms": lambda s, r: flac.encode_flac(
+            s, r, block_size=1024, mid_side=True
+        ),
+    }
+    for doc_id, fmt, samples, rate in _audios():
+        rows.append((doc_id, audio_encoders[fmt](samples, rate)))
+    rows.append((20, media_meta.encode_mp3_frames(38, 128, 44100, 1)))
+    rows.append(
+        (21, media_meta.encode_mp3_frames(25, 192, 32000, 2, id3=b"fixture"))
+    )
+    rows.append((22, media_meta.encode_ogg_vorbis(44100, 2, 123456)))
+    rows.append(
+        (23, media_meta.encode_ogg_vorbis(16000, 1, 48000, nominal_bitrate=64000))
+    )
+    # corrupt: MP3 stream with the final frame truncated -> quarantined
+    rows.append((24, media_meta.encode_mp3_frames(5, 128, 44100, 1)[:-10]))
+    return rows
+
+
+def expected_audio_meta() -> list[tuple]:
+    """(doc_id, container, sample_rate, channels, bit_depth,
+    duration_s, bitrate) derived from the generation parameters —
+    NOT by running the probes."""
+    out: list[tuple] = []
+    for doc_id, fmt, samples, rate in _audios():
+        n = samples.shape[0]
+        ch = samples.shape[1] if samples.ndim == 2 else 1
+        container = "wav" if fmt == "wav" else "flac"
+        out.append(
+            (doc_id, container, rate, ch, 16, round(n / rate, 6), rate * ch * 16)
+        )
+    out.append((20, "mp3", 44100, 1, None, round(38 * 1152 / 44100, 6), 128000))
+    out.append((21, "mp3", 32000, 2, None, round(25 * 1152 / 32000, 6), 192000))
+    out.append((22, "ogg", 44100, 2, None, round(123456 / 44100, 6), 112000))
+    out.append((23, "ogg", 16000, 1, None, round(48000 / 16000, 6), 64000))
+    out.append((24, "error", None, None, None, None, None))
+    return out
+
+
+def expected_audio_meta_sql() -> str:
+    """DuckDB VALUES oracle for the container-metadata expectations."""
+
+    def lit(v, typ):
+        return f"CAST({'NULL' if v is None else repr(v)} AS {typ})"
+
+    rows = ",\n      ".join(
+        f"(CAST({d} AS BIGINT), '{c}', {lit(sr, 'BIGINT')}, "
+        f"{lit(ch, 'BIGINT')}, {lit(bd, 'BIGINT')}, "
+        f"{lit(dur, 'DOUBLE')}, {lit(br, 'BIGINT')})"
+        for d, c, sr, ch, bd, dur, br in expected_audio_meta()
+    )
+    return (
+        "SELECT * FROM (VALUES\n      "
+        + rows
+        + "\n    ) AS t(doc_id, container, sample_rate, channels, bit_depth,"
+        " duration_s, bitrate) ORDER BY doc_id"
+    )
+
+
 def expected_features_sql() -> str:
     """DuckDB VALUES oracle over the analytic expectations."""
     rows = ",\n      ".join(

@@ -1,0 +1,475 @@
+"""Container-level audio metadata probe: WAV / FLAC / MP3 / OGG-Vorbis.
+
+A 100 TB multimodal corpus is filtered on *metadata* (sample rate,
+channel count, duration) long before anything is decoded — "keep
+16 kHz+ mono under 30 s" must not require a DSP pass. This module
+parses exactly the container structures the public specs define:
+
+- WAV: RIFF chunk walk, ``fmt `` + ``data`` sizes (no sample read).
+- FLAC: the 34-byte STREAMINFO block (RFC 9639 §8.2).
+- MP3: ISO/IEC 11172-3 frame headers — sync, version/layer, bitrate
+  and sample-rate indices — walked frame-by-frame (exact sample
+  count, not a CBR guess), with ID3v2 tag skip (id3.org spec).
+- OGG: RFC 3533 pages (CRC-verified) + the Vorbis I identification
+  header packet; duration from the last page's granule position.
+
+Only headers are read; MP3/Vorbis *audio* decode remains an explicit
+`NotImplementedError` gate in operators/codecs.py. The probe runs
+distributed as an Arrow-batched mapInPandas kernel
+(:func:`probe_audio_meta_df`) — map-only, no shuffle, scale-safe.
+
+Parity target: the reference ingests opaque API payloads and keeps
+typed metadata alongside raw bytes (/root/reference/src/
+extract_github_data.py:101-143, flatten of nested payloads to typed
+columns); this is the same contract applied to binary media columns.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+# ---------------------------------------------------------------------------
+# MP3 (MPEG-1/2 audio) frame headers — ISO/IEC 11172-3 / 13818-3
+# ---------------------------------------------------------------------------
+
+# bitrate tables in kbps, indexed [version][layer][bitrate_index];
+# version: 1 = MPEG-1, 2 = MPEG-2/2.5. 0 and 15 are invalid indices.
+_BITRATE_V1_L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_BITRATE_V1_L2 = (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+_BITRATE_V1_L1 = (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+_BITRATE_V2_L1 = (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)
+_BITRATE_V2_L23 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+
+_SAMPLE_RATES = {  # indexed by version bits (header bits 19-20)
+    3: (44100, 48000, 32000),  # MPEG-1
+    2: (22050, 24000, 16000),  # MPEG-2
+    0: (11025, 12000, 8000),  # MPEG-2.5
+}
+
+# samples per frame, [version][layer]
+_SAMPLES_PER_FRAME = {
+    (3, 1): 384, (3, 2): 1152, (3, 3): 1152,  # MPEG-1 L1/L2/L3
+    (2, 1): 384, (2, 2): 1152, (2, 3): 576,   # MPEG-2
+    (0, 1): 384, (0, 2): 1152, (0, 3): 576,   # MPEG-2.5
+}
+
+
+def _parse_mp3_header(hdr: int) -> dict | None:
+    """Decode a 32-bit MPEG audio frame header; None if not a valid sync."""
+    if (hdr >> 21) & 0x7FF != 0x7FF:
+        return None
+    version_bits = (hdr >> 19) & 0x3
+    layer_bits = (hdr >> 17) & 0x3
+    if version_bits == 1 or layer_bits == 0:
+        return None  # reserved
+    layer = 4 - layer_bits  # bits 11/10/01 -> layer 1/2/3
+    bitrate_index = (hdr >> 12) & 0xF
+    sr_index = (hdr >> 10) & 0x3
+    if bitrate_index in (0, 15) or sr_index == 3:
+        return None  # free-format/invalid not supported
+    if version_bits == 3:
+        table = (_BITRATE_V1_L1, _BITRATE_V1_L2, _BITRATE_V1_L3)[layer - 1]
+    else:
+        table = _BITRATE_V2_L1 if layer == 1 else _BITRATE_V2_L23
+    bitrate = table[bitrate_index] * 1000
+    sample_rate = _SAMPLE_RATES[version_bits][sr_index]
+    padding = (hdr >> 9) & 0x1
+    channel_mode = (hdr >> 6) & 0x3  # 00 stereo, 01 joint, 10 dual, 11 mono
+    if layer == 1:
+        frame_len = (12 * bitrate // sample_rate + padding) * 4
+    else:
+        per = 144 if (version_bits == 3 or layer == 2) else 72
+        frame_len = per * bitrate // sample_rate + padding
+    return {
+        "version_bits": version_bits,
+        "layer": layer,
+        "bitrate": bitrate,
+        "sample_rate": sample_rate,
+        "channels": 1 if channel_mode == 3 else 2,
+        "frame_len": frame_len,
+        "samples": _SAMPLES_PER_FRAME[(version_bits, layer)],
+    }
+
+
+def _skip_id3v2(data: bytes) -> int:
+    """Return the offset past an ID3v2 tag (0 if none). Tag size is a
+    4-byte syncsafe integer (7 bits per byte), excluding the 10-byte
+    header; a footer (flag bit 4) adds another 10 bytes."""
+    if data[:3] != b"ID3" or len(data) < 10:
+        return 0
+    flags = data[5]
+    size = 0
+    for b in data[6:10]:
+        if b & 0x80:
+            raise ValueError("ID3v2 size bytes must be syncsafe")
+        size = (size << 7) | b
+    return 10 + size + (10 if flags & 0x10 else 0)
+
+
+def probe_mp3(data: bytes) -> dict:
+    """Walk every MPEG audio frame; exact sample-count duration.
+
+    Raises ValueError on missing sync, inconsistent stream parameters,
+    or a truncated final frame — corrupt files must quarantine, not
+    silently yield wrong durations.
+    """
+    pos = _skip_id3v2(data)
+    if pos + 4 > len(data):
+        raise ValueError("MP3: no frame after ID3 tag")
+    first = _parse_mp3_header(int.from_bytes(data[pos : pos + 4], "big"))
+    if first is None:
+        raise ValueError("MP3: no frame sync at stream start")
+    n_frames = 0
+    total_samples = 0
+    bitrate_sum = 0
+    while pos + 4 <= len(data):
+        info = _parse_mp3_header(int.from_bytes(data[pos : pos + 4], "big"))
+        if info is None:
+            raise ValueError(f"MP3: lost frame sync at byte {pos}")
+        if (
+            info["sample_rate"] != first["sample_rate"]
+            or info["layer"] != first["layer"]
+            or info["channels"] != first["channels"]
+        ):
+            raise ValueError("MP3: stream parameters change mid-file")
+        if pos + info["frame_len"] > len(data):
+            raise ValueError("MP3: truncated final frame")
+        n_frames += 1
+        total_samples += info["samples"]
+        bitrate_sum += info["bitrate"]
+        pos += info["frame_len"]
+    if pos != len(data):
+        raise ValueError("MP3: trailing garbage after last frame")
+    return {
+        "container": "mp3",
+        "sample_rate": first["sample_rate"],
+        "channels": first["channels"],
+        "bit_depth": None,  # lossy: no PCM bit depth in the container
+        "duration_s": round(total_samples / first["sample_rate"], 6),
+        "n_units": n_frames,
+        "bitrate": bitrate_sum // max(n_frames, 1),
+    }
+
+
+def encode_mp3_frames(
+    n_frames: int,
+    bitrate_kbps: int = 128,
+    sample_rate: int = 44100,
+    channels: int = 1,
+    id3: bytes | None = None,
+) -> bytes:
+    """Fixture writer: structurally valid MPEG-1 Layer III CBR frames.
+
+    Headers are real per ISO 11172-3; frame payloads are deterministic
+    filler (this module never decodes audio — the probe reads headers
+    only). Optionally prepends a real ID3v2.3 tag carrying ``id3``.
+    """
+    bitrate_index = _BITRATE_V1_L3.index(bitrate_kbps)
+    sr_index = _SAMPLE_RATES[3].index(sample_rate)
+    channel_mode = 3 if channels == 1 else 0
+    out = bytearray()
+    if id3 is not None:
+        body = b"TIT2" + struct.pack(">I", len(id3) + 1) + b"\x00\x00\x03" + id3
+        size = len(body)
+        syncsafe = bytes(
+            (size >> s) & 0x7F for s in (21, 14, 7, 0)
+        )
+        out += b"ID3\x03\x00\x00" + syncsafe + body
+    hdr = (
+        (0x7FF << 21)
+        | (3 << 19)      # MPEG-1
+        | (1 << 17)      # Layer III
+        | (1 << 16)      # no CRC
+        | (bitrate_index << 12)
+        | (sr_index << 10)
+        | (0 << 9)       # no padding
+        | (channel_mode << 6)
+    )
+    frame_len = 144 * bitrate_kbps * 1000 // sample_rate
+    header = hdr.to_bytes(4, "big")
+    for i in range(n_frames):
+        out += header
+        filler = bytes((i * 37 + j * 11) & 0xFF for j in range(frame_len - 4))
+        out += filler
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# OGG (RFC 3533) + Vorbis I identification header
+# ---------------------------------------------------------------------------
+
+_OGG_CRC_TABLE: list[int] = []
+
+
+def _ogg_crc(data: bytes) -> int:
+    """Ogg page CRC: CRC-32, poly 0x04C11DB7, forward (non-reflected),
+    init 0, no final xor (RFC 3533 §6)."""
+    if not _OGG_CRC_TABLE:
+        for i in range(256):
+            r = i << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7) if r & 0x80000000 else (r << 1)
+            _OGG_CRC_TABLE.append(r & 0xFFFFFFFF)
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[((crc >> 24) & 0xFF) ^ b]
+    return crc
+
+
+def _ogg_page(
+    header_type: int,
+    granule: int,
+    serial: int,
+    seq: int,
+    segments: list[bytes],
+) -> bytes:
+    """Build one Ogg page; each element of ``segments`` is one whole
+    packet, lacing-encoded as 255-byte chunks plus a terminator."""
+    lacing = bytearray()
+    body = bytearray()
+    for seg in segments:
+        n_full, rem = divmod(len(seg), 255)
+        lacing += b"\xff" * n_full + bytes([rem])
+        body += seg
+    page = bytearray()
+    page += b"OggS\x00" + bytes([header_type])
+    page += struct.pack("<q", granule)
+    page += struct.pack("<I", serial)
+    page += struct.pack("<I", seq)
+    page += b"\x00\x00\x00\x00"  # CRC placeholder
+    page += bytes([len(lacing)]) + lacing + body
+    crc = _ogg_crc(bytes(page))
+    page[22:26] = struct.pack("<I", crc)
+    return bytes(page)
+
+
+def encode_ogg_vorbis(
+    sample_rate: int,
+    channels: int,
+    total_samples: int,
+    nominal_bitrate: int = 112000,
+    serial: int = 0x1D_5EED,
+) -> bytes:
+    """Fixture writer: a minimal spec-true Ogg/Vorbis stream — BOS page
+    with the identification header, one audio page, EOS page whose
+    granule position encodes ``total_samples``. Audio packet bytes are
+    deterministic filler (the probe never decodes Vorbis DSP)."""
+    ident = (
+        b"\x01vorbis"
+        + struct.pack("<I", 0)  # vorbis_version
+        + bytes([channels])
+        + struct.pack("<I", sample_rate)
+        + struct.pack("<i", 0)  # bitrate_maximum
+        + struct.pack("<i", nominal_bitrate)
+        + struct.pack("<i", 0)  # bitrate_minimum
+        + bytes([0xB8])  # blocksize_0 = 2^8, blocksize_1 = 2^11
+        + b"\x01"  # framing flag
+    )
+    audio = bytes((i * 73) & 0xFF for i in range(300))
+    pages = [
+        _ogg_page(0x02, 0, serial, 0, [ident]),  # BOS
+        _ogg_page(0x00, total_samples // 2, serial, 1, [audio]),
+        _ogg_page(0x04, total_samples, serial, 2, [audio[:100]]),  # EOS
+    ]
+    return b"".join(pages)
+
+
+def probe_ogg(data: bytes) -> dict:
+    """Parse Ogg pages (CRC-verified) + the Vorbis identification
+    header; duration = last granule position / sample rate."""
+    pos = 0
+    n_pages = 0
+    last_granule = 0
+    ident: bytes | None = None
+    while pos < len(data):
+        if data[pos : pos + 4] != b"OggS":
+            raise ValueError(f"OGG: bad capture pattern at byte {pos}")
+        if data[pos + 4] != 0:
+            raise ValueError("OGG: unsupported stream structure version")
+        granule = struct.unpack_from("<q", data, pos + 6)[0]
+        crc_stored = struct.unpack_from("<I", data, pos + 22)[0]
+        n_segs = data[pos + 26]
+        lacing = data[pos + 27 : pos + 27 + n_segs]
+        body_len = sum(lacing)
+        page_len = 27 + n_segs + body_len
+        if pos + page_len > len(data):
+            raise ValueError("OGG: truncated page")
+        page = bytearray(data[pos : pos + page_len])
+        page[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(page)) != crc_stored:
+            raise ValueError(f"OGG: CRC mismatch on page {n_pages}")
+        if n_pages == 0:
+            body = data[pos + 27 + n_segs : pos + page_len]
+            first_len = 0  # first packet ends at the first lacing < 255
+            for lace in lacing:
+                first_len += lace
+                if lace < 255:
+                    break
+            ident = body[:first_len]
+        if granule >= 0:
+            last_granule = granule
+        n_pages += 1
+        pos += page_len
+    if ident is None or ident[:7] != b"\x01vorbis":
+        raise ValueError("OGG: first packet is not a Vorbis identification header")
+    if struct.unpack_from("<I", ident, 7)[0] != 0:
+        raise ValueError("OGG: unsupported vorbis_version")
+    channels = ident[11]
+    sample_rate = struct.unpack_from("<I", ident, 12)[0]
+    nominal = struct.unpack_from("<i", ident, 20)[0]
+    if not ident[29] & 0x01:
+        raise ValueError("OGG: identification framing bit unset")
+    return {
+        "container": "ogg",
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "bit_depth": None,
+        "duration_s": round(last_granule / sample_rate, 6),
+        "n_units": n_pages,
+        "bitrate": nominal,
+    }
+
+
+# ---------------------------------------------------------------------------
+# WAV / FLAC header-only probes (no sample read)
+# ---------------------------------------------------------------------------
+
+
+def probe_wav(data: bytes) -> dict:
+    """RIFF walk, fmt + data chunk sizes only."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("WAV: not a RIFF/WAVE stream")
+    pos = 12
+    fmt = None
+    data_size = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", data, pos + 8)
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)
+    if fmt is None or data_size is None:
+        raise ValueError("WAV: missing fmt or data chunk")
+    _, channels, sample_rate, _, block_align, bits = fmt
+    n_frames = data_size // max(block_align, 1)
+    return {
+        "container": "wav",
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "bit_depth": bits,
+        "duration_s": round(n_frames / sample_rate, 6),
+        "n_units": n_frames,
+        "bitrate": sample_rate * channels * bits,
+    }
+
+
+def probe_flac(data: bytes) -> dict:
+    """STREAMINFO only (RFC 9639 §8.2) — no frame decode."""
+    if data[:4] != b"fLaC":
+        raise ValueError("FLAC: bad magic")
+    pos = 4
+    info = None
+    n_blocks = 0
+    while pos + 4 <= len(data):
+        hdr = data[pos]
+        block_type = hdr & 0x7F
+        size = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        if block_type == 0:
+            info = data[pos + 4 : pos + 4 + size]
+        n_blocks += 1
+        pos += 4 + size
+        if hdr & 0x80:
+            break
+    if info is None or len(info) != 34:
+        raise ValueError("FLAC: missing/short STREAMINFO")
+    bits = int.from_bytes(info[10:18], "big")
+    sample_rate = (bits >> 44) & 0xFFFFF
+    channels = ((bits >> 41) & 0x7) + 1
+    bit_depth = ((bits >> 36) & 0x1F) + 1
+    total_samples = bits & 0xFFFFFFFFF
+    return {
+        "container": "flac",
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "bit_depth": bit_depth,
+        "duration_s": round(total_samples / sample_rate, 6),
+        "n_units": total_samples,
+        "bitrate": sample_rate * channels * bit_depth,  # decoded PCM rate
+    }
+
+
+_PROBES = {
+    b"RIFF": probe_wav,
+    b"fLaC": probe_flac,
+    b"OggS": probe_ogg,
+}
+
+
+def probe_audio_meta(data: bytes) -> dict:
+    """Sniff the container by magic and dispatch; MP3 is the fallback
+    sync-scan (its 11-bit sync has no fixed file magic; ID3-tagged
+    files are routed by the ID3 magic)."""
+    head = bytes(data[:4])
+    for magic, fn in _PROBES.items():
+        if head.startswith(magic):
+            return fn(data)
+    return probe_mp3(data)  # raises with a clear message if not MPEG
+
+
+# ---------------------------------------------------------------------------
+# Distributed probe: Arrow-batched mapInPandas (map-only, no shuffle)
+# ---------------------------------------------------------------------------
+
+
+def probe_audio_meta_df(df, payload_col: str = "payload"):
+    """Append container metadata columns to ``df`` via mapInPandas.
+
+    Scale: pure map over binary payloads — header bytes only are
+    touched per row, so cost is O(rows + header bytes), independent of
+    media duration. Corrupt payloads surface as container='error' with
+    the reason, never a task failure (quarantine semantics, same
+    contract as the reference's per-row 404 skip at
+    /root/reference/src/extract_github_data.py:117-121).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("container", T.StringType()),
+            T.StructField("sample_rate", T.LongType()),
+            T.StructField("channels", T.LongType()),
+            T.StructField("bit_depth", T.LongType()),
+            T.StructField("duration_s", T.DoubleType()),
+            T.StructField("bitrate", T.LongType()),
+            T.StructField("probe_error", T.StringType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for payload in pdf[payload_col]:
+                try:
+                    m = probe_audio_meta(bytes(payload))
+                    metas.append(
+                        (m["container"], m["sample_rate"], m["channels"],
+                         m["bit_depth"], m["duration_s"], m["bitrate"], None)
+                    )
+                except ValueError as e:
+                    metas.append(("error", None, None, None, None, None, str(e)))
+            meta_df = pd.DataFrame(
+                metas,
+                columns=[
+                    "container", "sample_rate", "channels", "bit_depth",
+                    "duration_s", "bitrate", "probe_error",
+                ],
+                index=pdf.index,
+            )
+            yield pd.concat([pdf, meta_df], axis=1)
+
+    return df.mapInPandas(kernel, schema=out_schema)

@@ -702,6 +702,40 @@ def multimodal_decode_real(spark: SparkSession, sf: str) -> DataFrame:
     return img_feats.unionByName(aud_feats)
 
 
+@register(
+    "audio_container_meta",
+    # Expectations derive from the fixture generation parameters
+    # (frame counts x samples-per-frame, granule positions, STREAMINFO
+    # totals) — never from running the probes. The corrupt row pins
+    # the quarantine contract: parse failure -> container='error',
+    # NULL metadata, no task failure.
+    oracle=media_fixtures.expected_audio_meta_sql(),
+    survey_ids=("B57",),
+    description="Header-only audio metadata probe: WAV/FLAC/MP3/OGG",
+)
+def audio_container_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Container-level metadata for WAV/FLAC/MP3/OGG payloads via the
+    Arrow-batched mapInPandas probe (operators/media_meta.py): ISO
+    11172-3 frame walk (exact sample counts, ID3v2 skip), RFC 3533
+    CRC-verified Ogg pages + Vorbis ident header, RFC 9639 STREAMINFO,
+    RIFF chunk walk. Map-only — no shuffle, no DSP decode."""
+    from ag_data_ingestion_github_to_snowflake_spark.operators import media_meta
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    media = spark.createDataFrame(
+        media_fixtures.audio_meta_fixture_rows(), schema
+    ).repartition(4)
+    return media_meta.probe_audio_meta_df(media).select(
+        "doc_id", "container", "sample_rate", "channels",
+        "bit_depth", "duration_s", "bitrate",
+    )
+
+
 # ---------------------------------------------------------------------------
 # B53/B54 closure: near-dup pairs -> connected components -> canonical set
 # ---------------------------------------------------------------------------

@@ -1,0 +1,141 @@
+"""Container-metadata probe: header parsing pinned against the
+generation parameters, corruption paths, and the distributed kernel.
+
+The registry query `audio_container_meta` additionally gets the full
+rows+schema+hash DuckDB parity check via tests/test_oracle_parity.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ag_data_ingestion_github_to_snowflake_spark.operators import (
+    codecs,
+    flac,
+    media_fixtures,
+    media_meta as mm,
+)
+
+
+def test_mp3_frame_walk_exact_duration():
+    data = mm.encode_mp3_frames(38, 128, 44100, 1)
+    m = mm.probe_audio_meta(data)
+    assert m["container"] == "mp3"
+    assert m["n_units"] == 38
+    assert m["duration_s"] == round(38 * 1152 / 44100, 6)
+    assert m["sample_rate"] == 44100
+    assert m["channels"] == 1
+    assert m["bitrate"] == 128000
+    assert m["bit_depth"] is None
+
+
+def test_mp3_id3v2_tag_skipped():
+    data = mm.encode_mp3_frames(25, 192, 32000, 2, id3=b"title bytes")
+    assert data[:3] == b"ID3"
+    m = mm.probe_audio_meta(data)
+    assert (m["channels"], m["sample_rate"], m["n_units"]) == (2, 32000, 25)
+
+
+def test_mp3_corruption_raises():
+    data = mm.encode_mp3_frames(5, 128, 44100, 1)
+    with pytest.raises(ValueError, match="truncated final frame"):
+        mm.probe_mp3(data[:-10])
+    with pytest.raises(ValueError, match="no frame sync"):
+        mm.probe_mp3(b"\x00\x01\x02\x03garbage")
+    # flip a byte inside a later header -> lost sync
+    bad = bytearray(data)
+    frame_len = 144 * 128000 // 44100
+    bad[frame_len] = 0x00
+    with pytest.raises(ValueError, match="lost frame sync"):
+        mm.probe_mp3(bytes(bad))
+
+
+def test_ogg_pages_and_ident_header():
+    data = mm.encode_ogg_vorbis(44100, 2, 123456)
+    m = mm.probe_audio_meta(data)
+    assert m["container"] == "ogg"
+    assert m["sample_rate"] == 44100
+    assert m["channels"] == 2
+    assert m["duration_s"] == round(123456 / 44100, 6)
+    assert m["n_units"] == 3  # BOS + audio + EOS pages
+    assert m["bitrate"] == 112000
+
+
+def test_ogg_crc_rejects_bitflip():
+    data = bytearray(mm.encode_ogg_vorbis(16000, 1, 48000))
+    data[40] ^= 0x01  # flip one payload bit on the first page
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        mm.probe_ogg(bytes(data))
+
+
+def test_ogg_crc_is_rfc3533_forward_crc32():
+    # independent bit-by-bit computation of the table-driven CRC
+    def crc_ref(data: bytes) -> int:
+        crc = 0
+        for byte in data:
+            crc ^= byte << 24
+            for _ in range(8):
+                crc = ((crc << 1) ^ 0x04C11DB7) if crc & 0x80000000 else crc << 1
+                crc &= 0xFFFFFFFF
+        return crc
+
+    for blob in (b"", b"OggS", bytes(range(200))):
+        assert mm._ogg_crc(blob) == crc_ref(blob)
+
+
+def test_wav_and_flac_probes_match_full_decoders():
+    samples = np.full(4000, 16384, dtype=np.int16)
+    w = codecs.encode_wav(samples, 8000)
+    mw = mm.probe_audio_meta(w)
+    decoded, rate, ch = codecs.decode_wav(w)
+    assert (mw["sample_rate"], mw["channels"]) == (rate, ch)
+    assert mw["duration_s"] == round(len(decoded) / rate, 6)
+    assert mw["bit_depth"] == 16
+
+    fb = flac.encode_flac(samples, 8000, block_size=1024)
+    mf = mm.probe_audio_meta(fb)
+    assert mf["container"] == "flac"
+    assert (mf["sample_rate"], mf["channels"], mf["bit_depth"]) == (8000, 1, 16)
+    assert mf["duration_s"] == 0.5
+    # header-only: probe must not need more than STREAMINFO + headers
+    streaminfo_prefix = fb[: 4 + 4 + 34 + 200]
+    assert mm.probe_flac(streaminfo_prefix)["duration_s"] == 0.5
+
+
+def test_expected_audio_meta_covers_all_fixture_rows():
+    rows = media_fixtures.audio_meta_fixture_rows()
+    expected = {r[0]: r for r in media_fixtures.expected_audio_meta()}
+    assert {d for d, _ in rows} == set(expected)
+    for doc_id, payload in rows:
+        exp = expected[doc_id]
+        if exp[1] == "error":
+            with pytest.raises(ValueError):
+                mm.probe_audio_meta(payload)
+            continue
+        m = mm.probe_audio_meta(payload)
+        assert (
+            m["container"], m["sample_rate"], m["channels"],
+            m["bit_depth"], m["duration_s"], m["bitrate"],
+        ) == exp[1:], doc_id
+
+
+def test_probe_df_quarantines_corrupt_rows(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        media_fixtures.audio_meta_fixture_rows(), schema
+    )
+    out = {r["doc_id"]: r for r in mm.probe_audio_meta_df(df).collect()}
+    assert out[24]["container"] == "error"
+    assert out[24]["sample_rate"] is None
+    assert "truncated" in out[24]["probe_error"]
+    assert out[20]["container"] == "mp3"
+    assert out[22]["duration_s"] == round(123456 / 44100, 6)
+    assert out[14]["container"] == "flac"
