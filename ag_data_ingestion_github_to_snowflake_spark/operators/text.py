@@ -62,19 +62,31 @@ def quality_score(df: DataFrame, text_col: str = "text", out: str = "quality") -
     """Heuristic quality score in [0,1]: length band + stopword ratio +
     alpha ratio + repetition penalty. Deterministic arithmetic only."""
     # The token array is staged as its own column: `score` references
-    # it four times (stopword filter, distinct count, two sizes), and
-    # lambda-bearing subtrees defeat codegen common-subexpression
-    # elimination, so the inline form re-ran the regex split per
-    # reference (same lesson as winnowing_fingerprints; the
-    # multiply-referenced alias also blocks CollapseProject).
+    # it three times (distinct count, two sizes), and the
+    # multiply-referenced alias blocks CollapseProject so the regex
+    # split runs once per row, not once per reference (same lesson as
+    # winnowing_fingerprints).
     staged = df.withColumn("_qs_toks", F.split(F.col(text_col), "\\s+"))
     toks = F.col("_qs_toks")
     n_tok = F.greatest(F.size(toks), F.lit(1)).cast("double")
     text_len = F.length(F.col(text_col)).cast("double")
-    stop_arr = F.array(*[F.lit(wd) for wd in LANG_MARKERS["en"]])
-    stop_ratio = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, F.lower(x)))) / n_tok
-    alpha_ratio = (
-        F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z ]", "")) / F.greatest(text_len, F.lit(1.0))
+    # Token-equality stopword count WITHOUT a higher-order lambda: a
+    # lambda filter is interpreted per element (no codegen), which made
+    # this the engine's one truly linear-cost query at 100x data. The
+    # whitespace-lookaround regexp matches exactly the tokens t of the
+    # \s+ split with lower(t) in the list (maximal non-space runs,
+    # whole-token anchors), so the DuckDB list_filter oracle is
+    # unchanged — but the count stays in whole-stage codegen.
+    stop_pattern = r"(?<!\S)(?:" + "|".join(LANG_MARKERS["en"]) + r")(?!\S)"
+    stop_ratio = (
+        F.regexp_count(F.lower(F.col(text_col)), F.lit(stop_pattern)) / n_tok
+    )
+    # alpha chars COUNTED, not replaced-then-measured: regexp_replace
+    # rebuilds the string per match (measured 3.2 s vs 0.56 s for the
+    # count at sf1.0 — the whole query's former bottleneck); counting
+    # single-char class matches is the same number by construction.
+    alpha_ratio = F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z ]")) / F.greatest(
+        text_len, F.lit(1.0)
     )
     distinct_ratio = F.size(F.array_distinct(toks)) / n_tok
     len_band = F.when((text_len >= 50) & (text_len <= 5000), F.lit(1.0)).otherwise(F.lit(0.5))
@@ -91,13 +103,17 @@ def language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -
     """Stopword-marker language ID over LANG_MARKERS.
 
     Scores each language by marker-token hits; argmax wins with a
-    deterministic tiebreak on language code. Pure array expressions.
+    deterministic tiebreak on language code. Hit counting uses the
+    same codegen-safe whitespace-lookaround regexp as quality_score
+    (identical to filtering the \s+ token split on list membership —
+    whole-token anchors over maximal non-space runs); the lambda
+    version was interpreted per token per language.
     """
-    toks = F.transform(F.split(F.col(text_col), "\\s+"), lambda x: F.lower(x))
+    lowered = F.lower(F.col(text_col))
     scores = []
     for code, markers in sorted(LANG_MARKERS.items()):
-        marker_arr = F.array(*[F.lit(m) for m in markers])
-        hits = F.size(F.filter(toks, lambda x: F.array_contains(marker_arr, x)))
+        pat = r"(?<!\S)(?:" + "|".join(markers) + r")(?!\S)"
+        hits = F.regexp_count(lowered, F.lit(pat))
         scores.append(F.struct(hits.alias("hits"), F.lit(code).alias("code")))
     # array_max on struct orders by (hits, code); ties pick the larger
     # code, deterministic either way.
