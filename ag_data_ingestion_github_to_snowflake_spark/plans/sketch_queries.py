@@ -9,10 +9,14 @@ data. Exact COUNT(DISTINCT) re-shuffles every value; an HLL sketch
 ships ~1.5 KB per group. Exact percentiles need a global sort; KLL is
 one pass, bounded memory, provable error.
 
-Both queries are rows-only by declared design (a sketch estimate is
-engine-specific — DuckDB's approx_* uses different internals, so no
-hash oracle can exist); their accuracy contracts are asserted against
-exact answers in ``tests/test_sketches.py``.
+The two DataSketches queries are rows-only by declared design (a
+built-in sketch estimate is engine-specific — DuckDB's approx_* uses
+different internals, so no hash oracle can exist); their accuracy
+contracts are asserted against exact answers in
+``tests/test_sketches.py``. ``hll_verified_users_by_type`` closes the
+gap from the other side: a from-scratch HLL (operators/hll.py) over
+the md5 hash family whose full register pipeline IS replayed
+bit-exactly by a DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -77,6 +81,106 @@ def kll_quantiles_value(spark: SparkSession, sf: str) -> DataFrame:
         F.kll_sketch_get_quantile_double("sk", F.lit(0.99)).alias("p99"),
         F.kll_sketch_get_n_double("sk").cast("bigint").alias("n"),
     )
+
+
+def _hll_verified_oracle() -> str:
+    """DuckDB replay of the FULL verified-HLL pipeline: md5-derived
+    60-bit hashes, bucket/rank split, integer CASE-cascade rho,
+    register MAX merge (per type AND the cross-type union), integer
+    harmonic sum, one repr-constant division. Every step is
+    IEEE-deterministic, so the raw estimates hash-match bit-for-bit."""
+    from ag_data_ingestion_github_to_snowflake_spark.operators import hll
+
+    w_mask = (1 << hll.W_BITS) - 1
+    two49 = 1 << (hll.W_BITS + 1)
+    return f"""
+    WITH hashes AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h,
+             user_id
+      FROM events
+    ), split AS (
+      SELECT event_type, h >> {hll.W_BITS} AS bucket,
+             h & {w_mask} AS w, user_id
+      FROM hashes
+    ), regs AS (
+      SELECT event_type, bucket, MAX({hll.rho48_sql('w')}) AS rho
+      FROM split GROUP BY 1, 2
+    ), regs_all AS (
+      SELECT bucket, MAX(rho) AS rho FROM regs GROUP BY 1
+    ), per_type AS (
+      SELECT event_type,
+             SUM(CAST(POW(2, 49 - rho) AS BIGINT)) AS s_present,
+             COUNT(*) AS n_present
+      FROM regs GROUP BY 1
+    ), all_types AS (
+      SELECT SUM(CAST(POW(2, 49 - rho) AS BIGINT)) AS s_present,
+             COUNT(*) AS n_present
+      FROM regs_all
+    ), exact AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY 1
+    ), exact_all AS (
+      SELECT COUNT(DISTINCT user_id) AS n_exact FROM events
+    )
+    SELECT event_type,
+           CAST({hll.EST_NUMERATOR!r} AS DOUBLE)
+             / CAST(s_present + ({hll.M_REGISTERS} - n_present)
+                    * {two49} AS DOUBLE) AS distinct_est_raw,
+           CAST({hll.M_REGISTERS} - n_present AS BIGINT) AS zero_registers,
+           CAST(n_exact AS BIGINT) AS distinct_users_exact
+    FROM per_type JOIN exact USING (event_type)
+    UNION ALL
+    SELECT '__all__',
+           CAST({hll.EST_NUMERATOR!r} AS DOUBLE)
+             / CAST(s_present + ({hll.M_REGISTERS} - n_present)
+                    * {two49} AS DOUBLE),
+           CAST({hll.M_REGISTERS} - n_present AS BIGINT),
+           CAST(n_exact AS BIGINT)
+    FROM all_types, exact_all
+    """
+
+
+@register(
+    "hll_verified_users_by_type",
+    oracle=_hll_verified_oracle(),
+    survey_ids=("B21", "B16"),
+    description="From-scratch HLL (md5 hash family): register pipeline replayed bit-exactly in DuckDB",
+)
+def hll_verified_users_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    """The oracle-verified twin of ``hll_sketch_users_by_type``: a
+    from-scratch HLL over the md5-derived hash family
+    (operators/hll.py) whose FULL pipeline — bucket split, rank
+    cascade, register merge (including the cross-type union for
+    '__all__'), integer harmonic sum, raw estimate — replays
+    bit-identically in DuckDB. The built-in DataSketches query remains
+    the fast path; this one proves the estimator, and carries the
+    exact distinct count alongside as an in-query accuracy witness
+    (raw HLL at m=4096 ~ +-1.6% for cardinalities past the
+    linear-counting regime)."""
+    from ag_data_ingestion_github_to_snowflake_spark.operators import hll
+
+    ev = t(spark, sf, "events")
+    regs = hll.hll_registers(ev, "user_id", ["event_type"])
+    per_type = hll.hll_estimate(regs, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("distinct_users_exact")
+    )
+    out_type = per_type.join(exact, "event_type")
+
+    regs_all = regs.groupBy("bucket").agg(F.max("rho").alias("rho"))
+    all_est = hll.hll_estimate(regs_all.withColumn("_g", F.lit(1)), ["_g"])
+    exact_all = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("distinct_users_exact")
+    )
+    out_all = all_est.crossJoin(exact_all).select(
+        F.lit("__all__").alias("event_type"),
+        "distinct_est_raw",
+        "zero_registers",
+        "distinct_users_exact",
+    )
+    return out_type.unionByName(out_all)
 
 
 def count_min_sketch_bytes(df: DataFrame, col: str, eps: float = 0.001) -> bytes:

