@@ -83,6 +83,11 @@ ALLOWED_FLAGS = {
     # broadcast into a map-side loop (same contract as
     # similarity_topk_cosine); the greedy rerank is grouped-map.
     ("mmr_rerank_topk", "BroadcastNestedLoopJoin"),
+    # The verified HLL's '__all__' row attaches the 1-row global
+    # exact-count aggregate to the 1-row merged-register estimate via
+    # an explicit crossJoin — both sides are scalar aggregates, so the
+    # BNLJ multiplies 1x1 rows regardless of data volume.
+    ("hll_verified_users_by_type", "BroadcastNestedLoopJoin"),
     # The bloom probe attaches the 1-row bitmap aggregate to the fact
     # via a broadcast cross join (the membership forall rides the join
     # condition) — one broadcast row, invariant in the data size.
