@@ -7,10 +7,11 @@ without recomputing the full join:
 
 (the classic incremental view-maintenance identity for append-only
 inputs — Blakeley et al., "Efficiently Updating Materialized Views",
-SIGMOD 1986). The three delta terms each have a SMALL side: at 100 TB
-the ΔL/ΔR batch joins broadcast (or at worst shuffle the delta, never
-the standing table re-partitioned from scratch), so refresh cost is
-O(|Δ| x join fan-out), independent of |J_old| — the reason warehouse
+SIGMOD 1986). The three delta terms each have the DELTA as one side:
+at 100 TB a small ΔL/ΔR batch join broadcasts (AQE decides at
+runtime), and at worst the delta shuffles — never the standing table
+re-partitioned from scratch — so refresh cost is O(|Δ| x join
+fan-out), independent of |J_old|. That is the reason warehouse
 pipelines maintain joined fact views incrementally instead of
 re-running the nightly join.
 
@@ -33,19 +34,28 @@ def delta_join_append(
     old_right: DataFrame,
     delta_right: DataFrame,
     on,
-    broadcast_deltas: bool = True,
+    broadcast_deltas: bool | None = None,
 ) -> DataFrame:
     """Rows ADDED to L ⋈ R when ΔL appends to L and ΔR appends to R.
 
-    ``on`` is the equi-join key (column name or list). With
-    ``broadcast_deltas`` (default) the two mixed terms broadcast the
-    delta side — the standing tables are scanned once each, never
-    shuffled. The ΔL ⋈ ΔR term is delta-sized on both sides.
+    ``on`` is the equi-join key (column name or list).
+
+    ``broadcast_deltas=None`` (default) leaves the strategy to
+    Catalyst/AQE: a delta under ``autoBroadcastJoinThreshold``
+    broadcasts (standing tables scanned once, never shuffled); a large
+    delta falls back to a shuffle join. This is the scale-correct
+    default — delta size is a RUNTIME property, and a forced broadcast
+    hint OOMs the moment a batch is bigger than planned (measured: the
+    100x fixture's half-table delta killed the forced-hint version
+    with "Not enough memory to build and broadcast" while the adaptive
+    plan completed). ``True`` forces the hint when the caller
+    guarantees a bounded micro-batch; ``False`` forbids it.
     """
-    dl = F.broadcast(delta_left) if broadcast_deltas else delta_left
-    dr = F.broadcast(delta_right) if broadcast_deltas else delta_right
+    force = broadcast_deltas is True
+    dl = F.broadcast(delta_left) if force else delta_left
+    dr = F.broadcast(delta_right) if force else delta_right
     return (
         old_left.join(dr, on)
         .unionByName(dl.join(old_right, on))
-        .unionByName(dl.join(dr, on) if broadcast_deltas else delta_left.join(delta_right, on))
+        .unionByName(dl.join(dr, on))
     )

@@ -192,10 +192,13 @@ def incremental_join_refresh(spark: SparkSession, sf: str) -> DataFrame:
     aggregated. The oracle is the one-shot full join: incremental
     maintenance must be indistinguishable from recompute.
 
-    Plan shape: the standing tables are scanned once each, the delta
-    terms broadcast the delta side — refresh cost is O(|Δ| x fan-out),
-    never a re-shuffle of the standing view. This is the joined-fact
-    sibling of ``rollup_incremental_merge``'s algebraic rollup.
+    Plan shape: the standing tables are scanned once each; the delta
+    terms broadcast when the delta is under the AQE threshold and
+    shuffle otherwise (the 100x sweep showed a forced delta broadcast
+    OOMs when a batch outgrows the plan) — refresh cost is
+    O(|Δ| x fan-out), never a re-shuffle of the standing view. This is
+    the joined-fact sibling of ``rollup_incremental_merge``'s
+    algebraic rollup.
     """
     from ag_data_ingestion_github_to_snowflake_spark.operators.incremental import (
         delta_join_append,
