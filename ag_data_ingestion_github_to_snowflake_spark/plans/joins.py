@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ag_data_ingestion_github_to_snowflake_spark.functions.exact import DEC2 as DEC
 from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register, t
@@ -179,6 +180,64 @@ def join_theta_acctbal(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.col("s_suppkey").alias("suppkey"))
         .agg(F.count("*").alias("n_richer_customers"))
     )
+
+
+@register(
+    "theta_join_rank_rewrite",
+    # Identical oracle to join_theta_acctbal: same answer, different
+    # algorithm — the point of the twin.
+    oracle="""
+    SELECT s.s_suppkey AS suppkey,
+           count(*) AS n_richer_customers
+    FROM supplier s
+    JOIN customer c
+      ON s.s_nationkey = c.c_nationkey AND c.c_acctbal > s.s_acctbal
+    GROUP BY s.s_suppkey
+    """,
+    survey_ids=("B14", "B31"),
+    description="Theta-join count via rank arithmetic: O(n log n) twin of join_theta_acctbal",
+)
+def theta_join_rank_rewrite(spark: SparkSession, sf: str) -> DataFrame:
+    """The scale path for COUNTING theta-join matches: joined pairs in
+    ``join_theta_acctbal`` grow as |S|x|C| within each of 25 fixed
+    nations (the 100x sweep measured it the registry's worst exponent,
+    alpha +1.73 over two decades), but the COUNT per supplier needs no
+    pair materialization. Union both tables tagged, one window over
+    (nation ORDER BY acctbal) with a RANGE frame — peers included, so
+    the running customer count at a supplier row is exactly
+    #{c_acctbal <= s_acctbal} — and subtract from the nation's
+    customer total. One shuffle + sort, output |S| rows, no pair
+    blowup. Suppliers with zero richer customers are filtered to match
+    the inner-join contract.
+    """
+    s = t(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"),
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit(0).alias("is_cust"),
+    )
+    c = t(spark, sf, "customer").select(
+        F.lit(None).cast("long").alias("suppkey"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit(1).alias("is_cust"),
+    )
+    w_cum = (
+        Window.partitionBy("nationkey")
+        .orderBy("acctbal")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_nation = Window.partitionBy("nationkey")
+    ranked = s.unionByName(c).select(
+        "suppkey",
+        "is_cust",
+        (F.sum("is_cust").over(w_nation) - F.sum("is_cust").over(w_cum))
+        .cast("long")
+        .alias("n_richer_customers"),
+    )
+    return ranked.filter(
+        (F.col("is_cust") == 0) & (F.col("n_richer_customers") > 0)
+    ).select("suppkey", "n_richer_customers")
 
 
 # ---------------------------------------------------------------------------
