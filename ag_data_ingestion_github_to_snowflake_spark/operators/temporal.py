@@ -149,3 +149,67 @@ def bucketed_range_join(
         )
         .drop("_bucket")
     )
+
+
+def distributed_sweep_max_concurrency(
+    pts: DataFrame,
+    group_col: str = "event_type",
+    t_col: str = "t",
+    delta_col: str = "delta",
+    bucket_width: int = 86_400_000_000,
+) -> DataFrame:
+    """Sweep-line max concurrency with PARALLEL running sums.
+
+    The one-window sweep (``plans/temporal_queries.py:
+    concurrent_intervals_sweep``) is algorithmically optimal but its
+    running sum partitions only on ``group_col`` — with a handful of
+    groups the whole timeline of a group lands on ONE task, capping
+    parallelism at n_groups no matter the cluster size (measured: the
+    registry's second-worst 100x exponent, alpha +1.66, because 12M
+    boundary points sort on 5 tasks). This is the two-level
+    prefix-sum decomposition that removes the wall:
+
+    1. chunk each group's timeline into fixed ``bucket_width`` ranges
+       (time-ordered by construction, so chunks are independent);
+    2. local running sums + (sum, max) per (group, chunk) — parallel
+       across all chunks of all groups;
+    3. prefix-sum the tiny per-chunk totals within each group (a
+       window over n_chunks rows, not n_points);
+    4. global max per group = max(chunk offset + local max).
+
+    Tie ordering (ends before starts at one instant) is preserved:
+    tied points share a timestamp, hence a chunk. Same contract as
+    ``assign_sequence_ids``'s range-partition + offset pattern — no
+    global sort, no single-task scan of a group's full history.
+    """
+    bucket = (F.col(t_col) / F.lit(bucket_width)).cast("long").alias("_bucket")
+    w_local = (
+        Window.partitionBy(group_col, "_bucket")
+        .orderBy(t_col, delta_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = (
+        pts.select(group_col, bucket, t_col, delta_col)
+        .withColumn("_run", F.sum(delta_col).over(w_local))
+        .groupBy(group_col, "_bucket")
+        .agg(
+            F.sum(delta_col).alias("_chunk_sum"),
+            F.max("_run").alias("_chunk_max"),
+        )
+    )
+    w_offset = (
+        Window.partitionBy(group_col)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        local.withColumn(
+            "_offset", F.coalesce(F.sum("_chunk_sum").over(w_offset), F.lit(0))
+        )
+        .groupBy(group_col)
+        .agg(
+            F.max(F.col("_offset") + F.col("_chunk_max"))
+            .cast("bigint")
+            .alias("max_concurrent")
+        )
+    )
