@@ -716,3 +716,52 @@ def zorder_morton_events(spark: SparkSession, sf: str) -> DataFrame:
         b.alias("b"),
         morton_code(a, b).alias("morton"),
     )
+
+
+@register(
+    "url_parse_components",
+    # The URL is synthesized deterministically from fixture columns, so
+    # the oracle CONSTRUCTS each expected component analytically from
+    # the same columns — an independent check of Spark's parse_url
+    # (Hive/java.net.URI semantics: HOST excludes the port, PATH keeps
+    # the leading slash, QUERY drops the '?', REF is the fragment).
+    oracle="""
+    SELECT doc_id,
+           'https' AS scheme,
+           source || '.example.com' AS host,
+           '/' || lang || '/doc-' || CAST(doc_id AS VARCHAR) AS path,
+           'k=' || CAST(n_chars AS VARCHAR) || '&v=2' AS query,
+           CAST(n_chars AS VARCHAR) AS k_param,
+           'frag' AS fragment,
+           'example.com' AS domain
+    FROM documents
+    """,
+    survey_ids=("B39", "B36"),
+    description="parse_url component extraction + registrable-domain derivation",
+)
+def url_parse_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Web-curation URL surgery with the parse_url built-in: scheme /
+    host / path / query / single query-param / fragment, plus the
+    registrable-domain heuristic (substring_index(host,'.',-2)) that
+    keys per-domain caps and domain mixing at corpus scale. All
+    JVM-side string expressions — the hot path of a crawl pipeline
+    where every document carries a URL."""
+    docs = t(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com:8443/"),
+        F.col("lang"), F.lit("/doc-"), F.col("doc_id").cast("string"),
+        F.lit("?k="), F.col("n_chars").cast("string"), F.lit("&v=2#frag"),
+    )
+    staged = docs.select("doc_id", url.alias("_url"))
+    u = F.col("_url")
+    host = F.parse_url(u, F.lit("HOST"))
+    return staged.select(
+        "doc_id",
+        F.parse_url(u, F.lit("PROTOCOL")).alias("scheme"),
+        host.alias("host"),
+        F.parse_url(u, F.lit("PATH")).alias("path"),
+        F.parse_url(u, F.lit("QUERY")).alias("query"),
+        F.parse_url(u, F.lit("QUERY"), F.lit("k")).alias("k_param"),
+        F.parse_url(u, F.lit("REF")).alias("fragment"),
+        F.substring_index(host, ".", -2).alias("domain"),
+    )
