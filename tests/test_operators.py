@@ -688,3 +688,90 @@ def test_with_cosine_and_run_metrics_roundtrip(spark, tmp_path):
     write_run_metrics(m.select(F.lit(2).alias("run"), F.lit(20).alias("n")), path)
     rows = sorted((r.run, r.n) for r in spark.read.parquet(path).collect())
     assert rows == [(1, 10), (2, 20)]
+
+
+def test_distributed_sweep_equals_single_sweep_adversarial(spark):
+    """Two-level prefix-sum sweep vs the one-window sweep on data
+    built to stress the decomposition: tied instants exactly ON day
+    boundaries, intervals spanning many buckets, a group whose peak
+    is inside a later chunk, and zero-length intervals."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from ag_data_ingestion_github_to_snowflake_spark.operators.temporal import (
+        distributed_sweep_max_concurrency,
+    )
+
+    day = 86_400_000_000
+    rows = []
+    # group a: 40 intervals all open at t=3.5 days (peak 40), plus
+    # boundary-tied pairs (end of one == start of next at k*day)
+    for i in range(40):
+        rows.append(("a", i * 1000, 3 * day + day // 2 + i))
+    for k in range(1, 6):
+        rows.append(("a", (k - 1) * day, k * day))  # touching, not overlapping
+    # group b: peak deep in the 9th day; zero-length intervals
+    for i in range(25):
+        rows.append(("b", 9 * day + i, 9 * day + 1000 + i))
+    rows.append(("b", 2 * day, 2 * day))  # zero-length
+    df = spark.createDataFrame(rows, "g string, s long, e long")
+    pts = df.select("g", F.col("s").alias("t"), F.lit(1).alias("delta")).unionByName(
+        df.select("g", F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+
+    w = (
+        Window.partitionBy("g")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    single = {
+        r.g: r.mx
+        for r in pts.withColumn("c", F.sum("delta").over(w))
+        .groupBy("g")
+        .agg(F.max("c").alias("mx"))
+        .collect()
+    }
+    dist = {
+        r.g: r.max_concurrent
+        for r in distributed_sweep_max_concurrency(pts, group_col="g").collect()
+    }
+    assert dist == single
+    # 40-stack + exactly ONE of the day-chain intervals: the touching
+    # chain never stacks with itself (ends sort before starts), but
+    # each link does overlap the big stack.
+    assert dist["a"] == 41
+    assert dist["b"] == 25
+
+
+def test_delta_join_append_broadcast_modes(spark):
+    """Adaptive default must not place a forced broadcast hint; True
+    must; all three modes return identical rows."""
+    from ag_data_ingestion_github_to_snowflake_spark.operators.incremental import (
+        delta_join_append,
+    )
+
+    l_old = spark.createDataFrame([(1, "a"), (2, "b")], "k int, lv string")
+    l_new = spark.createDataFrame([(3, "c")], "k int, lv string")
+    r_old = spark.createDataFrame([(1, "x"), (3, "y")], "k int, rv string")
+    r_new = spark.createDataFrame([(2, "z"), (3, "w")], "k int, rv string")
+
+    outs = {
+        mode: sorted(
+            map(
+                tuple,
+                delta_join_append(
+                    l_old, l_new, r_old, r_new, "k", broadcast_deltas=mode
+                ).collect(),
+            )
+        )
+        for mode in (None, True, False)
+    }
+    assert outs[None] == outs[True] == outs[False]
+    plan_default = delta_join_append(
+        l_old, l_new, r_old, r_new, "k"
+    )._jdf.queryExecution().logical().toString()
+    plan_forced = delta_join_append(
+        l_old, l_new, r_old, r_new, "k", broadcast_deltas=True
+    )._jdf.queryExecution().logical().toString()
+    assert "UnresolvedHint" not in plan_default and "hint" not in plan_default.lower()
+    assert "broadcast" in plan_forced.lower()
