@@ -141,6 +141,12 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_minhash_verified",       # B54 (r4: LSH recall + scores replayed in DuckDB)
     "approx_distinct_users",        # B21 (rows-only by design; green r1-r3)
     "assign_sequence_ids",          # B29 (scale-safe id assignment)
+    # -- r4 late additions, first-eligible in r5 --
+    "audio_container_meta",         # B57 (WAV/FLAC/MP3/OGG header probe)
+    "hll_verified_users_by_type",   # B21 B16 (bit-exact DuckDB HLL replay)
+    "theta_join_rank_rewrite",      # B14 B31 (O(n log n) theta-count twin)
+    "concurrent_intervals_distributed",  # B30 B31 (two-level prefix-sum sweep)
+    "url_parse_components",         # B39 B36 (parse_url + domain derivation)
 )
 
 
