@@ -163,6 +163,57 @@ def audio_meta_fixture_rows() -> list[tuple[int, bytes]]:
     return rows
 
 
+TAG_FIXTURES: list[tuple[int, str, dict[str, str]]] = [
+    (30, "ogg", {"TITLE": "sea shanty", "ARTIST": "ag graft", "LANGUAGE": "en"}),
+    (31, "flac", {"TITLE": "const tone", "GENRE": "calibration"}),
+    (32, "mp3", {"TITLE": "frame walk"}),
+    (33, "ogg", {}),   # untagged: no comment packet at all
+    (34, "wav", {}),   # container without a tag concept
+]
+
+
+def audio_tags_fixture_rows() -> list[tuple[int, bytes]]:
+    """(doc_id, payload) rows for the tag-extraction query: Vorbis
+    comments in Ogg pages, a VORBIS_COMMENT block injected into a real
+    FLAC stream, an ID3v2.3 TIT2 frame, and untagged controls."""
+    from ag_data_ingestion_github_to_snowflake_spark.operators import media_meta
+
+    tone = np.full(2205, 8192, dtype=np.int16)
+    rows = []
+    for doc_id, kind, tags in TAG_FIXTURES:
+        if kind == "ogg":
+            payload = media_meta.encode_ogg_vorbis(
+                22050, 1, 22050, comments=tags if tags else None
+            )
+        elif kind == "flac":
+            payload = media_meta.add_flac_vorbis_comment(
+                flac.encode_flac(tone, 22050, block_size=1024), tags
+            )
+        elif kind == "mp3":
+            payload = media_meta.encode_mp3_frames(
+                4, 128, 44100, 1, id3=tags["TITLE"].encode()
+            )
+        else:
+            payload = codecs.encode_wav(tone, 22050)
+        rows.append((doc_id, payload))
+    return rows
+
+
+def expected_audio_tags_sql() -> str:
+    """DuckDB VALUES oracle: one (doc_id, tag_key, tag_value) row per
+    tag, straight from TAG_FIXTURES — untagged rows contribute none."""
+    rows = ",\n      ".join(
+        f"(CAST({d} AS BIGINT), '{k}', '{v}')"
+        for d, _, tags in TAG_FIXTURES
+        for k, v in tags.items()
+    )
+    return (
+        "SELECT * FROM (VALUES\n      "
+        + rows
+        + "\n    ) AS t(doc_id, tag_key, tag_value) ORDER BY doc_id, tag_key"
+    )
+
+
 def expected_audio_meta() -> list[tuple]:
     """(doc_id, container, sample_rate, channels, bit_depth,
     duration_s, bitrate) derived from the generation parameters —

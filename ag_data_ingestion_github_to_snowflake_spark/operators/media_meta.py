@@ -250,11 +250,14 @@ def encode_ogg_vorbis(
     total_samples: int,
     nominal_bitrate: int = 112000,
     serial: int = 0x1D_5EED,
+    comments: dict[str, str] | None = None,
 ) -> bytes:
     """Fixture writer: a minimal spec-true Ogg/Vorbis stream — BOS page
-    with the identification header, one audio page, EOS page whose
-    granule position encodes ``total_samples``. Audio packet bytes are
-    deterministic filler (the probe never decodes Vorbis DSP)."""
+    with the identification header, a comment-header page when
+    ``comments`` is given (Vorbis I §5 packet 2), one audio page, EOS
+    page whose granule position encodes ``total_samples``. Audio
+    packet bytes are deterministic filler (the probe never decodes
+    Vorbis DSP)."""
     ident = (
         b"\x01vorbis"
         + struct.pack("<I", 0)  # vorbis_version
@@ -267,11 +270,22 @@ def encode_ogg_vorbis(
         + b"\x01"  # framing flag
     )
     audio = bytes((i * 73) & 0xFF for i in range(300))
-    pages = [
-        _ogg_page(0x02, 0, serial, 0, [ident]),  # BOS
-        _ogg_page(0x00, total_samples // 2, serial, 1, [audio]),
-        _ogg_page(0x04, total_samples, serial, 2, [audio[:100]]),  # EOS
-    ]
+    pages = [_ogg_page(0x02, 0, serial, 0, [ident])]  # BOS
+    seq = 1
+    if comments is not None:
+        vendor = b"ag-spark-graft"
+        body = struct.pack("<I", len(vendor)) + vendor
+        body += struct.pack("<I", len(comments))
+        for k, v in comments.items():
+            entry = f"{k}={v}".encode("utf-8")
+            body += struct.pack("<I", len(entry)) + entry
+        comment_pkt = b"\x03vorbis" + body + b"\x01"
+        pages.append(_ogg_page(0x00, 0, serial, seq, [comment_pkt]))
+        seq += 1
+    pages.append(_ogg_page(0x00, total_samples // 2, serial, seq, [audio]))
+    pages.append(
+        _ogg_page(0x04, total_samples, serial, seq + 1, [audio[:100]])  # EOS
+    )
     return b"".join(pages)
 
 
@@ -471,5 +485,172 @@ def probe_audio_meta_df(df, payload_col: str = "payload"):
                 index=pdf.index,
             )
             yield pd.concat([pdf, meta_df], axis=1)
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Tag extraction: Vorbis comments (Vorbis I §5 / RFC 9639 §8.6) + ID3v2.3
+# ---------------------------------------------------------------------------
+
+_ID3_TEXT_FRAMES = {
+    "TIT2": "TITLE",
+    "TPE1": "ARTIST",
+    "TALB": "ALBUM",
+    "TDRC": "DATE",
+    "TCON": "GENRE",
+    "TLAN": "LANGUAGE",
+}
+
+
+def _parse_vorbis_comments(body: bytes, framing: bool) -> dict[str, str]:
+    """The shared comment structure: vendor string + KEY=value list
+    (little-endian u32 lengths). ``framing`` requires the trailing
+    framing bit (Ogg packets have it; FLAC blocks do not)."""
+    vendor_len = struct.unpack_from("<I", body, 0)[0]
+    pos = 4 + vendor_len
+    n = struct.unpack_from("<I", body, pos)[0]
+    pos += 4
+    tags: dict[str, str] = {}
+    for _ in range(n):
+        clen = struct.unpack_from("<I", body, pos)[0]
+        pos += 4
+        entry = body[pos : pos + clen].decode("utf-8")
+        pos += clen
+        key, _, value = entry.partition("=")
+        tags[key.upper()] = value  # keys are case-insensitive per spec
+    if framing and not (pos < len(body) and body[pos] & 0x01):
+        raise ValueError("vorbis comment framing bit unset")
+    return tags
+
+
+def _ogg_packets(data: bytes) -> list[bytes]:
+    """Reassemble the logical packet stream from Ogg pages: lacing
+    values chain packets (255 = continues, <255 = ends), and the
+    page-level continuation flag (header_type bit 0) joins a packet
+    split across pages. CRC is assumed checked by probe_ogg."""
+    packets: list[bytes] = []
+    partial = bytearray()
+    pos = 0
+    while pos < len(data):
+        if data[pos : pos + 4] != b"OggS":
+            raise ValueError(f"OGG: bad capture pattern at byte {pos}")
+        header_type = data[pos + 5]
+        n_segs = data[pos + 26]
+        lacing = data[pos + 27 : pos + 27 + n_segs]
+        body_off = pos + 27 + n_segs
+        if not header_type & 0x01 and partial:
+            raise ValueError("OGG: dangling packet without continuation flag")
+        for lace in lacing:
+            partial += data[body_off : body_off + lace]
+            body_off += lace
+            if lace < 255:
+                packets.append(bytes(partial))
+                partial = bytearray()
+        pos = body_off
+    if partial:
+        raise ValueError("OGG: stream ends mid-packet")
+    return packets
+
+
+def probe_audio_tags(data: bytes) -> dict[str, str]:
+    """KEY -> value tags from whichever container the payload is:
+    Ogg/Vorbis comment header (packet 2), FLAC VORBIS_COMMENT block,
+    or ID3v2.3 text frames (mapped to Vorbis-style keys). WAV and
+    untagged streams return {}."""
+    head = bytes(data[:4])
+    if head.startswith(b"OggS"):
+        probe_ogg(data)  # CRC-verify every page first
+        packets = _ogg_packets(data)
+        if len(packets) > 1 and packets[1][:7] == b"\x03vorbis":
+            return _parse_vorbis_comments(packets[1][7:], framing=True)
+        return {}
+    if head.startswith(b"fLaC"):
+        pos = 4
+        while pos + 4 <= len(data):
+            hdr = data[pos]
+            size = int.from_bytes(data[pos + 1 : pos + 4], "big")
+            if hdr & 0x7F == 4:  # VORBIS_COMMENT
+                return _parse_vorbis_comments(
+                    data[pos + 4 : pos + 4 + size], framing=False
+                )
+            pos += 4 + size
+            if hdr & 0x80:
+                break
+        return {}
+    if head.startswith(b"ID3"):
+        end = _skip_id3v2(data)
+        flags = data[5]
+        body_end = end - (10 if flags & 0x10 else 0)
+        pos = 10
+        tags: dict[str, str] = {}
+        while pos + 10 <= body_end:
+            fid = data[pos : pos + 4]
+            if fid == b"\x00\x00\x00\x00":
+                break  # padding
+            fsize = struct.unpack_from(">I", data, pos + 4)[0]
+            body = data[pos + 10 : pos + 10 + fsize]
+            name = fid.decode("latin-1")
+            if name in _ID3_TEXT_FRAMES and body and body[0] == 0x03:
+                tags[_ID3_TEXT_FRAMES[name]] = (
+                    body[1:].split(b"\x00")[0].decode("utf-8")
+                )
+            pos += 10 + fsize
+        return tags
+    return {}
+
+
+def add_flac_vorbis_comment(flac_bytes: bytes, tags: dict[str, str]) -> bytes:
+    """Insert a spec-true VORBIS_COMMENT block (RFC 9639 §8.6) into an
+    encoded FLAC stream, after STREAMINFO — byte surgery that clears
+    STREAMINFO's is-last flag and carries it on the new block."""
+    if flac_bytes[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    hdr = flac_bytes[4]
+    if hdr & 0x7F != 0:
+        raise ValueError("expected STREAMINFO first")
+    size = int.from_bytes(flac_bytes[5:8], "big")
+    cut = 8 + size
+    vendor = b"ag-spark-graft"
+    body = struct.pack("<I", len(vendor)) + vendor + struct.pack("<I", len(tags))
+    for k, v in tags.items():
+        entry = f"{k}={v}".encode("utf-8")
+        body += struct.pack("<I", len(entry)) + entry
+    was_last = hdr & 0x80
+    block = bytes([(0x80 if was_last else 0) | 4]) + len(body).to_bytes(3, "big") + body
+    return (
+        flac_bytes[:4]
+        + bytes([hdr & 0x7F])
+        + flac_bytes[5:cut]
+        + block
+        + flac_bytes[cut:]
+    )
+
+
+def probe_audio_tags_df(df, payload_col: str = "payload", id_col: str = "doc_id"):
+    """(id, tag_key, tag_value) rows via mapInPandas — one output row
+    per tag, zero rows for untagged/corrupt payloads (quarantine is
+    the metadata probe's job; tags are best-effort enrichment)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("tag_key", T.StringType()),
+            T.StructField("tag_value", T.StringType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    for k, v in probe_audio_tags(bytes(payload)).items():
+                        out.append((rid, k, v))
+                except ValueError:
+                    continue
+            yield pd.DataFrame(out, columns=[id_col, "tag_key", "tag_value"])
 
     return df.mapInPandas(kernel, schema=out_schema)

@@ -736,6 +736,33 @@ def audio_container_meta(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "audio_tags",
+    oracle=media_fixtures.expected_audio_tags_sql(),
+    survey_ids=("B57",),
+    description="Audio tag extraction: Vorbis comments (Ogg + FLAC block) and ID3v2 text frames",
+)
+def audio_tags(spark: SparkSession, sf: str) -> DataFrame:
+    """KEY=value tag extraction across containers — Vorbis comment
+    packet reassembled from Ogg page lacing, FLAC VORBIS_COMMENT
+    block, ID3v2.3 text frames mapped to Vorbis-style keys — one
+    output row per tag via mapInPandas (operators/media_meta.py).
+    The corpus-curation use: filter/group audio by LANGUAGE/GENRE
+    metadata without touching DSP."""
+    from ag_data_ingestion_github_to_snowflake_spark.operators import media_meta
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    media = spark.createDataFrame(
+        media_fixtures.audio_tags_fixture_rows(), schema
+    ).repartition(2)
+    return media_meta.probe_audio_tags_df(media)
+
+
 # ---------------------------------------------------------------------------
 # B53/B54 closure: near-dup pairs -> connected components -> canonical set
 # ---------------------------------------------------------------------------

@@ -147,6 +147,7 @@ _PRIORITY: tuple[str, ...] = (
     "theta_join_rank_rewrite",      # B14 B31 (O(n log n) theta-count twin)
     "concurrent_intervals_distributed",  # B30 B31 (two-level prefix-sum sweep)
     "url_parse_components",         # B39 B36 (parse_url + domain derivation)
+    "audio_tags",                   # B57 (Vorbis comments + ID3v2 text frames)
 )
 
 

@@ -139,3 +139,53 @@ def test_probe_df_quarantines_corrupt_rows(spark):
     assert out[20]["container"] == "mp3"
     assert out[22]["duration_s"] == round(123456 / 44100, 6)
     assert out[14]["container"] == "flac"
+
+
+def test_vorbis_comment_roundtrip_ogg_and_flac():
+    tags = {"TITLE": "x y", "ARTIST": "a=b", "LANGUAGE": "de"}  # '=' in value
+    ogg = mm.encode_ogg_vorbis(44100, 2, 1000, comments=tags)
+    assert mm.probe_audio_tags(ogg) == tags
+    fb = flac.encode_flac(np.full(1000, 5, dtype=np.int16), 8000, block_size=512)
+    tagged = mm.add_flac_vorbis_comment(fb, tags)
+    assert mm.probe_audio_tags(tagged) == tags
+    # tag surgery must not break STREAMINFO probing OR full decode
+    assert mm.probe_audio_meta(tagged)["duration_s"] == mm.probe_audio_meta(fb)["duration_s"]
+    decoded, rate, ch = flac.decode_flac(tagged)
+    assert (len(decoded), rate) == (1000, 8000)
+
+
+def test_ogg_packet_reassembly_handles_255_chunking():
+    # a comment long enough that its packet needs 255-byte lacing chains
+    tags = {"TITLE": "t" * 700}
+    ogg = mm.encode_ogg_vorbis(8000, 1, 500, comments=tags)
+    assert mm.probe_audio_tags(ogg) == tags
+
+
+def test_id3_text_frames_and_untagged_containers():
+    mp3 = mm.encode_mp3_frames(3, 128, 44100, 1, id3=b"hello")
+    assert mm.probe_audio_tags(mp3) == {"TITLE": "hello"}
+    assert mm.probe_audio_tags(mm.encode_mp3_frames(3)) == {}
+    assert mm.probe_audio_tags(codecs.encode_wav(np.zeros(10, dtype=np.int16), 8000)) == {}
+    assert mm.probe_audio_tags(mm.encode_ogg_vorbis(8000, 1, 100)) == {}
+
+
+def test_audio_tags_df_rows(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame(media_fixtures.audio_tags_fixture_rows(), schema)
+    got = {
+        (r.doc_id, r.tag_key): r.tag_value
+        for r in mm.probe_audio_tags_df(df).collect()
+    }
+    expected = {
+        (d, k): v
+        for d, _, tags in media_fixtures.TAG_FIXTURES
+        for k, v in tags.items()
+    }
+    assert got == expected
