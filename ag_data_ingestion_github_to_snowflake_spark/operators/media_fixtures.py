@@ -266,3 +266,58 @@ def expected_features_sql() -> str:
         + rows
         + "\n    ) AS t(doc_id, modality, feat_a, feat_b, feat_c) ORDER BY doc_id"
     )
+
+
+VIDEO_FIXTURES: list[tuple[int, dict]] = [
+    (40, {"duration_s": 12.345, "video_wh": (640, 360), "n_audio_tracks": 1}),
+    (41, {"duration_s": 3.0, "video_wh": (1920, 1080), "n_audio_tracks": 0,
+          "timescale": 600}),
+    (42, {"duration_s": 0.5, "video_wh": None, "n_audio_tracks": 2}),  # audio-only
+    (43, None),  # corrupt: truncated inside moov
+]
+
+
+def video_meta_fixture_rows() -> list[tuple[int, bytes]]:
+    """(doc_id, payload) ISO-BMFF rows for the video probe query."""
+    from ag_data_ingestion_github_to_snowflake_spark.operators import media_meta
+
+    rows = []
+    for doc_id, params in VIDEO_FIXTURES:
+        if params is None:
+            good = media_meta.encode_mp4_stub(1.0)
+            rows.append((doc_id, good[: len(good) - 300]))
+        else:
+            rows.append((doc_id, media_meta.encode_mp4_stub(**params)))
+    return rows
+
+
+def expected_video_meta_sql() -> str:
+    """DuckDB VALUES oracle from the generation parameters."""
+
+    def lit(v, typ):
+        return f"CAST({'NULL' if v is None else repr(v)} AS {typ})"
+
+    parts = []
+    for doc_id, params in VIDEO_FIXTURES:
+        if params is None:
+            parts.append(
+                f"(CAST({doc_id} AS BIGINT), 'error', CAST(NULL AS VARCHAR),"
+                " CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),"
+                " CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))"
+            )
+            continue
+        wh = params.get("video_wh", (640, 360))
+        n_tracks = (1 if wh else 0) + params.get("n_audio_tracks", 0)
+        w, h = wh if wh else (None, None)
+        parts.append(
+            f"(CAST({doc_id} AS BIGINT), 'mp4', 'isom',"
+            f" {lit(params['duration_s'], 'DOUBLE')},"
+            f" CAST({n_tracks} AS BIGINT), {lit(w, 'BIGINT')},"
+            f" {lit(h, 'BIGINT')})"
+        )
+    return (
+        "SELECT * FROM (VALUES\n      "
+        + ",\n      ".join(parts)
+        + "\n    ) AS t(doc_id, container, brand, duration_s, n_tracks,"
+        " width, height) ORDER BY doc_id"
+    )

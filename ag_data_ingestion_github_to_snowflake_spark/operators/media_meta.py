@@ -1,22 +1,31 @@
-"""Container-level audio metadata probe: WAV / FLAC / MP3 / OGG-Vorbis.
+"""Container-level media metadata probes: WAV / FLAC / MP3 /
+OGG-Vorbis audio, ISO-BMFF (MP4) video, and tag extraction.
 
 A 100 TB multimodal corpus is filtered on *metadata* (sample rate,
-channel count, duration) long before anything is decoded — "keep
-16 kHz+ mono under 30 s" must not require a DSP pass. This module
-parses exactly the container structures the public specs define:
+channel count, duration, dimensions, language tags) long before
+anything is decoded — "keep 16 kHz+ mono under 30 s" must not require
+a DSP pass. This module parses exactly the container structures the
+public specs define:
 
 - WAV: RIFF chunk walk, ``fmt `` + ``data`` sizes (no sample read).
-- FLAC: the 34-byte STREAMINFO block (RFC 9639 §8.2).
+- FLAC: the 34-byte STREAMINFO block (RFC 9639 §8.2) and the
+  VORBIS_COMMENT metadata block (§8.6, incl. spec-true injection).
 - MP3: ISO/IEC 11172-3 frame headers — sync, version/layer, bitrate
   and sample-rate indices — walked frame-by-frame (exact sample
-  count, not a CBR guess), with ID3v2 tag skip (id3.org spec).
-- OGG: RFC 3533 pages (CRC-verified) + the Vorbis I identification
-  header packet; duration from the last page's granule position.
+  count, not a CBR guess), with ID3v2 tag skip + text-frame parse
+  (id3.org spec).
+- OGG: RFC 3533 pages (CRC-verified), packet reassembly from lacing,
+  the Vorbis I identification + comment headers; duration from the
+  last page's granule position.
+- MP4: ISO 14496-12 box tree — ftyp brand, moov/mvhd duration and
+  timescale (versions 0 and 1), trak count, tkhd 16.16 fixed-point
+  dimensions; mdat is never read.
 
 Only headers are read; MP3/Vorbis *audio* decode remains an explicit
-`NotImplementedError` gate in operators/codecs.py. The probe runs
-distributed as an Arrow-batched mapInPandas kernel
-(:func:`probe_audio_meta_df`) — map-only, no shuffle, scale-safe.
+`NotImplementedError` gate in operators/codecs.py. The probes run
+distributed as Arrow-batched mapInPandas kernels
+(:func:`probe_audio_meta_df`, :func:`probe_video_meta_df`,
+:func:`probe_audio_tags_df`) — map-only, no shuffle, scale-safe.
 
 Parity target: the reference ingests opaque API payloads and keeps
 typed metadata alongside raw bytes (/root/reference/src/
@@ -652,5 +661,181 @@ def probe_audio_tags_df(df, payload_col: str = "payload", id_col: str = "doc_id"
                 except ValueError:
                     continue
             yield pd.DataFrame(out, columns=[id_col, "tag_key", "tag_value"])
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF (ISO 14496-12): box-tree walk, header-only
+# ---------------------------------------------------------------------------
+
+
+def _walk_boxes(data: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for the boxes tiling
+    [start, end); understands 64-bit largesize and size-0 (to end)."""
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError(f"MP4: truncated box header at byte {pos}")
+        size = struct.unpack_from(">I", data, pos)[0]
+        btype = data[pos + 4 : pos + 8]
+        payload = pos + 8
+        if size == 1:
+            size = struct.unpack_from(">Q", data, pos + 8)[0]
+            payload = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < payload - pos or pos + size > end:
+            raise ValueError(f"MP4: box '{btype.decode('latin-1')}' overruns file")
+        yield btype, payload, pos + size
+        pos += size
+    if pos != end:
+        raise ValueError("MP4: boxes do not tile the file")
+
+
+def probe_mp4(data: bytes) -> dict:
+    """Container metadata from the moov tree: mvhd duration/timescale
+    (version 0 and 1), track count, and the first visual track's tkhd
+    dimensions (16.16 fixed point). Header boxes only — mdat is never
+    read, so cost is independent of media size."""
+    brand = None
+    duration_s = None
+    n_tracks = 0
+    width = height = None
+    for btype, p, q in _walk_boxes(data, 0, len(data)):
+        if btype == b"ftyp":
+            brand = data[p : p + 4].decode("latin-1").strip()
+        elif btype == b"moov":
+            for ityp, ip, iq in _walk_boxes(data, p, q):
+                if ityp == b"mvhd":
+                    ver = data[ip]
+                    if ver == 1:
+                        timescale = struct.unpack_from(">I", data, ip + 20)[0]
+                        duration = struct.unpack_from(">Q", data, ip + 24)[0]
+                    else:
+                        timescale = struct.unpack_from(">I", data, ip + 12)[0]
+                        duration = struct.unpack_from(">I", data, ip + 16)[0]
+                    if not timescale:
+                        raise ValueError("MP4: zero mvhd timescale")
+                    duration_s = round(duration / timescale, 6)
+                elif ityp == b"trak":
+                    n_tracks += 1
+                    for ttyp, tp, tq in _walk_boxes(data, ip, iq):
+                        if ttyp == b"tkhd" and width is None:
+                            ver = data[tp]
+                            # version+flags(4) + times/id/reserved/
+                            # duration (20 in v0, 32 in v1) +
+                            # reserved(8) + layer/group/volume/
+                            # reserved(8) + matrix(36) -> width
+                            off = tp + 4 + (20 if ver == 0 else 32) + 52
+                            w = struct.unpack_from(">I", data, off)[0] >> 16
+                            h = struct.unpack_from(">I", data, off + 4)[0] >> 16
+                            if w and h:
+                                width, height = w, h
+    if brand is None or duration_s is None:
+        raise ValueError("MP4: missing ftyp or moov/mvhd")
+    return {
+        "container": "mp4",
+        "brand": brand,
+        "duration_s": duration_s,
+        "n_tracks": n_tracks,
+        "width": width,
+        "height": height,
+    }
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def encode_mp4_stub(
+    duration_s: float,
+    timescale: int = 1000,
+    video_wh: tuple[int, int] | None = (640, 360),
+    n_audio_tracks: int = 0,
+    mdat_bytes: int = 256,
+) -> bytes:
+    """Fixture writer: a structurally valid ISO-BMFF file — ftyp +
+    moov(mvhd + trak(tkhd)...) + mdat. Box framing, fixed-point
+    dimensions and version-0 field layout are real per ISO 14496-12;
+    mdat content is deterministic filler (no codec payloads)."""
+    duration = int(round(duration_s * timescale))
+    mvhd = (
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation/modification
+        + struct.pack(">I", timescale)
+        + struct.pack(">I", duration)
+        + struct.pack(">i", 0x00010000)  # rate 1.0
+        + struct.pack(">h", 0x0100)  # volume 1.0
+        + b"\x00" * 10
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 99)  # next track id
+    )
+    def tkhd(track_id: int, w: int, h: int) -> bytes:
+        return (
+            b"\x00\x00\x00\x07"  # version 0, flags: enabled|in-movie|preview
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">I", track_id)
+            + b"\x00" * 4
+            + struct.pack(">I", duration)
+            + b"\x00" * 8
+            + struct.pack(">hhh", 0, 0, 0 if w else 0x0100)
+            + b"\x00" * 2
+            + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", w << 16, h << 16)
+        )
+    traks = []
+    tid = 1
+    if video_wh is not None:
+        traks.append(_box(b"trak", _box(b"tkhd", tkhd(tid, *video_wh))))
+        tid += 1
+    for _ in range(n_audio_tracks):
+        traks.append(_box(b"trak", _box(b"tkhd", tkhd(tid, 0, 0))))
+        tid += 1
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + b"".join(traks))
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat = _box(b"mdat", bytes((i * 29) & 0xFF for i in range(mdat_bytes)))
+    return ftyp + moov + mdat
+
+
+def probe_video_meta_df(df, payload_col: str = "payload"):
+    """Append MP4 container metadata columns via mapInPandas — same
+    quarantine contract as :func:`probe_audio_meta_df`."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("container", T.StringType()),
+            T.StructField("brand", T.StringType()),
+            T.StructField("duration_s", T.DoubleType()),
+            T.StructField("n_tracks", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("probe_error", T.StringType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            metas = []
+            for payload in pdf[payload_col]:
+                try:
+                    m = probe_mp4(bytes(payload))
+                    metas.append(
+                        (m["container"], m["brand"], m["duration_s"],
+                         m["n_tracks"], m["width"], m["height"], None)
+                    )
+                except ValueError as e:
+                    metas.append(("error", None, None, None, None, None, str(e)))
+            meta = pd.DataFrame(
+                metas,
+                columns=["container", "brand", "duration_s", "n_tracks",
+                         "width", "height", "probe_error"],
+                index=pdf.index,
+            )
+            yield pd.concat([pdf, meta], axis=1)
 
     return df.mapInPandas(kernel, schema=out_schema)

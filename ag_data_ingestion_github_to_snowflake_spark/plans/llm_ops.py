@@ -763,6 +763,37 @@ def audio_tags(spark: SparkSession, sf: str) -> DataFrame:
     return media_meta.probe_audio_tags_df(media)
 
 
+@register(
+    "video_container_meta",
+    oracle=media_fixtures.expected_video_meta_sql(),
+    survey_ids=("B57",),
+    description="ISO-BMFF (MP4) box-tree probe: brand, mvhd duration, tracks, tkhd dims",
+)
+def video_container_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """The video third of the multimodal container triad: walk the
+    ISO 14496-12 box tree (ftyp brand, moov/mvhd duration+timescale in
+    both versions, trak count, first visual tkhd's 16.16 fixed-point
+    dimensions) through the Arrow-batched mapInPandas probe
+    (operators/media_meta.py:probe_mp4). mdat is never read — cost is
+    independent of media size; corrupt files quarantine as
+    container='error' rows."""
+    from ag_data_ingestion_github_to_snowflake_spark.operators import media_meta
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    media = spark.createDataFrame(
+        media_fixtures.video_meta_fixture_rows(), schema
+    ).repartition(2)
+    return media_meta.probe_video_meta_df(media).select(
+        "doc_id", "container", "brand", "duration_s",
+        "n_tracks", "width", "height",
+    )
+
+
 # ---------------------------------------------------------------------------
 # B53/B54 closure: near-dup pairs -> connected components -> canonical set
 # ---------------------------------------------------------------------------

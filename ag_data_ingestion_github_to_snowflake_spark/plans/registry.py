@@ -148,6 +148,7 @@ _PRIORITY: tuple[str, ...] = (
     "concurrent_intervals_distributed",  # B30 B31 (two-level prefix-sum sweep)
     "url_parse_components",         # B39 B36 (parse_url + domain derivation)
     "audio_tags",                   # B57 (Vorbis comments + ID3v2 text frames)
+    "video_container_meta",         # B57 (ISO-BMFF box-tree probe)
 )
 
 

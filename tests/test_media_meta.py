@@ -189,3 +189,45 @@ def test_audio_tags_df_rows(spark):
         for k, v in tags.items()
     }
     assert got == expected
+
+
+def test_mp4_box_walk_and_dimensions():
+    b = mm.encode_mp4_stub(12.345, video_wh=(640, 360), n_audio_tracks=1)
+    m = mm.probe_mp4(b)
+    assert m == {
+        "container": "mp4", "brand": "isom", "duration_s": 12.345,
+        "n_tracks": 2, "width": 640, "height": 360,
+    }
+    audio_only = mm.probe_mp4(
+        mm.encode_mp4_stub(0.5, video_wh=None, n_audio_tracks=2)
+    )
+    assert audio_only["width"] is None and audio_only["n_tracks"] == 2
+
+
+def test_mp4_corruption_raises():
+    b = mm.encode_mp4_stub(1.0)
+    with pytest.raises(ValueError, match="overruns|truncated"):
+        mm.probe_mp4(b[:-5])
+    with pytest.raises(ValueError, match="missing ftyp or moov"):
+        mm.probe_mp4(b"\x00\x00\x00\x10abcd\x00\x00\x00\x00\x00\x00\x00\x00")
+    bad = bytearray(b)
+    bad[0] = 0xFF  # absurd first box size
+    with pytest.raises(ValueError):
+        mm.probe_mp4(bytes(bad))
+
+
+def test_video_fixture_rows_match_expectations(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame(media_fixtures.video_meta_fixture_rows(), schema)
+    out = {r.doc_id: r for r in mm.probe_video_meta_df(df).collect()}
+    assert out[40].duration_s == 12.345 and out[40].width == 640
+    assert out[41].n_tracks == 1 and out[41].height == 1080
+    assert out[42].container == "mp4" and out[42].width is None
+    assert out[43].container == "error" and out[43].probe_error
