@@ -35,8 +35,25 @@ columns); this is the same contract applied to binary media columns.
 
 from __future__ import annotations
 
+import functools
 import struct
 from typing import Iterator
+
+
+def _parse_errors_as_value_error(fn):
+    """Adversarial bytes must surface as ValueError (the quarantine
+    contract the mapInPandas kernels catch), never as struct.error /
+    IndexError / UnicodeDecodeError escaping a parser mid-walk and
+    failing the whole task — found by fuzzing truncation + bit flips."""
+
+    @functools.wraps(fn)
+    def wrapped(data: bytes):
+        try:
+            return fn(data)
+        except (struct.error, IndexError, UnicodeDecodeError) as e:
+            raise ValueError(f"{fn.__name__}: malformed stream ({e})") from e
+
+    return wrapped
 
 # ---------------------------------------------------------------------------
 # MP3 (MPEG-1/2 audio) frame headers — ISO/IEC 11172-3 / 13818-3
@@ -431,6 +448,7 @@ _PROBES = {
 }
 
 
+@_parse_errors_as_value_error
 def probe_audio_meta(data: bytes) -> dict:
     """Sniff the container by magic and dispatch; MP3 is the fallback
     sync-scan (its 11-bit sync has no fixed file magic; ID3-tagged
@@ -562,6 +580,7 @@ def _ogg_packets(data: bytes) -> list[bytes]:
     return packets
 
 
+@_parse_errors_as_value_error
 def probe_audio_tags(data: bytes) -> dict[str, str]:
     """KEY -> value tags from whichever container the payload is:
     Ogg/Vorbis comment header (packet 2), FLAC VORBIS_COMMENT block,
@@ -693,6 +712,7 @@ def _walk_boxes(data: bytes, start: int, end: int):
         raise ValueError("MP4: boxes do not tile the file")
 
 
+@_parse_errors_as_value_error
 def probe_mp4(data: bytes) -> dict:
     """Container metadata from the moov tree: mvhd duration/timescale
     (version 0 and 1), track count, and the first visual track's tkhd

@@ -231,3 +231,35 @@ def test_video_fixture_rows_match_expectations(spark):
     assert out[41].n_tracks == 1 and out[41].height == 1080
     assert out[42].container == "mp4" and out[42].width is None
     assert out[43].container == "error" and out[43].probe_error
+
+
+def test_probes_never_leak_non_value_errors():
+    """Deterministic fuzz: bit flips, truncations, and appends over
+    every fixture family must either parse or raise ValueError — a
+    struct.error/IndexError escaping a parser would fail the whole
+    Spark task instead of quarantining the row."""
+    import random
+
+    rnd = random.Random(1234)
+    seeds = [
+        mm.encode_mp3_frames(5, 128, 44100, 1, id3=b"t"),
+        mm.encode_ogg_vorbis(44100, 2, 1000, comments={"TITLE": "x"}),
+        mm.encode_mp4_stub(1.5),
+        flac.encode_flac(np.full(500, 3, dtype=np.int16), 8000, block_size=256),
+        codecs.encode_wav(np.zeros(100, dtype=np.int16), 8000),
+    ]
+    for _ in range(2000):
+        base = bytearray(rnd.choice(seeds))
+        op = rnd.randrange(3)
+        if op == 0 and base:
+            for _ in range(rnd.randrange(1, 6)):
+                base[rnd.randrange(len(base))] = rnd.randrange(256)
+        elif op == 1:
+            base = base[: rnd.randrange(len(base) + 1)]
+        else:
+            base = base + bytes(rnd.randrange(20))
+        for fn in (mm.probe_audio_meta, mm.probe_audio_tags, mm.probe_mp4):
+            try:
+                fn(bytes(base))
+            except ValueError:
+                pass  # the quarantine contract
