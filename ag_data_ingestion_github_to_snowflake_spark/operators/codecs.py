@@ -82,6 +82,7 @@ def decode_bmp(data: bytes) -> np.ndarray:
         raise NotImplementedError(f"only 24-bit BI_RGB BMP supported (bpp={bpp}, comp={compression})")
     top_down = h_signed < 0
     h = abs(h_signed)
+    check_decode_dims(w, h)
     stride = (w * 3 + 3) & ~3
     if len(data) < offset + stride * h:
         raise ValueError("truncated BMP pixel array")
@@ -133,6 +134,7 @@ def decode_ppm(data: bytes) -> np.ndarray:
     if data[:2] != b"P6":
         raise ValueError("not a P6 PPM payload")
     (w, h, maxval), raster = _ppm_tokens(data, 3)
+    check_decode_dims(w, h)
     if maxval != 255:
         raise NotImplementedError(f"PPM maxval {maxval} unsupported (need 255)")
     if len(data) < raster + w * h * 3:
@@ -246,6 +248,7 @@ def decode_png(data: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = ihdr
+    check_decode_dims(w, h)
     if depth != 8:
         raise NotImplementedError(f"PNG bit depth {depth} unsupported (need 8)")
     if interlace != 0:
@@ -408,9 +411,19 @@ def _lzw_compress(indices: list[int], mcs: int) -> bytes:
     return bytes(out)
 
 
-def _lzw_decompress(data: bytes, mcs: int) -> list[int]:
+def _lzw_decompress(data: bytes, mcs: int, max_out: int | None = None) -> list[int]:
     """Inverse of :func:`_lzw_compress`, including the cScSc case
-    (received code == next table slot -> prev + prev[0])."""
+    (received code == next table slot -> prev + prev[0]).
+
+    ``max_out`` bounds the decoded index count: LZW expansion is
+    quadratic in the code stream, so a small crafted stream could
+    otherwise emit gigabytes before the pixel-count check downstream
+    ever sees it (found by fuzzing). GIF callers pass w*h — any code
+    past that is corrupt by definition."""
+    if not 2 <= mcs <= 8:
+        # spec range for a <=256-color palette; a corrupt byte here
+        # (up to 255) would size the initial table at 2^mcs entries
+        raise ValueError(f"GIF LZW minimum code size {mcs} out of range")
     clear, eoi = 1 << mcs, (1 << mcs) + 1
 
     def fresh() -> tuple[dict[int, tuple[int, ...]], int, int]:
@@ -443,6 +456,10 @@ def _lzw_decompress(data: bytes, mcs: int) -> list[int]:
         else:
             raise ValueError(f"corrupt GIF LZW code {code}")
         out.extend(entry)
+        if max_out is not None and len(out) > max_out:
+            raise ValueError(
+                f"GIF LZW stream expands past {max_out} declared pixels"
+            )
         if prev is not None and next_code < _GIF_MAX_CODE:
             table[next_code] = prev + (entry[0],)
             next_code += 1
@@ -493,6 +510,7 @@ def decode_gif(data: bytes) -> np.ndarray:
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     w, h = struct.unpack_from("<HH", data, 6)
+    check_decode_dims(w, h)
     packed = data[10]
     pos = 13
     if not packed & 0x80:
@@ -532,7 +550,7 @@ def decode_gif(data: bytes) -> np.ndarray:
         n = data[pos]
         payload += data[pos + 1 : pos + 1 + n]
         pos += 1 + n
-    indices = _lzw_decompress(bytes(payload), mcs)
+    indices = _lzw_decompress(bytes(payload), mcs, max_out=w * h)
     if len(indices) != w * h:
         raise ValueError(f"GIF pixel count {len(indices)} != {w}x{h}")
     idx = np.asarray(indices, dtype=np.int64)
@@ -561,6 +579,55 @@ def _check_compressed(data: bytes) -> None:
             )
 
 
+# Corrupt headers can DECLARE absurd sizes (a JPEG SOF0 carries u16
+# dims up to 65535^2 = 12 GB RGB; BMP/PNG carry u32) and the decoders
+# allocate eagerly — one malicious payload would OOM an executor long
+# before any parse error fires. Caps found by fuzzing; generous for
+# real fixtures, fatal for header bombs.
+MAX_DECODE_PIXELS = 1 << 26  # ~67M px = 192 MB RGB
+MAX_DECODE_SAMPLES = 1 << 28  # ~268M samples = 512 MB PCM16
+
+
+def check_decode_dims(width: int, height: int = 1) -> None:
+    """Raise ValueError before any allocation sized by a corrupt header."""
+    if width <= 0 or height <= 0 or width * height > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"declared image dimensions {width}x{height} outside safety cap"
+        )
+
+
+def check_decode_samples(n: int) -> None:
+    if n < 0 or n > MAX_DECODE_SAMPLES:
+        raise ValueError(f"declared sample count {n} outside safety cap")
+
+
+def _decode_errors_as_value_error(fn):
+    """Same quarantine contract as operators/media_meta.py: adversarial
+    bytes must surface as ValueError (NotImplementedError passes
+    through for the declared codec gates), never as struct.error /
+    IndexError / KeyError / zlib.error escaping a decoder mid-parse —
+    found by fuzzing bit flips + truncations over every format."""
+    import functools
+    import zlib
+
+    @functools.wraps(fn)
+    def wrapped(data: bytes):
+        try:
+            return fn(data)
+        except (
+            struct.error,
+            IndexError,
+            KeyError,
+            zlib.error,
+            UnicodeDecodeError,
+            OverflowError,
+        ) as e:
+            raise ValueError(f"{fn.__name__}: malformed stream ({e})") from e
+
+    return wrapped
+
+
+@_decode_errors_as_value_error
 def decode_image(data: bytes) -> np.ndarray:
     """Decode BMP, PPM, PNG, or GIF bytes to an (h, w, 3) uint8 RGB array."""
     _check_compressed(data)
@@ -579,6 +646,7 @@ def decode_image(data: bytes) -> np.ndarray:
     raise ValueError(f"unrecognised image magic {data[:4]!r}")
 
 
+@_decode_errors_as_value_error
 def image_features(data: bytes) -> tuple[int, int, float]:
     """(width, height, mean_luma) from BMP/PPM/PNG bytes.
 
@@ -592,6 +660,7 @@ def image_features(data: bytes) -> tuple[int, int, float]:
     return w, h, round(luma_sum / (h * w * 255000.0), 6)
 
 
+@_decode_errors_as_value_error
 def decode_audio(data: bytes) -> tuple[np.ndarray, int, int]:
     """Decode WAV or FLAC bytes to (interleaved int16 PCM, rate, channels)."""
     _check_compressed(data)
@@ -604,6 +673,7 @@ def decode_audio(data: bytes) -> tuple[np.ndarray, int, int]:
     raise ValueError(f"unrecognised audio magic {data[:4]!r}")
 
 
+@_decode_errors_as_value_error
 def audio_features(data: bytes) -> tuple[float, int, float]:
     """(duration_s, sample_rate, rms_energy) from PCM16 WAV or FLAC bytes."""
     pcm, sample_rate, channels = decode_audio(data)

@@ -347,6 +347,11 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int, int]:
     if streaminfo is None:
         raise ValueError("FLAC stream missing STREAMINFO")
     sample_rate, channels, bps, total_samples, md5 = streaminfo
+    from ag_data_ingestion_github_to_snowflake_spark.operators.codecs import (
+        check_decode_samples,
+    )
+
+    check_decode_samples(total_samples * max(channels, 1))
     if bps != 16:
         raise NotImplementedError(f"only 16-bit FLAC supported, got {bps}")
 
@@ -431,6 +436,11 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int, int]:
             raise ValueError("FLAC frame CRC-16 mismatch")
         for c in range(channels):
             chans[c].extend(subs[c])
+        # A CONSTANT subframe encodes 65535 samples in ~20 bytes, so a
+        # small crafted stream (with total_samples=0, "unknown") could
+        # otherwise expand to gigabytes — cap the ACCUMULATED output,
+        # not just the declared header total.
+        check_decode_samples(len(chans[0]) * channels)
 
     n_frames_total = len(chans[0])
     if total_samples and n_frames_total != total_samples:

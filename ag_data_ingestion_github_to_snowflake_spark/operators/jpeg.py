@@ -331,6 +331,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision supported")
+            from ag_data_ingestion_github_to_snowflake_spark.operators.codecs import (
+                check_decode_dims,
+            )
+
+            check_decode_dims(fw, fh)
             comps = []
             for c in range(nc):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]

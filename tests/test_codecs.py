@@ -309,3 +309,80 @@ def test_gif_lzw_cscsc_case():
     img = np.zeros((1, 50, 3), dtype=np.uint8)
     img[0, 0] = [255, 255, 255]
     assert np.array_equal(codecs.decode_gif(codecs.encode_gif(img)), img)
+
+
+def test_header_bombs_rejected_before_allocation():
+    """Corrupt headers that DECLARE absurd sizes must raise ValueError
+    before any allocation: JPEG SOF0 can claim 65535^2 (12 GB RGB),
+    a GIF LZW minimum-code-size byte can claim a 2^255-entry table,
+    and a crafted LZW stream expands quadratically. Found by fuzzing;
+    these are the executor-OOM paths in a quarantine pipeline."""
+    import struct as _struct
+
+    import pytest
+
+    from ag_data_ingestion_github_to_snowflake_spark.operators import jpeg
+
+    # JPEG: valid stream with SOF0 dimensions rewritten to 65535x65535
+    img = np.full((6, 5, 3), 99, dtype=np.uint8)
+    data = bytearray(jpeg.encode_jpeg(img))
+    i = bytes(data).find(b"\xff\xc0")
+    # SOF0 payload: len(2) prec(1) height(2) width(2)
+    data[i + 5 : i + 9] = _struct.pack(">HH", 65535, 65535)
+    with pytest.raises(ValueError, match="safety cap"):
+        jpeg.decode_jpeg(bytes(data))
+
+    # GIF: LZW minimum code size byte out of the 2-8 spec range
+    gif = bytearray(codecs.encode_gif(img))
+    # min-code-size byte sits right after the image descriptor
+    idesc = bytes(gif).find(b"\x2c")
+    gif[idesc + 10] = 200
+    with pytest.raises(ValueError, match="minimum code size"):
+        codecs.decode_gif(bytes(gif))
+
+    # BMP: 1-gigapixel declared dimensions
+    bmp = bytearray(codecs.encode_bmp(img))
+    bmp[18:26] = _struct.pack("<ii", 40000, 30000)
+    with pytest.raises(ValueError, match="safety cap"):
+        codecs.decode_bmp(bytes(bmp))
+
+    # PPM: same, via header text
+    with pytest.raises(ValueError, match="safety cap"):
+        codecs.decode_ppm(b"P6\n99999 99999\n255\n\x00")
+
+
+def test_decoder_fuzz_only_value_errors():
+    """Bit flips / truncations / appends over every format must either
+    decode or raise ValueError / NotImplementedError — struct.error,
+    IndexError, KeyError or giant allocations would take down a whole
+    executor task instead of quarantining one row."""
+    import random
+
+    from ag_data_ingestion_github_to_snowflake_spark.operators import flac, jpeg
+
+    rnd = random.Random(7)
+    img = np.full((6, 5, 3), 99, dtype=np.uint8)
+    seeds = [
+        codecs.encode_bmp(img),
+        codecs.encode_ppm(img),
+        codecs.encode_png(img, filter_type=4),
+        codecs.encode_gif(img),
+        jpeg.encode_jpeg(img),
+        codecs.encode_wav(np.zeros(50, dtype=np.int16), 8000),
+        flac.encode_flac(np.full(300, 3, dtype=np.int16), 8000, block_size=256),
+    ]
+    for _ in range(1500):
+        base = bytearray(rnd.choice(seeds))
+        op = rnd.randrange(3)
+        if op == 0 and base:
+            for _ in range(rnd.randrange(1, 6)):
+                base[rnd.randrange(len(base))] = rnd.randrange(256)
+        elif op == 1:
+            base = base[: rnd.randrange(len(base) + 1)]
+        else:
+            base = base + bytes(rnd.randrange(20))
+        for fn in (codecs.image_features, codecs.audio_features):
+            try:
+                fn(bytes(base))
+            except (ValueError, NotImplementedError):
+                pass
