@@ -149,6 +149,7 @@ _PRIORITY: tuple[str, ...] = (
     "url_parse_components",         # B39 B36 (parse_url + domain derivation)
     "audio_tags",                   # B57 (Vorbis comments + ID3v2 text frames)
     "video_container_meta",         # B57 (ISO-BMFF box-tree probe)
+    "warc_extract_records",         # B52 B2 (WARC build+explode round-trip)
 )
 
 

@@ -554,3 +554,68 @@ def arrow_normalize_embeddings(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id", "embedding"
     )
     return emb.mapInArrow(kernel, "vec_id long, norm double, u0 double")
+
+
+@register(
+    "warc_extract_records",
+    # The WARC files are assembled from documents rows, so the oracle
+    # constructs every expected record field analytically: file
+    # assignment is doc_id // 30, record order within a file is
+    # doc_id order, length is the UTF-8 byte count of the payload.
+    oracle="""
+    SELECT CAST(doc_id // 30 AS BIGINT) AS file_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id // 30
+                                   ORDER BY doc_id) - 1 AS BIGINT)
+             AS record_no,
+           'response' AS warc_type,
+           'https://example.com/' || source || '/' || CAST(doc_id AS VARCHAR)
+             AS uri,
+           CAST(octet_length(encode(text)) AS BIGINT) AS length,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id < 300
+    """,
+    survey_ids=("B52", "B2", "B56"),
+    description="WARC (ISO 28500) round-trip: build gzip-member files per group, explode records",
+)
+def warc_extract_records(spark: SparkSession, sf: str) -> DataFrame:
+    """Common-Crawl-shaped ingestion, fully distributed on BOTH sides:
+    documents are grouped into WARC files (30 records each) by an
+    applyInPandas writer using the spec-true encoder — per-record gzip
+    members, exactly the Common Crawl layout — then exploded back into
+    records by the mapInPandas parser (operators/warc.py). The unit of
+    parallelism is the WARC file on both paths, which is how a 100 TB
+    crawl actually shards; no driver-side staging."""
+    from ag_data_ingestion_github_to_snowflake_spark.operators import warc
+
+    docs = (
+        t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(
+            "doc_id", "source", "text",
+            F.expr("doc_id div 30").alias("file_id"),
+        )
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        recs = [
+            {
+                "uri": f"https://example.com/{s}/{d}",
+                "payload": txt.encode("utf-8"),
+            }
+            for d, s, txt in zip(pdf["doc_id"], pdf["source"], pdf["text"])
+        ]
+        return pd.DataFrame(
+            {
+                "file_id": [int(pdf["file_id"].iloc[0])],
+                "warc": [warc.encode_warc(recs, gzip_members=True)],
+            }
+        )
+
+    files = docs.groupBy("file_id").applyInPandas(
+        build, "file_id long, warc binary"
+    )
+    return warc.warc_records_df(files, "warc", "file_id").select(
+        "file_id", "record_no", "warc_type", "uri", "length",
+        F.length("text").cast("long").alias("n_chars"),
+    )
