@@ -150,6 +150,9 @@ _PRIORITY: tuple[str, ...] = (
     "audio_tags",                   # B57 (Vorbis comments + ID3v2 text frames)
     "video_container_meta",         # B57 (ISO-BMFF box-tree probe)
     "warc_extract_records",         # B52 B2 (WARC build+explode round-trip)
+    "html_text_extract",            # B39 B40 B56 (HTML boilerplate strip)
+    "html_link_graph",              # B39 B16 (href explode -> in-degree)
+    "pagerank_link_graph",          # B10 B16 (exact integer PageRank)
 )
 
 
@@ -173,6 +176,7 @@ def all_specs() -> dict[str, QuerySpec]:
         tpch_like,
         udf_io_queries,
         streaming_queries,
+        web_queries,
         windows_queries,
     )
 

@@ -1,0 +1,255 @@
+"""Web-corpus curation queries: HTML -> text -> link graph -> PageRank.
+
+Continues the crawl pipeline that ``warc_extract_records`` starts: the
+HTML payloads of a crawl become (a) training text (tag/script/entity
+stripping), (b) a link graph (href extraction + host parsing), and
+(c) page-importance scores (PageRank) used for quality-weighted
+sampling — the CommonCrawl/C4-style curation chain, all JVM-side.
+
+Oracle strategy: the HTML is SYNTHESIZED deterministically from the
+documents table with the same concat expression on both sides, so the
+extraction itself is what the hash-compare checks. Every regex is in
+the Java-regex/RE2 common subset (see ``operators/html.py``). PageRank
+is exact fixed-point integer arithmetic, replayed in DuckDB as five
+unrolled CTE iterations — bit-identical regardless of partitioning.
+
+Reference parity: the reference (src/extract_github_data.py) consumes a
+JSON API and never touches HTML; this module is net-new capability for
+the 100 TB web-corpus workload (SURVEY C96/C97).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ag_data_ingestion_github_to_snowflake_spark.operators import html as H
+from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register, t
+
+# Shared HTML synthesis: documents row -> one realistic page with a
+# title, inline CSS, a comment, entities, a script block, and two
+# links. Spark and the oracle build the IDENTICAL string; the queries
+# then exercise extraction. Targets use doc_id*31+7 / doc_id*17+3 mod
+# 1000 so link targets collide across pages (real in-degree skew).
+_HTML_SQL = """
+    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' (' || source
+    || ')</title><style type="text/css">p { color: red; }</style></head>'
+    || '<body><!-- build ' || CAST(doc_id AS VARCHAR) || ' --><h1>Doc '
+    || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+    || ' &amp; more &lt;markup&gt; &quot;quoted&quot;&nbsp;tail</p>'
+    || '<script>var x = 1; if (x < 2) { x = 3; }</script>'
+    || '<a href="https://example.com/' || lang || '/'
+    || CAST((doc_id * 31 + 7) % 1000 AS VARCHAR)
+    || '">first</a> <a href="https://other.org/'
+    || CAST((doc_id * 17 + 3) % 1000 AS VARCHAR)
+    || '">second</a></body></html>'
+"""
+
+
+def _synth_html(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit("<html><head><title>Doc "), d, F.lit(" ("), F.col("source"),
+        F.lit(')</title><style type="text/css">p { color: red; }</style>'
+              "</head><body><!-- build "), d, F.lit(" --><h1>Doc "), d,
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit(" &amp; more &lt;markup&gt; &quot;quoted&quot;&nbsp;tail</p>"
+              "<script>var x = 1; if (x < 2) { x = 3; }</script>"
+              '<a href="https://example.com/'),
+        F.col("lang"), F.lit("/"),
+        ((F.col("doc_id") * 31 + 7) % 1000).cast("string"),
+        F.lit('">first</a> <a href="https://other.org/'),
+        ((F.col("doc_id") * 17 + 3) % 1000).cast("string"),
+        F.lit('">second</a></body></html>'),
+    )
+    return docs.select("doc_id", page.alias("html"))
+
+
+@register(
+    "html_text_extract",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, {_HTML_SQL} AS html FROM documents
+    )
+    SELECT doc_id,
+      trim(regexp_replace(regexp_extract(html,
+        '(?is)<title[^>]*>(.*?)</title>', 1), '[ \t\r\n]+', ' ', 'g'))
+        AS title,
+      trim(regexp_replace(
+        replace(replace(replace(replace(replace(replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(html,
+                  '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+                '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+              '(?s)<!--.*?-->', ' ', 'g'),
+            '<[^>]+>', ' ', 'g'),
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+          '&nbsp;', ' '), '&amp;', '&'),
+        '[ \t\r\n]+', ' ', 'g')) AS text_clean,
+      CAST(len(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS BIGINT)
+        AS n_links
+    FROM h
+    """,
+    survey_ids=("B39", "B40", "B56"),
+    description="HTML->text: strip script/style/comments/tags, decode entities, title + link count",
+)
+def html_text_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Boilerplate-strip stage of a crawl pipeline, fully in codegen:
+    regexp chains + fixed entity decode, not a Python parser — at 100 TB
+    the text pass must stay JVM-side. The oracle replays the identical
+    regex chain in DuckDB (RE2/Java common subset)."""
+    h = _synth_html(t(spark, sf, "documents"))
+    return h.select(
+        "doc_id",
+        H.extract_title("html").alias("title"),
+        H.html_to_text("html").alias("text_clean"),
+        F.size(H.extract_links("html")).cast("long").alias("n_links"),
+    )
+
+
+@register(
+    "html_link_graph",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, {_HTML_SQL} AS html FROM documents
+    ),
+    links AS (
+      SELECT doc_id AS src_doc, unnest(
+        regexp_extract_all(html, 'href="([^"]*)"', 1)) AS url
+      FROM h
+    )
+    SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+           CAST(regexp_extract(url, '/([0-9]+)$', 1) AS BIGINT)
+             AS target_id,
+           CAST(COUNT(*) AS BIGINT) AS in_degree,
+           CAST(COUNT(DISTINCT src_doc) AS BIGINT) AS n_sources,
+           CAST(MIN(src_doc) AS BIGINT) AS first_source
+    FROM links
+    GROUP BY 1, 2
+    ORDER BY in_degree DESC, host, target_id
+    LIMIT 25
+    """,
+    survey_ids=("B39", "B16", "B24", "B56"),
+    description="Link graph from extracted hrefs: per-(host,target) in-degree top-25",
+)
+def html_link_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl-frontier analytics: explode extracted hrefs, parse host +
+    numeric target, rank targets by in-degree. One explode + one
+    aggregation shuffle; host parsing is regexp_extract in codegen."""
+    h = _synth_html(t(spark, sf, "documents"))
+    links = h.select(
+        F.col("doc_id").alias("src_doc"),
+        F.explode(H.extract_links("html")).alias("url"),
+    )
+    return (
+        links.select(
+            "src_doc",
+            F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+            F.regexp_extract("url", r"/([0-9]+)$", 1).cast("long")
+            .alias("target_id"),
+        )
+        .groupBy("host", "target_id")
+        .agg(
+            F.count("*").alias("in_degree"),
+            F.countDistinct("src_doc").alias("n_sources"),
+            F.min("src_doc").alias("first_source"),
+        )
+        .orderBy(F.desc("in_degree"), "host", "target_id")
+        .limit(25)
+    )
+
+
+_PR_ITER_SQL = """
+    SELECT nodes.node,
+           CAST(150000000000
+                + (85 * COALESCE(SUM({prev}.rank // e.out_deg), 0)) // 100
+                AS BIGINT) AS rank
+    FROM nodes
+    LEFT JOIN edges e ON e.dst = nodes.node
+    LEFT JOIN {prev} ON {prev}.node = e.src
+    GROUP BY nodes.node
+"""
+
+
+_PR_ORACLE = (
+    """
+    WITH nodes AS (SELECT doc_id AS node FROM documents),
+    n AS (SELECT COUNT(*) AS c FROM nodes),
+    edges AS (
+      SELECT node AS src, (node % 3) + 1 AS out_deg,
+             (node * node + k * 13 + 1) % (SELECT c FROM n) AS dst
+      FROM nodes, (SELECT unnest(range(3)) AS k)
+      WHERE k < (node % 3) + 1
+    ),
+    r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM nodes),
+    """
+    + ",\n".join(
+        f"r{i + 1} AS ({_PR_ITER_SQL.format(prev=f'r{i}')})"
+        for i in range(5)
+    )
+    + """
+    SELECT node, rank FROM r5 ORDER BY rank DESC, node LIMIT 20
+    """
+)
+
+
+@register(
+    "pagerank_link_graph",
+    oracle=_PR_ORACLE,
+    survey_ids=("B10", "B16", "B24"),
+    description="Fixed-point integer PageRank, 5 damped iterations, top-20 nodes",
+)
+def pagerank_link_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """Page-importance scoring for quality-weighted corpus sampling.
+
+    Extracts the edges from synthesized HTML with the SAME href regex
+    as ``html_text_extract`` (the oracle constructs them analytically —
+    an independent check of the extraction+parse path), then runs
+    ``operators/html.pagerank``: exact BIGINT fixed-point power
+    iteration, one join + one aggregation shuffle per round, lineage
+    truncated per round. Bit-identical to the oracle's five unrolled
+    CTE iterations because every step is integer div/sum
+    (order-independent), unlike float PageRank.
+
+    Variable out-degree 1..3 and quadratic targets give real in-degree
+    skew; dangling mass is removed (no out-degree-0 nodes here)."""
+    docs = t(spark, sf, "documents").select("doc_id")
+    n = docs.count()  # one bounded action; the node count parameterizes
+    # the synthetic edge formula on both sides.
+
+    links = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") % 3) + 1).alias("out_deg"),
+        F.concat(
+            F.lit("<ul>"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sequence(F.lit(0), (F.col("doc_id") % 3)),
+                    lambda k: F.concat(
+                        F.lit('<li><a href="https://crawl.test/'),
+                        (
+                            (F.col("doc_id") * F.col("doc_id") + k * 13 + 1)
+                            % n
+                        ).cast("string"),
+                        F.lit('">l</a></li>'),
+                    ),
+                ),
+            ),
+            F.lit("</ul>"),
+        ).alias("html"),
+    )
+    edges = links.select(
+        "src",
+        "out_deg",
+        F.explode(H.extract_links("html")).alias("url"),
+    ).select(
+        "src",
+        "out_deg",
+        F.regexp_extract("url", r"/([0-9]+)$", 1).cast("long").alias("dst"),
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    ranks = H.pagerank(nodes, edges, iterations=5)
+    return ranks.orderBy(F.desc("rank"), "node").limit(20)
