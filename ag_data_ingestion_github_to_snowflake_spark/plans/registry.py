@@ -153,6 +153,7 @@ _PRIORITY: tuple[str, ...] = (
     "html_text_extract",            # B39 B40 B56 (HTML boilerplate strip)
     "html_link_graph",              # B39 B16 (href explode -> in-degree)
     "pagerank_link_graph",          # B10 B16 (exact integer PageRank)
+    "arrow_ipc_roundtrip",          # B2 B3 B52 (Arrow IPC shard round-trip)
 )
 
 

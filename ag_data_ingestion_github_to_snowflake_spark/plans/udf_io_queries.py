@@ -619,3 +619,80 @@ def warc_extract_records(spark: SparkSession, sf: str) -> DataFrame:
         "file_id", "record_no", "warc_type", "uri", "length",
         F.length("text").cast("long").alias("n_chars"),
     )
+
+
+@register(
+    "arrow_ipc_roundtrip",
+    # The IPC files are assembled from orders rows, so the oracle checks
+    # the round-trip by aggregating the source directly: any corruption
+    # in encode/decode breaks the exact per-priority counts/sums.
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT o_orderkey // 1000) AS BIGINT) AS n_files,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    survey_ids=("B2", "B3", "B52", "B16"),
+    description="Arrow IPC stream round-trip: encode shards per group, decode with mapInPandas",
+)
+def arrow_ipc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow IPC (Feather v2) interchange round-trip, distributed on
+    both paths like ``warc_extract_records``: orders are sharded into
+    ~1000-row groups, each group serialized to one IPC *stream* blob by
+    ``applyInPandas`` (multiple record batches per blob, max_chunksize
+    256, so the decoder proves multi-batch reassembly), then decoded
+    back by ``mapInPandas`` and aggregated. Arrow IPC is the zero-copy
+    hand-off format for feeding trainers/GPU jobs from a Spark curation
+    pipeline; the unit of parallelism is the shard file on both paths —
+    no driver-side staging, no filesystem coupling.
+    """
+    import pyarrow as pa
+
+    orders = (
+        t(spark, sf, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .withColumn("file_id", F.expr("o_orderkey div 1000"))
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("o_orderkey")
+        table = pa.Table.from_pandas(
+            pdf.drop(columns=["file_id"]), preserve_index=False
+        )
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, table.schema) as writer:
+            writer.write_table(table, max_chunksize=256)
+        return pd.DataFrame(
+            {
+                "file_id": [int(pdf["file_id"].iloc[0])],
+                "blob": [sink.getvalue().to_pybytes()],
+            }
+        )
+
+    shards = orders.groupBy("file_id").applyInPandas(
+        build, "file_id long, blob binary"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for fid, blob in zip(pdf["file_id"], pdf["blob"]):
+                tbl = pa.ipc.open_stream(pa.py_buffer(blob)).read_all()
+                out = tbl.to_pandas()
+                out["file_id"] = int(fid)
+                yield out
+
+    back = shards.mapInPandas(
+        decode,
+        "o_orderkey long, o_totalprice double, o_orderpriority string, "
+        "file_id long",
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("file_id").cast("bigint").alias("n_files"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
