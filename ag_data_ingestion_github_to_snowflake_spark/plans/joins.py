@@ -14,6 +14,8 @@ bucketed on orderkey to eliminate the shuffle entirely.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -381,5 +383,58 @@ def join_full_outer_daily_activity(spark: SparkSession, sf: str) -> DataFrame:
             .alias("day"),
             F.coalesce(F.col("c.n_clicks"), F.lit(0)).cast("bigint").alias("n_clicks"),
             F.coalesce(F.col("b.n_buys"), F.lit(0)).cast("bigint").alias("n_buys"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B10/B3 bucketed co-located join: the write-once, shuffle-never layout
+# ---------------------------------------------------------------------------
+@register(
+    "bucketed_join_colocated",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    survey_ids=("B10", "B3", "B16"),
+    description="fact-fact join over co-bucketed tables: shuffle paid once at write time",
+)
+def bucketed_join_colocated(spark: SparkSession, sf: str) -> DataFrame:
+    """Stage lineitem and orders as co-bucketed (8 buckets, orderkey),
+    then join via the catalog tables: both scans expose the same hash
+    partitioning, so the sort-merge join plans with NO Exchange on
+    either side (guarded by tests/test_bucketed.py on the physical
+    plan). At 100 TB this is the difference between shuffling the two
+    biggest tables on every join and never shuffling them again after
+    the initial layout write. Result equivalence is oracle-checked
+    against the plain (non-bucketed) join.
+    """
+    from ag_data_ingestion_github_to_snowflake_spark.sources.bucketed import (
+        bucketed_pair,
+    )
+
+    tag = os.path.basename(sf.rstrip("/")).replace(".", "_")
+    li = t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    bli, bord = bucketed_pair(
+        spark, li, "l_orderkey", orders, "o_orderkey", tag=f"join_{tag}"
+    )
+    return (
+        bli.join(bord, bli["l_orderkey"] == bord["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,2)")
+            )
+            .cast("double")
+            .alias("revenue"),
         )
     )

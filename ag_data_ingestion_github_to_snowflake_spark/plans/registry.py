@@ -154,6 +154,7 @@ _PRIORITY: tuple[str, ...] = (
     "html_link_graph",              # B39 B16 (href explode -> in-degree)
     "pagerank_link_graph",          # B10 B16 (exact integer PageRank)
     "arrow_ipc_roundtrip",          # B2 B3 B52 (Arrow IPC shard round-trip)
+    "bucketed_join_colocated",      # B10 B3 (co-bucketed shuffle-free SMJ)
 )
 
 

@@ -1,0 +1,69 @@
+"""Bucketed-table layout: the shuffle-free path for repeated big joins.
+
+At 100 TB the dominant cost of a fact-fact join (lineitem ⋈ orders on
+orderkey) is the shuffle of BOTH sides. If the tables are written
+bucketed on the join key with the same bucket count, Spark's scan
+exposes the hash-partitioning to the planner and the sort-merge join
+runs with NO Exchange on either side — the shuffle is paid ONCE at
+write time and amortized over every subsequent join, which is how
+warehouse fact tables are actually laid out (Hive/Spark bucketing,
+Iceberg bucket partition transforms).
+
+``write_bucketed`` registers an EXTERNAL datasource table (explicit
+``path``) so nothing depends on the session's warehouse directory —
+the driver's bare session has no configured warehouse and must not
+write to its cwd.
+
+The reference stages everything as flat JSON (no layout control at
+all: src/extract_github_data.py writes one array per page); bucketing
+is net-new scale capability.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int,
+    path: str,
+) -> None:
+    """(Re)create ``table`` as an external parquet table bucketed on
+    ``key`` into ``buckets`` files, sorted within buckets on the key so
+    the merge side of an SMJ needs no extra sort."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        df.write.format("parquet")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+
+
+def bucketed_pair(
+    spark: SparkSession,
+    left: DataFrame,
+    left_key: str,
+    right: DataFrame,
+    right_key: str,
+    tag: str,
+    buckets: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Stage both sides as co-bucketed tables (same bucket count, join
+    key as bucket key) and return the catalog-backed frames whose scans
+    carry the bucket partitioning. ``tag`` namespaces the tables/paths
+    so different fixture scales never collide."""
+    base = os.path.join(tempfile.gettempdir(), f"ag_bucketed_{tag}")
+    lt, rt = f"ag_bkt_left_{tag}", f"ag_bkt_right_{tag}"
+    write_bucketed(left, lt, left_key, buckets, os.path.join(base, lt))
+    write_bucketed(right, rt, right_key, buckets, os.path.join(base, rt))
+    return spark.table(lt), spark.table(rt)
