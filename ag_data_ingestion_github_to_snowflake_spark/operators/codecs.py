@@ -348,6 +348,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int, int]:
         i += 8 + size + (size & 1)  # chunks are word-aligned
     if sample_rate is None or pcm is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if sample_rate == 0:
+        raise ValueError("WAV zero sample_rate")
     return pcm, sample_rate, channels
 
 
@@ -621,6 +623,7 @@ def _decode_errors_as_value_error(fn):
             zlib.error,
             UnicodeDecodeError,
             OverflowError,
+            ZeroDivisionError,
         ) as e:
             raise ValueError(f"{fn.__name__}: malformed stream ({e})") from e
 

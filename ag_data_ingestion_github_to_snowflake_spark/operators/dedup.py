@@ -391,7 +391,7 @@ def simhash(
 
     ``hash_fn`` (Column -> Column) overrides the token hash family —
     default ``xxhash64`` (fastest JVM path). The registry query passes
-    a sha2-derived 60-bit hash so a DuckDB oracle can replay the
+    an md5-derived 60-bit hash (md5_hash60) so a DuckDB oracle can replay the
     signature bit-for-bit; any hash whose bits are uniform works, and
     the voting/blocking machinery is identical either way.
     """

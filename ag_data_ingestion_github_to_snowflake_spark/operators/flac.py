@@ -603,7 +603,11 @@ def encode_flac(
         frame_no += 1
 
     si = _BitWriter()
-    si.write(min(block_size, n) if n else block_size, 16)  # min block size
+    # RFC 9639: min == max marks a fixed-blocksize stream; a shorter
+    # last frame is expected and excluded from these fields, so both
+    # carry block_size (min(block_size, n) would mark variable blocking
+    # and could fall below the 16-sample legal minimum)
+    si.write(block_size, 16)  # min block size
     si.write(block_size, 16)  # max block size
     si.write(0, 24)  # min frame size unknown
     si.write(0, 24)  # max frame size unknown

@@ -50,7 +50,7 @@ def _parse_errors_as_value_error(fn):
     def wrapped(data: bytes):
         try:
             return fn(data)
-        except (struct.error, IndexError, UnicodeDecodeError) as e:
+        except (struct.error, IndexError, UnicodeDecodeError, ZeroDivisionError) as e:
             raise ValueError(f"{fn.__name__}: malformed stream ({e})") from e
 
     return wrapped
@@ -360,6 +360,8 @@ def probe_ogg(data: bytes) -> dict:
     nominal = struct.unpack_from("<i", ident, 20)[0]
     if not ident[29] & 0x01:
         raise ValueError("OGG: identification framing bit unset")
+    if sample_rate == 0:
+        raise ValueError("OGG: zero sample_rate")
     return {
         "container": "ogg",
         "sample_rate": sample_rate,
@@ -394,6 +396,8 @@ def probe_wav(data: bytes) -> dict:
     if fmt is None or data_size is None:
         raise ValueError("WAV: missing fmt or data chunk")
     _, channels, sample_rate, _, block_align, bits = fmt
+    if sample_rate == 0:
+        raise ValueError("WAV: zero sample_rate")
     n_frames = data_size // max(block_align, 1)
     return {
         "container": "wav",
@@ -430,6 +434,8 @@ def probe_flac(data: bytes) -> dict:
     channels = ((bits >> 41) & 0x7) + 1
     bit_depth = ((bits >> 36) & 0x1F) + 1
     total_samples = bits & 0xFFFFFFFFF
+    if sample_rate == 0:
+        raise ValueError("FLAC: zero sample_rate")
     return {
         "container": "flac",
         "sample_rate": sample_rate,

@@ -100,7 +100,7 @@ def quality_score(df: DataFrame, text_col: str = "text", out: str = "quality") -
 
 
 def language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
-    """Stopword-marker language ID over LANG_MARKERS.
+    r"""Stopword-marker language ID over LANG_MARKERS.
 
     Scores each language by marker-token hits; argmax wins with a
     deterministic tiebreak on language code. Hit counting uses the

@@ -65,13 +65,35 @@ def encode_warc(
 
 
 def _gunzip_members(data: bytes) -> bytes:
-    """Decompress concatenated gzip members (the Common Crawl layout)."""
+    """Decompress concatenated gzip members (the Common Crawl layout).
+
+    Decompression is chunked with an output cap (MAX_RECORD_BYTES per
+    member) so a gzip bomb quarantines as ValueError instead of
+    expanding unboundedly in executor memory — the same bomb class
+    codecs._lzw_decompress and decode_flac cap explicitly."""
     out = bytearray()
     pos = 0
     while pos < len(data):
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        out += d.decompress(data[pos:])
-        out += d.flush()
+        member_out = 0
+        buf = data[pos:]
+        while True:
+            # max_length=0 means "unlimited" to zlib, so budget stays >= 1;
+            # the overflow check below fires on the extra byte instead
+            budget = MAX_RECORD_BYTES - member_out + 1
+            chunk = d.decompress(buf, budget)
+            out += chunk
+            member_out += len(chunk)
+            if member_out > MAX_RECORD_BYTES:
+                raise ValueError("WARC: gzip member exceeds size cap")
+            if d.eof or not d.unconsumed_tail:
+                break
+            buf = d.unconsumed_tail
+        tail = d.flush()
+        out += tail
+        member_out += len(tail)
+        if member_out > MAX_RECORD_BYTES:
+            raise ValueError("WARC: gzip member exceeds size cap")
         if not d.eof:
             # zlib returns partial output silently on a truncated
             # stream; a member must reach its trailer to count

@@ -395,8 +395,8 @@ def join_full_outer_daily_activity(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                         AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """,
@@ -431,8 +431,8 @@ def bucketed_join_colocated(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_items"),
             F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                .cast("decimal(18,2)")
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1) - F.col("l_discount")).cast(DEC)
             )
             .cast("double")
             .alias("revenue"),

@@ -131,7 +131,7 @@ def dedup_minhash_verified(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "dedup_simhash_pairs",
     # Exact DuckDB replay of the whole SimHash pipeline (r4: flipped
-    # from rows-only): the token hash is a sha2-derived 60-bit value
+    # from rows-only): the token hash is an md5-derived 60-bit value (md5_hash60)
     # available bit-identically in both engines (the xxhash64 default
     # stays the fast path for operator users), the per-bit majority
     # vote is replayed via a range(60) explode, and the twin emits ALL

@@ -263,3 +263,41 @@ def test_probes_never_leak_non_value_errors():
                 fn(bytes(base))
             except ValueError:
                 pass  # the quarantine contract
+
+
+def test_zero_sample_rate_quarantines_not_crashes():
+    """ADVICE r4: a header-supplied sample_rate of 0 must raise
+    ValueError (quarantine), never ZeroDivisionError (task failure)."""
+    import struct
+
+    # WAV with sample_rate=0 in fmt
+    fmt = struct.pack("<HHIIHH", 1, 1, 0, 0, 2, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    )
+    with pytest.raises(ValueError):
+        mm.probe_wav(wav)
+    with pytest.raises(ValueError):
+        codecs.audio_features(wav)
+
+    # FLAC STREAMINFO with 20-bit sample_rate field zeroed
+    good = flac.encode_flac(np.zeros(64, dtype=np.int16), 8000, block_size=64)
+    bad = bytearray(good)
+    # STREAMINFO payload starts at offset 8 (4 magic + 4 block header);
+    # bytes 10..12 of the payload hold sample_rate(20)|channels(3)|bps(5)-ish bits
+    bits = int.from_bytes(bad[8 + 10 : 8 + 18], "big")
+    bits &= ~(0xFFFFF << 44)  # zero the sample_rate field
+    bad[8 + 10 : 8 + 18] = bits.to_bytes(8, "big")
+    with pytest.raises(ValueError):
+        mm.probe_flac(bytes(bad))
+
+    # OGG identification header with sample_rate=0
+    ogg = bytearray(mm.encode_ogg_vorbis(44100, 2, 1000))
+    idx = ogg.find(b"\x01vorbis")
+    assert idx > 0
+    struct.pack_into("<I", ogg, idx + 12, 0)
+    # page CRC now stale -> either bad-CRC ValueError or zero-rate ValueError
+    with pytest.raises(ValueError):
+        mm.probe_ogg(bytes(ogg))

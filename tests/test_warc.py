@@ -75,3 +75,30 @@ def test_kernel_explodes_and_quarantines(spark):
     assert by_file[0][0].text == "hello world"
     assert by_file[1][0].warc_type == "error"
     assert by_file[1][0].parse_error
+
+
+def test_gzip_bomb_member_quarantines_before_expansion(monkeypatch):
+    """ADVICE r4: a small gzip member that inflates past the record cap
+    must raise ValueError during chunked decompression, not expand
+    unboundedly in executor memory."""
+    import zlib
+
+    # Shrink the cap so the test is cheap: 64 KiB
+    monkeypatch.setattr(warc, "MAX_RECORD_BYTES", 1 << 16)
+    co = zlib.compressobj(9, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    bomb = co.compress(b"\x00" * (1 << 22)) + co.flush()  # 4 MiB of zeros
+    assert len(bomb) < (1 << 14)  # it is actually small on the wire
+    with pytest.raises(ValueError, match="size cap"):
+        warc._gunzip_members(bomb)
+
+
+def test_gunzip_members_chunked_path_roundtrips(monkeypatch):
+    """Members legitimately larger than one decompress() budget chunk
+    still decompress exactly when under the cap."""
+    import zlib
+
+    monkeypatch.setattr(warc, "MAX_RECORD_BYTES", 1 << 20)
+    payload = bytes(range(256)) * 2048  # 512 KiB, under the 1 MiB cap
+    co = zlib.compressobj(9, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    gz = co.compress(payload) + co.flush()
+    assert warc._gunzip_members(gz) == payload
