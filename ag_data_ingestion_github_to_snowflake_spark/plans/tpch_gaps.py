@@ -223,16 +223,22 @@ def important_parts_share(spark: SparkSession, sf: str) -> DataFrame:
     broadcast nested-loop over one row — a map-side filter, allowed in
     the plan audit). The threshold compare is cleared to integer-scaled
     decimals (``val*np*10 > tot*12`` ≡ ``val > 1.2*tot/np``) so neither
-    engine rounds a division. Two shuffles total: the partkey
-    aggregation and the (trivial) global one.
+    engine rounds a division.
+
+    Scale path (r5, was alpha +1.46 at 100x): the global pair is
+    derived FROM the per-part aggregate — sum-of-DECIMAL-sums is exact
+    and count(*) over it equals count_distinct(partkey) — so lineitem
+    is scanned ONCE and the partkey Exchange is shared between the two
+    aggregates (ReusedExchange in the physical plan) instead of a
+    second full scan + count_distinct expand over the fact table.
     """
     li = t(spark, sf, "lineitem")
     rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount")).cast(DEC)
     pr = li.groupBy("l_partkey").agg(F.sum(rev).alias("_val"))
     tot = F.broadcast(
-        li.agg(
-            F.sum(rev).alias("_tv"),
-            F.count_distinct("l_partkey").alias("_np"),
+        pr.agg(
+            F.sum("_val").alias("_tv"),
+            F.count(F.lit(1)).alias("_np"),
         ).withColumn("_k", F.lit(1))
     )
     return (

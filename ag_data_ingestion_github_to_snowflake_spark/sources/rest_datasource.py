@@ -229,7 +229,7 @@ class GithubReposDataSource(DataSource):
 
 def _stub_factory(spec: str):
     """Rebuild the tests' StubTransport from a JSON spec (executor-side)."""
-    from tests.stub_transport import StubTransport
+    from ag_data_ingestion_github_to_snowflake_spark.sources.stub import StubTransport
 
     cfg = json.loads(spec) if spec else {}
     return StubTransport(**cfg)

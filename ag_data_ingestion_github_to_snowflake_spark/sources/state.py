@@ -127,3 +127,70 @@ class KVWatermark(WatermarkStore):
 
     def set(self, value: int) -> None:
         self.client.put(self.key, str(int(value)))
+
+
+class S3ObjectKV:
+    """boto3-S3-shaped adapter for :class:`KVWatermark` (the reference's
+    's3' backend, /root/reference/src/extract_github_data.py:196-213 and
+    :269-277).
+
+    ``s3_client`` is injected and only its public boto3 surface is
+    used: ``get_object(Bucket=..., Key=...)`` returning
+    ``{"Body": <stream with .read()>}`` and
+    ``put_object(Bucket=..., Key=..., Body=bytes)``. A missing key
+    (the client's NoSuchKey / any get failure) reads as None so
+    KVWatermark falls back to its default — the reference's
+    start-fresh-from-0 behaviour. No SDK import here: a real
+    deployment passes ``boto3.client("s3")``; tests pass a fake.
+    """
+
+    def __init__(self, s3_client, bucket: str,
+                 prefix: str = "github_extraction_state/"):
+        self.s3 = s3_client
+        self.bucket = bucket
+        self.prefix = prefix
+
+    def get(self, key: str):
+        try:
+            resp = self.s3.get_object(Bucket=self.bucket, Key=self.prefix + key)
+            return resp["Body"].read().decode("utf-8")
+        except Exception:  # NoSuchKey et al.: absent -> default
+            return None
+
+    def put(self, key: str, value: str) -> None:
+        self.s3.put_object(
+            Bucket=self.bucket, Key=self.prefix + key,
+            Body=value.encode("utf-8"),
+        )
+
+
+class DynamoTableKV:
+    """boto3-DynamoDB-shaped adapter for :class:`KVWatermark` (the
+    reference's 'dynamo' backend, extract_github_data.py:215-232 and
+    :279-286).
+
+    ``table`` is an injected boto3 ``dynamodb.Table`` resource; only
+    ``get_item(Key={...})`` -> ``{"Item": {...}}`` and
+    ``put_item(Item={...})`` are used. The item layout mirrors the
+    reference: partition key ``extraction_id`` = the watermark key,
+    value attribute ``last_repo_id``.
+    """
+
+    def __init__(self, table, partition_attr: str = "extraction_id",
+                 value_attr: str = "last_repo_id"):
+        self.table = table
+        self.partition_attr = partition_attr
+        self.value_attr = value_attr
+
+    def get(self, key: str):
+        try:
+            resp = self.table.get_item(Key={self.partition_attr: key})
+        except Exception:
+            return None
+        item = resp.get("Item")
+        return None if item is None else item.get(self.value_attr)
+
+    def put(self, key: str, value: str) -> None:
+        self.table.put_item(
+            Item={self.partition_attr: key, self.value_attr: value}
+        )

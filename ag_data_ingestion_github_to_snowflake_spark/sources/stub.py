@@ -1,6 +1,9 @@
 """Deterministic stub transport replaying GitHub-API-shaped JSON
 (the reference's cache-file format, /root/reference/src/
-extract_github_data.py:293-344). Picklable: used inside mapInPandas."""
+extract_github_data.py:293-344). Picklable: used inside mapInPandas.
+
+Lives in the package (not tests/) because the CLI's ``--test-mode``
+(reference :769-792) runs the full pipeline against it offline."""
 
 from __future__ import annotations
 

@@ -31,7 +31,7 @@ from ag_data_ingestion_github_to_snowflake_spark.sources.state import MemoryWate
 from ag_data_ingestion_github_to_snowflake_spark.sources.warehouse_sink import (
     JsonlWarehouseDataSource,
 )
-from tests.stub_transport import StubTransport
+from ag_data_ingestion_github_to_snowflake_spark.sources.stub import StubTransport
 
 
 def test_extract_stage_load_merge_compact_profile(spark, tmp_path):

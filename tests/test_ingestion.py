@@ -27,7 +27,7 @@ from ag_data_ingestion_github_to_snowflake_spark.sources.state import (
     FileWatermark,
     MemoryWatermark,
 )
-from tests.stub_transport import StubTransport
+from ag_data_ingestion_github_to_snowflake_spark.sources.stub import StubTransport
 
 CFG = RestSourceConfig(per_page=50, max_requests_per_run=1000, detail_partitions=4)
 

@@ -11,7 +11,7 @@ from hypothesis import strategies as st
 from ag_data_ingestion_github_to_snowflake_spark.config import EngineConfig
 from ag_data_ingestion_github_to_snowflake_spark.sources.rest import RateLimiter
 from ag_data_ingestion_github_to_snowflake_spark.sources.state import FileWatermark
-from tests.stub_transport import StubTransport
+from ag_data_ingestion_github_to_snowflake_spark.sources.stub import StubTransport
 
 
 @given(st.integers(min_value=0, max_value=2**62))

@@ -57,20 +57,18 @@ def test_window_plus_ledger_cover_every_survey_id():
 
 
 def test_window_maximizes_first_time_evidence():
-    """Every slot in the 50-name window should either be a retained core
-    carrier or a name never yet driver-checked — re-checking an already
-    multi-green non-core name wastes a rotation slot."""
+    """Every slot in the 50-name window should either be an intended
+    re-check (INTENDED_RECHECKS, empty for the all-first-timer r5
+    window) or a name never yet driver-checked — re-checking an
+    already multi-green name otherwise wastes a rotation slot."""
+    INTENDED_RECHECKS: set[str] = set()
     specs = all_specs()
     head = list(specs)[:DRIVER_CAP]
     checked = _driver_checked_names()
     if not checked:  # fresh checkout: nothing to assert
         return
-    # retained sole-carrier core + the r4 rows-only->oracle flip
-    # (dedup_simhash_pairs: re-checking it converts prior rows-only
-    # driver rows into a hash-green row — new evidence, not waste)
-    core = set(head[:15])
-    wasted = [n for n in head if n not in core and n in checked]
-    assert not wasted, f"window re-checks non-core already-checked: {wasted}"
+    wasted = [n for n in head if n not in INTENDED_RECHECKS and n in checked]
+    assert not wasted, f"window re-checks already-checked names: {wasted}"
 
 
 def test_first_50_all_oracle_checked():

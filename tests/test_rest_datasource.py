@@ -10,7 +10,7 @@ from ag_data_ingestion_github_to_snowflake_spark.sources.rest import (
     RestSourceConfig,
     list_scan_df,
 )
-from tests.stub_transport import StubTransport
+from ag_data_ingestion_github_to_snowflake_spark.sources.stub import StubTransport
 
 
 def read_df(spark, **options):

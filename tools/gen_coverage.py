@@ -101,7 +101,8 @@ def driver_ledger(specs) -> list[str]:
             ever += 1
         sched = "yes" if name in window else ""
         lines.append(f"| `{name}` | {', '.join(hist) or '—'} | {sched} |")
-    newly = len(window - {n for r in rounds.values() for n in r})
+    checked_ever = {n for r in rounds.values() for n in r}
+    newly = len(window - checked_ever)
     lines.append("")
     lines.append(
         f"**Ledger totals:** {ever}/{len(specs)} queries driver-checked at "
@@ -109,6 +110,25 @@ def driver_ledger(specs) -> list[str]:
         f"window schedules {newly} first-time names "
         f"(projected cumulative {ever + newly}/{len(specs)})."
     )
+    # Pin the FOLLOWING round's window ahead of time so the rotation
+    # plan is auditable: whatever is still unchecked after the current
+    # window lands, plus a re-check of the sole-carrier core.
+    tail = sorted(set(specs) - checked_ever - window)
+    if tail:
+        tail_fmt = [
+            f"`{n}`" + (" (rows-only)" if specs[n].oracle is None else "")
+            for n in tail
+        ]
+        lines.append("")
+        lines.append(
+            f"**r{next_round + 1} window (pinned):** the {len(tail)} names "
+            f"still unchecked after a green r{next_round} — "
+            + ", ".join(tail_fmt)
+            + " — plus a re-check of the 15-name sole-carrier core "
+            "(the r4 window head: filter_all_notnull_customer ... "
+            "dedup_simhash_pairs); remaining slots re-green the most "
+            "stale previously-checked names."
+        )
     return lines
 
 
