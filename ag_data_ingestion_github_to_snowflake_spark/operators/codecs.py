@@ -685,3 +685,31 @@ def audio_features(data: bytes) -> tuple[float, int, float]:
     sq_sum = int((pcm.astype(np.int64) ** 2).sum())
     rms = round(float(np.sqrt(sq_sum / len(pcm))) / 32768.0, 6) if len(pcm) else 0.0
     return duration, sample_rate, rms
+
+
+@_decode_errors_as_value_error
+def ahash64(data: bytes) -> int:
+    """64-bit average hash (aHash) of an image payload: decode, crop to
+    a multiple of 8, 8x8 block-mean downsample on integer Rec.601 luma,
+    threshold each block against the global mean.
+
+    Exact integer arithmetic throughout: bit(i) = block_sum(i) * 64 >
+    total_sum, which equals "block mean > global mean" when all 64
+    blocks have identical pixel counts (guaranteed by the crop). The
+    result is converted to a SIGNED 64-bit value so it rides in a Spark
+    LongType column; Hamming distance is invariant under that cast.
+    """
+    img = decode_image(data).astype(np.int64)
+    h, w, _ = img.shape
+    bh, bw = h // 8, w // 8
+    if bh == 0 or bw == 0:
+        raise ValueError(f"aHash needs an image of at least 8x8, got {w}x{h}")
+    crop = img[: bh * 8, : bw * 8]
+    luma = crop[:, :, 0] * 299 + crop[:, :, 1] * 587 + crop[:, :, 2] * 114
+    blocks = luma.reshape(8, bh, 8, bw).sum(axis=(1, 3))
+    total = int(blocks.sum())
+    out = 0
+    for i, s in enumerate(int(v) for v in blocks.flatten().tolist()):
+        if s * 64 > total:
+            out |= 1 << i
+    return out - (1 << 64) if out >= (1 << 63) else out

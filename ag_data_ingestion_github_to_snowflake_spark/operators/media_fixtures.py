@@ -321,3 +321,80 @@ def expected_video_meta_sql() -> str:
         + "\n    ) AS t(doc_id, container, brand, duration_s, n_tracks,"
         " width, height) ORDER BY doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# aHash near-dup fixtures: block-constant images with analytic hashes
+# ---------------------------------------------------------------------------
+def _ahash_matrices() -> list[tuple[int, str, list[list[int]]]]:
+    """(doc_id, fmt, 8x8 gray matrix). Images are the matrices blown up
+    2x2 per cell (block-constant), so the decoder-side 8x8 block-mean
+    IS the matrix and the expected hash follows from the matrix alone.
+
+    Perturbations are SWAPS of two cells, which keep the global sum
+    unchanged — so only the swapped cells' threshold bits can flip and
+    the analytic Hamming distances are by construction:
+      20 base A | 21 = A with one low/high swap (hamming 2, near-dup)
+      22 = A with two swaps (hamming 4 vs A: excluded at threshold 3)
+      23 unrelated pattern | 24 = 23 exactly (hamming 0, exact dup)
+    """
+    base = [[((r * 8 + c) * 3) % 200 for c in range(8)] for r in range(8)]
+    a1 = [row[:] for row in base]
+    a1[0][0], a1[7][7] = a1[7][7], a1[0][0]  # low <-> high: 2 bits flip
+    a2 = [row[:] for row in a1]
+    a2[0][1], a2[7][6] = a2[7][6], a2[0][1]  # second swap: 2 more bits
+    other = [[(255 - 7 * ((r + c * 8) % 30)) % 256 for c in range(8)] for r in range(8)]
+    return [
+        (20, "bmp", base),
+        (21, "png", a1),
+        (22, "bmp", a2),
+        (23, "png", other),
+        (24, "bmp", other),
+    ]
+
+
+def ahash_fixture_rows() -> list[tuple[int, bytes]]:
+    rows = []
+    for doc_id, fmt, mat in _ahash_matrices():
+        img = np.kron(np.array(mat, dtype=np.uint8), np.ones((2, 2), np.uint8))
+        rgb = np.stack([img] * 3, axis=2)
+        enc = codecs.encode_bmp if fmt == "bmp" else codecs.encode_png
+        rows.append((doc_id, enc(rgb)))
+    return rows
+
+
+def expected_ahash(mat: list[list[int]]) -> int:
+    """Analytic aHash from the 8x8 matrix (gray => luma = v * 1000;
+    equal block sizes => bit = 64*v > sum(v)), signed like the kernel."""
+    flat = [v for row in mat for v in row]
+    total = sum(flat)
+    out = 0
+    for i, v in enumerate(flat):
+        if v * 64 > total:
+            out |= 1 << i
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def expected_ahash_pairs(max_hamming: int = 3) -> list[tuple[int, int, int]]:
+    """All fixture pairs at Hamming <= max_hamming, computed from the
+    matrices (never from the decoder or the Spark pipeline)."""
+    hashes = [(d, expected_ahash(m)) for d, _, m in _ahash_matrices()]
+    out = []
+    for i, (da, ha) in enumerate(hashes):
+        for db, hb in hashes[i + 1 :]:
+            ham = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+            if ham <= max_hamming:
+                out.append((min(da, db), max(da, db), ham))
+    return sorted(out)
+
+
+def expected_ahash_pairs_sql() -> str:
+    rows = ",\n      ".join(
+        f"(CAST({a} AS BIGINT), CAST({b} AS BIGINT), CAST({h} AS INT))"
+        for a, b, h in expected_ahash_pairs()
+    )
+    return (
+        "SELECT * FROM (VALUES\n      "
+        + rows
+        + "\n    ) AS t(id_a, id_b, hamming)"
+    )

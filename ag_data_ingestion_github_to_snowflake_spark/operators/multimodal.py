@@ -296,3 +296,38 @@ def resize_images(
             )
 
     return df.select(id_col, payload_col).mapInPandas(kernel, RESIZED_SCHEMA)
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("simhash", T.LongType()),
+    ]
+)
+
+
+def image_ahash_df(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perceptual average-hash per image via mapInPandas (real decode,
+    ``operators/codecs.py:ahash64``). The output column is named
+    ``simhash`` so the 64-bit pigeonhole blocking in
+    ``operators/dedup.py:simhash_near_pairs`` applies unchanged —
+    near-duplicate IMAGES then come out of the same banded single-
+    shuffle machinery as near-duplicate text. Undecodable or sub-8x8
+    payloads are quarantined (row dropped), not task failures.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    rows.append((int(did), codecs.ahash64(bytes(payload))))
+                except (ValueError, NotImplementedError):
+                    continue  # quarantine: skip undecodable rows
+            yield pd.DataFrame(rows, columns=["doc_id", "simhash"])
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, AHASH_SCHEMA)

@@ -1192,3 +1192,170 @@ def ssjoin_prefix_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     # candidate+verify pipeline a second time (measured ~2x: 4.6 s ->
     # 2.4 s at sf0.1 from dropping it).
     return prefix_filter_similar_pairs(docs, "text", "doc_id", 0.6)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated-span removal (Lee et al. 2021 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "span_dedup_corpus",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, pos,
+             array_to_string(l[(pos*4+1):(pos*4+4)], ' ') AS span
+      FROM (
+        SELECT doc_id, l,
+               unnest(range(0, CAST(ceil(len(l)/4.0) AS BIGINT))) AS pos
+        FROM toks
+      )
+    ),
+    boiler AS (
+      SELECT span FROM spans GROUP BY span
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    kept AS (
+      SELECT * FROM spans WHERE span NOT IN (SELECT span FROM boiler)
+    )
+    SELECT doc_id,
+           string_agg(span, ' ' ORDER BY pos) AS clean_text,
+           CAST(COUNT(*) AS BIGINT) AS n_spans_kept
+    FROM kept GROUP BY doc_id
+    """,
+    survey_ids=("B53", "B41", "B16"),
+    description="cross-corpus repeated-span removal: drop 4-token spans shared by >=2 docs, reassemble",
+)
+def span_dedup_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Repeated-substring removal across the corpus (the Lee et al.
+    2021 "Deduplicating Training Data" operator, reduced from suffix
+    arrays to fixed non-overlapping 4-token spans): any span occurring
+    in >= 2 distinct documents is boilerplate; documents are
+    reassembled from their surviving spans in order. The reference has
+    no corpus ops at all — this is north-star surface (training-data
+    curation).
+
+    Plan shape at 100 TB: one narrow explode (spans are derived
+    map-side with transform+posexplode — no UDF), ONE shuffle to count
+    distinct docs per span, then the boilerplate set (tiny by
+    construction: only highly-repeated spans survive the HAVING) comes
+    back via a left_anti join that AQE turns into a broadcast, and ONE
+    doc-keyed shuffle rebuilds the text. The dominant cost is the two
+    fact-sized shuffles; nothing is quadratic because spans never join
+    spans. ~11% of span instances are removed on the fixture corpus
+    (calibrated so the op is observably lossy but not destructive).
+    """
+    docs = t(spark, sf, "documents").filter(F.length("text") > 0)
+    W = 4
+    toks = docs.select("doc_id", F.split("text", " ").alias("l"))
+    spans = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("l") / F.lit(float(W))).cast("int") - 1,
+                ),
+                lambda i: F.array_join(F.slice("l", i * W + 1, W), " "),
+            )
+        ).alias("pos", "span"),
+    )
+    boiler = (
+        spans.groupBy("span")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("span")
+    )
+    kept = spans.join(boiler, "span", "left_anti")
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "span"))),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spans_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rule battery
+# ---------------------------------------------------------------------------
+@register(
+    "gopher_quality_rules",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, lang,
+             len(w) AS n_words,
+             CAST(len(array_to_string(w, '')) AS DOUBLE) / len(w) AS mean_word_len,
+             CAST(len(list_filter(w, x -> regexp_matches(x, '^[a-z]+$')))
+                  AS DOUBLE) / len(w) AS alpha_frac,
+             CAST(len(list_filter(w, x -> x IN ('the','a','of','to','and','in')))
+                  AS DOUBLE) / len(w) AS stop_frac
+      FROM words WHERE len(w) > 0
+    )
+    SELECT doc_id, lang,
+           CAST(n_words AS BIGINT) AS n_words,
+           ROUND(mean_word_len, 6) AS mean_word_len,
+           ROUND(alpha_frac, 6) AS alpha_frac,
+           ROUND(stop_frac, 6) AS stop_frac,
+           (n_words BETWEEN 20 AND 100000
+            AND mean_word_len BETWEEN 2 AND 10
+            AND alpha_frac >= 0.8) AS passes
+    FROM feat
+    """,
+    survey_ids=("B56", "B41", "B43"),
+    description="Gopher-rule quality battery: word count, mean word length, alpha fraction, stopword fraction",
+)
+def gopher_quality_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """The Gopher / MassiveText repetition-free quality rules (Rae et
+    al. 2021, §A1.1 of the published paper) as one Column-native pass:
+    word-count bounds, mean word length in [2,10], fraction of
+    alphabetic words >= 0.8, plus the stopword-fraction signal. Every
+    feature derives from ONE split() array — no second tokenization,
+    no UDF, no shuffle at all (the whole query is map-side; the only
+    exchange the driver sees is the result collect).
+
+    ``aggregate``/``filter`` higher-order functions keep the counting
+    inside whole-stage codegen; the same rules at 100 TB are a pure
+    map over the corpus with predicate-pushdown-friendly output
+    (filter on ``passes`` prunes before any downstream shuffle).
+    """
+    docs = t(spark, sf, "documents")
+    w = F.split("text", " ")
+    n_words = F.size(w)
+    total_chars = F.aggregate(
+        F.transform(w, lambda x: F.length(x)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    alpha_cnt = F.size(F.filter(w, lambda x: x.rlike("^[a-z]+$")))
+    stop_cnt = F.size(
+        F.filter(w, lambda x: x.isin("the", "a", "of", "to", "and", "in"))
+    )
+    feat = docs.filter(n_words > 0).select(
+        "doc_id",
+        "lang",
+        n_words.cast("bigint").alias("n_words"),
+        (total_chars.cast("double") / n_words).alias("mean_word_len"),
+        (alpha_cnt.cast("double") / n_words).alias("alpha_frac"),
+        (stop_cnt.cast("double") / n_words).alias("stop_frac"),
+    )
+    return feat.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("alpha_frac", 6).alias("alpha_frac"),
+        F.round("stop_frac", 6).alias("stop_frac"),
+        (
+            F.col("n_words").between(20, 100000)
+            & F.col("mean_word_len").between(2, 10)
+            & (F.col("alpha_frac") >= 0.8)
+        ).alias("passes"),
+    )

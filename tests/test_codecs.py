@@ -386,3 +386,22 @@ def test_decoder_fuzz_only_value_errors():
                 fn(bytes(base))
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_ahash64_exact_and_guarded():
+    """aHash: analytic equality on block-constant images, sub-8x8
+    rejection, and Hamming stability under the signed-long cast."""
+    from ag_data_ingestion_github_to_snowflake_spark.operators import (
+        media_fixtures as mf,
+    )
+
+    mats = {d: m for d, _, m in mf._ahash_matrices()}
+    for d, payload in mf.ahash_fixture_rows():
+        assert codecs.ahash64(payload) == mf.expected_ahash(mats[d])
+    # image smaller than 8x8 quarantines as ValueError
+    tiny = codecs.encode_bmp(np.zeros((4, 4, 3), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        codecs.ahash64(tiny)
+    # a hash with bit 63 set must come back signed (Spark LongType)
+    top = [[255 if r >= 6 else 0 for _ in range(8)] for r in range(8)]
+    assert mf.expected_ahash(top) < 0
