@@ -143,6 +143,7 @@ def all_specs() -> dict[str, QuerySpec]:
         llm_ops,
         reshape_queries,
         sampling_queries,
+        semantic_queries,
         scalar_funcs,
         scale_ops,
         sketch_queries,

@@ -199,3 +199,123 @@ def count_min_sketch_bytes(df: DataFrame, col: str, eps: float = 0.001) -> bytes
     return df.agg(
         F.count_min_sketch(col, F.lit(eps), F.lit(0.99), F.lit(1)).alias("sk")
     ).collect()[0].sk
+
+
+# ---------------------------------------------------------------------------
+# From-scratch, oracle-replayable sketch twins (operators/sketches.py):
+# the md5-derived hash family lets DuckDB recompute the EXACT sketch —
+# hashing, sampling, merge, estimate — so the sketch algebra itself is
+# hash-verified, the same pattern as hll_verified_users_by_type.
+# ---------------------------------------------------------------------------
+@register(
+    "kmv_distinct_users",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type AS grp,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM events
+    ),
+    r AS (SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn FROM h),
+    ex AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS exact FROM h GROUP BY grp),
+    s AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS sample_n,
+             MAX(CASE WHEN rn = 8 THEN h END) AS h_k
+      FROM r WHERE rn <= 8 GROUP BY grp
+    ),
+    per AS (
+      SELECT s.grp AS event_type, ex.exact AS exact_users,
+             CASE WHEN h_k IS NOT NULL
+                  THEN CAST(ROUND(7.0 * 1152921504606846976.0 / CAST(h_k AS DOUBLE)) AS BIGINT)
+                  ELSE s.sample_n END AS kmv_est,
+             s.sample_n
+      FROM s JOIN ex ON s.grp = ex.grp
+    ),
+    gr AS (
+      SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+      FROM (SELECT DISTINCT h FROM h)
+    ),
+    gs AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS sample_n,
+             MAX(CASE WHEN rn = 8 THEN h END) AS h_k
+      FROM gr WHERE rn <= 8
+    ),
+    gx AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users FROM events),
+    gl AS (
+      SELECT '__all__' AS event_type, gx.exact_users,
+             CASE WHEN h_k IS NOT NULL
+                  THEN CAST(ROUND(7.0 * 1152921504606846976.0 / CAST(h_k AS DOUBLE)) AS BIGINT)
+                  ELSE gs.sample_n END AS kmv_est,
+             gs.sample_n
+      FROM gs, gx
+    )
+    SELECT * FROM per UNION ALL SELECT * FROM gl
+    """,
+    survey_ids=("B21", "B16", "B29"),
+    description="KMV distinct sketch per event_type + sketch-MERGE global estimate",
+)
+def kmv_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """K-minimum-values distinct-user sketches (k=8) per event_type,
+    plus the global row computed by MERGING the per-group samples
+    (union -> distinct -> re-cut to k) — the mergeability algebra is
+    what the oracle hash-pins. ``operators/sketches.py``."""
+    from ag_data_ingestion_github_to_snowflake_spark.operators import sketches as K
+
+    ev = t(spark, sf, "events")
+    per = K.kmv_group_estimates(ev, "user_id", "event_type", k=8).select(
+        F.col("grp").alias("event_type"),
+        F.col("exact").alias("exact_users"),
+        F.col("est").alias("kmv_est"),
+        "sample_n",
+    )
+    glob = K.kmv_merged_estimate(ev, "user_id", "event_type", k=8).select(
+        F.lit("__all__").alias("event_type"),
+        F.col("exact").alias("exact_users"),
+        F.col("est").alias("kmv_est"),
+        "sample_n",
+    )
+    return per.unionByName(glob)
+
+
+@register(
+    "countmin_heavy_hitters",
+    oracle="""
+    WITH cand AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt
+      FROM events GROUP BY user_id
+      ORDER BY true_cnt DESC, user_id LIMIT 20
+    ),
+    cnt AS (
+      SELECT r,
+             CAST(('0x' || substr(md5(CONCAT(r, ':', CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 32 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events, (SELECT unnest([0, 1, 2, 3]) AS r)
+      GROUP BY 1, 2
+    ),
+    probe AS (
+      SELECT c.user_id, c.true_cnt, r,
+             CAST(('0x' || substr(md5(CONCAT(r, ':', CAST(c.user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 32 AS bucket
+      FROM cand c, (SELECT unnest([0, 1, 2, 3]) AS r)
+    )
+    SELECT p.user_id, p.true_cnt, CAST(MIN(cnt.cnt) AS BIGINT) AS cms_est
+    FROM probe p JOIN cnt ON p.r = cnt.r AND p.bucket = cnt.bucket
+    GROUP BY p.user_id, p.true_cnt
+    """,
+    survey_ids=("B21", "B16", "B24"),
+    description="Count-Min sketch (d=4, w=32) point estimates for the top-20 users",
+)
+def countmin_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min frequency sketch replayed exactly: d x w counters via
+    one aggregation, broadcast to the top-20 candidates, min over
+    rows. Estimates provably >= true counts (asserted in
+    ``tests/test_sketches.py``). ``operators/sketches.py``."""
+    from ag_data_ingestion_github_to_snowflake_spark.operators import sketches as K
+
+    ev = t(spark, sf, "events")
+    cand = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), "user_id")
+        .limit(20)
+    )
+    est = K.cms_estimate_keys(ev, cand.select("user_id"), "user_id", depth=4, width=32)
+    return cand.join(est, "user_id").select("user_id", "true_cnt", "cms_est")

@@ -696,3 +696,46 @@ def arrow_ipc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+@register(
+    "xml_extract_orders",
+    # The oracle reads the base columns directly: the Spark side must
+    # prove generate -> parse is the identity, which is exactly what a
+    # serde roundtrip query is for (same pattern as
+    # json_sink_roundtrip). Only exactly-representable fields (bigint,
+    # strings) ride in the XML so no float-formatting question exists.
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey AS custkey,
+           o_orderstatus AS status,
+           CAST(o_orderdate AS VARCHAR) AS odate
+    FROM orders
+    """,
+    survey_ids=("B38", "A18", "B2"),
+    description="XML serde roundtrip: format_string -> native from_xml -> fields",
+)
+def xml_extract_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """XML record build + parse with Spark 4's NATIVE XML support
+    (``F.from_xml`` — JVM-side, whole-stage codegen; no Python in the
+    loop). Attributes and nested elements both exercised; at 100 TB
+    this is a map-side projection, shuffle-free."""
+    orders = t(spark, sf, "orders")
+    xml = F.format_string(
+        '<order id="%d"><custkey>%d</custkey><status>%s</status>'
+        "<odate>%s</odate></order>",
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.col("o_orderdate").cast("string"),
+    )
+    parsed = F.from_xml(
+        xml,
+        "STRUCT<_id: BIGINT, custkey: BIGINT, status: STRING, odate: STRING>",
+    )
+    return orders.select(parsed.alias("p")).select(
+        F.col("p._id").alias("o_orderkey"),
+        F.col("p.custkey").alias("custkey"),
+        F.col("p.status").alias("status"),
+        F.col("p.odate").alias("odate"),
+    )

@@ -1,0 +1,97 @@
+"""BPE merge training vs a pure-Python reference implementation.
+
+The distributed trainer (operators/bpe.py) is iterative and
+driver-coordinated, so its registry entry is rows-only; this test IS
+its correctness gate — the learned merge table must equal, rule for
+rule, what the classic single-machine algorithm (Sennrich et al. 2016,
+overlapping pair counts, left-to-right non-overlapping rewrite,
+(count desc, left, right) tie-break) produces on the same corpus.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from ag_data_ingestion_github_to_snowflake_spark.operators.bpe import (
+    END_OF_WORD,
+    _merge_pair_expr,
+    train_bpe_merges,
+)
+
+
+def _ref_bpe(texts: list[str], n_merges: int) -> list[tuple[str, str, int]]:
+    wf = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            wf[w] += 1
+    syms = {w: list(w) + [END_OF_WORD] for w in wf}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for w, freq in wf.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += freq
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((a, b, cnt))
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+CORPUS = [
+    "low low low low low",
+    "lower lower newest newest",
+    "newest newest newest newest",
+    "wider wider wider new new",
+]
+
+
+def test_trained_merges_equal_reference(spark):
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)], "doc_id INT, text STRING")
+    got = [
+        (r["left"], r["right"], r["pair_count"])
+        for r in train_bpe_merges(spark, docs, n_merges=8).orderBy("rank").collect()
+    ]
+    assert got == _ref_bpe(CORPUS, 8)
+
+
+def test_merge_fold_overlap_rule(spark):
+    """'aaaa' under merge (a,a) fuses left-to-right non-overlapping:
+    [aa, aa]; 'aaa' gives [aa, a]."""
+    df = spark.createDataFrame([(["a", "a", "a", "a"],), (["a", "a", "a"],)], "sym: array<string>")
+    out = df.select(_merge_pair_expr(F.col("sym"), "a", "a").alias("m")).collect()
+    assert [r.m for r in out] == [["aa", "aa"], ["aa", "a"]]
+
+
+def test_merge_fold_no_match_identity(spark):
+    df = spark.createDataFrame([(["x", "y", "z"],)], "sym: array<string>")
+    out = df.select(_merge_pair_expr(F.col("sym"), "a", "b").alias("m")).collect()
+    assert out[0].m == ["x", "y", "z"]
+
+
+def test_registry_query_runs(spark):
+    from ag_data_ingestion_github_to_snowflake_spark.plans.registry import all_specs
+
+    df = all_specs()["bpe_train_merges"].build(spark, "/root/testdata/sf0.001")
+    rows = df.orderBy("rank").collect()
+    assert len(rows) == 6
+    # counts must be non-increasing in learn order only when no merge
+    # creates a more frequent pair — not guaranteed in general, so
+    # assert the structural invariants instead.
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5, 6]
+    assert all(r["pair_count"] > 0 for r in rows)
+    assert len({(r["left"], r["right"]) for r in rows}) == 6

@@ -94,6 +94,11 @@ ALLOWED_FLAGS = {
     ("bloom_prefilter_join", "BroadcastNestedLoopJoin"),
     # Same 1-row bitmap attach inside the bloom-pruned anti-join.
     ("incremental_dedup_bloom", "BroadcastNestedLoopJoin"),
+    # The KMV global row joins the 1-row exact-count aggregate to the
+    # 1-row merged-sketch estimate — a 1x1 broadcast scalar join,
+    # invariant in the data size (operators/sketches.py:
+    # kmv_merged_estimate).
+    ("kmv_distinct_users", "BroadcastNestedLoopJoin"),
 }
 
 # Queries whose build() executes side work and returns a materialized
