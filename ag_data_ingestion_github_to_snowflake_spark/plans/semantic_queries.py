@@ -92,3 +92,203 @@ def bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
     in ``tests/test_bpe.py``."""
     docs = t(spark, sf, "documents").filter(F.col("doc_id") < 200)
     return B.train_bpe_merges(spark, docs, n_merges=6)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization ANN (operators/pq.py)
+# ---------------------------------------------------------------------------
+_PQ_M = 4
+_PQ_K = 8
+_PQ_CODEBOOKS = None  # built lazily: import-time cost is 4*8*16 sins
+
+
+def _pq_books():
+    global _PQ_CODEBOOKS
+    if _PQ_CODEBOOKS is None:
+        from ag_data_ingestion_github_to_snowflake_spark.operators import pq as PQ
+
+        _PQ_CODEBOOKS = PQ.pq_codebooks(_DIM, _PQ_M, _PQ_K, seed=57)
+    return _PQ_CODEBOOKS
+
+
+def _pq_oracle() -> str:
+    from ag_data_ingestion_github_to_snowflake_spark.operators import pq as PQ
+
+    return PQ.pq_oracle_sql(
+        """corpus AS (
+      SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+      FROM embeddings
+    )""",
+        "vec_id < 10",
+        _pq_books(),
+        topk=5,
+    )
+
+
+@register(
+    "similarity_pq_adc",
+    oracle=_pq_oracle(),
+    survey_ids=("B55", "B41", "B43"),
+    description="Product-quantization ADC top-5 (FAISS PQ shape), codes + tables replayed",
+)
+def similarity_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ-compressed ANN: 64 floats -> 4 codes; per-query ADC distance
+    tables built once, candidates pay 4 array lookups each —
+    ``operators/pq.py``. Encoding, tables, lookups, and ranking all
+    replayed by the DuckDB oracle with codebook literals inlined."""
+    from ag_data_ingestion_github_to_snowflake_spark.operators import pq as PQ
+
+    emb = t(spark, sf, "embeddings")
+    return PQ.pq_adc_topk(
+        emb, emb.filter(F.col("vec_id") < 10), _pq_books(), topk=5
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (storage-dedup boundary detection)
+# ---------------------------------------------------------------------------
+@register(
+    "cdc_chunk_boundaries",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id, unnest(sl, recursive := true)
+      FROM (
+        SELECT doc_id,
+               [{'pos': i, 'tok': tk[i]} FOR i IN range(1, len(tk) + 1)] AS sl
+        FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk
+              FROM documents WHERE doc_id < 300)
+      )
+    ),
+    toks AS (SELECT doc_id, tok, pos FROM raw WHERE tok <> ''),
+    flagged AS (
+      SELECT doc_id, tok, pos,
+             CASE WHEN CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 16 = 0
+                  THEN 1 ELSE 0 END AS bnd
+      FROM toks
+    ),
+    chunked AS (
+      SELECT doc_id, tok, pos,
+             COALESCE(SUM(bnd) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+      FROM flagged
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+    FROM chunked
+    GROUP BY doc_id, chunk_id
+    """,
+    survey_ids=("B56", "B53", "B29"),
+    description="Content-defined chunking: hash-gated boundaries, per-chunk dedup hashes",
+)
+def cdc_chunk_boundaries(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS/dedup-storage trick):
+    a chunk boundary falls after any token whose 60-bit hash is 0 mod
+    16, so boundaries survive insertions/deletions — unlike fixed-size
+    passage chunks (``passage_dedup_chunks``), an edit reflows only
+    its own chunk. Per-chunk md5 makes chunks the dedup unit.
+
+    One shuffle keyed by doc_id (the boundary prefix-sum window); the
+    chunk reassembly groups on (doc_id, chunk_id) which is a prefix of
+    the same key — AQE reuses the exchange. Expected chunk length is
+    the gate modulus (16 tokens).
+    """
+    from pyspark.sql import Window
+
+    from ag_data_ingestion_github_to_snowflake_spark.operators.dedup import (
+        md5_hash60,
+    )
+
+    docs = t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), r"\s+")).alias("pos0", "tok"),
+    ).filter(F.col("tok") != "")
+    flagged = toks.select(
+        "doc_id",
+        "tok",
+        (F.col("pos0") + 1).alias("pos"),
+        F.when(F.pmod(md5_hash60(F.col("tok")), F.lit(16)) == 0, 1)
+        .otherwise(0)
+        .alias("bnd"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    chunked = flagged.withColumn(
+        "chunk_id", F.coalesce(F.sum("bnd").over(w), F.lit(0)).cast("bigint")
+    )
+    return (
+        chunked.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "tok"))
+                        ),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("chunk_hash"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality signal
+# ---------------------------------------------------------------------------
+@register(
+    "char_entropy_docs",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, c.ch
+      FROM documents,
+           LATERAL unnest(string_split(lower(text), '')) AS c(ch)
+      WHERE doc_id < 300
+    ),
+    counts AS (
+      SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM chars GROUP BY doc_id, ch
+    ),
+    tot AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_chars,
+             CAST(COUNT(*) AS BIGINT) AS distinct_chars
+      FROM counts GROUP BY doc_id
+    )
+    SELECT c.doc_id, t.n_chars, t.distinct_chars,
+           ROUND(-SUM((CAST(cnt AS DOUBLE) / t.n_chars)
+                      * ln(CAST(cnt AS DOUBLE) / t.n_chars)), 6) AS entropy
+    FROM counts c JOIN tot t ON c.doc_id = t.doc_id
+    GROUP BY c.doc_id, t.n_chars, t.distinct_chars
+    """,
+    survey_ids=("B56", "B16", "B43"),
+    description="Per-doc character entropy (nats): the CCNet-style gibberish signal",
+)
+def char_entropy_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Shannon entropy of the character distribution per document —
+    low entropy flags boilerplate/repetition, high entropy flags
+    binary-ish noise (the quality-filter signal family of
+    CCNet/RedPajama). One explode + two aggregations on the same
+    doc_id key; float sum-order noise is absorbed by round-6."""
+    docs = t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    counts = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower(F.col("text")), "")).alias("ch")
+        )
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    tot = counts.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_chars"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_chars"),
+    )
+    p = F.col("cnt").cast("double") / F.col("n_chars")
+    return (
+        counts.join(tot, "doc_id")
+        .groupBy("doc_id", "n_chars", "distinct_chars")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
+    )

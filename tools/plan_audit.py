@@ -52,6 +52,11 @@ ALLOWED_FLAGS = {
     # Same shape with an int8-quantized corpus side: the broadcast side
     # is the LIMITed query set; corpus streams map-side.
     ("similarity_topk_quantized", "BroadcastNestedLoopJoin"),
+    # Same shape again for the PQ/ADC scan: the broadcast side is the
+    # LIMITed query set carrying its m x k distance tables; the coded
+    # corpus streams map-side paying m element_at lookups per row —
+    # the ADC design point (operators/pq.py:pq_adc_topk).
+    ("similarity_pq_adc", "BroadcastNestedLoopJoin"),
     # Q22-shaped scalar subquery: the filter compares against a 1-row
     # global aggregate; Spark plans that as a BNLJ against a broadcast
     # single row — effectively a map-side filter.
