@@ -340,3 +340,44 @@ def skew_diagnostic_orders(spark: SparkSession, sf: str) -> DataFrame:
             / (F.col("total_rows").cast("double") / F.col("n_keys"))
         ).alias("skew_ratio"),
     )
+
+
+@register(
+    "metadata_agg_pushdown",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+           CAST(MIN(o_custkey) AS BIGINT) AS min_cust,
+           CAST(MAX(o_custkey) AS BIGINT) AS max_cust
+    FROM orders
+    """,
+    survey_ids=("B18", "B1"),
+    description="COUNT/MIN/MAX answered from parquet footer metadata (PushedAggregation)",
+)
+def metadata_agg_pushdown(spark: SparkSession, sf: str) -> DataFrame:
+    """Global COUNT/MIN/MAX pushed INTO the parquet scan
+    (``PushedAggregation`` in the DSv2 plan): the answer comes from
+    row-group footer statistics, so a 100 TB table costs one footer
+    read per file instead of a full scan — the cheapest possible
+    global aggregate.
+
+    Spark gates this behind ``spark.sql.parquet.aggregatePushdown`` on
+    the DSv2 read path; both are scoped to a ``newSession()`` clone
+    (shared SparkContext, isolated SQLConf) because the main session
+    keeps the v1 path for bucketed-table support
+    (``bucketed_join_colocated``). The pushdown is asserted in
+    ``tests/test_scan_pruning.py``; no filter/no-timestamp limits
+    (pushdown silently disables for those) keep this metadata-only.
+    """
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    orders = s2.read.parquet(f"{sf}/orders.parquet")
+    return orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+        F.max("o_orderkey").cast("bigint").alias("max_key"),
+        F.min("o_custkey").cast("bigint").alias("min_cust"),
+        F.max("o_custkey").cast("bigint").alias("max_cust"),
+    )

@@ -155,3 +155,16 @@ def test_aqe_coalesces_shuffle_partitions(spark):
     assert "AdaptiveSparkPlan" in text
     assert "AQEShuffleRead" in text
     assert "coalesced" in text.lower()
+
+
+def test_aggregate_pushdown_reaches_scan(spark):
+    """metadata_agg_pushdown must show PushedAggregation in the DSv2
+    scan — the COUNT/MIN/MAX is answered from footer statistics, not a
+    row scan (plans/scale_ops.py:metadata_agg_pushdown)."""
+    from ag_data_ingestion_github_to_snowflake_spark.plans.registry import all_specs
+
+    df = all_specs()["metadata_agg_pushdown"].build(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedAggregation: [COUNT(*)" in plan, plan[:2000]
+    row = df.collect()[0]
+    assert row["n_orders"] == 1500 and row["min_key"] == 0
