@@ -381,3 +381,54 @@ def metadata_agg_pushdown(spark: SparkSession, sf: str) -> DataFrame:
         F.min("o_custkey").cast("bigint").alias("min_cust"),
         F.max("o_custkey").cast("bigint").alias("max_cust"),
     )
+
+
+@register(
+    "runtime_bloom_filter_join",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 400000
+    GROUP BY o_orderstatus
+    """,
+    survey_ids=("B10", "B16", "B1"),
+    description="Shuffle join pre-pruned by Spark's injected runtime bloom filter",
+)
+def runtime_bloom_filter_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Catalyst's InjectRuntimeFilter at work: the selective orders
+    predicate builds a bloom_filter_agg at runtime and a
+    ``might_contain`` pre-filter lands on the lineitem scan BEFORE its
+    shuffle — at 100 TB this is the difference between shuffling the
+    whole fact table and shuffling only rows that can match
+    (complement of the hand-built bloom in ``bloom_prefilter_join``,
+    which shows the same trick as an explicit operator).
+
+    Confs are scoped to a ``newSession()`` clone: broadcast is
+    disabled so the join actually shuffles (a broadcast join needs no
+    runtime filter), and the application-side size floor drops to 0
+    because the test fixture is far below the 10 GB production
+    default. The injected filter is asserted in
+    ``tests/test_scan_pruning.py``.
+    """
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    li = s2.read.parquet(f"{sf}/lineitem.parquet")
+    orders = s2.read.parquet(f"{sf}/orders.parquet").filter(
+        F.col("o_totalprice") > 400000
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

@@ -333,3 +333,47 @@ def streaming_dedup_events(spark: SparkSession, sf: str) -> DataFrame:
     sdf, _ = _staged_events_stream(spark, sf)
     deduped = S.dedup_stream(sdf, ["event_id"], delay="40 days").select("event_id")
     return _drain(deduped, spark, "append")
+
+
+@register(
+    "streaming_stateful_totals",
+    # The custom stateful operator (applyInPandasWithState) drains via
+    # AvailableNow; its FINAL emission per user must equal the batch
+    # aggregate — the whole arbitrary-state path is hash-verified
+    # against SQL, not just smoke-tested.
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 6) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    survey_ids=("B44", "B52", "A22"),
+    description="Custom stateful streaming (applyInPandasWithState) running totals, oracle-verified",
+)
+def streaming_stateful_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user running totals via the CUSTOM stateful operator
+    (``streaming/stateful.py:running_user_totals``): state accumulates
+    (count, sum) across micro-batches and each batch emits the running
+    value in update mode. The memory sink therefore holds one row per
+    (user, batch-that-saw-the-user); the final state is the emission
+    with the highest count — selected with one window pass — and must
+    hash-match the batch GROUP BY. At 100 TB the operator holds one
+    small accumulator per live user in the state store (RocksDB in
+    production), with idle-timeout eviction available on continuous
+    streams (``idle_timeout_ms``; left off for AvailableNow drains,
+    where pending timers would keep the query alive forever)."""
+    from pyspark.sql import Window
+
+    from ag_data_ingestion_github_to_snowflake_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    sdf, _ = _staged_events_stream(spark, sf)
+    updates = _drain(running_user_totals(sdf), spark, "update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        updates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )

@@ -168,3 +168,15 @@ def test_aggregate_pushdown_reaches_scan(spark):
     assert "PushedAggregation: [COUNT(*)" in plan, plan[:2000]
     row = df.collect()[0]
     assert row["n_orders"] == 1500 and row["min_key"] == 0
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """runtime_bloom_filter_join must carry an injected might_contain
+    pre-filter on the fact side (plans/scale_ops.py)."""
+    from ag_data_ingestion_github_to_snowflake_spark.plans.registry import all_specs
+
+    df = all_specs()["runtime_bloom_filter_join"].build(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "might_contain" in plan and "bloom_filter_agg" in plan, plan[:2000]
