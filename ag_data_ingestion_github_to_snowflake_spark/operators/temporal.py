@@ -21,7 +21,7 @@ strategy that keeps a theta-range join off the cartesian path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -213,3 +213,57 @@ def distributed_sweep_max_concurrency(
             .alias("max_concurrent")
         )
     )
+
+
+def bucketed_lag_pairs(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    bucket_expr: Column,
+) -> DataFrame:
+    """Distributed lag-1 pairing: (group, yprev, y) — exactly the
+    pairs a global per-group LAG would produce, built WITHOUT the
+    low-cardinality window wall.
+
+    A per-group LAG sorts the whole group on one task, so k groups cap
+    parallelism at k regardless of cluster size (the same wall
+    ``distributed_sweep_max_concurrency`` breaks for running sums).
+    Here the order is chunked by ``bucket_expr`` (any expression
+    MONOTONE in the order, e.g. day truncation of the leading order
+    column): within-bucket lags run in parallel across group x bucket
+    partitions, and the single pair each bucket boundary severs is
+    restored from a per-bucket summary table (first/last value per
+    bucket, lagged over buckets — k * n_buckets rows, trivially
+    sorted). Union of the two = the exact global pair set, because a
+    monotone bucketing preserves the global order and severs exactly
+    the (last-of-bucket, first-of-next-bucket) adjacencies.
+    """
+    order = [F.col(c) for c in order_cols]
+    pts = df.select(
+        F.col(group_col),
+        bucket_expr.alias("_bucket"),
+        *[F.col(c) for c in order_cols],
+        F.col(value_col).alias("_y"),
+    )
+    w_local = Window.partitionBy(group_col, "_bucket").orderBy(*order)
+    within = (
+        pts.withColumn("_yprev", F.lag("_y").over(w_local))
+        .filter(F.col("_yprev").isNotNull())
+        .select(group_col, F.col("_yprev").alias("yprev"), F.col("_y").alias("y"))
+    )
+    first_last = pts.groupBy(group_col, "_bucket").agg(
+        F.min(F.struct(*order, F.col("_y"))).alias("_first"),
+        F.max(F.struct(*order, F.col("_y"))).alias("_last"),
+    )
+    w_buckets = Window.partitionBy(group_col).orderBy("_bucket")
+    boundary = (
+        first_last.withColumn("_prev_last", F.lag("_last").over(w_buckets))
+        .filter(F.col("_prev_last").isNotNull())
+        .select(
+            group_col,
+            F.col("_prev_last._y").alias("yprev"),
+            F.col("_first._y").alias("y"),
+        )
+    )
+    return within.unionByName(boundary)

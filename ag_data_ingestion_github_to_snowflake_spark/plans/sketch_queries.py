@@ -319,3 +319,57 @@ def countmin_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     )
     est = K.cms_estimate_keys(ev, cand.select("user_id"), "user_id", depth=4, width=32)
     return cand.join(est, "user_id").select("user_id", "true_cnt", "cms_est")
+
+
+@register(
+    "quantile_hash_sample",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, value FROM events
+      WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 16 = 0
+    ),
+    est AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS sample_n,
+             ROUND(quantile_cont(value, 0.5), 6) AS p50_est,
+             ROUND(quantile_cont(value, 0.9), 6) AS p90_est
+      FROM s GROUP BY event_type
+    ),
+    ex AS (
+      SELECT event_type,
+             ROUND(quantile_cont(value, 0.5), 6) AS p50_exact,
+             ROUND(quantile_cont(value, 0.9), 6) AS p90_exact
+      FROM events GROUP BY event_type
+    )
+    SELECT est.event_type, sample_n, p50_est, p90_est, p50_exact, p90_exact
+    FROM est JOIN ex ON est.event_type = ex.event_type
+    """,
+    survey_ids=("B23", "B16", "B21"),
+    description="Quantiles from a deterministic 1/16 hash sample vs exact (both replayed)",
+)
+def quantile_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile estimation from a DETERMINISTIC hash sample: rows
+    whose md5-derived key is 0 mod 16 form a uniform 1/16 sample that
+    every engine (and every rerun) selects identically — the
+    replayable alternative to rng sampling, and the third leg of the
+    from-scratch sketch family (KMV distinct, Count-Min frequency,
+    hash-sample quantiles). At 100 TB the sample is built map-side
+    (a hash predicate pushed at the scan) and only the 1/16 survivors
+    reach the sort-based percentile; exact columns ride along for the
+    accuracy contract (``tests/test_kmv_cms.py``)."""
+    ev = t(spark, sf, "events")
+    from ag_data_ingestion_github_to_snowflake_spark.operators.dedup import (
+        md5_hash60,
+    )
+
+    s = ev.filter(F.pmod(md5_hash60(F.col("event_id").cast("string")), F.lit(16)) == 0)
+    est = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sample_n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_est"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90_est"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_exact"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90_exact"),
+    )
+    return est.join(ex, "event_type")

@@ -9,6 +9,7 @@ from pyspark.sql.window import Window
 
 from ag_data_ingestion_github_to_snowflake_spark.operators.temporal import (
     asof_join,
+    bucketed_lag_pairs,
     bucketed_range_join,
 )
 from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register, t
@@ -329,4 +330,148 @@ def ewma_events_daily(spark: SparkSession, sf: str) -> DataFrame:
         F.col("day").cast("timestamp_ntz").alias("day"),
         F.size("vals").cast("bigint").alias("n"),
         fold.alias("ewma"),
+    )
+
+
+@register(
+    "autocorrelation_lag1_events",
+    # Native corr() accumulates doubles in aggregation order; both
+    # sides compute the five moments over the lag-paired series as
+    # EXACT decimal sums and assemble Pearson r in scalar double math
+    # (the stats_corr_quantity_price convention).
+    oracle="""
+    WITH lagged AS (
+      SELECT event_type,
+             CAST(value AS DECIMAL(18,6)) AS y,
+             LAG(CAST(value AS DECIMAL(18,6))) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS yprev
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(yprev) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(yprev * yprev) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy,
+             CAST(SUM(yprev * y) AS DOUBLE) AS sxy
+      FROM lagged WHERE yprev IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_pairs,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+             AS autocorr_lag1
+    FROM m
+    """,
+    survey_ids=("B30", "B23", "B16"),
+    description="Lag-1 autocorrelation of event values per type (exact-moment Pearson)",
+)
+def autocorrelation_lag1_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Serial correlation of the per-type event-value series — the
+    time-series diagnostic behind seasonality/trend checks. One lag
+    window + one aggregation, both on the event_type key (AQE reuses
+    the exchange); moments are exact decimal sums so the assembled r
+    is engine-identical at round-6."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf, "events")
+    y = F.col("value").cast("decimal(18,6)")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "event_type", y.alias("y"), F.lag(y).over(w).alias("yprev")
+    ).filter(F.col("yprev").isNotNull())
+    m = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("yprev").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("yprev") * F.col("yprev")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("yprev") * F.col("y")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "event_type",
+        n.cast("bigint").alias("n_pairs"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("autocorr_lag1"),
+    )
+
+
+@register(
+    "autocorrelation_lag1_distributed",
+    # Same oracle as autocorrelation_lag1_events: the distributed
+    # pairing must produce the identical pair set, hence identical
+    # moments and identical Pearson r.
+    oracle="""
+    WITH lagged AS (
+      SELECT event_type,
+             CAST(value AS DECIMAL(18,6)) AS y,
+             LAG(CAST(value AS DECIMAL(18,6))) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS yprev
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(yprev) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(yprev * yprev) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy,
+             CAST(SUM(yprev * y) AS DOUBLE) AS sxy
+      FROM lagged WHERE yprev IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_pairs,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+             AS autocorr_lag1
+    FROM m
+    """,
+    survey_ids=("B30", "B23", "B16"),
+    description="Lag-1 autocorrelation via day-bucketed parallel lag (window-wall-free twin)",
+)
+def autocorrelation_lag1_distributed(spark: SparkSession, sf: str) -> DataFrame:
+    """The scale path for ``autocorrelation_lag1_events``: per-type LAG
+    caps parallelism at the type cardinality (5 here — the
+    low-cardinality window wall, +1.36 at 100x), so the lag pairs are
+    built chunked — within-(type, day) lags in parallel, the one pair
+    each day boundary severs restored from a tiny per-bucket
+    first/last table (``operators/temporal.py:bucketed_lag_pairs``).
+    Identical pair set, identical oracle."""
+    ev = t(spark, sf, "events")
+    pairs = bucketed_lag_pairs(
+        ev.select(
+            "event_type", "ts", "event_id",
+            F.col("value").cast("decimal(18,6)").alias("yv"),
+        ),
+        group_col="event_type",
+        order_cols=["ts", "event_id"],
+        value_col="yv",
+        bucket_expr=F.date_trunc("day", F.col("ts")),
+    )
+    m = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("yprev").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("yprev") * F.col("yprev")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("yprev") * F.col("y")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "event_type",
+        n.cast("bigint").alias("n_pairs"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("autocorr_lag1"),
     )

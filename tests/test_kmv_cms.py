@@ -69,3 +69,55 @@ def test_cms_never_undercounts_and_exact_when_wide(spark):
     est_wide = K.cms_estimate_keys(df, keys, "user_id", depth=4, width=1024)
     for r in est_wide.collect():
         assert r["cms_est"] == truth[r["user_id"]]
+
+
+def test_quantile_hash_sample_accuracy(spark):
+    """The 1/16 hash sample's quantile estimates must track exact
+    within sample-size-appropriate tolerance (~128 rows per type at
+    sf0.01: median is tight, the p90 tail is statistically noisier —
+    order-statistic stderr ~ sqrt(p(1-p)/n) of rank ≈ ±4 ranks, which
+    on a heavy-tailed value column is a wide value interval)."""
+    from ag_data_ingestion_github_to_snowflake_spark.plans.registry import all_specs
+
+    rows = all_specs()["quantile_hash_sample"].build(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows, "no groups"
+    for r in rows:
+        assert r["sample_n"] > 50, r
+        spread = max(abs(r["p90_exact"]), 1.0)
+        assert abs(r["p50_est"] - r["p50_exact"]) < 0.20 * spread, r
+        assert abs(r["p90_est"] - r["p90_exact"]) < 0.35 * spread, r
+
+
+def test_bucketed_lag_pairs_equal_global_lag(spark):
+    """operators/temporal.bucketed_lag_pairs must produce EXACTLY the
+    pair multiset a global per-group LAG produces — the boundary
+    restoration is what makes the distributed twin exact."""
+    from pyspark.sql import Window
+    from ag_data_ingestion_github_to_snowflake_spark.operators.temporal import (
+        bucketed_lag_pairs,
+    )
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2025, 1, 1)
+    for g in ("a", "b"):
+        for i in range(50):
+            rows.append((g, base + dt.timedelta(hours=i * 7), i, float(i * 13 % 29)))
+    df = spark.createDataFrame(rows, "g STRING, ts TIMESTAMP, event_id INT, v DOUBLE")
+    got = sorted(
+        (r["g"], r["yprev"], r["y"])
+        for r in bucketed_lag_pairs(
+            df, "g", ["ts", "event_id"], "v",
+            F.date_trunc("day", F.col("ts")),
+        ).collect()
+    )
+    w = Window.partitionBy("g").orderBy("ts", "event_id")
+    want = sorted(
+        (r["g"], r["yprev"], r["v"])
+        for r in df.withColumn("yprev", F.lag("v").over(w))
+        .filter(F.col("yprev").isNotNull())
+        .collect()
+    )
+    assert got == want
