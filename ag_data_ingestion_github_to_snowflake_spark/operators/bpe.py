@@ -146,7 +146,54 @@ def apply_bpe_merges(
 ) -> Column:
     """Apply a learned merge table in order — a composition of array
     folds, map-side only (tokenize at inference time)."""
-    expr = F.col(sym_col)
+    return apply_bpe_merges_expr(F.col(sym_col), merges)
+
+
+def apply_bpe_merges_expr(sym: Column, merges: list[tuple[str, str]]) -> Column:
+    """Column-level form of ``apply_bpe_merges``."""
     for left, right in merges:
-        expr = _merge_pair_expr(expr, left, right)
+        sym = _merge_pair_expr(sym, left, right)
+    return sym
+
+
+def bpe_apply_oracle_expr(sym_expr: str, merges: list[tuple[str, str]]) -> str:
+    """DuckDB replay of ``apply_bpe_merges``: the same left-to-right
+    non-overlapping fold as ``_merge_pair_expr``, via ``list_reduce``.
+
+    The accumulator is a flat VARCHAR[] whose LAST element is the
+    pending (not-yet-emitted) symbol — chr(0) marks "no pending" (NUL
+    cannot occur in whitespace-split text tokens). A struct-shaped
+    accumulator would be the direct transcription of the Spark fold,
+    but DuckDB 1.0's list_reduce does not thread struct FIELDS through
+    the accumulator correctly, so the state is list-encoded instead:
+
+    - hit (pending == left, next == right):
+      emitted ++ [fused, MARK]
+    - else: (pending == MARK ? emitted : emitted ++ [pending]) ++ [next]
+      — and ``emitted ++ [pending]`` is just the accumulator itself.
+
+    list_reduce takes no initial value (it seeds with the first
+    element); each symbol maps to the single-element list [s], making
+    the seed identical to step(empty-state, s1). Equality to the Spark
+    fold is pinned by tests and registry parity. Single quotes in
+    merge tokens are unsupported (never produced by the whitespace
+    tokenization).
+    """
+    expr = sym_expr
+    for left, right in merges:
+        if "'" in left or "'" in right:
+            raise ValueError("merge tokens with quotes unsupported in oracle")
+        fused = left + right
+        step = (
+            "(acc, e) -> CASE "
+            f"WHEN acc[len(acc)] = '{left}' AND e[len(e)] = '{right}' "
+            f"THEN acc[1:len(acc) - 1] || ['{fused}', chr(0)] "
+            "ELSE (CASE WHEN acc[len(acc)] = chr(0) "
+            "THEN acc[1:len(acc) - 1] ELSE acc END) || [e[len(e)]] END"
+        )
+        folded = f"list_reduce(list_transform({expr}, s -> [s]), {step})"
+        expr = (
+            f"(SELECT CASE WHEN f[len(f)] = chr(0) THEN f[1:len(f) - 1] "
+            f"ELSE f END FROM (SELECT {folded} AS f))"
+        )
     return expr

@@ -292,3 +292,59 @@ def char_entropy_docs(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("doc_id", "n_chars", "distinct_chars")
         .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer APPLICATION (the oracle-checked inference-side twin of
+# the rows-only training loop)
+# ---------------------------------------------------------------------------
+_APPLY_MERGES = [("e", "</w>"), ("e", "r"), ("er", "</w>")]
+
+
+def _bpe_apply_oracle() -> str:
+    sym = "string_split(tok, '') || ['</w>']"
+    expr = B.bpe_apply_oracle_expr(sym, _APPLY_MERGES)
+    return f"""
+    WITH words AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+        FROM documents WHERE doc_id < 200
+      ) WHERE tok <> ''
+    ),
+    merged AS (
+      SELECT doc_id, {expr} AS sym FROM words
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(sym)) AS BIGINT) AS n_tokens
+    FROM merged GROUP BY doc_id
+    """
+
+
+@register(
+    "bpe_apply_tokenize",
+    oracle=_bpe_apply_oracle(),
+    survey_ids=("B56", "B41", "B16"),
+    description="BPE merge-table application (cascading fixed merges), fold replayed in SQL",
+)
+def bpe_apply_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer INFERENCE: apply a fixed merge table (cascading —
+    'er' exists only after ('e','r') fires) to every word as a
+    composition of map-side array folds, then count tokens per doc.
+    The DuckDB oracle replays the exact left-to-right non-overlapping
+    fold via list_reduce (``operators/bpe.py:bpe_apply_oracle_expr``),
+    so the rows-only training loop's REWRITE primitive is itself
+    oracle-pinned. Shuffle-free until the final doc_id aggregation."""
+    docs = t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    sym = F.concat(F.split(F.col("tok"), ""), F.array(F.lit(B.END_OF_WORD)))
+    merged = words.select(
+        "doc_id", B.apply_bpe_merges_expr(sym, _APPLY_MERGES).alias("sym")
+    )
+    return merged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum(F.size("sym")).cast("bigint").alias("n_tokens"),
+    )

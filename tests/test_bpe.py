@@ -95,3 +95,37 @@ def test_registry_query_runs(spark):
     assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5, 6]
     assert all(r["pair_count"] > 0 for r in rows)
     assert len({(r["left"], r["right"]) for r in rows}) == 6
+
+
+def test_apply_merges_matches_reference(spark):
+    """apply_bpe_merges_expr must equal the reference tokenizer's
+    merge application, including cascades through fused tokens."""
+    from ag_data_ingestion_github_to_snowflake_spark.operators.bpe import (
+        apply_bpe_merges_expr,
+    )
+
+    merges = [("l", "o"), ("lo", "w"), ("e", "r")]
+    words = ["low", "lower", "hello", "lll", "x"]
+
+    def ref(word):
+        s = list(word) + [END_OF_WORD]
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        return s
+
+    df = spark.createDataFrame([(w,) for w in words], "w STRING")
+    sym = F.concat(F.split(F.col("w"), ""), F.array(F.lit(END_OF_WORD)))
+    got = {
+        r["w"]: r["m"]
+        for r in df.select("w", apply_bpe_merges_expr(sym, merges).alias("m")).collect()
+    }
+    for w in words:
+        assert got[w] == ref(w), (w, got[w], ref(w))
