@@ -129,3 +129,39 @@ def test_apply_merges_matches_reference(spark):
     }
     for w in words:
         assert got[w] == ref(w), (w, got[w], ref(w))
+
+
+def test_merge_fold_randomized_vs_reference(spark):
+    """300 random symbol sequences (alphabet chosen to force overlap
+    and fused-token collisions) through one Spark job, each compared
+    to the reference non-overlapping rewrite."""
+    import random
+
+    rng = random.Random(1234)
+    alphabet = ["a", "b", "ab", "c"]
+    seqs = [
+        [rng.choice(alphabet) for _ in range(rng.randint(0, 12))]
+        for _ in range(300)
+    ]
+
+    def ref(s, a, b):
+        out, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        return out
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(seqs)], "i INT, sym: array<string>"
+    )
+    for a, b in [("a", "b"), ("a", "a"), ("ab", "c")]:
+        got = {
+            r["i"]: r["m"]
+            for r in df.select("i", _merge_pair_expr(F.col("sym"), a, b).alias("m")).collect()
+        }
+        for i, s in enumerate(seqs):
+            assert got[i] == ref(s, a, b), (i, s, a, b, got[i])

@@ -116,3 +116,36 @@ def test_pagerank_zero_iterations_is_uniform(spark):
     edges = spark.createDataFrame([], "src long, dst long, out_deg long")
     got = H.pagerank(nodes, edges, iterations=0, checkpoint=False)
     assert {r["rank"] for r in got.collect()} == {10**12}
+
+
+def test_canonical_url_idempotent_and_correct(spark):
+    """canonical_url must be idempotent (canonicalizing a canonical
+    URL is the identity) and produce the expected form across a grid
+    of messy component combinations — one Spark job."""
+    import itertools
+
+    from ag_data_ingestion_github_to_snowflake_spark.operators.html import (
+        canonical_url,
+    )
+
+    cases = []
+    for scheme, host, port, trail, frag, utm in itertools.product(
+        ["http", "HTTP", "https"],
+        ["Site.Example.COM", "site.example.com"],
+        ["", ":443"],
+        ["", "/"],
+        ["", "#sec"],
+        ["", "utm_campaign=x&"],
+    ):
+        url = f"{scheme}://{host}{port}/Path/p{trail}?{utm}b=2&a=1{frag}"
+        cases.append((url,))
+    df = spark.createDataFrame(cases, "url STRING")
+    out = df.select(
+        "url",
+        canonical_url(F.col("url")).alias("c1"),
+        canonical_url(canonical_url(F.col("url"))).alias("c2"),
+    ).collect()
+    for r in out:
+        scheme = r["url"].split("://")[0].lower()
+        assert r["c1"] == f"{scheme}://site.example.com/Path/p?a=1&b=2", r
+        assert r["c2"] == r["c1"], r
