@@ -432,3 +432,49 @@ def runtime_bloom_filter_join(spark: SparkSession, sf: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@register(
+    "partition_grouped_pushdown",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    survey_ids=("B16", "B1", "B3"),
+    description="GROUP BY partition column answered from directory metadata (PushedGroupBy)",
+)
+def partition_grouped_pushdown(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped COUNT pushed INTO a partitioned parquet scan
+    (``PushedGroupBy: [event_type]`` + pushed COUNT(*)): with the
+    group key a partition column and no data column referenced, the
+    answer comes from per-partition footer row counts — at 100 TB a
+    per-partition rollup costs directory listing + footers, zero data
+    pages. Events are staged partitioned-by-type once per (sf)
+    (reused marker-file pattern); the DSv2 confs are scoped to a
+    ``newSession()`` clone exactly as in ``metadata_agg_pushdown``.
+    Pushdown asserted in ``tests/test_scan_pruning.py``."""
+    import os
+    import tempfile
+
+    from ag_data_ingestion_github_to_snowflake_spark.catalog import load_table
+
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"ag_part_events_{os.path.basename(os.path.normpath(sf))}",
+    )
+    marker = os.path.join(stage, "_staged")
+    src = os.path.join(sf, "events.parquet")
+    if not os.path.exists(marker) or os.path.getmtime(marker) < os.path.getmtime(src):
+        load_table(spark, sf, "events").write.partitionBy("event_type").mode(
+            "overwrite"
+        ).parquet(stage)
+        with open(marker, "w") as fh:
+            fh.write("staged\n")
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    return (
+        s2.read.parquet(stage)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )

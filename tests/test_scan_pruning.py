@@ -180,3 +180,18 @@ def test_runtime_bloom_filter_injected(spark):
     )
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "might_contain" in plan and "bloom_filter_agg" in plan, plan[:2000]
+
+
+def test_group_by_pushdown_reaches_scan(spark):
+    """partition_grouped_pushdown must show PushedGroupBy on the
+    partition column plus a pushed COUNT — the rollup is answered
+    from directory + footer metadata (plans/scale_ops.py)."""
+    from ag_data_ingestion_github_to_snowflake_spark.plans.registry import all_specs
+
+    df = all_specs()["partition_grouped_pushdown"].build(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedGroupBy: [event_type]" in plan, plan[:2000]
+    assert "PushedAggregation: [COUNT(*)]" in plan, plan[:2000]
+    assert sum(r["n_events"] for r in df.collect()) == 1000
