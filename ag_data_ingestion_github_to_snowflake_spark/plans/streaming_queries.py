@@ -489,3 +489,81 @@ def streaming_session_window_events(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return em.exceptAll(dominated)
+
+
+@register(
+    "streaming_multibatch_rollup",
+    # Identical oracle to the batch rollup: 8 genuine micro-batches
+    # must accumulate to exactly the one-shot aggregate.
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 day', ts) AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    survey_ids=("B44", "B46", "A22"),
+    description="MULTI-batch incremental aggregation: 8 file-gated micro-batches, oracle-equal",
+)
+def streaming_multibatch_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """The incremental-accumulation proof the single-file drains don't
+    give: events are staged as 8 hash-split files and the source is
+    gated to ONE file per trigger, so the daily rollup state is built
+    across 8 genuine micro-batches (verifiable in the checkpoint's
+    offset log) — and the complete-mode result must still hash-match
+    the one-shot SQL aggregate. This is A22's scheduled-micro-batch
+    semantics under test at the aggregation level: state carries
+    across commits, late rows in later files merge into earlier days.
+    """
+    src = os.path.join(sf, "events.parquet")
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"ag_stream_split8_{os.path.basename(os.path.normpath(sf))}",
+    )
+    marker = os.path.join(stage, "_staged")
+    if not os.path.exists(marker) or os.path.getmtime(marker) < os.path.getmtime(src):
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage)
+        from ag_data_ingestion_github_to_snowflake_spark.catalog import load_table
+
+        ev = load_table(spark, sf, "events")  # ns/us-normalized read
+        # deterministic 8-way hash split (NOT round-robin: rerun-stable)
+        ev.withColumn("_b", F.pmod(F.xxhash64("event_id"), F.lit(8))).repartition(
+            8, "_b"
+        ).write.partitionBy("_b").mode("overwrite").parquet(stage + "_tmp")
+        for i in range(8):
+            part_dir = os.path.join(stage + "_tmp", f"_b={i}")
+            parts = [p for p in os.listdir(part_dir) if p.endswith(".parquet")]
+            assert len(parts) == 1, parts
+            shutil.copy(
+                os.path.join(part_dir, parts[0]),
+                os.path.join(stage, f"batch_{i}.parquet"),
+            )
+        shutil.rmtree(stage + "_tmp", ignore_errors=True)
+        with open(marker, "w") as fh:
+            fh.write("staged\n")
+    schema = spark.read.parquet(os.path.join(stage, "batch_0.parquet")).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .drop("_b")
+    )
+    agg = (
+        sdf.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "1 day").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("day"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return _drain(agg, spark, "complete")

@@ -500,3 +500,58 @@ def test_stream_neardup_ingest_replay_idempotent(spark, tmp_path):
     second = sorted(r.doc_id for r in spark.read.parquet(table).select("doc_id").collect())
     assert first == [1, 2]
     assert second == [1, 2]
+
+
+def test_multibatch_rollup_runs_eight_batches(spark, tmp_path):
+    """streaming_multibatch_rollup's source gating must produce one
+    micro-batch per staged file (8), and the accumulated state must
+    equal the batch aggregate — the incremental-accumulation contract,
+    asserted on the commit log rather than trusted."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ag_data_ingestion_github_to_snowflake_spark.plans.registry import all_specs
+
+    sf = "/root/testdata/sf0.001"
+    # build the staged split through the registry query (idempotent)
+    result = all_specs()["streaming_multibatch_rollup"].build(spark, sf)
+    batch = (
+        spark.read.parquet(os.path.join(sf, "events.parquet"))
+        .groupBy(
+            F.window(F.col("ts").cast("timestamp"), "1 day").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    assert result.count() == batch.count()
+    # now re-run the drain manually to inspect the commit log
+    import tempfile
+
+    stage = os.path.join(
+        tempfile.gettempdir(), "ag_stream_split8_sf0.001"
+    )
+    files = [p for p in os.listdir(stage) if p.endswith(".parquet")]
+    assert len(files) == 8, files
+    schema = spark.read.parquet(os.path.join(stage, files[0])).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .drop("_b")
+    )
+    agg = sdf.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    cp = str(tmp_path / "cp_mb")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", cp)
+        .format("memory")
+        .queryName("mb_commits")
+        .start()
+    )
+    assert q.awaitTermination(300)
+    commits = [
+        f for f in os.listdir(os.path.join(cp, "commits")) if not f.startswith(".")
+    ]
+    assert len(commits) == 8, commits
+    spark.catalog.dropTempView("mb_commits")
