@@ -373,3 +373,35 @@ def quantile_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90_exact"),
     )
     return est.join(ex, "event_type")
+
+
+@register(
+    "approx_topk_event_types",
+    # Exact-regime oracle: k (10) exceeds the column's distinct count
+    # (5), so the frequent-items sketch degenerates to exact counts —
+    # the same full-capacity trick that makes similarity_ivf_quantized
+    # (full probe) and hll linear-counting oracle-checkable.
+    oracle="""
+    SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY event_type
+    """,
+    survey_ids=("B21", "B16", "B24"),
+    description="approx_top_k heavy hitters (Spark 4 built-in), exact-regime oracle",
+)
+def approx_topk_event_types(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4's built-in ``approx_top_k`` frequent-items aggregate
+    (DataSketches frequent-strings under the hood): one pass, bounded
+    memory, mergeable partials — the engine-native sibling of the
+    from-scratch Count-Min twin (``countmin_heavy_hitters``). Run in
+    the exact regime (k > distinct items) so the estimates are
+    provably exact and the oracle applies; the approximate regime is
+    the same call with high-cardinality keys."""
+    ev = t(spark, sf, "events")
+    return (
+        ev.agg(F.expr("approx_top_k(event_type, 10)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").cast("bigint").alias("cnt"),
+        )
+    )
