@@ -348,3 +348,125 @@ def bpe_apply_tokenize(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_words"),
         F.sum(F.size("sym")).cast("bigint").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+@register(
+    "dsir_importance_sample",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 64 AS bucket
+      FROM (
+        SELECT doc_id, lang, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+        FROM documents WHERE doc_id < 400
+      ) WHERE tok <> ''
+    ),
+    db AS (
+      SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY doc_id, bucket
+    ),
+    tgt AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct FROM toks
+      WHERE lang = 'en' GROUP BY bucket
+    ),
+    prop AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cp FROM toks GROUP BY bucket
+    ),
+    tot AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM toks WHERE lang = 'en') AS nt,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM toks) AS np
+    ),
+    ratios AS (
+      SELECT p.bucket,
+             ln((CAST(COALESCE(t.ct, 0) AS DOUBLE) + 1.0)
+                / (CAST(tot.nt AS DOUBLE) + 64.0))
+           - ln((CAST(p.cp AS DOUBLE) + 1.0)
+                / (CAST(tot.np AS DOUBLE) + 64.0)) AS lr
+      FROM prop p LEFT JOIN tgt t ON p.bucket = t.bucket, tot
+    ),
+    w AS (
+      SELECT db.doc_id,
+             CAST(SUM(db.c) AS BIGINT) AS n_tokens,
+             ROUND(SUM(CAST(db.c AS DOUBLE) * r.lr), 6) AS log_weight
+      FROM db JOIN ratios r ON db.bucket = r.bucket
+      GROUP BY db.doc_id
+    )
+    SELECT doc_id, n_tokens, log_weight FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY log_weight DESC, doc_id) AS rnk
+      FROM w
+    ) WHERE rnk <= 50
+    """,
+    survey_ids=("B56", "B16", "B43"),
+    description="DSIR importance weights: hashed-ngram LM ratio, top-50 selection",
+)
+def dsir_importance_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): importance weight per document = sum over
+    hashed token buckets of count * log(p_target/p_proposal), with
+    Laplace-smoothed bucket unigram LMs (target = the English slice,
+    proposal = the full corpus). The published recipe for selecting
+    web data that "looks like" a target domain without training a
+    classifier.
+
+    Dataflow: one explode -> (doc, bucket) count shuffle; the 64-row
+    bucket ratio table broadcasts onto it; one doc aggregation; top-50
+    total-order window. Per-doc sums are count * log-ratio over <= 64
+    terms (not per-token adds), so float noise sits far below the
+    round-6 oracle grain at any scale."""
+    from ag_data_ingestion_github_to_snowflake_spark.operators.dedup import (
+        md5_hash60,
+    )
+    from pyspark.sql import Window
+
+    docs = t(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "").select(
+        "doc_id", "lang", F.pmod(md5_hash60(F.col("tok")), F.lit(64)).alias("bucket")
+    )
+    db = toks.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tgt = toks.filter(F.col("lang") == "en").groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ct")
+    )
+    prop = toks.groupBy("bucket").agg(F.count(F.lit(1)).cast("bigint").alias("cp"))
+    nt = toks.filter(F.col("lang") == "en").count()
+    np_ = toks.count()
+    ratios = (
+        prop.join(tgt, "bucket", "left")
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)).cast("double") + F.lit(1.0))
+                    / F.lit(float(nt) + 64.0)
+                )
+                - F.log(
+                    (F.col("cp").cast("double") + F.lit(1.0))
+                    / F.lit(float(np_) + 64.0)
+                )
+            ).alias("lr"),
+        )
+    )
+    w = (
+        db.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.round(F.sum(F.col("c").cast("double") * F.col("lr")), 6).alias(
+                "log_weight"
+            ),
+        )
+    )
+    win = Window.orderBy(F.desc("log_weight"), "doc_id")
+    return (
+        w.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= 50)
+        .select("doc_id", "n_tokens", "log_weight")
+    )

@@ -375,3 +375,19 @@ def test_ann_recall_contracts(spark):
         len(truth[k] & probed.get(k, set())) / len(truth[k]) for k in truth
     ) / len(truth)
     assert recall >= 0.5, f"IVF probed recall degraded: {recall:.3f}"
+
+
+def test_dsir_selects_target_like_docs(spark):
+    """DSIR's top-50 must be dominated by the target domain (lang=en):
+    the importance ratio is literally built to prefer target-like
+    token distributions."""
+    from ag_data_ingestion_github_to_snowflake_spark.plans.registry import all_specs
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    top = all_specs()["dsir_importance_sample"].build(spark, sf)
+    docs = spark.read.parquet(sf + "/documents.parquet").select("doc_id", "lang")
+    langs = [r["lang"] for r in top.join(docs, "doc_id").collect()]
+    assert len(langs) == 50
+    en = sum(1 for g in langs if g == "en")
+    assert en >= 35, f"only {en}/50 selected docs are target-language"
