@@ -1359,3 +1359,98 @@ def gopher_quality_rules(spark: SparkSession, sf: str) -> DataFrame:
             & (F.col("alpha_frac") >= 0.8)
         ).alias("passes"),
     )
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    # Buckets order by the ROUND-6 score (with doc_id tiebreak) so the
+    # tercile assignment is bit-identical cross-engine despite
+    # fold-order noise in the raw cross-entropy sums.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+      FROM documents
+    ),
+    vocab AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY term
+    ),
+    total AS (SELECT SUM(cnt) AS tot FROM vocab),
+    scored AS (
+      SELECT toks.doc_id,
+             ROUND(-SUM(ln(CAST(vocab.cnt AS DOUBLE) / total.tot)) / COUNT(*), 6)
+               AS xent
+      FROM toks JOIN vocab USING (term) CROSS JOIN total
+      GROUP BY toks.doc_id
+    ),
+    bucketed AS (
+      SELECT d.lang, s.xent,
+             NTILE(3) OVER (PARTITION BY d.lang ORDER BY s.xent, s.doc_id)
+               AS tercile
+      FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+    )
+    SELECT lang,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(SUM(xent) / COUNT(*), 6) AS avg_xent
+    FROM bucketed
+    GROUP BY lang, tercile
+    """,
+    survey_ids=("B56", "B29", "B16"),
+    description="CCNet head/middle/tail perplexity terciles per language",
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """The CCNet split (Wenzek et al. 2020): documents bucketed into
+    head/middle/tail by LM perplexity WITHIN each language — the
+    published recipe for quality-stratifying Common Crawl (train on
+    head+middle, drop or downweight tail). Composes the unigram-LM
+    cross-entropy (``doc_perplexity_unigram``) with a per-language
+    NTILE; the tercile orders by the round-6 score so assignment is
+    engine-identical. Two fact shuffles for the LM, one lang-keyed
+    window, one group aggregate.
+
+    Scale note: per-language NTILE is a low-cardinality window (the
+    wall C90/C114 break); at billions of docs the production form is
+    CCNet's own — compute the two tercile CUTOFF scores per language
+    (percentile aggregation, no global sort) and assign buckets by
+    comparison, which this query's bucket semantics reduce to when
+    scores are distinct."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", "\\s+")).alias("term"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("tot"))
+    scored = (
+        toks.join(vocab, "term")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                -F.sum(F.log(F.col("cnt").cast("double") / F.col("tot")))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("xent")
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("xent", "doc_id")
+    bucketed = (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("tercile", F.ntile(3).over(w))
+    )
+    return (
+        bucketed.groupBy("lang", "tercile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.sum("xent") / F.count(F.lit(1)), 6).alias("avg_xent"),
+        )
+        .select(
+            "lang",
+            F.when(F.col("tercile") == 1, "head")
+            .when(F.col("tercile") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            "n_docs",
+            "avg_xent",
+        )
+    )
