@@ -84,6 +84,8 @@ ALLOWED_FLAGS = {
     # The unigram LM attaches the 1-row total-token count to the token
     # stream the same way — one broadcast row.
     ("doc_perplexity_unigram", "BroadcastNestedLoopJoin"),
+    # Same 1-row total attach inside the CCNet tercile composition.
+    ("ccnet_perplexity_buckets", "BroadcastNestedLoopJoin"),
     # MMR's coarse stage is brute_force_topk: the 5-row query set is
     # broadcast into a map-side loop (same contract as
     # similarity_topk_cosine); the greedy rerank is grouped-map.
