@@ -470,3 +470,205 @@ def dsir_importance_sample(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rnk") <= 50)
         .select("doc_id", "n_tokens", "log_weight")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF recall, oracle-verified END TO END (the approximate path itself)
+# ---------------------------------------------------------------------------
+def _ivf_recall_oracle() -> str:
+    """Replays the ENTIRE approximate path: fixed-centroid assignment,
+    top-2 probe-cell selection, candidate generation, approximate
+    top-5, exact top-5, recall@5 — so the oracle pins not just scores
+    but the approximation's measured quality."""
+    lits = ["[" + ", ".join(repr(x) for x in c) + "]" for c in _CENTS]
+    dot_cols = ",\n             ".join(
+        f"ROUND(list_sum(list_transform(list_zip(v, {lit}), x -> x[1] * x[2])), 6) AS d{j}"
+        for j, lit in enumerate(lits)
+    )
+    best = "GREATEST(" + ", ".join(f"d{j}" for j in range(8)) + ")"
+    case = "CASE " + " ".join(f"WHEN d{j} = m THEN {j}" for j in range(8)) + " END"
+    cells_union = "\n      UNION ALL ".join(
+        f"SELECT query_id, {j} AS cell, d{j} AS d FROM q" for j in range(8)
+    )
+    cos = (
+        "ROUND(list_sum(list_transform(list_zip(qv, cv), x -> x[1] * x[2]))"
+        " / (sqrt(list_sum(list_transform(qv, y -> y * y)))"
+        " * sqrt(list_sum(list_transform(cv, y -> y * y)))), 6)"
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+      FROM embeddings
+    ),
+    dots AS (
+      SELECT vec_id, v,
+             {dot_cols}
+      FROM corpus
+    ),
+    assigned AS (
+      SELECT vec_id, v, CAST({case} AS INT) AS cell
+      FROM (SELECT *, {best} AS m FROM dots)
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, * EXCLUDE (vec_id, v)
+          FROM dots WHERE vec_id < 10),
+    qcells AS (
+      SELECT query_id, cell FROM (
+        SELECT query_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d DESC, cell) AS rn
+        FROM ({cells_union})
+      ) WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT qc.query_id, qq.qv, a.vec_id AS neighbor_id, a.v AS cv
+      FROM qcells qc
+      JOIN q qq ON qq.query_id = qc.query_id
+      JOIN assigned a ON a.cell = qc.cell AND a.vec_id <> qc.query_id
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY {cos} DESC, neighbor_id) AS rn
+        FROM cand
+      ) WHERE rn <= 5
+    ),
+    allpairs AS (
+      SELECT qq.query_id, qq.qv, c.vec_id AS neighbor_id, c.v AS cv
+      FROM q qq JOIN corpus c ON c.vec_id <> qq.query_id
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY {cos} DESC, neighbor_id) AS rn
+        FROM allpairs
+      ) WHERE rn <= 5
+    ),
+    inter AS (
+      SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS hits
+      FROM approx a JOIN exact e
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY a.query_id
+    ),
+    ncand AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
+      FROM cand GROUP BY query_id
+    )
+    SELECT n.query_id,
+           ROUND(CAST(COALESCE(i.hits, 0) AS DOUBLE) / 5.0, 6) AS recall_at_5,
+           n.n_candidates
+    FROM ncand n LEFT JOIN inter i ON n.query_id = i.query_id
+    """
+
+
+@register(
+    "ivf_recall_fixed_cells",
+    oracle=_ivf_recall_oracle(),
+    survey_ids=("B55", "B29", "B16"),
+    description="IVF nprobe=2/8 recall@5 vs exact — the APPROXIMATE path oracle-verified",
+)
+def ivf_recall_fixed_cells(spark: SparkSession, sf: str) -> DataFrame:
+    """The approximate ANN path verified END TO END: fixed-centroid
+    IVF cells (replayable assignment, as in ``semdedup_embeddings``),
+    top-2-of-8 probe selection per query, candidate-restricted top-5,
+    and recall@5 against the exact top-5 — every stage, including the
+    measured RECALL of the approximation, hash-matched by the oracle.
+    This closes the usual "approximate ops are rows-only" waiver from
+    the other side: the approximation is deterministic, so its quality
+    is a checkable fact, not a sampled estimate. Assignment and
+    scoring are map-side folds; the probe join shuffles on the cell
+    id; the exact side is the LIMITed-query broadcast scan."""
+    from pyspark.sql import Window
+
+    cents = _CENTS
+    emb = t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+    )
+    assigned = SD.assign_cells(emb, cents)  # vec_id, v, cell
+    # per-query cell scores -> top-2 probe cells
+    dots = [
+        F.round(
+            F.aggregate(
+                F.zip_with(F.col("v"), F.array(*[F.lit(x) for x in c]), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias(f"d{j}")
+        for j, c in enumerate(cents)
+    ]
+    q = assigned.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), *dots
+    )
+    pairs = q.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.col(f"d{j}").alias("d"), F.lit(j).alias("cell"))
+                    for j in range(len(cents))
+                ]
+            )
+        ).alias("dc"),
+    ).select("query_id", "qv", F.col("dc.d").alias("d"), F.col("dc.cell").alias("cell"))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("d"), "cell")
+    qcells = (
+        pairs.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 2)
+        .select("query_id", "qv", "cell")
+    )
+    cos = F.round(
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (
+            F.sqrt(F.aggregate(F.col("qv"), F.lit(0.0), lambda a, x: a + x * x))
+            * F.sqrt(F.aggregate(F.col("cv"), F.lit(0.0), lambda a, x: a + x * x))
+        ),
+        6,
+    )
+    cand = qcells.join(
+        assigned.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "cell"
+        ),
+        "cell",
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    approx = (
+        cand.withColumn("cos", cos)
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    allp = (
+        F.broadcast(q.select("query_id", "qv"))
+        .join(
+            assigned.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")),
+            F.col("neighbor_id") != F.col("query_id"),
+        )
+    )
+    exact = (
+        allp.withColumn("cos", cos)
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    inter = (
+        approx.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+    )
+    ncand = cand.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    return ncand.join(inter, "query_id", "left").select(
+        "query_id",
+        F.round(
+            F.coalesce(F.col("hits"), F.lit(0)).cast("double") / F.lit(5.0), 6
+        ).alias("recall_at_5"),
+        "n_candidates",
+    )

@@ -57,6 +57,10 @@ ALLOWED_FLAGS = {
     # corpus streams map-side paying m element_at lookups per row —
     # the ADC design point (operators/pq.py:pq_adc_topk).
     ("similarity_pq_adc", "BroadcastNestedLoopJoin"),
+    # The recall query's EXACT reference side is the same LIMITed
+    # broadcast-query scan as similarity_topk_cosine; the approximate
+    # side joins on the cell id (equi).
+    ("ivf_recall_fixed_cells", "BroadcastNestedLoopJoin"),
     # Q22-shaped scalar subquery: the filter compares against a 1-row
     # global aggregate; Spark plans that as a BNLJ against a broadcast
     # single row — effectively a map-side filter.
