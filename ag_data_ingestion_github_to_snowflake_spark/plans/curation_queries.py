@@ -1454,3 +1454,64 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
             "avg_xent",
         )
     )
+
+
+@register(
+    "dataset_datasheet",
+    oracle="""
+    WITH base AS (
+      SELECT source, lang, n_chars, text,
+             md5(text) AS digest,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             t -> t <> '')) AS n_words
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS pct_en,
+           ROUND(CAST(SUM(n_words) AS DOUBLE) / COUNT(*), 6) AS mean_words,
+           ROUND(1.0 - CAST(COUNT(DISTINCT digest) AS DOUBLE) / COUNT(*), 6)
+             AS exact_dup_rate
+    FROM base GROUP BY source
+    """,
+    survey_ids=("B16", "B20", "B56"),
+    description="Per-source dataset datasheet: volume, language mix, dup rate",
+)
+def dataset_datasheet(spark: SparkSession, sf: str) -> DataFrame:
+    """The 'datasheet for datasets' summary a curation pipeline
+    publishes with every corpus snapshot (Gebru et al. 2021 shape):
+    per-source volume, language mix, mean document length, and exact
+    duplicate rate — one aggregation pass plus a distinct-digest
+    count, all integer/exact-ratio arithmetic. The consumer-facing
+    twin of the engine-facing ``profile_orders_columns``."""
+    docs = t(spark, sf, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.md5("text").alias("digest"),
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+            )
+        ).alias("n_words"),
+    )
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("pct_en"),
+        F.round(F.sum("n_words").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_words"
+        ),
+        F.round(
+            F.lit(1.0)
+            - F.countDistinct("digest").cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("exact_dup_rate"),
+    )
