@@ -672,3 +672,145 @@ def ivf_recall_fixed_cells(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("recall_at_5"),
         "n_candidates",
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation mining (phrase discovery for tokenizer/vocab prep)
+# ---------------------------------------------------------------------------
+@register(
+    "pmi_collocations_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, tk FROM (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk
+        FROM documents WHERE doc_id < 400
+      )
+    ),
+    uni AS (
+      SELECT t.t AS w, CAST(COUNT(*) AS BIGINT) AS c1
+      FROM toks, LATERAL unnest(list_filter(tk, x -> x <> '')) AS t(t)
+      GROUP BY t.t
+    ),
+    tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n FROM uni),
+    bi AS (
+      SELECT g.g.a AS a, g.g.b AS b, CAST(COUNT(*) AS BIGINT) AS c2
+      FROM toks, LATERAL unnest(
+        [{'a': tk[i], 'b': tk[i+1]} FOR i IN range(1, len(tk))]
+      ) AS g(g)
+      WHERE g.g.a <> '' AND g.g.b <> ''
+      GROUP BY g.g.a, g.g.b
+    ),
+    btot AS (SELECT CAST(SUM(c2) AS BIGINT) AS nb FROM bi),
+    pmi AS (
+      SELECT bi.a, bi.b, bi.c2,
+             ROUND(ln((CAST(bi.c2 AS DOUBLE) / btot.nb)
+                    / ((CAST(ua.c1 AS DOUBLE) / tot.n)
+                     * (CAST(ub.c1 AS DOUBLE) / tot.n))), 6) AS pmi
+      FROM bi
+      JOIN uni ua ON bi.a = ua.w
+      JOIN uni ub ON bi.b = ub.w
+      CROSS JOIN tot CROSS JOIN btot
+      WHERE bi.c2 >= 5
+    )
+    SELECT a, b, c2 AS pair_count, pmi FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, a, b) AS rnk FROM pmi
+    ) WHERE rnk <= 30
+    """,
+    survey_ids=("B56", "B16", "B43"),
+    description="Top-30 PMI collocations (bigram association mining), exact-count replay",
+)
+def pmi_collocations_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Pointwise mutual information over corpus bigrams — the classic
+    collocation/phrase-mining signal (vocab prep before tokenizer
+    training; multi-word-entity discovery). All probabilities derive
+    from exact integer counts, so the single ln() per surviving
+    bigram is the only float op and round-6 parity is immediate.
+    Dataflow: one explode each for unigrams and adjacent bigrams (the
+    bigram side derived map-side with transform+posexplode), two
+    count shuffles, vocabulary-sized joins AQE auto-broadcasts, a
+    min-support filter BEFORE the log, top-30 total-order window."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    tk = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("tk")
+    )
+    uni = (
+        tk.select(F.explode("tk").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    )
+    tot = uni.agg(F.sum("c1").cast("bigint").alias("n"))
+    bi = (
+        tk.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1),"
+                    " i -> struct(tk[i - 1] AS a, tk[i] AS b))"
+                )
+            ).alias("p")
+        )
+        .filter((F.col("p.a") != "") & (F.col("p.b") != ""))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    )
+    btot = bi.agg(F.sum("c2").cast("bigint").alias("nb"))
+    ua = uni.select(F.col("w").alias("a"), F.col("c1").alias("ca"))
+    ub = uni.select(F.col("w").alias("b"), F.col("c1").alias("cb"))
+    pmi = (
+        bi.filter(F.col("c2") >= 5)
+        .join(ua, "a")
+        .join(ub, "b")
+        .join(F.broadcast(tot))
+        .join(F.broadcast(btot))
+        .select(
+            "a",
+            "b",
+            F.col("c2").alias("pair_count"),
+            F.round(
+                F.log(
+                    (F.col("c2").cast("double") / F.col("nb"))
+                    / (
+                        (F.col("ca").cast("double") / F.col("n"))
+                        * (F.col("cb").cast("double") / F.col("n"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi"), "a", "b")
+    return (
+        pmi.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 30)
+        .select("a", "b", "pair_count", "pmi")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA (embedding dimensionality reduction)
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_pca_project",
+    oracle=None,  # eigendecomposition has no SQL twin: rows-only;
+    # math contracts pinned in tests/test_pca.py
+    survey_ids=("B51", "B55", "B43"),
+    description="Distributed PCA: one stats pass, driver eigh, map-side projection",
+)
+def embedding_pca_project(spark: SparkSession, sf: str) -> DataFrame:
+    """Project embeddings onto their top-4 principal axes —
+    ``operators/pca.py``: one sufficient-statistics pass (per-partition
+    dim x dim partials, ~33 KB each to the driver), a 64 x 64 driver
+    eigh, a broadcast map-side projection. Output rounded to 6 for
+    run-to-run stability; sign-canonicalized components make the
+    result restart-deterministic."""
+    from ag_data_ingestion_github_to_snowflake_spark.operators import pca as P
+
+    emb = t(spark, sf, "embeddings")
+    _, comps, mean = P.pca_components(emb, k=4)
+    out = P.project(emb, comps, mean)
+    return out.select(
+        "vec_id",
+        F.transform(F.col("pc"), lambda x: F.round(x, 6)).alias("pc"),
+    )

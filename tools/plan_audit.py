@@ -90,6 +90,10 @@ ALLOWED_FLAGS = {
     ("doc_perplexity_unigram", "BroadcastNestedLoopJoin"),
     # Same 1-row total attach inside the CCNet tercile composition.
     ("ccnet_perplexity_buckets", "BroadcastNestedLoopJoin"),
+    # PMI attaches the 1-row unigram-total and 1-row bigram-total
+    # aggregates to the scored bigrams the same way — two broadcast
+    # single rows, invariant in the data size.
+    ("pmi_collocations_topk", "BroadcastNestedLoopJoin"),
     # MMR's coarse stage is brute_force_topk: the 5-row query set is
     # broadcast into a map-side loop (same contract as
     # similarity_topk_cosine); the greedy rerank is grouped-map.
