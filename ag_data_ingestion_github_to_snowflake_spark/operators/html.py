@@ -159,9 +159,11 @@ def pagerank(
 
 def canonical_url(url: Column) -> Column:
     """Crawl-frontier URL canonicalization as one Column expression:
-    lowercase scheme+host, port dropped (parse_url HOST excludes it;
-    production rules drop only the scheme default — the fixture never
-    carries a non-default port), fragment dropped, tracking params
+    lowercase scheme+host, scheme-DEFAULT port dropped (http:80 /
+    https:443) while any other explicit port is kept — parse_url HOST
+    hides the port, so it is recovered from AUTHORITY's ``:digits``
+    tail; conflating ``host:8080`` with ``host`` would merge distinct
+    origins on real crawl data. Fragment dropped, tracking params
     (utm_*) removed, remaining query params SORTED, trailing path
     slash stripped. Deduping on the canonical form is the step that
     keeps a 100 TB crawl from refetching the same page through URL
@@ -169,6 +171,18 @@ def canonical_url(url: Column) -> Column:
     """
     scheme = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
     host = F.lower(F.parse_url(url, F.lit("HOST")))
+    # parse_url has no PORT part; the authority is [user@]host[:port].
+    port = F.regexp_extract(
+        F.coalesce(F.parse_url(url, F.lit("AUTHORITY")), F.lit("")),
+        ":(\\d+)$",
+        1,
+    )
+    default_port = F.when(scheme == "http", F.lit("80")).when(
+        scheme == "https", F.lit("443")
+    ).otherwise(F.lit(""))
+    portsuf = F.when(
+        (port != "") & (port != default_port), F.concat(F.lit(":"), port)
+    ).otherwise(F.lit(""))
     path = F.regexp_replace(
         F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("")), "/$", ""
     )
@@ -184,6 +198,7 @@ def canonical_url(url: Column) -> Column:
         scheme,
         F.lit("://"),
         host,
+        portsuf,
         path,
         F.when(qcanon != "", F.concat(F.lit("?"), qcanon)).otherwise(F.lit("")),
     )

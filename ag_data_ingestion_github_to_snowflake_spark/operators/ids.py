@@ -34,22 +34,25 @@ from pyspark.sql.window import Window
 
 def assign_sequential_ids(
     df: DataFrame,
-    order_col: str,
+    order_col: str | list[str] | tuple[str, ...],
     out_col: str = "seq_id",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Add ``out_col`` = dense 0-based rank of ``order_col`` across the
     whole frame, computed scalably (range partition + offset join).
 
-    ``order_col`` must be unique (a unique key makes the global order —
-    and therefore the assignment — total and deterministic).
+    ``order_col`` may be one column name or a list of names forming a
+    composite sort key; the combination must be unique (a unique key
+    makes the global order — and therefore the assignment — total and
+    deterministic).
     """
+    cols = [order_col] if isinstance(order_col, str) else list(order_col)
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, F.col(order_col))
+    ranged = df.repartitionByRange(n, *[F.col(c) for c in cols])
     part = ranged.withColumn("_pid", F.spark_partition_id())
     # Local rank within the range partition: the window key is the
     # partition id, so Catalyst sorts within partitions only.
-    w = Window.partitionBy("_pid").orderBy(F.col(order_col))
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in cols])
     # Checkpoint: the counts collect (action 1) and the returned plan
     # (action 2) must see ONE materialization of the range exchange —
     # this also stands in for the bronze write a 100 TB job would do.

@@ -161,7 +161,10 @@ def cms_estimate_keys(
 ) -> DataFrame:
     """Point-query the sketch for each key in ``keys``: min over the d
     counters. The counter matrix (<= d*w rows) is broadcast to the
-    candidate side — no shuffle of the candidates."""
+    candidate side — no shuffle of the candidates. An empty (row,
+    bucket) cell counts as 0 — a LEFT join with coalesce, so a probed
+    key absent from the corpus estimates 0 instead of vanishing (and a
+    partially-empty cell cannot inflate the min)."""
     counters = cms_counters(df, key_col, depth, width)
     probes = keys.select(
         F.col(key_col),
@@ -178,7 +181,11 @@ def cms_estimate_keys(
         ).alias("rb"),
     ).select(key_col, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
     return (
-        probes.join(F.broadcast(counters), ["row", "bucket"])
+        probes.join(F.broadcast(counters), ["row", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").cast("bigint").alias("cms_est"))
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("bigint")
+            .alias("cms_est")
+        )
     )

@@ -238,6 +238,14 @@ def bucketed_lag_pairs(
     sorted). Union of the two = the exact global pair set, because a
     monotone bucketing preserves the global order and severs exactly
     the (last-of-bucket, first-of-next-bucket) adjacencies.
+
+    Precondition: ``order_cols`` must be UNIQUE within each group — the
+    per-bucket first/last structs sort on (order_cols, value), so
+    duplicate order keys would let the value column tiebreak and pick
+    a different adjacency than LAG. NULLs in ``value_col`` are handled
+    exactly (bucket-first rows are detected positionally via
+    row_number, never by yprev null-ness, so a genuine NULL previous
+    value survives as a (NULL, y) pair just as global LAG emits it).
     """
     order = [F.col(c) for c in order_cols]
     pts = df.select(
@@ -249,7 +257,8 @@ def bucketed_lag_pairs(
     w_local = Window.partitionBy(group_col, "_bucket").orderBy(*order)
     within = (
         pts.withColumn("_yprev", F.lag("_y").over(w_local))
-        .filter(F.col("_yprev").isNotNull())
+        .withColumn("_rn", F.row_number().over(w_local))
+        .filter(F.col("_rn") > 1)
         .select(group_col, F.col("_yprev").alias("yprev"), F.col("_y").alias("y"))
     )
     first_last = pts.groupBy(group_col, "_bucket").agg(

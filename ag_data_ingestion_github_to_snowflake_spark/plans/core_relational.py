@@ -807,10 +807,11 @@ def gini_revenue_concentration(spark: SparkSession, sf: str) -> DataFrame:
     accumulation order (Spark partial aggregation vs DuckDB serial)
     cannot perturb the doubles; only the final ratio is IEEE.
 
-    Scale shape: one shuffle for per-key revenue, a global sort for
-    ranks (rank assignment is inherently a total order — at 100 TB the
-    same statistic would use assign_sequence_ids' range-partition rank
-    instead of a single-task window), then one partial-agg rollup.
+    Scale shape: one shuffle for per-key revenue, then a GLOBAL-ORDER
+    WINDOW for ranks — a single-task sort kept deliberately as the
+    measured-contrast naive carrier. USE ``gini_revenue_distributed``
+    (same oracle, range-partition two-phase rank, every stage parallel)
+    on real data.
     """
     rev = (
         t(spark, sf, "orders")
@@ -870,9 +871,11 @@ def decile_lift_acctbal(spark: SparkSession, sf: str) -> DataFrame:
     with a unique tiebreak key so both engines cut the deciles at
     identical rows; the score mean goes through exact decimal sums.
 
-    Scale shape: one semi-join for the label, a rank sort for the
-    decile cut (same total-order caveat and assign_sequence_ids
-    alternative as the Gini carrier), one group-by rollup.
+    Scale shape: one semi-join for the label, then a GLOBAL-ORDER
+    NTILE — a single-task sort kept deliberately as the
+    measured-contrast naive carrier. USE ``decile_lift_distributed``
+    (same oracle, range-partition rank + closed-form NTILE cut) on
+    real data.
     """
     c = t(spark, sf, "customer")
     o = t(spark, sf, "orders").select("o_custkey").distinct()
@@ -893,4 +896,147 @@ def decile_lift_acctbal(spark: SparkSession, sf: str) -> DataFrame:
         (F.sum("score").cast("double") / F.count("*")).alias("mean_score"),
         F.sum("converted").cast("bigint").alias("n_converted"),
         (F.sum("converted").cast("double") / F.count("*")).alias("conv_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed-rank twins: Gini + decile lift without a single-task sort
+# (same oracles as the naive carriers; rank comes from the
+# operators/ids.py range-partition two-phase rank instead of a
+# global-order Window, so no partition ever holds the full table)
+# ---------------------------------------------------------------------------
+@register(
+    "gini_revenue_distributed",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey AS k,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY x, k) AS i FROM rev
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS total_rev,
+           2.0 * CAST(SUM(CAST(i AS DECIMAL(38,2)) * CAST(x AS DECIMAL(18,2))) AS DOUBLE)
+             / (count(*) * CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE))
+             - (count(*) + 1.0) / count(*) AS gini
+    FROM ranked
+    """,
+    survey_ids=("B16", "B18", "B29"),
+    description="Gini via range-partition two-phase rank: no single-task global sort",
+)
+def gini_revenue_distributed(spark: SparkSession, sf: str) -> DataFrame:
+    """Oracle-identical twin of ``gini_revenue_concentration`` with the
+    rank assigned by ``operators/ids.py:assign_sequential_ids`` — a
+    sampled range exchange, per-partition local row_number, and a
+    broadcast prefix-sum of per-partition counts (one row per
+    partition to the driver). Equal (x, k) keys cannot split across
+    range partitions and (x, k) is unique, so the rank is bit-identical
+    to the single-partition ROW_NUMBER the oracle computes — while
+    every stage stays parallel at 100 TB.
+    """
+    from ag_data_ingestion_github_to_snowflake_spark.operators.ids import (
+        assign_sequential_ids,
+    )
+
+    rev = (
+        t(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("x")
+        )
+    )
+    ranked = assign_sequential_ids(rev, ["x", "k"], out_col="i0").select(
+        "x", (F.col("i0") + F.lit(1)).alias("i")
+    )
+    n = F.count("*")
+    total = F.sum(F.col("x").cast("decimal(18,2)"))
+    weighted = F.sum(F.col("i").cast("decimal(38,2)") * F.col("x").cast("decimal(18,2)"))
+    return ranked.agg(
+        n.cast("bigint").alias("n_customers"),
+        total.cast("double").alias("total_rev"),
+        (
+            F.lit(2.0) * weighted.cast("double") / (n * total.cast("double"))
+            - (n + F.lit(1.0)) / n
+        ).alias("gini"),
+    )
+
+
+@register(
+    "decile_lift_distributed",
+    oracle="""
+    WITH scored AS (
+        SELECT c.c_custkey,
+               CAST(c.c_acctbal AS DECIMAL(18,2)) AS score,
+               CASE WHEN EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_custkey = c.c_custkey)
+                    THEN 1 ELSE 0 END AS converted
+        FROM customer c
+    ),
+    deciles AS (
+        SELECT NTILE(10) OVER (ORDER BY score, c_custkey) AS decile,
+               score, converted
+        FROM scored
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(score) AS DOUBLE) / count(*) AS mean_score,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           CAST(SUM(converted) AS DOUBLE) / count(*) AS conv_rate
+    FROM deciles GROUP BY decile
+    """,
+    survey_ids=("B13", "B16", "B29"),
+    description="decile lift via range-partition rank + closed-form NTILE cut",
+)
+def decile_lift_distributed(spark: SparkSession, sf: str) -> DataFrame:
+    """Oracle-identical twin of ``decile_lift_acctbal``: the global
+    NTILE(10) is replaced by the range-partition rank
+    (``operators/ids.py``) plus the closed-form NTILE bucket function —
+    with n rows and q = n div 10, r = n mod 10, the first r buckets
+    hold q+1 rows — applied map-side to the 0-based rank z:
+
+        bucket(z) = z div (q+1) + 1              if z <  r*(q+1)
+                    r + (z - r*(q+1)) div q + 1   otherwise
+
+    which reproduces SQL NTILE exactly (same row-to-bucket cut as the
+    single-partition window) with no single-task sort. n arrives via a
+    broadcast 1-row count, so the whole plan stays parallel.
+    """
+    from ag_data_ingestion_github_to_snowflake_spark.operators.ids import (
+        assign_sequential_ids,
+    )
+
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders").select("o_custkey").distinct()
+    scored = c.join(
+        o, c.c_custkey == o.o_custkey, "left"
+    ).select(
+        "c_custkey",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("score"),
+        F.when(F.col("o_custkey").isNull(), 0).otherwise(1).alias("converted"),
+    )
+    ranked = assign_sequential_ids(scored, ["score", "c_custkey"], out_col="z")
+    n_row = F.broadcast(ranked.agg(F.count(F.lit(1)).alias("_n")))
+    q = F.floor(F.col("_n") / 10)
+    r = F.col("_n") % 10
+    z = F.col("z")
+    decile = (
+        F.when(z < r * (q + 1), F.floor(z / (q + 1)) + 1)
+        .otherwise(r + F.floor((z - r * (q + 1)) / q) + 1)
+        .cast("int")
+        .alias("decile")
+    )
+    return (
+        ranked.join(n_row)
+        .select(decile, "score", "converted")
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            (F.sum("score").cast("double") / F.count("*")).alias("mean_score"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+            (F.sum("converted").cast("double") / F.count("*")).alias("conv_rate"),
+        )
     )

@@ -63,72 +63,73 @@ def register(
 # cumulative ledger (CORRECTNESS_r*.json) must cover every SURVEY.md
 # §2 operator id carried by the registry.
 #
-# ROTATION (round 5): r4 went 50/50 green, bringing the ledger to
-# 142/206 queries driver-checked at least once. Every r5 slot is a
-# FIRST-TIMER — all 50 are oracle-bearing names never yet in a driver
-# window, led by the r4 late additions (bucketed join, HTML/PageRank,
-# WARC, Arrow IPC, audio/video probes, verified HLL/MinHash twins).
-# A green r5 raises cumulative coverage to 192/206; the remaining 14
-# (9 oracled + 5 declared rows-only) are pinned for the r6 window in
-# COVERAGE.md "Driver-check ledger" alongside re-checks of the sole-
-# carrier core. Local parity (tests/test_oracle_parity.py) covers the
-# tail in the meantime with the identical compare.
+# ROTATION (round 6): r5 went 50/50 green, bringing the ledger to
+# 192/235 queries driver-checked at least once. This window holds ALL
+# 45 never-driver-checked names (the 43 r5 C99–C127 additions plus the
+# two new r6 distributed-rank twins; 38 oracle-bearing + the 7
+# declared rows-only carriers, so the ledger reaches 237/237) and 5
+# headline re-checks so the bench core is also freshest-verified.
+# Local parity (tests/test_oracle_parity.py) covers the rotated-out
+# tail with the identical compare.
 _PRIORITY: tuple[str, ...] = (
-    # -- r4 late additions: new operator families, first-eligible now --
-    "bucketed_join_colocated",        # B10 B3 B16 (co-bucketed shuffle-free SMJ)
-    "html_text_extract",              # B39 B40 B56
-    "html_link_graph",                # B39 B16 B24 B56
-    "pagerank_link_graph",            # B10 B16 B24 (exact integer PageRank)
-    "arrow_ipc_roundtrip",            # B2 B3 B52 B16
-    "warc_extract_records",           # B52 B2 B56
-    "audio_tags",                     # B57 (Vorbis comments + ID3v2)
-    "video_container_meta",           # B57 (ISO-BMFF box tree)
-    "audio_container_meta",           # B57 (WAV/FLAC/MP3/OGG probes)
-    "hll_verified_users_by_type",     # B21 B16 (bit-exact DuckDB HLL replay)
-    "theta_join_rank_rewrite",        # B14 B31 (O(n log n) theta-count twin)
-    "concurrent_intervals_distributed",  # B30 B31 (two-level prefix sum)
-    "url_parse_components",           # B39 B36
-    "dedup_minhash_verified",         # B54 (LSH recall replayed in DuckDB)
-    "mmr_rerank_topk",                # B55 B52 B29 (greedy MMR via recursive CTE)
-    # -- statistics / analytics first-timers --
-    "try_funcs_orders",               # B37 B43
-    "string_agg_nations_by_region",   # B16 B41 B36
-    "assign_sequence_ids",            # B29 B24
-    "ab_test_two_proportion_z",       # B18 B19 B43
-    "funnel_time_to_convert",         # B16 B23
-    "session_event_type_pairs",       # B10 B16 B26
-    "fk_integrity_audit",             # B12 B16 B19
-    "gini_revenue_concentration",     # B16 B18 B29
-    "decile_lift_acctbal",            # B13 B16 B29
-    "regr_trend_monthly_revenue",     # B18 B23 B33
-    "robust_outlier_trim",            # B23 B16 B10
-    "skew_diagnostic_orders",         # B16 B18
-    "forecast_revenue_change",        # B18 B9
-    # -- sampling / curation first-timers --
-    "sample_documents_hash",          # B6 B9
-    "train_test_split_counts",        # B16 B19
-    "mixture_sample_counts",          # B16 B11 B19
-    "quality_classifier_inference",   # B56 B43 B16
-    "doc_perplexity_unigram",         # B56 B43 B16
-    "provenance_dedup_priority",      # B53 B29 B26
-    "split_leakage_audit",            # B54 B19 B10
-    "passage_dedup_chunks",           # B53 B54
-    "incremental_dedup_new_batch",    # B53 B13 B26
-    # -- joins / windows / temporal first-timers --
-    "argmax_order_per_segment",       # B16 B24 B10
-    "join_full_outer_daily_activity", # B12 B16 B33
-    "join_null_safe_priority",        # B10 B16
-    "recursive_cte_chunk_threading",  # B10 B16
-    "pipe_syntax_quality_funnel",     # B16 B24 B6
-    "scd2_event_type_intervals",      # B29 B30 B32
-    "concurrent_intervals_sweep",     # B30 B31
-    "ewma_events_daily",              # B31 B33
-    "top_acctbal_supplier_per_nation",  # B13 B29 B11
-    # -- similarity / io first-timers --
-    "similarity_ivf_topk",            # B55
-    "zorder_morton_events",           # B43
-    "orc_sink_roundtrip",             # B2 B3 B16
-    "arrow_normalize_embeddings",     # B51 B41
+    # -- r5 curation/quality additions, first-eligible now --
+    "span_dedup_corpus",              # B54 B53 (Lee et al. span dedup)
+    "gopher_quality_rules",           # B56
+    "ccnet_perplexity_buckets",       # B56 B29 (per-lang NTILE buckets)
+    "dsir_importance_sample",         # B56 B43 (now distributed top-k)
+    "semdedup_embeddings",            # B54 B55 (cluster-pruned near-dup)
+    "similarity_pq_adc",              # B55 (PQ + ADC search)
+    "ivf_recall_fixed_cells",         # B55 (recall@5 hash-pinned)
+    "cdc_chunk_boundaries",           # B56 B53 (content-defined chunking)
+    "bpe_apply_tokenize",             # B56 B52 (BPE merge application)
+    "char_entropy_docs",              # B56 B43
+    "pmi_collocations_topk",          # B56 B16 (now distributed top-k)
+    "url_canonical_dedup",            # B53 B39
+    "image_ahash_neardup",            # B57 B54 (perceptual aHash blocks)
+    "dataset_datasheet",              # B16 B18 B22 (per-source datasheet)
+    # -- r5 sketch/scale additions --
+    "kmv_distinct_users",             # B21 (KMV sketch replay)
+    "countmin_heavy_hitters",         # B21 B16
+    "quantile_hash_sample",           # B23 (hash-sample quantiles)
+    "approx_topk_event_types",        # B21 B24
+    "metadata_agg_pushdown",          # B1 (footer-only min/max/count)
+    "partition_grouped_pushdown",     # B1 B16
+    "runtime_bloom_filter_join",      # B10 B11 (bloom-pruned probe side)
+    "histogram_acctbal_buckets",      # B16 B43
+    "autocorrelation_lag1_events",    # B30 B18 (naive contrast carrier)
+    "autocorrelation_lag1_distributed",  # B30 B18 (boundary-pair twin)
+    "xml_extract_orders",             # B38 B39
+    # -- r5 streaming additions --
+    "streaming_stateful_totals",      # B44 B49 (RocksDB update-mode drain)
+    "streaming_session_window_events",   # B48 B44
+    "streaming_multibatch_rollup",    # B44 B45 (8 genuine micro-batches)
+    # -- scalar/array surface first-timers --
+    "bitwise_funcs_events",           # B43
+    "array_hof_embeddings",           # B41
+    "map_funcs_orders",               # B42
+    "posexplode_tokens",              # B41 B56
+    "explode_outer_long_words",       # B41 B56
+    "supplier_part_counts",           # B16 B10
+    "half_stock_suppliers",           # B13 B9
+    "large_orders_customers",         # B16 B9 (TPC-H Q18 shape)
+    # -- declared rows-only carriers: weaker rows-only driver check, by
+    #    design (driver records them as no_oracle; ledger completeness) --
+    "approx_percentiles_nchars",      # B23 (approx_percentile, no exact twin)
+    "similarity_ivf_probed",          # B55 (nprobe sweep, ranking-only)
+    "bpe_train_merges",               # B56 (driver-coordinated training)
+    "embedding_pca_project",          # B55 B43 (sign-indeterminate basis)
+    "hll_sketch_users_by_type",       # B21 (engine-native HLL internals)
+    "kll_quantiles_value",            # B23 (KLL sketch, rank-error bound)
+    "streaming_neardup_curation",     # B50 B54 (LSH probe of indexed corpus)
+    # -- r6 distributed-rank twins (VERDICT r5 item 2), first-eligible --
+    "gini_revenue_distributed",       # B16 B18 B29 (range-partition rank)
+    "decile_lift_distributed",        # B13 B16 B29 (closed-form NTILE cut)
+    # -- headline re-checks: bench core doubles as freshest-verified set --
+    "pricing_summary",                # B17 B16 (TPC-H Q1)
+    "star_join_wide",                 # B15 B10
+    "join_inner_lineitem_orders",     # B10
+    "similarity_topk_cosine",         # B55 B41
+    "text_stats_by_lang",             # B56 B16
 )
 
 

@@ -454,22 +454,21 @@ def partition_grouped_pushdown(spark: SparkSession, sf: str) -> DataFrame:
     ``newSession()`` clone exactly as in ``metadata_agg_pushdown``.
     Pushdown asserted in ``tests/test_scan_pruning.py``."""
     import os
-    import tempfile
 
     from ag_data_ingestion_github_to_snowflake_spark.catalog import load_table
-
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        f"ag_part_events_{os.path.basename(os.path.normpath(sf))}",
+    from ag_data_ingestion_github_to_snowflake_spark.sources.staging import (
+        stage_dir,
+        write_marker,
     )
+
+    stage = stage_dir("ag_part_events", sf)
     marker = os.path.join(stage, "_staged")
     src = os.path.join(sf, "events.parquet")
     if not os.path.exists(marker) or os.path.getmtime(marker) < os.path.getmtime(src):
         load_table(spark, sf, "events").write.partitionBy("event_type").mode(
             "overwrite"
         ).parquet(stage)
-        with open(marker, "w") as fh:
-            fh.write("staged\n")
+        write_marker(marker)
     s2 = spark.newSession()
     s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
     s2.conf.set("spark.sql.sources.useV1SourceList", "")

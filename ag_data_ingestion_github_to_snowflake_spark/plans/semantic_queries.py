@@ -464,10 +464,14 @@ def dsir_importance_sample(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
-    win = Window.orderBy(F.desc("log_weight"), "doc_id")
+    # Top-50 via orderBy().limit(): Catalyst plans TakeOrderedAndProject
+    # (per-partition partial top-k merged on the driver), so no partition
+    # ever holds the full per-doc weight table — unlike the previous
+    # row_number() over a global-order Window, which funneled every row
+    # through ONE task (the r5 100×-scale audit's worst offender).
     return (
-        w.withColumn("rnk", F.row_number().over(win))
-        .filter(F.col("rnk") <= 50)
+        w.orderBy(F.desc("log_weight"), "doc_id")
+        .limit(50)
         .select("doc_id", "n_tokens", "log_weight")
     )
 
@@ -780,10 +784,13 @@ def pmi_collocations_topk(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
-    w = Window.orderBy(F.desc("pmi"), "a", "b")
+    # Top-30 via orderBy().limit() → TakeOrderedAndProject: partial
+    # top-k per partition, merged on the driver. A web-scale vocabulary
+    # yields billions of surviving bigrams; the previous global-order
+    # row_number() Window pushed them all through one task.
     return (
-        pmi.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 30)
+        pmi.orderBy(F.desc("pmi"), "a", "b")
+        .limit(30)
         .select("a", "b", "pair_count", "pmi")
     )
 

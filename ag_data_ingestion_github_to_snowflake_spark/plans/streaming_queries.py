@@ -20,6 +20,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register
+from ag_data_ingestion_github_to_snowflake_spark.sources.staging import (
+    stage_dir,
+    write_marker,
+)
 from ag_data_ingestion_github_to_snowflake_spark.streaming import streams as S
 
 
@@ -39,9 +43,7 @@ def _staged_events_stream(spark: SparkSession, sf: str) -> tuple[DataFrame, str]
     generator produced.
     """
     src = os.path.join(sf, "events.parquet")
-    stage = os.path.join(
-        tempfile.gettempdir(), f"ag_stream_events_{os.path.basename(os.path.normpath(sf))}"
-    )
+    stage = stage_dir("ag_stream_events", sf)
     # `_`-prefixed marker: invisible to the Spark file source (which
     # skips `_`/`.` files), so it can carry the staleness stamp for
     # both file- and directory-style fixtures.
@@ -59,8 +61,7 @@ def _staged_events_stream(spark: SparkSession, sf: str) -> tuple[DataFrame, str]
                     )
         else:
             shutil.copy(src, os.path.join(stage, "events.parquet"))
-        with open(marker, "w") as fh:
-            fh.write("staged\n")
+        write_marker(marker)
     raw_schema = spark.read.parquet(src).schema
     sdf = spark.readStream.schema(raw_schema).parquet(stage)
     if isinstance(raw_schema["ts"].dataType, T.LongType):
@@ -96,8 +97,7 @@ def _staged_json_batches(base: str, sf: str, batches) -> str:
         with open(p, "w") as f:
             f.write("\n".join(rows))
         os.utime(p, (now + i * 10, now + i * 10))
-    with open(marker, "w") as fh:
-        fh.write("staged\n")
+    write_marker(marker)
     os.utime(marker, (now, now))
     return src
 
@@ -265,10 +265,7 @@ def streaming_corpus_curation(spark: SparkSession, sf: str) -> DataFrame:
     corpus = docs.unionByName(
         docs.select((F.col("doc_id") + 500000).alias("doc_id"), "text")
     )
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"ag_stream_cur_{os.path.basename(os.path.normpath(sf))}",
-    )
+    base = stage_dir("ag_stream_cur", sf)
     table = os.path.join(base, "table")
     cp = os.path.join(base, "cp")
     for d in (table, cp):
@@ -325,10 +322,7 @@ def streaming_neardup_curation(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("doc_id") + 500000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zqxtoken")).alias("text"),
     )
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"ag_stream_nd_{os.path.basename(os.path.normpath(sf))}",
-    )
+    base = stage_dir("ag_stream_nd", sf)
     table = os.path.join(base, "table")
     cp = os.path.join(base, "cp")
     for d in (table, cp):
@@ -400,7 +394,7 @@ def streaming_stateful_totals(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     sdf, _ = _staged_events_stream(spark, sf)
-    updates = _drain(running_user_totals(sdf), spark, "update")
+    updates = _drain(running_user_totals(sdf), spark, "update", rocksdb=True)
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
         updates.withColumn("rn", F.row_number().over(w))
@@ -517,10 +511,7 @@ def streaming_multibatch_rollup(spark: SparkSession, sf: str) -> DataFrame:
     across commits, late rows in later files merge into earlier days.
     """
     src = os.path.join(sf, "events.parquet")
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        f"ag_stream_split8_{os.path.basename(os.path.normpath(sf))}",
-    )
+    stage = stage_dir("ag_stream_split8", sf)
     marker = os.path.join(stage, "_staged")
     if not os.path.exists(marker) or os.path.getmtime(marker) < os.path.getmtime(src):
         shutil.rmtree(stage, ignore_errors=True)
@@ -541,8 +532,7 @@ def streaming_multibatch_rollup(spark: SparkSession, sf: str) -> DataFrame:
                 os.path.join(stage, f"batch_{i}.parquet"),
             )
         shutil.rmtree(stage + "_tmp", ignore_errors=True)
-        with open(marker, "w") as fh:
-            fh.write("staged\n")
+        write_marker(marker)
     schema = spark.read.parquet(os.path.join(stage, "batch_0.parquet")).schema
     sdf = (
         spark.readStream.schema(schema)

@@ -128,11 +128,12 @@ def test_canonical_url_idempotent_and_correct(spark):
         canonical_url,
     )
 
+    DEFAULTS = {"http": "80", "https": "443"}
     cases = []
     for scheme, host, port, trail, frag, utm in itertools.product(
         ["http", "HTTP", "https"],
         ["Site.Example.COM", "site.example.com"],
-        ["", ":443"],
+        ["", ":443", ":80", ":8080"],
         ["", "/"],
         ["", "#sec"],
         ["", "utm_campaign=x&"],
@@ -146,6 +147,13 @@ def test_canonical_url_idempotent_and_correct(spark):
         canonical_url(canonical_url(F.col("url"))).alias("c2"),
     ).collect()
     for r in out:
-        scheme = r["url"].split("://")[0].lower()
-        assert r["c1"] == f"{scheme}://site.example.com/Path/p?a=1&b=2", r
+        scheme, rest = r["url"].split("://")
+        scheme = scheme.lower()
+        # A non-default explicit port is a DISTINCT origin and must
+        # survive canonicalization; the scheme default collapses away.
+        port = rest.split("/")[0].partition(":")[2]
+        keep = f":{port}" if port and port != DEFAULTS[scheme] else ""
+        assert (
+            r["c1"] == f"{scheme}://site.example.com{keep}/Path/p?a=1&b=2"
+        ), r
         assert r["c2"] == r["c1"], r

@@ -71,6 +71,18 @@ def test_cms_never_undercounts_and_exact_when_wide(spark):
         assert r["cms_est"] == truth[r["user_id"]]
 
 
+def test_cms_absent_key_estimates_zero(spark):
+    """A probed key absent from the corpus must return est=0 (left
+    join + coalesce), not disappear from the output; with a wide
+    sketch its cells are empty, so the min is exactly 0."""
+    df = _synth(spark, n_users=30, rows_per=7)
+    keys = spark.createDataFrame([("ghost-user",)], "user_id STRING")
+    rows = K.cms_estimate_keys(df, keys, "user_id", depth=4, width=4096).collect()
+    assert len(rows) == 1
+    assert rows[0]["user_id"] == "ghost-user"
+    assert rows[0]["cms_est"] == 0
+
+
 def test_quantile_hash_sample_accuracy(spark):
     """The 1/16 hash sample's quantile estimates must track exact
     within sample-size-appropriate tolerance (~128 rows per type at
@@ -104,20 +116,32 @@ def test_bucketed_lag_pairs_equal_global_lag(spark):
     base = dt.datetime(2025, 1, 1)
     for g in ("a", "b"):
         for i in range(50):
-            rows.append((g, base + dt.timedelta(hours=i * 7), i, float(i * 13 % 29)))
+            # Every 11th value NULL: the operator must keep the
+            # (NULL, y) pairs a true LAG emits, distinguishing them
+            # from bucket-first rows (which produce no pair at all).
+            v = None if i % 11 == 3 else float(i * 13 % 29)
+            rows.append((g, base + dt.timedelta(hours=i * 7), i, v))
     df = spark.createDataFrame(rows, "g STRING, ts TIMESTAMP, event_id INT, v DOUBLE")
+    key = lambda t: (t[0], t[1] is None, t[1], t[2] is None, t[2])  # noqa: E731
     got = sorted(
-        (r["g"], r["yprev"], r["y"])
-        for r in bucketed_lag_pairs(
-            df, "g", ["ts", "event_id"], "v",
-            F.date_trunc("day", F.col("ts")),
-        ).collect()
+        (
+            (r["g"], r["yprev"], r["y"])
+            for r in bucketed_lag_pairs(
+                df, "g", ["ts", "event_id"], "v",
+                F.date_trunc("day", F.col("ts")),
+            ).collect()
+        ),
+        key=key,
     )
     w = Window.partitionBy("g").orderBy("ts", "event_id")
     want = sorted(
-        (r["g"], r["yprev"], r["v"])
-        for r in df.withColumn("yprev", F.lag("v").over(w))
-        .filter(F.col("yprev").isNotNull())
-        .collect()
+        (
+            (r["g"], r["yprev"], r["v"])
+            for r in df.withColumn("yprev", F.lag("v").over(w))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") > 1)
+            .collect()
+        ),
+        key=key,
     )
     assert got == want

@@ -103,6 +103,11 @@ ALLOWED_FLAGS = {
     # an explicit crossJoin — both sides are scalar aggregates, so the
     # BNLJ multiplies 1x1 rows regardless of data volume.
     ("hll_verified_users_by_type", "BroadcastNestedLoopJoin"),
+    # The distributed decile twin attaches the 1-row global row-count
+    # aggregate (needed by the closed-form NTILE cut) to the ranked
+    # table via a broadcast cross join — one broadcast row, invariant
+    # in the data size; the rank itself is range-partitioned.
+    ("decile_lift_distributed", "BroadcastNestedLoopJoin"),
     # The bloom probe attaches the 1-row bitmap aggregate to the fact
     # via a broadcast cross join (the membership forall rides the join
     # condition) — one broadcast row, invariant in the data size.
