@@ -1,0 +1,108 @@
+"""Packaging-parity smoke tests (VERDICT r5 item 7).
+
+The reference ships Dockerfile + docker-compose + run-docker.sh
+(/root/reference/Dockerfile:44-45, docker-compose.yml:3-18,
+run-docker.sh:40-59); these tests pin the engine's mirrors to the
+pieces that must not drift: the image entrypoint must be the real CLI
+module, the compose service must invoke the image's offline mode, and
+the ``--py-files`` zip builder must produce an importable archive —
+an actual ``docker build`` is offline-documented (no daemon here).
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import zipfile
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def test_dockerfile_entrypoint_is_the_cli():
+    text = (ROOT / "Dockerfile").read_text()
+    assert 'ENTRYPOINT ["python", "-m", "ag_data_ingestion_github_to_snowflake_spark"]' in text
+    # runtime stage must carry a JVM for the Spark driver/executors
+    assert "openjdk-17-jre-headless" in text
+    # both user surfaces ship in the image
+    assert "bench.py" in text and "__spark_entry__.py" in text
+
+
+def test_compose_defaults_are_offline():
+    text = (ROOT / "docker-compose.yml").read_text()
+    assert "--test-mode" in text, "compose default must not require network"
+    assert "spark-engine" in text and "bench" in text
+
+
+def test_run_docker_modes_match_reference_surface():
+    text = (ROOT / "run-docker.sh").read_text()
+    for mode in ("test)", "prod)", "custom)", "shell)", "clean)", "bench)"):
+        assert mode in text, mode
+
+
+def test_requirements_resolve_against_installed_env():
+    """Every requirement names a library importable in this container
+    (the versions are the baked-in baseline, so install would no-op)."""
+    import importlib
+
+    mods = {"pyspark": "pyspark", "pyarrow": "pyarrow", "pandas": "pandas",
+            "numpy": "numpy", "duckdb": "duckdb"}
+    text = (ROOT / "requirements.txt").read_text()
+    for req, mod in mods.items():
+        assert req in text
+        importlib.import_module(mod)
+
+
+def test_pyfiles_zip_builds_and_imports(tmp_path):
+    out = tmp_path / "pkg.zip"
+    res = subprocess.run(
+        [sys.executable, str(ROOT / "tools" / "build_pyfiles_zip.py"), str(out)],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    assert str(out) in res.stdout
+    with zipfile.ZipFile(out) as z:
+        names = z.namelist()
+    assert "ag_data_ingestion_github_to_snowflake_spark/__init__.py" in names
+    assert any(n.endswith("plans/registry.py") for n in names)
+    # the zip is importable standalone (what executors see via --py-files)
+    probe = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import sys; sys.path.insert(0, sys.argv[1]); "
+            "import ag_data_ingestion_github_to_snowflake_spark.operators.ids as m; "
+            "print(m.__name__)",
+            str(out),
+        ],
+        capture_output=True,
+        text=True,
+    )
+    assert probe.returncode == 0, probe.stderr
+    assert "operators.ids" in probe.stdout
+
+
+def test_cli_test_mode_runs_offline(tmp_path):
+    """The container entrypoint command actually completes an offline
+    pipeline run in-process — the smoke the image recipe documents."""
+    res = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "ag_data_ingestion_github_to_snowflake_spark",
+            "--test-mode",
+            "--skip-upload",
+            "--n-repos",
+            "40",
+            "--sink",
+            str(tmp_path / "sink"),
+            "--state",
+            str(tmp_path / "state.json"),
+        ],
+        capture_output=True,
+        text=True,
+        cwd=ROOT,
+        timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
