@@ -85,17 +85,96 @@ def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _batch_accept(
+    top: list,
+    tail_bound: int,
+    symbols: set[str],
+    max_accepts: int,
+) -> list[tuple[str, str, int]]:
+    """Pick the longest prefix of the sorted candidate list that is
+    provably SEQUENTIAL-EQUIVALENT to land as one batch.
+
+    ``top`` is the candidate pair table sorted by (cnt desc, a, b) —
+    the exact sequential argmax order. A later candidate stays the
+    sequential argmax at its own step iff nothing an earlier accepted
+    merge creates or changes can outrank it. Three facts make a safe
+    prefix computable driver-side:
+
+    1. Merging (a, b) never increases the count of a pair disjoint
+       from {a, b}; accepted merges are pairwise token-disjoint, so
+       each accepted candidate's own count is unchanged at its step.
+    2. A derived pair ((x, ab) / (ab, y)) created by an accepted merge
+       is bounded by its progenitor's current count, and every
+       progenitor shares a token with the merge — so progenitors are
+       either visible conflicts (which stop the walk) or rank below it
+       (count <= the stop bound B).
+    3. Exception to (2): if the fused name ``a+b`` already exists as a
+       vocabulary symbol, pairs touching that symbol can GAIN count
+       beyond their current value — so a colliding fusion closes the
+       batch right after itself.
+
+    B = max(first conflicting candidate's count, the tail bound = the
+    count of the last collected row when the pool was truncated, i.e.
+    an upper bound on every invisible pair). Accepts are then trimmed
+    to those with count STRICTLY above B — strict, because an exact
+    tie could flip on the (a, b) string tie-break via a derived pair
+    whose name is unknown here. An empty result means "no provable
+    batch"; the caller falls back to the always-correct single argmax.
+    """
+    accepted: list[tuple[str, str, int]] = []
+    touched: set[str] = set()
+    bound = tail_bound
+    stop = len(top)  # first index NOT cleared by the walk, if any
+    for i, row in enumerate(top):
+        a, b, cnt = row["a"], row["b"], int(row["cnt"])
+        if len(accepted) >= max_accepts or a in touched or b in touched:
+            stop = i  # this candidate's count bounds derived pairs too
+            break
+        accepted.append((a, b, cnt))
+        touched.add(a)
+        touched.add(b)
+        if a + b in symbols:
+            # fused-name collision: pairs touching the existing symbol
+            # may RISE, so nothing after this accept is provable — and
+            # the next (unscanned) candidate still feeds the bound.
+            stop = i + 1
+            break
+    if stop < len(top):
+        bound = max(bound, int(top[stop]["cnt"]))
+    safe: list[tuple[str, str, int]] = []
+    for a, b, cnt in accepted:
+        if cnt > bound:
+            safe.append((a, b, cnt))
+        else:
+            break
+    return safe
+
+
 def train_bpe_merges(
     spark: SparkSession,
     docs: DataFrame,
     n_merges: int,
     text_col: str = "text",
+    batch_size: int = 8,
+    candidate_pool: int = 512,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Learn the first ``n_merges`` BPE merge rules.
 
     Returns (rank, left, right, pair_count) — rank is 1-based learn
     order. Adjacent-pair counts are overlapping (reference-tokenizer
     convention); the rewrite fuses non-overlapping left-to-right.
+
+    Each driver round collects the top ``candidate_pool`` pairs once
+    and lands up to ``batch_size`` merges from them when the batch is
+    provably identical to running them one at a time (see
+    ``_batch_accept``) — cutting driver round-trips up to
+    ``batch_size``-fold on corpora with independent frequent pairs
+    while guaranteeing the merge table is bit-identical to the
+    sequential reference algorithm. When no multi-merge batch is
+    provable (tied counts, cascading fusions), the round degrades to
+    the classic single argmax. ``stats``, if given, receives
+    ``rounds`` = number of driver round-trips taken.
     """
     wf = word_frequencies(docs, text_col=text_col)
     syms = wf.select(
@@ -105,36 +184,61 @@ def train_bpe_merges(
         ).alias("sym"),
     ).persist()
     syms.count()  # materialize before the loop
+    # Driver-side vocabulary (bounded: distinct chars + one per merge);
+    # only consulted for fused-name collisions in _batch_accept.
+    symbols = {
+        r["s"]
+        for r in syms.select(F.explode("sym").alias("s")).distinct().collect()
+    }
 
     merges: list[tuple[int, str, str, int]] = []
+    rounds = 0
     try:
-        for rank in range(1, n_merges + 1):
+        while len(merges) < n_merges:
+            pool = max(2, min(candidate_pool, 64 * batch_size))
             pairs = (
                 syms.select(
                     "freq",
+                    # zip(sym[:-1], sym[1:]): empty-safe when a word has
+                    # fully fused to ONE token (sequence(1, 0) would
+                    # yield [1, 0] and an ANSI index error there)
                     F.explode(
                         F.expr(
-                            "transform(sequence(1, size(sym) - 1),"
-                            " i -> struct(sym[i - 1] AS a, sym[i] AS b))"
+                            "zip_with(slice(sym, 1, size(sym) - 1),"
+                            " slice(sym, 2, size(sym) - 1),"
+                            " (x, y) -> struct(x AS a, y AS b))"
                         )
                     ).alias("p"),
                 )
                 .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
                 .agg(F.sum("freq").alias("cnt"))
             )
-            top = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()
+            top = pairs.orderBy(F.desc("cnt"), "a", "b").limit(pool).collect()
+            rounds += 1
             if not top:
                 break
-            a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
-            merges.append((rank, a, b, cnt))
-            nxt = syms.select(
-                "freq", _merge_pair_expr(F.col("sym"), a, b).alias("sym")
-            ).persist()
+            tail_bound = int(top[-1]["cnt"]) if len(top) == pool else 0
+            batch = _batch_accept(
+                top, tail_bound, symbols, min(batch_size, n_merges - len(merges))
+            )
+            if not batch:
+                # No provable batch — the global argmax alone is always
+                # exact (it IS the sequential step).
+                r0 = top[0]
+                batch = [(r0["a"], r0["b"], int(r0["cnt"]))]
+            rewrite = F.col("sym")
+            for a, b, cnt in batch:
+                merges.append((len(merges) + 1, a, b, cnt))
+                symbols.add(a + b)
+                rewrite = _merge_pair_expr(rewrite, a, b)
+            nxt = syms.select("freq", rewrite.alias("sym")).persist()
             nxt.count()
             syms.unpersist()
             syms = nxt
     finally:
         syms.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
 
     return spark.createDataFrame(
         merges, "rank INT, left STRING, right STRING, pair_count BIGINT"
