@@ -174,6 +174,12 @@ def join_theta_acctbal(spark: SparkSession, sf: str) -> DataFrame:
     The equi component keeps this a hash join with a residual predicate
     (never a cartesian product) — the scale-safe way to write theta
     joins when any equi key exists.
+
+    NAIVE MEASURED-CONTRAST CARRIER: residual-predicate pair
+    enumeration is quadratic in per-nation density (alpha +1.71 at
+    100x in scale_curve_100x_all.json). On real data USE
+    ``theta_join_rank_rewrite`` below — the oracle-identical
+    O(n log n) sort-rank rewrite (0.94 s vs 16.5 s at 100x).
     """
     s = t(spark, sf, "supplier")
     c = t(spark, sf, "customer")

@@ -184,6 +184,12 @@ def concurrent_intervals_sweep(spark: SparkSession, sf: str) -> DataFrame:
     interval self-join (the naive overlap-count pairs every
     overlapping interval: quadratic in peak concurrency).
 
+    MEASURED-CONTRAST CARRIER: with only a handful of event types the
+    per-group window sort concentrates in few tasks (alpha +1.57 at
+    100x). On real data USE ``concurrent_intervals_distributed`` —
+    the oracle-identical two-level prefix-sum twin whose every stage
+    stays parallel regardless of group cardinality.
+
     ROWS (not the default RANGE) frame so tied boundary instants
     accumulate one row at a time: identical deltas within a tie group
     make every prefix value deterministic, and RANGE would hide a
@@ -373,7 +379,13 @@ def autocorrelation_lag1_events(spark: SparkSession, sf: str) -> DataFrame:
     time-series diagnostic behind seasonality/trend checks. One lag
     window + one aggregation, both on the event_type key (AQE reuses
     the exchange); moments are exact decimal sums so the assembled r
-    is engine-identical at round-6."""
+    is engine-identical at round-6.
+
+    MEASURED-CONTRAST CARRIER: the per-type lag window concentrates
+    each type's full series in one task (alpha +1.36 at 100x). On
+    real data USE ``autocorrelation_lag1_distributed`` — the
+    oracle-identical bucketed-lag twin (operators/temporal.py:
+    bucketed_lag_pairs) with no per-group global sort."""
     from pyspark.sql import Window
 
     ev = t(spark, sf, "events")
