@@ -119,7 +119,11 @@ _ROCKSDB_PROVIDER = (
 
 
 def _drain(
-    plan: DataFrame, spark: SparkSession, mode: str, rocksdb: bool = False
+    plan: DataFrame,
+    spark: SparkSession,
+    mode: str,
+    rocksdb: bool = False,
+    shuffle_partitions: str | None = None,
 ) -> DataFrame:
     """Run the streaming plan to completion and hand back a *detached*
     result: the memory-sink table is snapshotted via an eager
@@ -134,15 +138,26 @@ def _drain(
     operators whose state cardinality scales with the DATA rather than
     with a bounded key set: the default HDFS-backed store rewrites the
     whole state map per commit, which turns e.g. the 100x session
-    drain (9.5M session states) from >600 s into ~25 s under RocksDB
-    (measured; incremental SST writes instead of full-map rewrite)."""
+    drain (9.5M session states) from >600 s into ~77 s under RocksDB
+    (measured, r6 re-run with a right-sized heap; incremental SST
+    writes instead of full-map rewrite).
+
+    ``shuffle_partitions`` overrides the default fixture-sized 8 for
+    THIS drain (fresh checkpoint each run, so the pin is per-query).
+    Use the core count for drains whose per-partition work scales with
+    the data — e.g. the Python stateful kernel in
+    ``streaming_stateful_totals``, where 8 partitions left 3/4 of the
+    machine idle and dominated the 100x time."""
     cp = tempfile.mkdtemp(prefix="ag_stream_cp_")
     name = "mem_" + os.path.basename(cp).removeprefix("ag_stream_cp_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_provider = spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass", None
     )
-    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        shuffle_partitions or STREAM_SHUFFLE_PARTITIONS,
+    )
     if rocksdb:
         spark.conf.set(
             "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
@@ -394,7 +409,20 @@ def streaming_stateful_totals(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     sdf, _ = _staged_events_stream(spark, sf)
-    updates = _drain(running_user_totals(sdf), spark, "update", rocksdb=True)
+    # Core-count partitions: the per-row cost here is the Python
+    # stateful kernel (Arrow + per-key calls), which scales with data —
+    # the fixture-sized default of 8 left 3/4 of a 32-core box idle and
+    # was the whole 100x gap (49 s -> measured in
+    # scale_curve_100x_all.json after this change). State itself is one
+    # tiny accumulator per user, so the store provider barely matters;
+    # RocksDB is still used as the production-shaped choice.
+    updates = _drain(
+        running_user_totals(sdf),
+        spark,
+        "update",
+        rocksdb=True,
+        shuffle_partitions=str(spark.sparkContext.defaultParallelism),
+    )
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
         updates.withColumn("rn", F.row_number().over(w))
@@ -465,6 +493,15 @@ def streaming_session_window_events(spark: SparkSession, sf: str) -> DataFrame:
             "total_value",
         )
     )
+    # Partition count stays at the drain default (8): measured at 100x,
+    # core-count (32) partitions made this drain 3x SLOWER (212 s vs
+    # 65 s) — complete mode re-emits the full 9.5M-session state every
+    # commit, and that emission pays a per-RocksDB-store scan/iterate
+    # cost, so more stores = more fixed overhead, unlike the Python
+    # kernel drain above whose per-row cost dominates. The remaining
+    # 100x exponent (~+1.27) is the complete-mode re-emission floor
+    # documented with C118; production continuous streams use
+    # watermark-gated append and never pay it.
     em = _drain(agg, spark, "complete", rocksdb=True).distinct()
     a, b = em.alias("a"), em.alias("b")
     dominated = (

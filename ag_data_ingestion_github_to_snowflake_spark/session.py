@@ -48,7 +48,12 @@ def get_spark(app_name: str = "ag-data-ingestion-spark", master: str | None = No
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Deterministic float formatting helps oracle parity.
         .config("spark.sql.parquet.enableVectorizedReader", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Single-JVM local mode: driver heap IS executor heap. 8g was
+        # measured GC-thrashing the 100x streaming drains (the complete-
+        # mode memory sink holds millions of rows; same run varied
+        # 65 s <-> 344 s); 16g removes the thrash with 8x headroom on
+        # the 128 GiB dev box. Real clusters size executors per SF.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     if master is not None:
         builder = builder.master(master)
