@@ -371,6 +371,13 @@ def streaming_dedup_events(spark: SparkSession, sf: str) -> DataFrame:
     tests/test_streaming.py with a duplicated source)."""
     sdf, _ = _staged_events_stream(spark, sf)
     deduped = S.dedup_stream(sdf, ["event_id"], delay="40 days").select("event_id")
+    # Store choice, measured at 100x (10M dedup states, single
+    # AvailableNow commit): HDFS-heap 24.9 s vs RocksDB 38.1 s — an
+    # insert-only single-commit drain never pays the full-map REWRITE
+    # that makes RocksDB win on multi-commit state (session windows),
+    # so the default heap store is the right call here; a continuous
+    # production stream (many commits, state turnover) would flip to
+    # rocksdb=True.
     return _drain(deduped, spark, "append")
 
 
