@@ -40,6 +40,13 @@ def test_run_docker_modes_match_reference_surface():
         assert mode in text, mode
 
 
+def test_scheduler_example_mirrors_reference_cadence():
+    text = (ROOT / "examples" / "scheduled-extraction.yml").read_text()
+    assert "cron:" in text and "30 * * * *" in text
+    assert "spark-engine" in text  # runs the real compose service
+    assert "--use-cache" in text  # incremental, watermark-resumed
+
+
 def test_requirements_resolve_against_installed_env():
     """Every requirement names a library importable in this container
     (the versions are the baked-in baseline, so install would no-op)."""
