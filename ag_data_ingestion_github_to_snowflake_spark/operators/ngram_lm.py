@@ -1,0 +1,192 @@
+"""Distributed n-gram language model with Stupid Backoff scoring.
+
+Brants et al. 2007 ("Large Language Models in Machine Translation")
+trained 2-trillion-token n-gram LMs with exactly this shape on
+MapReduce: n-gram counting is a partial-aggregated groupBy, and
+"Stupid Backoff" replaces normalized Katz/Kneser-Ney backoff weights
+with one fixed multiplier (0.4), which removes the held-out
+normalization passes and makes the whole model two join-able count
+tables — the published large-scale trade-off this engine exists to
+express. (Reference parity note: the reference pipeline
+/root/reference/src/extract_github_data.py has no LM surface; this is
+part of the mandated training-data-pipeline extension set.)
+
+Scale shape (100 TB corpus):
+- counting: one explode per order, ONE shuffle on (n, gram) with
+  map-side combine — the count table is vocabulary-sized (orders of
+  magnitude below corpus size).
+- scoring: the test trigram stream joins the count tables BY GRAM
+  STRING; the bigram/unigram tables are vocabulary-sized so AQE
+  broadcasts them on real clusters, the trigram join is a plain
+  shuffle hash join. The total-token count and vocabulary size ride
+  one broadcast row. No driver loops, no per-row Python.
+
+Scoring chain for a test trigram (w1 w2 w3), alpha = 0.4:
+
+    S(w3 | w1 w2) = c(w1 w2 w3) / c(w1 w2)        if c(w1 w2 w3) > 0
+                  = 0.4 * S(w3 | w2)              otherwise
+    S(w3 | w2)    = c(w2 w3) / c(w2)              if c(w2 w3) > 0
+                  = 0.4 * S(w3)                   otherwise
+    S(w3)         = (c(w3) + 1) / (N + V)         (Laplace at the root
+                                                   so OOV words score
+                                                   > 0; documented
+                                                   deviation from the
+                                                   paper, which assumes
+                                                   a closed vocabulary)
+
+A trigram hit implies its context bigram was seen (it is a substring
+of the same training text), so the denominators of the upper levels
+are never NULL on the path that uses them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ALPHA = 0.4
+
+
+def _tokens(text_col: str | Column) -> Column:
+    """Whitespace tokenization, identical to the unigram-LM and BPE
+    convention (and to the DuckDB oracle's string_split_regex)."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(col, r"\s+")
+
+
+def ngram_counts(
+    docs: DataFrame, text_col: str = "text", max_n: int = 3
+) -> DataFrame:
+    """(n, gram, cnt) for every order 1..max_n in one pass: per-order
+    explode of space-joined slices, unioned, then ONE count shuffle
+    with map-side combine. Rows shorter than n are filtered before the
+    sequence() so no invalid range is ever built."""
+    toks = docs.select(_tokens(text_col).alias("t"))
+    per_order = []
+    for n in range(1, max_n + 1):
+        per_order.append(
+            toks.filter(F.size("t") >= n)
+            .select(
+                F.lit(n).alias("n"),
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, size(t) - {n} + 1),"
+                        f" i -> array_join(slice(t, i, {n}), ' '))"
+                    )
+                ).alias("gram"),
+            )
+        )
+    allg = per_order[0]
+    for df in per_order[1:]:
+        allg = allg.unionAll(df)
+    return allg.groupBy("n", "gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+
+
+def test_trigrams(docs: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Explode each doc into scoring rows: the trigram string plus the
+    four backoff lookup keys (context bigram, backoff bigram, context
+    unigram, target unigram)."""
+    toks = docs.select(id_col, _tokens(text_col).alias("t"))
+    return toks.filter(F.size("t") >= 3).select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 2), i -> struct("
+                " array_join(slice(t, i, 3), ' ') AS g3,"
+                " array_join(slice(t, i, 2), ' ') AS ctx2,"
+                " array_join(slice(t, i + 1, 2), ' ') AS g2,"
+                # subscript t[k] is 0-based (unlike 1-based slice), so
+                # with i at the trigram's 1-based start, t[i] is w2 and
+                # t[i+1] is w3 — the two backoff lookup tokens.
+                " t[i] AS ctx1,"
+                " t[i + 1] AS g1))"
+            )
+        ).alias("p"),
+    ).select(id_col, "p.g3", "p.ctx2", "p.g2", "p.ctx1", "p.g1")
+
+
+def stupid_backoff_scores(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-test-document Stupid Backoff trigram log-score.
+
+    Returns (id, n_tri, hit3, hit2, hit1, score): how many trigrams
+    resolved at each backoff level (integer, hash-exact) and the mean
+    log10 Stupid Backoff score (rounded to 6 decimals, the repo's
+    established tolerance for per-doc float aggregates).
+    """
+    counts = ngram_counts(train, text_col=text_col).cache()
+    uni = counts.filter(F.col("n") == 1).select(
+        F.col("gram").alias("u_gram"), F.col("cnt").alias("u_cnt")
+    )
+    bi = counts.filter(F.col("n") == 2).select(
+        F.col("gram").alias("b_gram"), F.col("cnt").alias("b_cnt")
+    )
+    tri_c = counts.filter(F.col("n") == 3).select(
+        F.col("gram").alias("t_gram"), F.col("cnt").alias("t_cnt")
+    )
+    totals = uni.agg(
+        F.sum("u_cnt").cast("double").alias("n_tokens"),
+        F.count(F.lit(1)).cast("double").alias("v_size"),
+    )
+
+    tri = test_trigrams(test, id_col, text_col=text_col)
+    j = (
+        tri.join(tri_c.withColumnRenamed("t_cnt", "c3"), tri.g3 == tri_c.t_gram, "left")
+        .join(
+            bi.select(F.col("b_gram").alias("bg_ctx"), F.col("b_cnt").alias("c_ctx2")),
+            F.col("ctx2") == F.col("bg_ctx"),
+            "left",
+        )
+        .join(
+            bi.select(F.col("b_gram").alias("bg_g2"), F.col("b_cnt").alias("c2")),
+            F.col("g2") == F.col("bg_g2"),
+            "left",
+        )
+        .join(
+            uni.select(F.col("u_gram").alias("ug_ctx"), F.col("u_cnt").alias("c_ctx1")),
+            F.col("ctx1") == F.col("ug_ctx"),
+            "left",
+        )
+        .join(
+            uni.select(F.col("u_gram").alias("ug_w"), F.col("u_cnt").alias("c1")),
+            F.col("g1") == F.col("ug_w"),
+            "left",
+        )
+        .join(F.broadcast(totals))
+    )
+    s1 = (F.coalesce(F.col("c1"), F.lit(0)).cast("double") + F.lit(1.0)) / (
+        F.col("n_tokens") + F.col("v_size")
+    )
+    score = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.col("c3").cast("double") / F.col("c_ctx2").cast("double"),
+        )
+        .when(
+            F.col("c2").isNotNull(),
+            F.lit(ALPHA) * F.col("c2").cast("double") / F.col("c_ctx1").cast("double"),
+        )
+        .otherwise(F.lit(ALPHA) * F.lit(ALPHA) * s1)
+    )
+    level = (
+        F.when(F.col("c3").isNotNull(), F.lit(3))
+        .when(F.col("c2").isNotNull(), F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    return (
+        j.select(id_col, score.alias("s"), level.alias("lvl"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tri"),
+            F.sum((F.col("lvl") == 3).cast("bigint")).alias("hit3"),
+            F.sum((F.col("lvl") == 2).cast("bigint")).alias("hit2"),
+            F.sum((F.col("lvl") == 1).cast("bigint")).alias("hit1"),
+            F.round(F.avg(F.log10(F.col("s"))), 6).alias("score"),
+        )
+    )

@@ -821,3 +821,101 @@ def embedding_pca_project(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id",
         F.transform(F.col("pc"), lambda x: F.round(x, 6)).alias("pc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stupid Backoff trigram LM (Brants et al. 2007)
+# ---------------------------------------------------------------------------
+@register(
+    "stupid_backoff_trigram_lm",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS t,
+             CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) AS hb
+      FROM documents
+    ),
+    c_uni AS (
+      SELECT t[i] AS gram, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM d, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) s
+      WHERE hb < 204 GROUP BY 1
+    ),
+    c_bi AS (
+      SELECT array_to_string(t[i:i+1], ' ') AS gram, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM d, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
+      WHERE hb < 204 GROUP BY 1
+    ),
+    c_tri AS (
+      SELECT array_to_string(t[i:i+2], ' ') AS gram, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM d, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) s
+      WHERE hb < 204 GROUP BY 1
+    ),
+    totals AS (
+      SELECT CAST(SUM(cnt) AS DOUBLE) AS n_tokens,
+             CAST(COUNT(*) AS DOUBLE) AS v_size
+      FROM c_uni
+    ),
+    tt AS (
+      SELECT doc_id,
+             array_to_string(t[i:i+2], ' ') AS k3,
+             array_to_string(t[i:i+1], ' ') AS kctx2,
+             array_to_string(t[i+1:i+2], ' ') AS k2,
+             t[i+1] AS kctx1,
+             t[i+2] AS k1
+      FROM d, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) s
+      WHERE hb >= 204
+    ),
+    scored AS (
+      SELECT tt.doc_id,
+             CASE WHEN t3.cnt IS NOT NULL THEN 3
+                  WHEN b2.cnt IS NOT NULL THEN 2 ELSE 1 END AS lvl,
+             CASE
+               WHEN t3.cnt IS NOT NULL
+                 THEN CAST(t3.cnt AS DOUBLE) / bctx.cnt
+               WHEN b2.cnt IS NOT NULL
+                 THEN 0.4 * CAST(b2.cnt AS DOUBLE) / uctx.cnt
+               ELSE 0.4 * 0.4 * (COALESCE(u1.cnt, 0) + 1.0)
+                    / (totals.n_tokens + totals.v_size)
+             END AS s
+      FROM tt
+      LEFT JOIN c_tri t3 ON tt.k3 = t3.gram
+      LEFT JOIN c_bi bctx ON tt.kctx2 = bctx.gram
+      LEFT JOIN c_bi b2 ON tt.k2 = b2.gram
+      LEFT JOIN c_uni uctx ON tt.kctx1 = uctx.gram
+      LEFT JOIN c_uni u1 ON tt.k1 = u1.gram
+      CROSS JOIN totals
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tri,
+           CAST(SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS hit3,
+           CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS hit2,
+           CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hit1,
+           ROUND(AVG(log10(s)), 6) AS score
+    FROM scored
+    GROUP BY doc_id
+    """,
+    survey_ids=("B56", "B16", "B10", "B43"),
+    description="Stupid Backoff trigram LM: train on the 80% split, score held-out docs",
+)
+def stupid_backoff_trigram_lm(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed Stupid Backoff trigram LM (Brants et al. 2007):
+    n-gram counts from the deterministic 80% train split (same sha256
+    gate as ``train_test_split_counts``), held-out 20% docs scored
+    trigram-by-trigram through the 0.4-backoff chain, emitted as
+    per-doc backoff-level hit counts (exact integers) plus the mean
+    log10 score (rounded 6, repo convention for per-doc float
+    aggregates). See ``operators/ngram_lm.py`` for the published-paper
+    background and the 100 TB plan shape (one count shuffle; the
+    vocabulary-sized count tables broadcast under AQE on real
+    clusters; held-out scoring never sees the training corpus itself,
+    only its counts)."""
+    from ag_data_ingestion_github_to_snowflake_spark.operators.ngram_lm import (
+        stupid_backoff_scores,
+    )
+    from ag_data_ingestion_github_to_snowflake_spark.plans.sampling_queries import (
+        hash_bucket,
+    )
+
+    docs = t(spark, sf, "documents")
+    train = docs.filter(hash_bucket(F.col("doc_id")) < 204)
+    test = docs.filter(hash_bucket(F.col("doc_id")) >= 204)
+    return stupid_backoff_scores(train, test, id_col="doc_id", text_col="text")
