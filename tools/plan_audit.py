@@ -88,6 +88,11 @@ ALLOWED_FLAGS = {
     # The unigram LM attaches the 1-row total-token count to the token
     # stream the same way — one broadcast row.
     ("doc_perplexity_unigram", "BroadcastNestedLoopJoin"),
+    # The Stupid Backoff LM attaches the 1-row (N, V) training-corpus
+    # totals to the scored trigram stream via a broadcast cross join —
+    # one broadcast row, invariant in the data size; every count
+    # lookup is an equi join.
+    ("stupid_backoff_trigram_lm", "BroadcastNestedLoopJoin"),
     # Same 1-row total attach inside the CCNet tercile composition.
     ("ccnet_perplexity_buckets", "BroadcastNestedLoopJoin"),
     # PMI attaches the 1-row unigram-total and 1-row bigram-total
