@@ -55,7 +55,10 @@ def _checked_before_current_window(head: list[str]) -> set[str]:
     head_set = set(head)
     names: set[str] = set()
     for s in _artifact_name_sets():
-        if s == head_set:
+        # Subset, not equality: a driver run that aborted partway
+        # records fewer than 50 keys but is still this window's own
+        # result, not prior evidence.
+        if s and s <= head_set:
             continue
         names |= s
     return names
