@@ -1515,3 +1515,75 @@ def dataset_datasheet(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("exact_dup_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC normalization audit
+# ---------------------------------------------------------------------------
+@register(
+    "unicode_nfc_audit",
+    # The fixture corpus is ASCII-clean, so a synthetic NFD tail
+    # (combining marks spelled explicitly) rides along to prove the
+    # operator actually composes: changed rows emit their normalized
+    # text, clean rows pass through with changed=false.
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT * FROM (VALUES
+        (9000001, 'café au lait'),
+        (9000002, 'école française'),
+        (9000003, 'Ångström units'),
+        (9000004, 'already composed café'),
+        (9000005, 'plain ascii stays put')
+      ) AS v(doc_id, text)
+    ),
+    norm AS (
+      SELECT doc_id, text, nfc_normalize(text) AS norm_text FROM corpus
+    )
+    SELECT doc_id,
+           (norm_text <> text) AS changed,
+           CAST(length(text) AS BIGINT) AS n_before,
+           CAST(length(norm_text) AS BIGINT) AS n_after,
+           CASE WHEN norm_text <> text THEN norm_text END AS emitted
+    FROM norm
+    """,
+    survey_ids=("B51", "B56", "B27"),
+    description="NFC normalization audit: composed-vs-decomposed detection per doc",
+)
+def unicode_nfc_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc NFC normalization audit over the corpus plus a
+    synthetic NFD tail (operators/unicode_norm.py): flags documents
+    whose text changes under NFC, with character counts before/after
+    and the normalized text for changed rows. Both engines run the
+    same UCD composition (Python unicodedata vs DuckDB
+    nfc_normalize), so the differential pins the normalizer itself,
+    not just the plumbing. Map-side only (one mapInPandas over the
+    union); the synthetic rows are literals, so the plan stays a
+    single scan + union."""
+    from ag_data_ingestion_github_to_snowflake_spark.operators.unicode_norm import (
+        nfc_normalize,
+    )
+
+    synth = spark.createDataFrame(
+        [
+            (9000001, 'café au lait'),
+            (9000002, 'école française'),
+            (9000003, 'Ångström units'),
+            (9000004, 'already composed café'),
+            (9000005, 'plain ascii stays put'),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    corpus = (
+        t(spark, sf, "documents").select(F.col("doc_id").cast("bigint"), "text")
+        .unionAll(synth)
+    )
+    out = nfc_normalize(corpus, text_col="text")
+    return out.select(
+        "doc_id",
+        "changed",
+        F.length("text").cast("bigint").alias("n_before"),
+        F.length("norm_text").cast("bigint").alias("n_after"),
+        F.when(F.col("changed"), F.col("norm_text")).alias("emitted"),
+    )
