@@ -65,12 +65,12 @@ def register(
 #
 # ROTATION (round 6): r5 went 50/50 green, bringing the ledger to
 # 192/235 queries driver-checked at least once. This window holds ALL
-# 45 never-driver-checked names (the 43 r5 C99–C127 additions plus the
-# two new r6 distributed-rank twins; 38 oracle-bearing + the 7
-# declared rows-only carriers, so the ledger reaches 237/237) and 5
-# headline re-checks so the bench core is also freshest-verified.
-# Local parity (tests/test_oracle_parity.py) covers the rotated-out
-# tail with the identical compare.
+# 47 never-driver-checked names (the 43 r5 C99–C127 additions plus the
+# four r6 additions: distributed-rank twins, Stupid Backoff LM, NFC
+# audit; 40 oracle-bearing + the 7 declared rows-only carriers, so the
+# ledger reaches 239/239 — full registry coverage) and 3 TPC-H-core
+# re-checks. Local parity (tests/test_oracle_parity.py) covers the
+# rotated-out tail with the identical compare.
 _PRIORITY: tuple[str, ...] = (
     # -- r5 curation/quality additions, first-eligible now --
     "span_dedup_corpus",              # B54 B53 (Lee et al. span dedup)
@@ -121,15 +121,15 @@ _PRIORITY: tuple[str, ...] = (
     "hll_sketch_users_by_type",       # B21 (engine-native HLL internals)
     "kll_quantiles_value",            # B23 (KLL sketch, rank-error bound)
     "streaming_neardup_curation",     # B50 B54 (LSH probe of indexed corpus)
-    # -- r6 distributed-rank twins (VERDICT r5 item 2), first-eligible --
+    # -- r6 additions (VERDICT r5 item 2 + new operators), first-eligible --
     "gini_revenue_distributed",       # B16 B18 B29 (range-partition rank)
     "decile_lift_distributed",        # B13 B16 B29 (closed-form NTILE cut)
+    "stupid_backoff_trigram_lm",      # B56 B16 B10 B43 (Brants et al. 2007)
+    "unicode_nfc_audit",              # B51 B56 B27 (UCD differential)
     # -- headline re-checks: bench core doubles as freshest-verified set --
     "pricing_summary",                # B17 B16 (TPC-H Q1)
     "star_join_wide",                 # B15 B10
     "join_inner_lineitem_orders",     # B10
-    "similarity_topk_cosine",         # B55 B41
-    "text_stats_by_lang",             # B56 B16
 )
 
 

@@ -86,15 +86,14 @@ def test_window_plus_ledger_cover_every_survey_id():
     )
 
 
-# r6 window: 5 headline queries re-checked so the bench core is also
-# the freshest-verified set (VERDICT r5 item 8); the other two slots
-# went to the new distributed-rank twins (first-timers).
+# r6 window: 3 TPC-H-core re-checks so the bench core is also the
+# freshest-verified set (VERDICT r5 item 8); the other four slots went
+# to the r6 first-timers (distributed-rank twins, Stupid Backoff LM,
+# NFC audit), taking the post-r6 ledger to full registry coverage.
 INTENDED_RECHECKS: set[str] = {
     "pricing_summary",
     "star_join_wide",
     "join_inner_lineitem_orders",
-    "similarity_topk_cosine",
-    "text_stats_by_lang",
 }
 
 # r6 window: the 7 declared rows-only carriers ride through once so the
