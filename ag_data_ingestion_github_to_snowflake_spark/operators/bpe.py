@@ -123,6 +123,7 @@ def _batch_accept(
     """
     accepted: list[tuple[str, str, int]] = []
     touched: set[str] = set()
+    created: set[str] = set()  # names fused by earlier accepts THIS walk
     bound = tail_bound
     stop = len(top)  # first index NOT cleared by the walk, if any
     for i, row in enumerate(top):
@@ -133,12 +134,15 @@ def _batch_accept(
         accepted.append((a, b, cnt))
         touched.add(a)
         touched.add(b)
-        if a + b in symbols:
-            # fused-name collision: pairs touching the existing symbol
-            # may RISE, so nothing after this accept is provable — and
-            # the next (unscanned) candidate still feeds the bound.
+        if a + b in symbols or a + b in created:
+            # fused-name collision: pairs touching the existing (or
+            # just-created — two token-disjoint accepts can fuse to the
+            # SAME name, e.g. lo+west and low+est) symbol may RISE, so
+            # nothing after this accept is provable — and the next
+            # (unscanned) candidate still feeds the bound.
             stop = i + 1
             break
+        created.add(a + b)
     if stop < len(top):
         bound = max(bound, int(top[stop]["cnt"]))
     safe: list[tuple[str, str, int]] = []

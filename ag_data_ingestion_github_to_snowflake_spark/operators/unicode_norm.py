@@ -54,7 +54,12 @@ def nfc_normalize(
                 lambda s: unicodedata.normalize("NFC", s) if s is not None else None
             )
             pdf[out_col] = norm
-            pdf[changed_col] = (norm != src) & src.notna()
+            # NULL text -> NULL changed (SQL three-valued convention:
+            # DuckDB's (norm_text <> text) yields NULL there too; a
+            # false here would diverge the differential on NULL rows).
+            pdf[changed_col] = pd.Series(
+                (norm != src) & src.notna(), dtype="boolean"
+            ).mask(src.isna())
             yield pdf
 
     return df.mapInPandas(kernel, schema=schema)

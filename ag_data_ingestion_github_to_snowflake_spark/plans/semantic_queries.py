@@ -811,16 +811,20 @@ def embedding_pca_project(spark: SparkSession, sf: str) -> DataFrame:
     dim x dim partials, ~33 KB each to the driver), a 64 x 64 driver
     eigh, a broadcast map-side projection. Output rounded to 6 for
     run-to-run stability; sign-canonicalized components make the
-    result restart-deterministic."""
+    result restart-deterministic.
+
+    Emitted EXPLODED — one ``(vec_id, component_idx, value)`` row per
+    component — because the harness canonicalizer hashes scalar
+    columns only (an ArrayType column crashed the r6 driver row:
+    ``TypeError: unhashable type: 'list'``)."""
     from ag_data_ingestion_github_to_snowflake_spark.operators import pca as P
 
     emb = t(spark, sf, "embeddings")
     _, comps, mean = P.pca_components(emb, k=4)
     out = P.project(emb, comps, mean)
     return out.select(
-        "vec_id",
-        F.transform(F.col("pc"), lambda x: F.round(x, 6)).alias("pc"),
-    )
+        "vec_id", F.posexplode(F.col("pc")).alias("component_idx", "value")
+    ).select("vec_id", "component_idx", F.round("value", 6).alias("value"))
 
 
 # ---------------------------------------------------------------------------

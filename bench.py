@@ -91,6 +91,10 @@ def main() -> None:
                 t = time.perf_counter() - start
                 best = t if best is None else min(best, t)
             except Exception as exc:  # a failing query must not hide the rest
+                # A rep-2 failure after a clean rep 1 would land the query
+                # in BOTH timings and errors; each query must appear in
+                # exactly one, so a failure discards any earlier timing.
+                best = None
                 errors[name] = f"{type(exc).__name__}: {exc}"[:200]
                 break
         if best is not None:

@@ -219,3 +219,25 @@ def test_batched_training_cuts_driver_rounds(spark):
     ]
     assert got == _ref_bpe(corpus, 16)
     assert stats["rounds"] <= 4, stats  # sequential would take 16
+
+
+def test_batch_accept_in_walk_fusion_collision():
+    """Two token-disjoint accepts can fuse to the SAME new symbol
+    (lo+west and low+est -> 'lowest'); pairs touching that shared
+    symbol can then gain count from BOTH merges (stacking up to ~2B),
+    so the batch must close right after the second fusion — accepting
+    anything later would not be provably sequential-equivalent."""
+    from ag_data_ingestion_github_to_snowflake_spark.operators.bpe import (
+        _batch_accept,
+    )
+
+    top = [
+        {"a": "lo", "b": "west", "cnt": 100},
+        {"a": "low", "b": "est", "cnt": 90},
+        {"a": "p", "b": "q", "cnt": 80},
+    ]
+    syms = {"lo", "west", "low", "est", "p", "q"}
+    got = _batch_accept(top, tail_bound=0, symbols=syms, max_accepts=8)
+    # the colliding accept itself is safe (derived pairs at its step are
+    # bounded by B=80 < 90 via the cnt > bound trim); ('p', 'q') is not.
+    assert got == [("lo", "west", 100), ("low", "est", 90)]

@@ -64,6 +64,9 @@ def test_registry_entry_stable(spark):
 
     a = all_specs()["embedding_pca_project"].build(spark, "/root/testdata/sf0.001")
     b = all_specs()["embedding_pca_project"].build(spark, "/root/testdata/sf0.001")
-    ra = {r["vec_id"]: r["pc"] for r in a.collect()}
-    rb = {r["vec_id"]: r["pc"] for r in b.collect()}
+    # exploded scalar shape (harness canonicalizer can't hash arrays)
+    assert a.columns == ["vec_id", "component_idx", "value"]
+    ra = {(r["vec_id"], r["component_idx"]): r["value"] for r in a.collect()}
+    rb = {(r["vec_id"], r["component_idx"]): r["value"] for r in b.collect()}
     assert ra == rb  # rerun-deterministic (sign canon + round-6)
+    assert {i for (_, i) in ra} == {0, 1, 2, 3}  # k=4 components per vec

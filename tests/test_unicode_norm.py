@@ -35,3 +35,21 @@ def test_passthrough_preserves_all_columns(spark):
     assert out.columns == ["id", "text", "w", "tags", "norm_text", "changed"]
     r = out.collect()[0]
     assert (r["id"], r["w"], r["tags"]) == (1, 3.5, ["a"])
+
+
+def test_null_text_yields_null_changed(spark):
+    """NULL text must emit NULL (not false) for ``changed`` — the SQL
+    three-valued convention the DuckDB oracle's (norm_text <> text)
+    follows, so the differential stays green if the corpus ever gains
+    NULL rows."""
+    df = spark.createDataFrame(
+        [(1, "café"), (2, None), (3, "plain")],
+        "doc_id INT, text STRING",
+    )
+    rows = {
+        r["doc_id"]: (r["norm_text"], r["changed"])
+        for r in nfc_normalize(df).collect()
+    }
+    assert rows[1] == ("caf\u00e9", True)
+    assert rows[2] == (None, None)
+    assert rows[3] == ("plain", False)
