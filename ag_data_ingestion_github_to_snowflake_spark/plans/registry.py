@@ -72,64 +72,64 @@ def register(
 # re-checks. Local parity (tests/test_oracle_parity.py) covers the
 # rotated-out tail with the identical compare.
 _PRIORITY: tuple[str, ...] = (
-    # -- r5 curation/quality additions, first-eligible now --
-    "span_dedup_corpus",              # B54 B53 (Lee et al. span dedup)
-    "gopher_quality_rules",           # B56
-    "ccnet_perplexity_buckets",       # B56 B29 (per-lang NTILE buckets)
-    "dsir_importance_sample",         # B56 B43 (now distributed top-k)
-    "semdedup_embeddings",            # B54 B55 (cluster-pruned near-dup)
-    "similarity_pq_adc",              # B55 (PQ + ADC search)
-    "ivf_recall_fixed_cells",         # B55 (recall@5 hash-pinned)
-    "cdc_chunk_boundaries",           # B56 B53 (content-defined chunking)
-    "bpe_apply_tokenize",             # B56 B52 (BPE merge application)
-    "char_entropy_docs",              # B56 B43
-    "pmi_collocations_topk",          # B56 B16 (now distributed top-k)
-    "url_canonical_dedup",            # B53 B39
-    "image_ahash_neardup",            # B57 B54 (perceptual aHash blocks)
-    "dataset_datasheet",              # B16 B18 B22 (per-source datasheet)
-    # -- r5 sketch/scale additions --
-    "kmv_distinct_users",             # B21 (KMV sketch replay)
-    "countmin_heavy_hitters",         # B21 B16
-    "quantile_hash_sample",           # B23 (hash-sample quantiles)
-    "approx_topk_event_types",        # B21 B24
-    "metadata_agg_pushdown",          # B1 (footer-only min/max/count)
-    "partition_grouped_pushdown",     # B1 B16
-    "runtime_bloom_filter_join",      # B10 B11 (bloom-pruned probe side)
-    "histogram_acctbal_buckets",      # B16 B43
-    "autocorrelation_lag1_events",    # B30 B18 (naive contrast carrier)
-    "autocorrelation_lag1_distributed",  # B30 B18 (boundary-pair twin)
-    "xml_extract_orders",             # B38 B39
-    # -- r5 streaming additions --
-    "streaming_stateful_totals",      # B44 B49 (RocksDB update-mode drain)
-    "streaming_session_window_events",   # B48 B44
-    "streaming_multibatch_rollup",    # B44 B45 (8 genuine micro-batches)
-    # -- scalar/array surface first-timers --
-    "bitwise_funcs_events",           # B43
-    "array_hof_embeddings",           # B41
-    "map_funcs_orders",               # B42
-    "posexplode_tokens",              # B41 B56
-    "explode_outer_long_words",       # B41 B56
-    "supplier_part_counts",           # B16 B10
-    "half_stock_suppliers",           # B13 B9
-    "large_orders_customers",         # B16 B9 (TPC-H Q18 shape)
-    # -- declared rows-only carriers: weaker rows-only driver check, by
-    #    design (driver records them as no_oracle; ledger completeness) --
-    "approx_percentiles_nchars",      # B23 (approx_percentile, no exact twin)
-    "similarity_ivf_probed",          # B55 (nprobe sweep, ranking-only)
-    "bpe_train_merges",               # B56 (driver-coordinated training)
-    "embedding_pca_project",          # B55 B43 (sign-indeterminate basis)
-    "hll_sketch_users_by_type",       # B21 (engine-native HLL internals)
-    "kll_quantiles_value",            # B23 (KLL sketch, rank-error bound)
-    "streaming_neardup_curation",     # B50 B54 (LSH probe of indexed corpus)
-    # -- r6 additions (VERDICT r5 item 2 + new operators), first-eligible --
-    "gini_revenue_distributed",       # B16 B18 B29 (range-partition rank)
-    "decile_lift_distributed",        # B13 B16 B29 (closed-form NTILE cut)
-    "stupid_backoff_trigram_lm",      # B56 B16 B10 B43 (Brants et al. 2007)
-    "unicode_nfc_audit",              # B51 B56 B27 (UCD differential)
-    # -- headline re-checks: bench core doubles as freshest-verified set --
-    "pricing_summary",                # B17 B16 (TPC-H Q1)
-    "star_join_wide",                 # B15 B10
-    "join_inner_lineitem_orders",     # B10
+    # -- r7 window: verification-freshness repair (VERDICT r6 item 2) --
+    # Head: the r7 changes + the two verification-stale repairs;
+    # then the 15 headline bench queries last driver-checked in
+    # r1-r4 (the 3 checked r6 stay out); then the 30 longest-
+    # unchecked registry names (all r1/r2), oldest first.
+    "embedding_pca_project",  # r6 red row fixed: exploded scalar output
+    "doc_fingerprints",  # only oracled query never driver-oracle-checked
+    "profile_orders_approx",  # NEW r7: HLL sketch profile twin
+    "fuzzy_join_part_names",  # r7 change: compound blocking key
+    "streaming_session_window_events",  # r7 change: append-mode flush drain
+    # -- stale headline bench queries (freshest-verified bench core) --
+    "top_revenue_nations",
+    "join_left_customer_orders",
+    "group_avg_acctbal",
+    "topk_orders",
+    "window_topk_orders_per_customer",
+    "tumbling_window_events",
+    "dedup_exact_documents",
+    "dedup_minhash_pairs",
+    "similarity_topk_cosine",
+    "text_stats_by_lang",
+    "asof_join_events",
+    "grouped_zscore_events",
+    "embedding_near_dup",
+    "rollup_cascade_daily",
+    "shipping_priority_top10",
+    # -- longest-unchecked: every r1-checked name not already above --
+    "filter_eq_events",
+    "group_count_mktsegment",
+    "cube_counts",
+    "distinct_nation_segment",
+    "union_all_orders",
+    "except_nations",
+    "join_broadcast_nation_region",
+    "join_semi_customers_with_orders",
+    "join_anti_customers_without_orders",
+    "join_theta_acctbal",
+    "similarity_lsh_topk",
+    "token_count_bpe",
+    "quality_scores",
+    "language_id_confusion",
+    "date_parts_orders",
+    "array_ops_embeddings",
+    "math_funcs_customer",
+    # -- then the oldest r2-checked names, registry order --
+    "project_filter_part",
+    "global_agg_orders",
+    "count_distinct_customers",
+    "rollup_orders",
+    "percentiles_nchars",
+    "intersect_nations",
+    "jaccard_adjacent_docs",
+    "multimodal_pack",
+    "dedup_cluster_canonical",
+    "corpus_prep_pipeline",
+    "to_timestamp_iso8601",
+    "string_funcs_part",
+    "rollup_incremental_merge",
 )
 
 

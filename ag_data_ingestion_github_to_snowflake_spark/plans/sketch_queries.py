@@ -183,6 +183,166 @@ def hll_verified_users_by_type(spark: SparkSession, sf: str) -> DataFrame:
     return out_type.unionByName(out_all)
 
 
+def _profile_approx_oracle() -> str:
+    """DuckDB replay of the sketch-profile pipeline: the same unpivot
+    to canonical strings, md5-derived 60-bit hashes, bucket/rank
+    split, register MAX merge, integer harmonic sum and one
+    repr-constant division as the Spark side — every step
+    IEEE-deterministic, so the per-column estimates hash-match."""
+    from ag_data_ingestion_github_to_snowflake_spark.operators import hll
+
+    w_mask = (1 << hll.W_BITS) - 1
+    two49 = 1 << (hll.W_BITS + 1)
+    return f"""
+    WITH unp AS (
+      SELECT 'o_custkey' AS col_name, CAST(o_custkey AS VARCHAR) AS val FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', o_orderstatus FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', printf('%.2f', o_totalprice) FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') FROM orders
+    ), split AS (
+      SELECT col_name, val,
+             CASE WHEN val IS NULL THEN NULL
+                  ELSE CAST(('0x' || substr(md5(val), 1, 15)) AS BIGINT) >> {hll.W_BITS}
+             END AS bucket,
+             CAST(('0x' || substr(md5(val), 1, 15)) AS BIGINT) & {w_mask} AS w
+      FROM unp
+    ), regs AS (
+      SELECT col_name, bucket, MAX({hll.rho48_sql('w')}) AS rho,
+             COUNT(*) AS n,
+             SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS nn
+      FROM split GROUP BY 1, 2
+    ), raw_est AS (
+      SELECT col_name,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(SUM(nn) AS BIGINT) AS n_nulls,
+           CAST({hll.EST_NUMERATOR!r} AS DOUBLE)
+             / CAST(SUM(CASE WHEN bucket IS NOT NULL
+                             THEN CAST(POW(2, 49 - rho) AS BIGINT) ELSE 0 END)
+                    + ({hll.M_REGISTERS}
+                       - SUM(CASE WHEN bucket IS NOT NULL THEN 1 ELSE 0 END))
+                      * {two49} AS DOUBLE) AS distinct_est_raw,
+           CAST({hll.M_REGISTERS}
+                - SUM(CASE WHEN bucket IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS zero_registers
+    FROM regs GROUP BY col_name
+    ), est AS (
+      SELECT * FROM raw_est
+    )
+    SELECT col_name, n_rows, n_nulls,
+           ROUND(CASE WHEN zero_registers > 0
+                       AND distinct_est_raw <= {2.5 * hll.M_REGISTERS!r}
+                      THEN {float(hll.M_REGISTERS)!r}
+                           * LN({float(hll.M_REGISTERS)!r}
+                                / CAST(zero_registers AS DOUBLE))
+                      ELSE distinct_est_raw END, 6) AS distinct_est,
+           zero_registers
+    FROM est
+    """
+
+
+@register(
+    "profile_orders_approx",
+    oracle=_profile_approx_oracle(),
+    survey_ids=("B21", "B18", "A15"),
+    description="ANALYZE-style profile with HLL distinct estimates: one scan, no exact distinct shuffles",
+)
+def profile_orders_approx(spark: SparkSession, sf: str) -> DataFrame:
+    """The sketch twin of ``profile_orders_columns``: per-column row /
+    null counts plus an HLL distinct ESTIMATE, in ONE scan and one
+    (col_name, bucket)-keyed shuffle whose post-combine volume is at
+    most 4 x 4096 register rows — the exact twin pays four full
+    COUNT(DISTINCT) value shuffles, which is what ANALYZE actually
+    replaces with sketches at 100 TB. Values are canonicalized to
+    strings both engines agree on (%.2f for the 2-decimal money
+    column, second-resolution timestamps), so the DuckDB oracle
+    replays the full register pipeline bit-exactly. min/max are
+    omitted: at scale those come free from parquet footer metadata
+    (see ``metadata_agg_pushdown``)."""
+    from ag_data_ingestion_github_to_snowflake_spark.operators import hll
+    from ag_data_ingestion_github_to_snowflake_spark.operators.dedup import (
+        md5_hash60,
+    )
+
+    o = t(spark, sf, "orders")
+    pairs = [
+        ("o_custkey", F.col("o_custkey").cast("string")),
+        ("o_orderstatus", F.col("o_orderstatus")),
+        ("o_totalprice", F.format_string("%.2f", F.col("o_totalprice"))),
+        ("o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")),
+    ]
+    unp = o.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(n).alias("col_name"), e.alias("val"))
+                    for n, e in pairs
+                ]
+            )
+        ).alias("p")
+    ).select("p.col_name", "p.val")
+    h = md5_hash60(F.col("val"))
+    bucket = F.when(
+        F.col("val").isNotNull(), F.shiftright(h, hll.W_BITS)
+    ).alias("bucket")
+    w = h.bitwiseAND(F.lit((1 << hll.W_BITS) - 1))
+    regs = (
+        unp.select(
+            "col_name",
+            bucket,
+            hll.rho48(w).alias("rho"),
+            F.col("val").isNull().cast("long").alias("isnull"),
+        )
+        .groupBy("col_name", "bucket")
+        .agg(
+            F.max("rho").alias("rho"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("isnull").alias("nn"),
+        )
+    )
+    s_present = F.sum(
+        F.when(
+            F.col("bucket").isNotNull(),
+            F.pow(F.lit(2.0), F.lit(49) - F.col("rho")).cast("long"),
+        ).otherwise(F.lit(0))
+    )
+    n_present = F.sum(F.col("bucket").isNotNull().cast("long"))
+    s_total = s_present + (F.lit(hll.M_REGISTERS) - n_present) * F.lit(
+        1 << (hll.W_BITS + 1)
+    )
+    raw = regs.groupBy("col_name").agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.sum("nn").cast("long").alias("n_nulls"),
+        (F.lit(hll.EST_NUMERATOR) / s_total.cast("double")).alias(
+            "distinct_est_raw"
+        ),
+        (F.lit(hll.M_REGISTERS) - n_present).cast("long").alias(
+            "zero_registers"
+        ),
+    )
+    # Flajolet et al. small-range correction: below 2.5m with empty
+    # registers, linear counting m*ln(m/V) beats the raw estimate by
+    # orders of magnitude (a 3-distinct column reads ~2955 raw, ~3.0
+    # corrected). Rounded to 6 — the repo's established float-agg
+    # tolerance — because ln() is only 1-ulp-reproducible across
+    # engines, unlike the raw estimate's single exact division.
+    m = float(hll.M_REGISTERS)
+    corrected = F.when(
+        (F.col("zero_registers") > 0)
+        & (F.col("distinct_est_raw") <= F.lit(2.5 * hll.M_REGISTERS)),
+        F.lit(m) * F.log(F.lit(m) / F.col("zero_registers").cast("double")),
+    ).otherwise(F.col("distinct_est_raw"))
+    return raw.select(
+        "col_name",
+        "n_rows",
+        "n_nulls",
+        F.round(corrected, 6).alias("distinct_est"),
+        "zero_registers",
+    )
+
+
 def count_min_sketch_bytes(df: DataFrame, col: str, eps: float = 0.001) -> bytes:
     """Build a count-min frequency sketch over ``col`` and return its
     serialized bytes (Spark's ``CountMinSketch`` wire format).

@@ -71,6 +71,64 @@ def _staged_events_stream(spark: SparkSession, sf: str) -> tuple[DataFrame, str]
     return sdf, stage
 
 
+def _staged_events_stream_flushed(
+    spark: SparkSession, sf: str, flush_delta: str = "2 hours"
+) -> tuple[DataFrame, str]:
+    """Like ``_staged_events_stream``, plus ONE sentinel row staged as a
+    separate file: user_id = -1, ts = max(real ts) + ``flush_delta``.
+
+    The sentinel is the production "heartbeat to advance the
+    watermark" pattern: with flush_delta > gap + watermark delay, the
+    end-of-drain watermark (sentinel ts - delay) passes every REAL
+    session's end, so an APPEND-mode session aggregation emits every
+    real session exactly once in the final no-data micro-batch. The
+    sentinel's own session stays unemitted in state (its end is past
+    the watermark by construction) — callers filter user_id >= 0.
+    """
+    import datetime
+
+    src = os.path.join(sf, "events.parquet")
+    base_sdf, stage_base = _staged_events_stream(spark, sf)
+    stage = stage_dir("ag_stream_events_flush", sf)
+    marker = os.path.join(stage, "_staged")
+    if not os.path.exists(marker) or os.path.getmtime(marker) < os.path.getmtime(src):
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage)
+        for part in sorted(os.listdir(stage_base)):
+            if not part.startswith("_"):
+                os.link(
+                    os.path.join(stage_base, part), os.path.join(stage, part)
+                )
+        raw = spark.read.parquet(src)
+        qty, unit = flush_delta.split()
+        delta = datetime.timedelta(**{unit if unit.endswith("s") else unit + "s": int(qty)})
+        if isinstance(raw.schema["ts"].dataType, T.LongType):
+            mx = raw.agg(F.max("ts")).collect()[0][0]
+            sent_ts = mx + int(delta.total_seconds() * 1_000_000_000)
+        else:
+            sent_ts = raw.agg(F.max("ts")).collect()[0][0] + delta
+        sent = spark.createDataFrame(
+            [(int(-1), sent_ts, int(-1), "_flush", 0.0, "{}")], raw.schema
+        )
+        tmp = os.path.join(stage, "_sentinel_build")
+        sent.coalesce(1).write.mode("overwrite").parquet(tmp)
+        for part in os.listdir(tmp):
+            if part.endswith(".parquet"):
+                shutil.move(
+                    os.path.join(tmp, part),
+                    os.path.join(stage, "zz_flush_sentinel.parquet"),
+                )
+        shutil.rmtree(tmp, ignore_errors=True)
+        write_marker(marker)
+    raw_schema = spark.read.parquet(src).schema
+    sdf = spark.readStream.schema(raw_schema).parquet(stage)
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        sdf = sdf.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return sdf, stage
+
+
 def _staged_json_batches(base: str, sf: str, batches) -> str:
     """Stage DataFrame micro-batches as one JSON file each (ascending
     mtimes pin the batch order for ``maxFilesPerTrigger=1``), cached
@@ -472,19 +530,22 @@ def streaming_stateful_totals(spark: SparkSession, sf: str) -> DataFrame:
 def streaming_session_window_events(spark: SparkSession, sf: str) -> DataFrame:
     """Session windows computed BY the streaming engine
     (``F.session_window`` gap-merge state + watermark), drained with
-    AvailableNow in complete mode (the only output mode Spark allows
-    for streaming session aggregations besides watermark-gated
-    append, which would hold back every session within the horizon at
-    end-of-stream). Complete re-emits the full session state each
-    trigger, so the memory sink can hold superseded partials from
-    earlier triggers; finalization keeps only dominance-maximal
-    emissions per user (no other emission contains the window with at
-    least its count) — exact for any micro-batch split, a no-op for a
-    single-batch drain. Hash-matched against the gaps-and-islands SQL
-    twin, so the ENGINE's session-merge state machine is
-    oracle-checked (the batch twin ``sessionize_events_gaps`` checks
-    only the semantics)."""
-    sdf, _ = _staged_events_stream(spark, sf)
+    AvailableNow in APPEND mode: a flush sentinel staged after the
+    real data (``_staged_events_stream_flushed``; ts = max real ts +
+    2h > gap 30m + delay 1h) pushes the end-of-drain watermark past
+    every real session's end, so the engine emits each finalized
+    session EXACTLY ONCE in the closing no-data micro-batch — the
+    production heartbeat pattern for watermark-gated emission. The
+    r1-r6 complete-mode drain (the only alternative Spark allows for
+    streaming session aggs) re-emitted the full session state every
+    commit and rescanned it from the sink: 55 s / alpha +1.37 at 100x,
+    the suite's worst perf floor; append emits each session once and
+    needs no dominance-dedup finalization. The sentinel's own session
+    stays in state past the watermark by construction and is filtered
+    by key. Hash-matched against the gaps-and-islands SQL twin, so
+    the ENGINE's session-merge state machine is oracle-checked (the
+    batch twin ``sessionize_events_gaps`` checks only the semantics)."""
+    sdf, _ = _staged_events_stream_flushed(spark, sf, flush_delta="2 hours")
     agg = (
         S.with_watermark(sdf, "1 hour")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
@@ -500,33 +561,27 @@ def streaming_session_window_events(spark: SparkSession, sf: str) -> DataFrame:
             "total_value",
         )
     )
-    # Partition count stays at the drain default (8): measured at 100x,
-    # core-count (32) partitions made this drain 3x SLOWER (212 s vs
-    # 65 s) — complete mode re-emits the full 9.5M-session state every
-    # commit, and that emission pays a per-RocksDB-store scan/iterate
-    # cost, so more stores = more fixed overhead, unlike the Python
-    # kernel drain above whose per-row cost dominates. The remaining
-    # 100x exponent (~+1.27) is the complete-mode re-emission floor
-    # documented with C118; production continuous streams use
-    # watermark-gated append and never pay it.
-    em = _drain(agg, spark, "complete", rocksdb=True).distinct()
-    a, b = em.alias("a"), em.alias("b")
-    dominated = (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("b.session_start") <= F.col("a.session_start"))
-            & (F.col("b.session_end") >= F.col("a.session_end"))
-            & (F.col("b.n_events") >= F.col("a.n_events"))
-            & (
-                (F.col("b.session_start") < F.col("a.session_start"))
-                | (F.col("b.session_end") > F.col("a.session_end"))
-                | (F.col("b.n_events") > F.col("a.n_events"))
-            ),
-            "left_semi",
-        )
+    # Knobs MEASURED at 100x (9.5M sessions, 19.2M events; sf10
+    # fixture): append/heap/32-part 36.0 s, append/RocksDB/32 46.3 s,
+    # append/RocksDB/64 39.7 s, append/RocksDB/8 51-55 s, r6
+    # complete/RocksDB/8 was 55 s. Append mode flips both r6 choices:
+    # an AvailableNow drain commits only ~2 batches, so the heap
+    # store's full-map-write-per-commit penalty is paid twice total
+    # while per-event state access becomes an in-heap hash probe
+    # (RocksDB pays SST/memtable overhead per access), and without
+    # complete-mode's per-store full re-emission scan, core-count
+    # partitions now parallelize the per-event merge work instead of
+    # multiplying the emission cost. A long-running production stream
+    # (thousands of commits, state >> heap) would still choose
+    # RocksDB — that trade is the commit count, not the operator.
+    em = _drain(
+        agg,
+        spark,
+        "append",
+        rocksdb=False,
+        shuffle_partitions=str(spark.sparkContext.defaultParallelism),
     )
-    return em.exceptAll(dominated)
+    return em.filter(F.col("user_id") >= 0)
 
 
 @register(

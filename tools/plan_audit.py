@@ -127,22 +127,33 @@ ALLOWED_FLAGS = {
 }
 
 # Queries whose build() executes side work and returns a materialized
-# (checkpointed) result: their explain shows a scan of the checkpoint,
-# so the interesting plan was already audited live by their tests.
+# (checkpointed) result: their explain would show only a scan of the
+# checkpoint, so auditing it is meaningless — the interesting plan runs
+# INSIDE build() (micro-batch execution / iterative rounds) and is
+# exercised live by their tests. Each carries its exemption reason and
+# is listed explicitly in PLANAUDIT.md (the brief's no-silent-caps
+# rule). NOTE: the four drained streaming entries NOT in this set
+# (streaming_stateful_totals, streaming_session_window_events,
+# streaming_multibatch_rollup, streaming_neardup_curation) stay in the
+# table because their build() returns a real batch FINALIZATION plan
+# over the drained sink — that plan is worth auditing — but their
+# micro-batch plans are likewise exercised live, not here.
 MATERIALIZED = {
-    "streaming_tumbling_events",
-    "streaming_dedup_events",
-    "streaming_interval_join_events",
-    "streaming_corpus_curation",
-    # Iterative label propagation: the per-round join+groupBy plans run
-    # (and are lineage-truncated) inside connected_components; the
-    # returned frame scans the final checkpoint.
-    "dedup_cluster_canonical",
-    # Same CC core; the split column is one map-side expression on the
-    # checkpointed label table.
-    "leakage_safe_split_clusters",
-    # Same CC core plus a checkpointed pair table feeding the audit join.
-    "split_leakage_audit",
+    "streaming_tumbling_events": "streaming drain; returned frame scans the "
+    "memory-sink checkpoint — micro-batch plan runs inside build()",
+    "streaming_dedup_events": "streaming drain; dropDuplicatesWithinWatermark "
+    "state plan runs inside build()",
+    "streaming_interval_join_events": "dual-stream drain; the stream-stream "
+    "interval-join plan runs inside build()",
+    "streaming_corpus_curation": "foreachBatch drain; the per-batch anti-join "
+    "plan runs inside build()",
+    "dedup_cluster_canonical": "iterative label propagation: per-round "
+    "join+groupBy plans run (lineage-truncated) inside "
+    "connected_components; returned frame scans the final checkpoint",
+    "leakage_safe_split_clusters": "same CC core; the split column is one "
+    "map-side expression on the checkpointed label table",
+    "split_leakage_audit": "same CC core plus a checkpointed pair table "
+    "feeding the audit join",
 }
 
 
@@ -206,7 +217,21 @@ def to_markdown(results: dict[str, dict]) -> str:
     total_flagged = sum(1 for r in results.values() if r["flags"])
     lines += [
         "",
-        f"{len(results)} queries audited; {total_flagged} with red flags.",
+        "## Exempt queries (audited live, not here)",
+        "",
+        "These queries execute their interesting plan INSIDE `build()`",
+        "(streaming micro-batches / iterative rounds) and return a",
+        "materialized checkpoint whose explain would be just a scan —",
+        "auditing that would claim coverage the table doesn't have:",
+        "",
+    ]
+    for name, reason in sorted(MATERIALIZED.items()):
+        lines.append(f"- `{name}` — {reason}")
+    lines += [
+        "",
+        f"{len(results)} queries audited + {len(MATERIALIZED)} exempt "
+        f"= {len(results) + len(MATERIALIZED)} registry queries; "
+        f"{total_flagged} with red flags.",
         "",
     ]
     return "\n".join(lines)
