@@ -539,8 +539,11 @@ def streaming_session_window_events(spark: SparkSession, sf: str) -> DataFrame:
     r1-r6 complete-mode drain (the only alternative Spark allows for
     streaming session aggs) re-emitted the full session state every
     commit and rescanned it from the sink: 55 s / alpha +1.37 at 100x,
-    the suite's worst perf floor; append emits each session once and
-    needs no dominance-dedup finalization. The sentinel's own session
+    the suite's worst perf floor; append emits each session once, needs
+    no dominance-dedup finalization, and measures 35.7 s / alpha +1.16
+    at 100x (scale_curve_100x_all.json, r7). The residual exponent is
+    the per-event gap-merge state machine itself — 19.2M events into
+    9.5M session states is near-linear work by construction. The sentinel's own session
     stays in state past the watermark by construction and is filtered
     by key. Hash-matched against the gaps-and-islands SQL twin, so
     the ENGINE's session-merge state machine is oracle-checked (the

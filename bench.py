@@ -79,8 +79,9 @@ def main() -> None:
     # regressions (the r4->r5 "+9%" was exactly this). min-of-2 halves
     # the noise on the 18-query metric of record; the 219-query tail
     # stays single-shot (regression radar, not the headline number).
+    single_shot = bool(os.environ.get("SPARK_GRAFT_BENCH_SINGLE_SHOT"))
     for name in names:
-        reps = 2 if name in HEADLINE else 1
+        reps = 1 if single_shot else (2 if name in HEADLINE else 1)
         best = None
         for _ in range(reps):
             start = time.perf_counter()
@@ -106,6 +107,10 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        # Methodology stamp (r7, VERDICT r6 item 6): headline timings
+        # switched to min-of-2 in r6, so round-over-round deltas need
+        # the line to say which clock produced it.
+        "methodology": "single_shot" if single_shot else "min_of_2_headline",
         "queries": headline,
         "queries_full": timings,
         "full_total": round(sum(timings.values()), 3),
