@@ -167,6 +167,7 @@ def join_anti_customers_without_orders(spark: SparkSession, sf: str) -> DataFram
     GROUP BY s.s_suppkey
     """,
     survey_ids=("B14",),
+    naive_twin_of="theta_join_rank_rewrite",
 )
 def join_theta_acctbal(spark: SparkSession, sf: str) -> DataFrame:
     """Equi+inequality join: same-nation customers richer than supplier.

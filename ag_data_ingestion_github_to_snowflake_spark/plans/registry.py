@@ -32,6 +32,15 @@ class QuerySpec:
     oracle: str | None  # ANSI SQL for DuckDB; None => rows-only check
     survey_ids: tuple[str, ...] = field(default_factory=tuple)
     description: str = ""
+    # Set on deliberately NAIVE pedagogical carriers whose 100x scaling
+    # is super-linear by construction: names the oracle-identical
+    # distributed rewrite that is the actual scale path. Surfaced in
+    # COVERAGE.md and the scale-curve report so no consumer mistakes
+    # the carrier for the recommended plan; guarded by
+    # tests/test_scale_guard.py (every measured alpha>1.3 query must
+    # carry this tag, and the named twin must exist with the same
+    # oracle).
+    naive_twin_of: str | None = None
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
@@ -42,6 +51,7 @@ def register(
     oracle: str | None,
     survey_ids: tuple[str, ...] = (),
     description: str = "",
+    naive_twin_of: str | None = None,
 ) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable]:
     def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
         doc_first_line = (fn.__doc__ or "").strip().splitlines()[0] if fn.__doc__ else ""
@@ -51,6 +61,7 @@ def register(
             oracle=oracle,
             survey_ids=survey_ids,
             description=description or doc_first_line,
+            naive_twin_of=naive_twin_of,
         )
         return fn
 

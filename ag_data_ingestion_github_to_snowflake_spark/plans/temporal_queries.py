@@ -170,6 +170,7 @@ def scd2_event_type_intervals(spark: SparkSession, sf: str) -> DataFrame:
     """,
     survey_ids=("B30", "B31"),
     description="sweep-line max-concurrency: +1/-1 boundary points, running sum, max per group",
+    naive_twin_of="concurrent_intervals_distributed",
 )
 def concurrent_intervals_sweep(spark: SparkSession, sf: str) -> DataFrame:
     """Max concurrent intervals per event type (sweep-line): each event
@@ -373,6 +374,7 @@ def ewma_events_daily(spark: SparkSession, sf: str) -> DataFrame:
     """,
     survey_ids=("B30", "B23", "B16"),
     description="Lag-1 autocorrelation of event values per type (exact-moment Pearson)",
+    naive_twin_of="autocorrelation_lag1_distributed",
 )
 def autocorrelation_lag1_events(spark: SparkSession, sf: str) -> DataFrame:
     """Serial correlation of the per-type event-value series — the

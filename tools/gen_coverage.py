@@ -163,6 +163,23 @@ def main() -> None:
         f"**Totals:** {len(specs)} registry queries, {n_or} oracle-verified, "
         f"{len(specs) - n_or} rows-only; uncovered ids: {', '.join(missing) or 'none'}."
     )
+    naive = {n: s.naive_twin_of for n, s in specs.items() if s.naive_twin_of}
+    if naive:
+        lines.append("")
+        lines.append("## Naive measured-contrast carriers")
+        lines.append("")
+        lines.append(
+            "These queries are DELIBERATELY naive formulations kept as"
+            " measured contrast against their oracle-identical distributed"
+            " rewrite (the `naive_twin_of` registry attribute; guarded by"
+            " `tests/test_scale_guard.py` — every measured super-linear"
+            " query must carry the tag). On real data use the twin."
+        )
+        lines.append("")
+        lines.append("| naive carrier | scale-path twin (identical oracle) |")
+        lines.append("|---|---|")
+        for n, twin in sorted(naive.items()):
+            lines.append(f"| `{n}` | `{twin}` |")
     lines.extend(driver_ledger(specs))
     (ROOT / "COVERAGE.md").write_text("\n".join(lines) + "\n")
     print(f"wrote COVERAGE.md: {len(specs)} queries, {n_or} oracles, missing={missing}")
