@@ -23,6 +23,10 @@ from pyspark.sql import functions as F
 
 from ag_data_ingestion_github_to_snowflake_spark.operators import bpe as B
 from ag_data_ingestion_github_to_snowflake_spark.operators import semdedup as SD
+from ag_data_ingestion_github_to_snowflake_spark.plans.pca_literals import (
+    PCA_COMPS,
+    PCA_MEAN,
+)
 from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register, t
 
 _DIM = 64
@@ -825,6 +829,72 @@ def embedding_pca_project(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "vec_id", F.posexplode(F.col("pc")).alias("component_idx", "value")
     ).select("vec_id", "component_idx", F.round("value", 6).alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# Oracle-verified PCA projection twin (frozen component literals)
+# ---------------------------------------------------------------------------
+# projection = (x - mu) . c = x . c - (mu . c); the scalar offsets
+# K_j = mu . c_j are computed ONCE here in Python float64 and inlined
+# into both engines, so the only runtime arithmetic is the identical
+# sequential left-fold dot product on each side.
+_PCA_K = [
+    sum(m * c for m, c in zip(PCA_MEAN, row)) for row in PCA_COMPS
+]
+
+
+def _pca_verified_oracle() -> str:
+    cols = []
+    for j, row in enumerate(PCA_COMPS):
+        lit = "[" + ", ".join(repr(x) for x in row) + "]"
+        cols.append(
+            f"ROUND(list_sum(list_transform(list_zip(v, {lit}), "
+            f"x -> x[1] * x[2])) - ({_PCA_K[j]!r}), 6) AS pc{j}"
+        )
+    cols_sql = ",\n             ".join(cols)
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+      FROM embeddings
+    )
+    SELECT vec_id,
+             {cols_sql}
+    FROM corpus
+    """
+
+
+@register(
+    "embedding_pca_project_verified",
+    oracle=_pca_verified_oracle(),
+    survey_ids=("B55", "B43", "B41"),
+    description="PCA projection onto frozen top-4 axes, hash-matched vs DuckDB",
+)
+def embedding_pca_project_verified(spark: SparkSession, sf: str) -> DataFrame:
+    """Projection stage of ``embedding_pca_project`` with the top-4
+    axes FROZEN as float64 literals (``plans/pca_literals.py``,
+    computed once from the sf0.01 reference corpus via the live
+    sufficient-stats + driver-eigh pipeline, pinned by
+    ``tests/test_pca.py``). Freezing removes the one non-replayable
+    step (eigh), so the projection itself hash-matches a DuckDB twin —
+    the semdedup/PQ-codebook inline-literals pattern. Both sides
+    compute x . c as the identical sequential left fold and subtract
+    the same precomputed mu . c offset literal, then round to 6.
+
+    Scale shape: pure map-side whole-stage-codegen fold per row — no
+    shuffle, no UDF; at 100 TB this is a projection-pushdown scan plus
+    O(k * dim) arithmetic per vector."""
+    emb = t(spark, sf, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    cols = []
+    for j, row in enumerate(PCA_COMPS):
+        axis = F.array(*[F.lit(x) for x in row])
+        dot = F.aggregate(
+            F.zip_with(v, axis, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append(F.round(dot - F.lit(_PCA_K[j]), 6).alias(f"pc{j}"))
+    return emb.select("vec_id", *cols)
 
 
 # ---------------------------------------------------------------------------

@@ -70,3 +70,46 @@ def test_registry_entry_stable(spark):
     rb = {(r["vec_id"], r["component_idx"]): r["value"] for r in b.collect()}
     assert ra == rb  # rerun-deterministic (sign canon + round-6)
     assert {i for (_, i) in ra} == {0, 1, 2, 3}  # k=4 components per vec
+
+
+def test_frozen_literals_match_live_pca(spark):
+    """Pin plans/pca_literals.py to the live pipeline: the frozen
+    top-4 axes and mean must equal pca_components() over the sf0.01
+    reference corpus (the corpus they were generated from). A drift
+    here means the fixture or the PCA implementation changed without
+    regenerating the literals."""
+    from ag_data_ingestion_github_to_snowflake_spark.plans.pca_literals import (
+        PCA_COMPS,
+        PCA_MEAN,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    _, comps, mean = P.pca_components(emb, k=4)
+    assert np.allclose(np.array(PCA_MEAN), mean, atol=1e-9)
+    assert np.allclose(np.array(PCA_COMPS), comps, atol=1e-8)
+
+
+def test_verified_projection_matches_frozen_axes(spark):
+    """The oracle-verified twin projects onto exactly the frozen axes:
+    spot-check one vector's four projections against numpy."""
+    from ag_data_ingestion_github_to_snowflake_spark.plans.pca_literals import (
+        PCA_COMPS,
+        PCA_MEAN,
+    )
+    from ag_data_ingestion_github_to_snowflake_spark.plans.registry import all_specs
+
+    out = (
+        all_specs()["embedding_pca_project_verified"]
+        .build(spark, "/root/testdata/sf0.01")
+        .filter("vec_id = 7")
+        .collect()[0]
+    )
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .filter("vec_id = 7")
+        .collect()[0]["embedding"]
+    )
+    x = np.array(emb, dtype=np.float64)
+    expected = (x - np.array(PCA_MEAN)) @ np.array(PCA_COMPS).T
+    got = np.array([out["pc0"], out["pc1"], out["pc2"], out["pc3"]])
+    assert np.allclose(got, expected, atol=1e-6)
