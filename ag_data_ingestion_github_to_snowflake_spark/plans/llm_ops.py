@@ -425,6 +425,68 @@ def similarity_ivf_persisted(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "similarity_ivf_trained",
+    oracle=None,  # Lloyd-trained centroids are not SQL-replayable:
+    # rows-only; the accuracy contract (row count, recall bounds,
+    # full-probe recall == 1) is pinned in tests/test_operators.py::
+    # test_ivf_trained_recall_contract.
+    survey_ids=("B55", "B3", "B29"),
+    description="Lloyd-trained IVF end-to-end: train, persist, probed search, recall@5 vs exact",
+)
+def similarity_ivf_trained(spark: SparkSession, sf: str) -> DataFrame:
+    """The Lloyd-TRAINED IVF path exercised end to end: k-means
+    centroids (``train_ivf_centroids``, FAISS's bounded-sample driver
+    regime), index persisted cell-partitioned, reloaded, searched at
+    the production nprobe=2, and scored as per-query recall@5 against
+    the exact brute-force top-5 — the C124 recall-measurement pattern
+    applied to trained (hence non-replayable) centroids. Recall vs
+    exact is a checkable fact even when the centroids themselves have
+    no SQL twin, so this is rows-only WITH an accuracy contract rather
+    than a trust-me row.
+
+    At sf0.01 the 500-vector corpus fits under ``max_train``, so the
+    lex-sorted training set — and therefore the centroids and the
+    recall column — is fully run-to-run deterministic.
+
+    Scale shape: training cost is bounded by ``max_train``; the index
+    write is one assignment pass + partitioned write; the probed
+    search lists nprobe cell directories; the exact side broadcasts
+    the 20-query batch. Output: (query_id, recall_at_5)."""
+    import os
+    import shutil
+    import tempfile
+
+    emb = t(spark, sf, "embeddings")
+    cents = S.train_ivf_centroids(emb, n_cells=8, iters=3, max_train=1024)
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        f"ag_ivf_trained_{os.path.basename(os.path.normpath(sf))}",
+    )
+    shutil.rmtree(idx, ignore_errors=True)
+    S.write_ivf_index(emb, cents, idx)
+    cents2, assigned = S.read_ivf_index(spark, idx)
+    queries = emb.filter(F.col("vec_id") < 20)
+    approx = S.ivf_index_topk(assigned, queries, cents2, k=5, nprobe=2).select(
+        "query_id", "neighbor_id"
+    )
+    exact = S.brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+    )
+    qids = queries.select(F.col("vec_id").alias("query_id"))
+    return qids.join(hits, "query_id", "left").select(
+        "query_id",
+        F.round(
+            F.coalesce(F.col("hits"), F.lit(0)).cast("double") / F.lit(5.0), 6
+        ).alias("recall_at_5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # B56 text analysis
 # ---------------------------------------------------------------------------

@@ -83,64 +83,67 @@ def register(
 # re-checks. Local parity (tests/test_oracle_parity.py) covers the
 # rotated-out tail with the identical compare.
 _PRIORITY: tuple[str, ...] = (
-    # -- r7 window: verification-freshness repair (VERDICT r6 item 2) --
-    # Head: the r7 changes + the two verification-stale repairs;
-    # then the 15 headline bench queries last driver-checked in
-    # r1-r4 (the 3 checked r6 stay out); then the 30 longest-
-    # unchecked registry names (all r1/r2), oldest first.
-    "embedding_pca_project",  # r6 red row fixed: exploded scalar output
-    "doc_fingerprints",  # only oracled query never driver-oracle-checked
-    "profile_orders_approx",  # NEW r7: HLL sketch profile twin
-    "fuzzy_join_part_names",  # r7 change: compound blocking key
-    "streaming_session_window_events",  # r7 change: append-mode flush drain
-    # -- stale headline bench queries (freshest-verified bench core) --
-    "top_revenue_nations",
-    "join_left_customer_orders",
-    "group_avg_acctbal",
-    "topk_orders",
-    "window_topk_orders_per_customer",
-    "tumbling_window_events",
-    "dedup_exact_documents",
-    "dedup_minhash_pairs",
-    "similarity_topk_cosine",
-    "text_stats_by_lang",
-    "asof_join_events",
-    "grouped_zscore_events",
-    "embedding_near_dup",
-    "rollup_cascade_daily",
-    "shipping_priority_top10",
-    # -- longest-unchecked: every r1-checked name not already above --
-    "filter_eq_events",
-    "group_count_mktsegment",
-    "cube_counts",
-    "distinct_nation_segment",
-    "union_all_orders",
-    "except_nations",
-    "join_broadcast_nation_region",
-    "join_semi_customers_with_orders",
-    "join_anti_customers_without_orders",
-    "join_theta_acctbal",
-    "similarity_lsh_topk",
-    "token_count_bpe",
-    "quality_scores",
-    "language_id_confusion",
-    "date_parts_orders",
-    "array_ops_embeddings",
-    "math_funcs_customer",
-    # -- then the oldest r2-checked names, registry order --
-    "project_filter_part",
-    "global_agg_orders",
-    "count_distinct_customers",
-    "rollup_orders",
-    "percentiles_nchars",
-    "intersect_nations",
-    "jaccard_adjacent_docs",
-    "multimodal_pack",
-    "dedup_cluster_canonical",
-    "corpus_prep_pipeline",
-    "to_timestamp_iso8601",
-    "string_funcs_part",
-    "rollup_incremental_merge",
+    # -- r8 window: steady-state freshness (VERDICT r7 item 6) --
+    # Head: the two r8 additions (frozen-axis PCA projection twin,
+    # Lloyd-trained IVF recall); then the 3 headline bench queries
+    # last driver-checked r6; then EVERY name whose last driver check
+    # is r2 (9) or r3 (34), oldest cohorts first; the final 2 slots
+    # start the r4 cohort. After a green r8 no query's last driver
+    # check is older than r4.
+    "embedding_pca_project_verified",  # NEW r8: oracle-verified PCA projection
+    "similarity_ivf_trained",  # NEW r8: Lloyd IVF end-to-end recall contract
+    # -- headline queries last checked r6 --
+    "pricing_summary",
+    "star_join_wide",
+    "join_inner_lineitem_orders",
+    # -- every name last driver-checked in r2 --
+    "order_priority_exists",
+    "range_join_bucketed",
+    "promo_revenue_share",
+    "salted_group_sum",
+    "window_lag_lead_orders",
+    "window_moving_avg_events",
+    "session_window_events",
+    "streaming_dedup_events",
+    "weighted_avg_udaf_parts",
+    # -- every name last driver-checked in r3 --
+    "approx_distinct_users",
+    "bm25_keyword_search",
+    "stats_corr_quantity_price",
+    "leakage_safe_split_clusters",
+    "sessionize_events_gaps",
+    "gapfill_hourly_events",
+    "variant_extract_events",
+    "streaming_corpus_curation",
+    "weekly_cohort_retention",
+    "conditional_scalar_funcs",
+    "setops_all_variants",
+    "stratified_sample_by_lang",
+    "lateral_top_nations_per_region",
+    "idle_rich_customers",
+    "csv_sink_roundtrip",
+    "pii_redaction_docs",
+    "per_domain_cap",
+    "unpivot_customer_metrics",
+    "grouping_sets_orders",
+    "struct_pack_events",
+    "winnowing_fingerprints",
+    "date_arith_orders",
+    "profile_orders_columns",
+    "expectations_orders",
+    "skew_join_revenue_by_segment",
+    "pivot_priority_by_year",
+    "similarity_ivf_persisted",
+    "training_shuffle_shards",
+    "incremental_join_refresh",
+    "udtf_split_sentences",
+    "schema_evolution_merge",
+    "graph_triangle_count",
+    "decontaminate_train_eval",
+    "bloom_prefilter_join",
+    # -- start of the r4 cohort (continues in the r9 window) --
+    "filter_all_notnull_customer",
+    "conditional_counts_orders",
 )
 
 

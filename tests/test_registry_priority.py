@@ -86,74 +86,69 @@ def test_window_plus_ledger_cover_every_survey_id():
     )
 
 
-# r7 window: verification-freshness repair. After r6 the cumulative
-# ledger reached 239/239, so EVERY slot except the one genuinely new
-# query (profile_orders_approx) is an intended re-check: the r7
-# changes (embedding_pca_project output fix, fuzzy_join_part_names
-# compound blocking, streaming_session_window_events append drain),
-# the two verification-stale repairs (doc_fingerprints: oracled since
-# r2 but never driver-oracle-checked), the 15 headline bench queries
-# last checked r1-r4, and the 30 longest-unchecked registry names.
+# r8 window: steady-state freshness (VERDICT r7 item 6). Every slot
+# except the two genuinely new queries (embedding_pca_project_verified,
+# similarity_ivf_trained) is an intended re-check: the 3 headline
+# queries last checked r6, all 9 r2-cohort and all 34 r3-cohort names
+# (oldest first), and the first 2 of the r4 cohort. After a green r8
+# no query's last driver check is older than r4.
 INTENDED_RECHECKS: set[str] = {
-    "embedding_pca_project",
-    "doc_fingerprints",
-    "fuzzy_join_part_names",
-    "streaming_session_window_events",
-    "top_revenue_nations",
-    "join_left_customer_orders",
-    "group_avg_acctbal",
-    "topk_orders",
-    "window_topk_orders_per_customer",
-    "tumbling_window_events",
-    "dedup_exact_documents",
-    "dedup_minhash_pairs",
-    "similarity_topk_cosine",
-    "text_stats_by_lang",
-    "asof_join_events",
-    "grouped_zscore_events",
-    "embedding_near_dup",
-    "rollup_cascade_daily",
-    "shipping_priority_top10",
-    "filter_eq_events",
-    "group_count_mktsegment",
-    "cube_counts",
-    "distinct_nation_segment",
-    "union_all_orders",
-    "except_nations",
-    "join_broadcast_nation_region",
-    "join_semi_customers_with_orders",
-    "join_anti_customers_without_orders",
-    "join_theta_acctbal",
-    "similarity_lsh_topk",
-    "token_count_bpe",
-    "quality_scores",
-    "language_id_confusion",
-    "date_parts_orders",
-    "array_ops_embeddings",
-    "math_funcs_customer",
-    "project_filter_part",
-    "global_agg_orders",
-    "count_distinct_customers",
-    "rollup_orders",
-    "percentiles_nchars",
-    "intersect_nations",
-    "jaccard_adjacent_docs",
-    "multimodal_pack",
-    "dedup_cluster_canonical",
-    "corpus_prep_pipeline",
-    "to_timestamp_iso8601",
-    "string_funcs_part",
-    "rollup_incremental_merge",
+    "pricing_summary",
+    "star_join_wide",
+    "join_inner_lineitem_orders",
+    "order_priority_exists",
+    "range_join_bucketed",
+    "promo_revenue_share",
+    "salted_group_sum",
+    "window_lag_lead_orders",
+    "window_moving_avg_events",
+    "session_window_events",
+    "streaming_dedup_events",
+    "weighted_avg_udaf_parts",
+    "approx_distinct_users",
+    "bm25_keyword_search",
+    "stats_corr_quantity_price",
+    "leakage_safe_split_clusters",
+    "sessionize_events_gaps",
+    "gapfill_hourly_events",
+    "variant_extract_events",
+    "streaming_corpus_curation",
+    "weekly_cohort_retention",
+    "conditional_scalar_funcs",
+    "setops_all_variants",
+    "stratified_sample_by_lang",
+    "lateral_top_nations_per_region",
+    "idle_rich_customers",
+    "csv_sink_roundtrip",
+    "pii_redaction_docs",
+    "per_domain_cap",
+    "unpivot_customer_metrics",
+    "grouping_sets_orders",
+    "struct_pack_events",
+    "winnowing_fingerprints",
+    "date_arith_orders",
+    "profile_orders_columns",
+    "expectations_orders",
+    "skew_join_revenue_by_segment",
+    "pivot_priority_by_year",
+    "similarity_ivf_persisted",
+    "training_shuffle_shards",
+    "incremental_join_refresh",
+    "udtf_split_sentences",
+    "schema_evolution_merge",
+    "graph_triangle_count",
+    "decontaminate_train_eval",
+    "bloom_prefilter_join",
+    "filter_all_notnull_customer",
+    "conditional_counts_orders",
 }
 
-# r7 window: the three rows-only carriers riding through are the fixed
-# PCA projection (re-windowed per VERDICT r6 item 1 to replace the red
-# r6 row with a clean one) and the two rows-only names in the
-# longest-unchecked tail.
+# r8 window: two rows-only rides — the new Lloyd-trained IVF recall
+# query (accuracy contract in tests/test_operators.py) and the
+# r3-cohort HLL estimate re-check.
 INTENDED_ROWS_ONLY: set[str] = {
-    "embedding_pca_project",
-    "dedup_minhash_pairs",
-    "similarity_lsh_topk",
+    "similarity_ivf_trained",
+    "approx_distinct_users",
 }
 
 

@@ -61,6 +61,11 @@ ALLOWED_FLAGS = {
     # broadcast-query scan as similarity_topk_cosine; the approximate
     # side joins on the cell id (equi).
     ("ivf_recall_fixed_cells", "BroadcastNestedLoopJoin"),
+    # Same recall-measurement shape over TRAINED centroids: the exact
+    # reference side broadcasts the 20-query batch against the corpus
+    # (brute_force_topk); the probed side joins on the cell id (equi)
+    # over the persisted index.
+    ("similarity_ivf_trained", "BroadcastNestedLoopJoin"),
     # Q22-shaped scalar subquery: the filter compares against a 1-row
     # global aggregate; Spark plans that as a BNLJ against a broadcast
     # single row — effectively a map-side filter.
