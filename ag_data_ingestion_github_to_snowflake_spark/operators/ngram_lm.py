@@ -133,8 +133,16 @@ def stupid_backoff_scores(
     # repeated invocations (bench reps) hold at most ONE counts table
     # in storage memory. If a caller interleaves two scorings, the
     # older one silently falls back to recompute — never wrong results.
+    # Eviction must never fail a FRESH call: if the SparkSession that
+    # built the cached table was stopped/recreated between calls
+    # (cross-test sessions, bench restarts), unpersist() on the stale
+    # handle can raise — swallow it, the dead session's storage is
+    # already gone.
     while _LIVE_CACHE:
-        _LIVE_CACHE.pop().unpersist()
+        try:
+            _LIVE_CACHE.pop().unpersist()
+        except Exception:  # noqa: BLE001 — dead-session handle
+            pass
     counts = ngram_counts(train, text_col=text_col).cache()
     _LIVE_CACHE.append(counts)
     uni = counts.filter(F.col("n") == 1).select(

@@ -228,18 +228,11 @@ def _profile_approx_oracle() -> str:
                 - SUM(CASE WHEN bucket IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS zero_registers
     FROM regs GROUP BY col_name
-    ), est AS (
-      SELECT * FROM raw_est
     )
     SELECT col_name, n_rows, n_nulls,
-           ROUND(CASE WHEN zero_registers > 0
-                       AND distinct_est_raw <= {2.5 * hll.M_REGISTERS!r}
-                      THEN {float(hll.M_REGISTERS)!r}
-                           * LN({float(hll.M_REGISTERS)!r}
-                                / CAST(zero_registers AS DOUBLE))
-                      ELSE distinct_est_raw END, 6) AS distinct_est,
+           ROUND(distinct_est_raw, 6) AS distinct_est_raw,
            zero_registers
-    FROM est
+    FROM raw_est
     """
 
 
@@ -258,8 +251,12 @@ def profile_orders_approx(spark: SparkSession, sf: str) -> DataFrame:
     replaces with sketches at 100 TB. Values are canonicalized to
     strings both engines agree on (%.2f for the 2-decimal money
     column, second-resolution timestamps), so the DuckDB oracle
-    replays the full register pipeline bit-exactly. min/max are
-    omitted: at scale those come free from parquet footer metadata
+    replays the full register pipeline bit-exactly. The emitted
+    estimate is the RAW harmonic-sum one; the linear-counting
+    small-range correction is a pure function of the emitted
+    zero_registers column and is applied consumer-side (keeping ln()
+    out of the bit-exact hash contract). min/max are omitted: at
+    scale those come free from parquet footer metadata
     (see ``metadata_agg_pushdown``)."""
     from ag_data_ingestion_github_to_snowflake_spark.operators import hll
     from ag_data_ingestion_github_to_snowflake_spark.operators.dedup import (
@@ -322,23 +319,20 @@ def profile_orders_approx(spark: SparkSession, sf: str) -> DataFrame:
             "zero_registers"
         ),
     )
-    # Flajolet et al. small-range correction: below 2.5m with empty
-    # registers, linear counting m*ln(m/V) beats the raw estimate by
-    # orders of magnitude (a 3-distinct column reads ~2955 raw, ~3.0
-    # corrected). Rounded to 6 — the repo's established float-agg
-    # tolerance — because ln() is only 1-ulp-reproducible across
-    # engines, unlike the raw estimate's single exact division.
-    m = float(hll.M_REGISTERS)
-    corrected = F.when(
-        (F.col("zero_registers") > 0)
-        & (F.col("distinct_est_raw") <= F.lit(2.5 * hll.M_REGISTERS)),
-        F.lit(m) * F.log(F.lit(m) / F.col("zero_registers").cast("double")),
-    ).otherwise(F.col("distinct_est_raw"))
+    # The output stays BIT-EXACT on purpose: the raw estimate is one
+    # IEEE division of exact integer sums, and zero_registers is an
+    # integer — so the cross-engine hash contract has no libm terms.
+    # The Flajolet et al. small-range correction (linear counting
+    # m*ln(m/V) when V = zero_registers > 0 and raw <= 2.5m) is a pure
+    # function of the EMITTED zero_registers column, so consumers apply
+    # it losslessly on their side (``operators/hll.py`` docstring: ln()
+    # is only 1-ulp-reproducible across engines and cannot sit inside
+    # a bit-exact contract — the r7 ADVICE finding this fixes).
     return raw.select(
         "col_name",
         "n_rows",
         "n_nulls",
-        F.round(corrected, 6).alias("distinct_est"),
+        F.round("distinct_est_raw", 6).alias("distinct_est_raw"),
         "zero_registers",
     )
 

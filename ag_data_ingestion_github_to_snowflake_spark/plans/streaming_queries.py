@@ -88,7 +88,10 @@ def _staged_events_stream_flushed(
     import datetime
 
     src = os.path.join(sf, "events.parquet")
-    base_sdf, stage_base = _staged_events_stream(spark, sf)
+    # Called for its STAGING side effect only (the per-file split of
+    # the source parquet under stage_base); the returned stream is for
+    # the unflushed callers and is deliberately unused here.
+    _, stage_base = _staged_events_stream(spark, sf)
     stage = stage_dir("ag_stream_events_flush", sf)
     marker = os.path.join(stage, "_staged")
     if not os.path.exists(marker) or os.path.getmtime(marker) < os.path.getmtime(src):
@@ -102,11 +105,16 @@ def _staged_events_stream_flushed(
         raw = spark.read.parquet(src)
         qty, unit = flush_delta.split()
         delta = datetime.timedelta(**{unit if unit.endswith("s") else unit + "s": int(qty)})
+        mx = raw.agg(F.max("ts")).collect()[0][0]
+        if mx is None:
+            raise ValueError(
+                f"{src} has no rows with a non-null ts: cannot place the "
+                "flush sentinel (it must land past max(real ts))"
+            )
         if isinstance(raw.schema["ts"].dataType, T.LongType):
-            mx = raw.agg(F.max("ts")).collect()[0][0]
             sent_ts = mx + int(delta.total_seconds() * 1_000_000_000)
         else:
-            sent_ts = raw.agg(F.max("ts")).collect()[0][0] + delta
+            sent_ts = mx + delta
         sent = spark.createDataFrame(
             [(int(-1), sent_ts, int(-1), "_flush", 0.0, "{}")], raw.schema
         )
