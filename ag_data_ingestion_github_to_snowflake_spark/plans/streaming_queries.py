@@ -437,14 +437,23 @@ def streaming_dedup_events(spark: SparkSession, sf: str) -> DataFrame:
     tests/test_streaming.py with a duplicated source)."""
     sdf, _ = _staged_events_stream(spark, sf)
     deduped = S.dedup_stream(sdf, ["event_id"], delay="40 days").select("event_id")
-    # Store choice, measured at 100x (10M dedup states, single
-    # AvailableNow commit): HDFS-heap 24.9 s vs RocksDB 38.1 s — an
-    # insert-only single-commit drain never pays the full-map REWRITE
-    # that makes RocksDB win on multi-commit state (session windows),
-    # so the default heap store is the right call here; a continuous
-    # production stream (many commits, state turnover) would flip to
-    # rocksdb=True.
-    return _drain(deduped, spark, "append")
+    # Knobs MEASURED at 100x (10M dedup states, single AvailableNow
+    # commit; tools/sweep_dedup_drain.py, r8): heap/32-part 20.3 s,
+    # heap/8 29.1 s, RocksDB/32 26.7 s, RocksDB/8 36.9 s, and delay
+    # width is cost-neutral (heap/32 with "1 day" = 21.4 s — one
+    # commit means the watermark only advances at the end, so eviction
+    # never runs mid-drain). Same shape as the r7 session-drain
+    # finding: an insert-only single-commit drain never pays the
+    # full-map rewrite that makes RocksDB win on multi-commit state,
+    # and core-count partitions parallelize the per-event state probe
+    # instead of idling 3/4 of the box. A continuous production stream
+    # (many commits, state turnover) would flip to rocksdb=True.
+    return _drain(
+        deduped,
+        spark,
+        "append",
+        shuffle_partitions=str(spark.sparkContext.defaultParallelism),
+    )
 
 
 @register(
