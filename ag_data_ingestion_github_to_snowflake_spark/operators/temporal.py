@@ -34,16 +34,34 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
-    """Backward as-of join: latest right row with ts <= left ts, per key.
+    """As-of join per key: for each left row the nearest right row at or
+    before (``direction="backward"``, the default) or at or after
+    (``direction="forward"``) its timestamp — both inclusive at equal
+    timestamps, matching DuckDB/pandas ASOF semantics.
+
+    ``tolerance`` (an INTERVAL string like ``"2 hours"``) voids a match
+    whose timestamp gap exceeds it: the matched columns come back NULL,
+    exactly as ``pandas.merge_asof(tolerance=...)`` behaves. The match
+    is still the NEAREST row (tolerance filters, never re-picks), so
+    the plan cost is unchanged: one shuffle + one sort, applied the
+    same way in both directions (forward just flips the sort order).
 
     ``right`` should be unique per (key, ts) — pre-aggregate if not
     (ties would be nondeterministic in any engine).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     right_cols = right_cols or [
         c for c in right.columns if c not in (on, right_ts)
     ]
-    payload = F.struct(*[F.col(c) for c in right_cols])
+    # _rts rides inside the payload so the tolerance test can see the
+    # matched row's timestamp after the carry.
+    payload = F.struct(
+        *[F.col(c) for c in right_cols], F.col(right_ts).alias("_rts")
+    )
 
     l_tag = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1)).withColumn(
         "_payload", F.lit(None).cast(
@@ -74,14 +92,29 @@ def asof_join(
         )
     )
     # right rows (side 0) sort before left rows at equal ts: ties match.
+    # Forward direction = the same carry over the REVERSED timestamp
+    # order (the nearest following row is the last one seen walking
+    # backward from the end).
+    ts_order = F.asc("_ts") if direction == "backward" else F.desc("_ts")
     w = (
         Window.partitionBy(on)
-        .orderBy(F.asc("_ts"), F.asc("_side"))
+        .orderBy(ts_order, F.asc("_side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn(
         "_matched", F.last("_payload", ignorenulls=True).over(w)
     )
+    if tolerance is not None:
+        gap_ok = (
+            F.col("_matched._rts")
+            >= F.col("_ts") - F.expr(f"INTERVAL {tolerance}")
+            if direction == "backward"
+            else F.col("_matched._rts")
+            <= F.col("_ts") + F.expr(f"INTERVAL {tolerance}")
+        )
+        carried = carried.withColumn(
+            "_matched", F.when(gap_ok, F.col("_matched"))
+        )
     out = carried.filter(F.col("_side") == 1).select(
         *l_cols,
         *[

@@ -313,6 +313,82 @@ def percentiles_nchars(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "mad_outliers_events",
+    # Both engines use the same exact interpolated median
+    # (percentile / quantile_cont) and the round-6-then-compare
+    # convention on the outlier threshold, so the per-group counts are
+    # engine-identical (the quantile_hash_sample precedent).
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med,
+             ABS(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(d.med), 6) AS med,
+           ROUND(MIN(mad.mad), 6) AS mad,
+           CAST(SUM(CASE WHEN ROUND(d.adev, 6)
+                              > ROUND(3 * 1.4826 * mad.mad, 6)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad USING (event_type)
+    GROUP BY d.event_type
+    """,
+    survey_ids=("B23", "B16", "B11"),
+    description="MAD robust outlier counts per event type (median absolute deviation)",
+)
+def mad_outliers_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust outlier detection per group: flag values whose absolute
+    deviation from the group median exceeds 3 x 1.4826 x MAD (the
+    consistency-scaled median absolute deviation — the standard
+    mean/stddev-free outlier rule that one wild value cannot drag).
+
+    Plan shape: two tiny per-group stat aggregates (one row per
+    event_type) BROADCAST back onto the fact scan — the data is
+    scanned twice map-side and shuffled only for the per-group
+    aggregates. Exact interpolated medians match DuckDB's
+    quantile_cont; at 100 TB swap in approx_percentile for the two
+    medians (same plan, sketch-bounded memory) — the exact/approx
+    twin convention of percentiles_nchars / approx_percentiles_nchars.
+    """
+    ev = t(spark, sf, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.min("med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.sum(
+                (
+                    F.round(F.col("adev"), 6)
+                    > F.round(F.lit(3 * 1.4826) * F.col("mad"), 6)
+                ).cast("long")
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # B24 ORDER BY DESC + LIMIT: top-k  (reference README.md:295-299
 # "Top 10 most-starred repositories")

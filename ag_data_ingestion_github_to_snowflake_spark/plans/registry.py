@@ -84,12 +84,12 @@ def register(
 # rotated-out tail with the identical compare.
 _PRIORITY: tuple[str, ...] = (
     # -- r8 window: steady-state freshness (VERDICT r7 item 6) --
-    # Head: the two r8 additions (frozen-axis PCA projection twin,
+    # Head: two r8 additions (frozen-axis PCA projection twin,
     # Lloyd-trained IVF recall); then the 3 headline bench queries
     # last driver-checked r6; then EVERY name whose last driver check
     # is r2 (9) or r3 (34), oldest cohorts first; the final 2 slots
-    # start the r4 cohort. After a green r8 no query's last driver
-    # check is older than r4.
+    # are the other two r8 additions (forward as-of, MAD outliers).
+    # After a green r8 no query's last driver check is older than r4.
     "embedding_pca_project_verified",  # NEW r8: oracle-verified PCA projection
     "similarity_ivf_trained",  # NEW r8: Lloyd IVF end-to-end recall contract
     # -- headline queries last checked r6 --
@@ -141,9 +141,9 @@ _PRIORITY: tuple[str, ...] = (
     "graph_triangle_count",
     "decontaminate_train_eval",
     "bloom_prefilter_join",
-    # -- start of the r4 cohort (continues in the r9 window) --
-    "filter_all_notnull_customer",
-    "conditional_counts_orders",
+    # -- the other two r8 additions (first-time driver evidence) --
+    "asof_join_forward_tolerance",
+    "mad_outliers_events",
 )
 
 

@@ -61,6 +61,66 @@ def asof_join_events(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "asof_join_forward_tolerance",
+    # DuckDB ASOF with the inequality flipped picks the nearest
+    # FOLLOWING row (ties inclusive, same as the operator); the
+    # tolerance is a post-match CASE, never a re-pick — identical to
+    # pandas.merge_asof(direction="forward", tolerance=...).
+    oracle="""
+    WITH views AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'view'
+    ), purchases AS (
+      SELECT user_id, ts, max(value) AS p_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    )
+    SELECT v.event_id,
+           v.user_id,
+           ROUND(v.value, 6) AS view_value,
+           ROUND(CASE WHEN p.ts <= v.ts + INTERVAL 2 HOUR THEN p.p_value END, 6)
+             AS next_purchase_value
+    FROM views v
+    ASOF LEFT JOIN purchases p
+      ON v.user_id = p.user_id AND v.ts <= p.ts
+    """,
+    survey_ids=("B14", "B29", "B31"),
+    description="forward as-of join with 2h tolerance: next purchase after each view",
+)
+def asof_join_forward_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    """For each 'view' event, the user's NEXT 'purchase' value within
+    2 hours — the forward-direction, toleranced as-of join (attribution
+    windows, sensor lookahead). Same union+window shape as the backward
+    query (one shuffle on the key, one sort — the forward direction
+    just flips the sort), with the tolerance applied as a post-match
+    filter on the carried timestamp, so there is still no
+    range-condition row blowup at any scale.
+    """
+    ev = t(spark, sf, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("p_value"))
+    )
+    joined = asof_join(
+        views,
+        purchases,
+        on="user_id",
+        right_cols=["p_value"],
+        direction="forward",
+        tolerance="2 hours",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("value", 6).alias("view_value"),
+        F.round("p_value", 6).alias("next_purchase_value"),
+    )
+
+
+@register(
     "range_join_bucketed",
     oracle="""
     WITH sessions AS (

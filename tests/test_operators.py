@@ -810,3 +810,62 @@ def test_ivf_trained_recall_contract(spark):
     ivf = {(r.query_id, r.rnk): r.neighbor_id
            for r in S.ivf_topk(emb, queries, cents, k=5, nprobe=8).collect()}
     assert ivf == bf
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    """Forward direction picks the nearest FOLLOWING right row (ties
+    inclusive); tolerance voids a match whose gap exceeds it without
+    re-picking a different row — pandas.merge_asof semantics."""
+    from ag_data_ingestion_github_to_snowflake_spark.operators.temporal import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", "a"),  # tie with right at 10:00
+            (1, "2024-01-01 11:00:00", "b"),  # nearest following 11:30
+            (1, "2024-01-01 16:00:00", "c"),  # nothing follows -> null
+            (2, "2024-01-01 09:00:00", "d"),  # gap 5h: matched, tol voids
+        ],
+        "k int, ts string, tag string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:30:00", 1.0),  # before: never forward-matched
+            (1, "2024-01-01 10:00:00", 2.0),
+            (1, "2024-01-01 11:30:00", 3.0),
+            (2, "2024-01-01 14:00:00", 4.0),
+        ],
+        "k int, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    fwd = {
+        r.tag: r.v
+        for r in asof_join(
+            left, right, on="k", right_cols=["v"], direction="forward"
+        ).collect()
+    }
+    assert fwd == {"a": 2.0, "b": 3.0, "c": None, "d": 4.0}
+
+    tol = {
+        r.tag: r.v
+        for r in asof_join(
+            left,
+            right,
+            on="k",
+            right_cols=["v"],
+            direction="forward",
+            tolerance="2 hours",
+        ).collect()
+    }
+    assert tol == {"a": 2.0, "b": 3.0, "c": None, "d": None}
+
+    back_tol = {
+        r.tag: r.v
+        for r in asof_join(
+            left, right, on="k", right_cols=["v"], tolerance="45 minutes"
+        ).collect()
+    }
+    # backward: a<-10:00 (gap 0), b<-10:00 (gap 1h > 45m -> void),
+    # c<-11:30 (gap 4.5h -> void), d has no prior row
+    assert back_tol == {"a": 2.0, "b": None, "c": None, "d": None}

@@ -87,11 +87,12 @@ def test_window_plus_ledger_cover_every_survey_id():
 
 
 # r8 window: steady-state freshness (VERDICT r7 item 6). Every slot
-# except the two genuinely new queries (embedding_pca_project_verified,
-# similarity_ivf_trained) is an intended re-check: the 3 headline
-# queries last checked r6, all 9 r2-cohort and all 34 r3-cohort names
-# (oldest first), and the first 2 of the r4 cohort. After a green r8
-# no query's last driver check is older than r4.
+# except the four genuinely new r8 queries
+# (embedding_pca_project_verified, similarity_ivf_trained,
+# asof_join_forward_tolerance, mad_outliers_events) is an intended
+# re-check: the 3 headline queries last checked r6, then all 9
+# r2-cohort and all 34 r3-cohort names (oldest first). After a green
+# r8 no query's last driver check is older than r4.
 INTENDED_RECHECKS: set[str] = {
     "pricing_summary",
     "star_join_wide",
@@ -139,8 +140,6 @@ INTENDED_RECHECKS: set[str] = {
     "graph_triangle_count",
     "decontaminate_train_eval",
     "bloom_prefilter_join",
-    "filter_all_notnull_customer",
-    "conditional_counts_orders",
 }
 
 # r8 window: two rows-only rides — the new Lloyd-trained IVF recall
