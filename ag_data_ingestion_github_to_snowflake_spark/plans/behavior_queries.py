@@ -494,3 +494,110 @@ def session_event_type_pairs(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("n_sessions"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (data-quality / fraud screening)
+# ---------------------------------------------------------------------------
+# log10(1 + 1/d) expectations precomputed ONCE in Python float64 and
+# inlined as literals on BOTH sides, so no libm call sits inside the
+# hash contract (the profile_orders_approx rule).
+_BENFORD_P = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def _benford_oracle() -> str:
+    case = " ".join(
+        f"WHEN {d} THEN {p!r}" for d, p in _BENFORD_P.items()
+    )
+    return f"""
+    WITH digits AS (
+      SELECT CAST(substr(printf('%.2f', o_totalprice), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    counts AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM digits WHERE digit BETWEEN 1 AND 9 GROUP BY digit
+    ),
+    scored AS (
+      SELECT digit, n_obs,
+             CAST(SUM(n_obs) OVER () AS DOUBLE)
+               * (CASE digit {case} END) AS expected
+      FROM counts
+    ),
+    contrib AS (
+      SELECT digit, n_obs, ROUND(expected, 6) AS expected,
+             ROUND((CAST(n_obs AS DOUBLE) - expected)
+                   * (CAST(n_obs AS DOUBLE) - expected) / expected, 6)
+               AS chi2_part
+      FROM scored
+    )
+    SELECT digit, n_obs, expected, chi2_part,
+           CAST(SUM(CAST(chi2_part AS DECIMAL(18,6))) OVER () AS DOUBLE)
+             AS chi2_total
+    FROM contrib
+    """
+
+
+@register(
+    "benford_first_digit_orders",
+    oracle=_benford_oracle(),
+    survey_ids=("B16", "B18", "B39"),
+    description="Benford first-digit audit of order totals with exact chi-square",
+)
+def benford_first_digit_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """First-significant-digit distribution of o_totalprice vs
+    Benford's law, with the chi-square statistic — the standard
+    data-quality / fraud screen for monetary columns.
+
+    Engine-identical by construction: the digit comes from the SAME
+    %.2f string rendering both engines agree on (the
+    profile_orders_approx canonicalization), the log10 expectations
+    are Python-precomputed literals (no runtime libm), integer counts
+    sum exactly, and the chi-square total is the round-6 decimal-sum
+    convention — so the 9-row result hash-matches.
+
+    Scale shape: one map-side digit projection + one 9-group
+    aggregate; the tiny 9-row window total is a trivial exchange. At
+    100 TB this is a single scan with a 9-row reduction.
+    """
+    o = t(spark, sf, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.format_string("%.2f", F.col("o_totalprice")), 1, 1
+    ).cast("int")
+    counts = (
+        o.select(digit.alias("digit"))
+        .filter(F.col("digit").between(1, 9))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    p_expr = F.when(F.col("digit") == 1, F.lit(_BENFORD_P[1]))
+    for d in range(2, 10):
+        p_expr = p_expr.when(F.col("digit") == d, F.lit(_BENFORD_P[d]))
+    w = Window.partitionBy()
+    expected = F.sum("n_obs").over(w).cast("double") * p_expr
+    scored = counts.withColumn("expected", expected)
+    contrib = scored.select(
+        "digit",
+        "n_obs",
+        F.round("expected", 6).alias("expected"),
+        F.round(
+            (F.col("n_obs").cast("double") - F.col("expected"))
+            * (F.col("n_obs").cast("double") - F.col("expected"))
+            / F.col("expected"),
+            6,
+        ).alias("chi2_part"),
+    )
+    return contrib.withColumn(
+        "chi2_total",
+        F.sum(F.col("chi2_part").cast("decimal(18,6)")).over(w).cast("double"),
+    )
