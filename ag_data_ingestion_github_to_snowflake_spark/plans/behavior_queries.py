@@ -601,3 +601,75 @@ def benford_first_digit_orders(spark: SparkSession, sf: str) -> DataFrame:
         "chi2_total",
         F.sum(F.col("chi2_part").cast("decimal(18,6)")).over(w).cast("double"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension history (warehouse-side sibling of merge_into_warehouse)
+# ---------------------------------------------------------------------------
+@register(
+    "scd2_customer_history",
+    oracle="""
+    WITH changes AS (
+      SELECT c_custkey AS custkey,
+             TIMESTAMP '1990-01-01 00:00:00' AS ts,
+             c_mktsegment AS tier,
+             CAST(0 AS BIGINT) AS seq
+      FROM customer WHERE c_custkey < 300
+      UNION ALL
+      SELECT o_custkey, o_orderdate, o_orderpriority, o_orderkey
+      FROM orders WHERE o_custkey < 300
+    ),
+    marked AS (
+      SELECT *, LAG(tier) OVER (PARTITION BY custkey ORDER BY ts, seq) AS prev
+      FROM changes
+    ),
+    vers AS (
+      SELECT custkey, ts, tier, seq FROM marked
+      WHERE prev IS DISTINCT FROM tier
+    )
+    SELECT custkey, tier,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY custkey ORDER BY ts, seq) AS valid_to,
+           LEAD(ts) OVER (PARTITION BY custkey ORDER BY ts, seq) IS NULL
+             AS is_current
+    FROM vers
+    """,
+    survey_ids=("B29", "B30", "B27"),
+    description="SCD2 dimension history from a change log (valid_from/valid_to/is_current)",
+)
+def scd2_customer_history(spark: SparkSession, sf: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history for a synthetic
+    customer-tier change log (initial tier from the customer snapshot,
+    then one observation per order) — ``operators/scd.py``: consecutive
+    duplicates open no version, each surviving change opens one, the
+    open-ended row is current. The warehouse-side sibling of the A9
+    load path (``sources/sinks.py:merge_into_warehouse`` keeps the
+    LATEST row; SCD2 keeps them all with validity intervals).
+
+    One shuffle on the key, two in-partition sorts over the same order
+    (exchange reused) — no self-join, output <= input rows at any
+    scale.
+    """
+    from ag_data_ingestion_github_to_snowflake_spark.operators.scd import (
+        scd2_from_changes,
+    )
+
+    cust = t(spark, sf, "customer").filter(F.col("c_custkey") < 300)
+    orders = t(spark, sf, "orders").filter(F.col("o_custkey") < 300)
+    changes = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.lit("1990-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.col("c_mktsegment").alias("tier"),
+        F.lit(0).cast("bigint").alias("seq"),
+    ).unionByName(
+        orders.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").alias("ts"),
+            F.col("o_orderpriority").alias("tier"),
+            F.col("o_orderkey").alias("seq"),
+        )
+    )
+    scd = scd2_from_changes(changes, "custkey", "ts", ["tier"], tiebreak="seq")
+    return scd.select(
+        "custkey", "tier", "valid_from", "valid_to", "is_current"
+    )

@@ -869,3 +869,41 @@ def test_asof_join_forward_and_tolerance(spark):
     # backward: a<-10:00 (gap 0), b<-10:00 (gap 1h > 45m -> void),
     # c<-11:30 (gap 4.5h -> void), d has no prior row
     assert back_tol == {"a": 2.0, "b": None, "c": None, "d": None}
+
+
+def test_scd2_from_changes_semantics(spark):
+    """Consecutive duplicate observations open no version; same-instant
+    conflicts resolve by tiebreak (last wins the instant, earlier one
+    is a zero-length version); NULL attributes compare null-safely."""
+    from ag_data_ingestion_github_to_snowflake_spark.operators.scd import (
+        scd2_from_changes,
+    )
+
+    changes = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", "a", 0),
+            (1, "2024-02-01 00:00:00", "a", 1),  # consecutive dup: no version
+            (1, "2024-03-01 00:00:00", "b", 2),
+            (1, "2024-03-01 00:00:00", "c", 3),  # same instant: c wins
+            (2, "2024-01-01 00:00:00", None, 0),  # NULL attr
+            (2, "2024-02-01 00:00:00", None, 1),  # null-safe dup: no version
+            (2, "2024-03-01 00:00:00", "x", 2),
+        ],
+        "k int, ts string, tier string, seq int",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = scd2_from_changes(changes, "k", "ts", ["tier"], tiebreak="seq")
+    rows = sorted(
+        ((r.k, str(r.valid_from), str(r.tier)), (r.k, r.tier, str(r.valid_from), str(r.valid_to), r.is_current))
+        for r in out.collect()
+    )
+    rows = [r[1] for r in rows]
+    assert rows == [
+        (1, "a", "2024-01-01 00:00:00", "2024-03-01 00:00:00", False),
+        (1, "b", "2024-03-01 00:00:00", "2024-03-01 00:00:00", False),
+        (1, "c", "2024-03-01 00:00:00", "None", True),
+        (2, None, "2024-01-01 00:00:00", "2024-03-01 00:00:00", False),
+        (2, "x", "2024-03-01 00:00:00", "None", True),
+    ]
+    # exactly one current row per key
+    cur = out.filter("is_current").groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in cur)
