@@ -673,3 +673,115 @@ def scd2_customer_history(spark: SparkSession, sf: str) -> DataFrame:
     return scd.select(
         "custkey", "tier", "valid_from", "valid_to", "is_current"
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square distribution-drift detector (early vs late period)
+# ---------------------------------------------------------------------------
+@register(
+    "drift_chi2_events",
+    # All arithmetic is libm-free (products, one division, round-6
+    # decimal sum), so the chi-square is inside the bit-exact hash
+    # contract — the Benford convention. The period split point is
+    # integer epoch-microsecond midpoint, identical in both engines.
+    oracle="""
+    WITH bounds AS (
+      SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid FROM events
+    ),
+    tagged AS (
+      SELECT event_type,
+             CASE WHEN epoch_us(ts) < (SELECT mid FROM bounds)
+                  THEN 'early' ELSE 'late' END AS period
+      FROM events
+    ),
+    cells AS (
+      SELECT event_type, period, CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM tagged GROUP BY event_type, period
+    ),
+    scored AS (
+      SELECT event_type, period, n_obs,
+             CAST(SUM(n_obs) OVER (PARTITION BY event_type) AS DOUBLE)
+               * CAST(SUM(n_obs) OVER (PARTITION BY period) AS DOUBLE)
+               / CAST(SUM(n_obs) OVER () AS DOUBLE) AS expected
+      FROM cells
+    ),
+    contrib AS (
+      SELECT event_type, period, n_obs, ROUND(expected, 6) AS expected,
+             ROUND((CAST(n_obs AS DOUBLE) - expected)
+                   * (CAST(n_obs AS DOUBLE) - expected) / expected, 6)
+               AS chi2_part
+      FROM scored
+    )
+    SELECT event_type, period, n_obs, expected, chi2_part,
+           CAST(SUM(CAST(chi2_part AS DECIMAL(18,6))) OVER () AS DOUBLE)
+             AS chi2_total
+    FROM contrib
+    """,
+    survey_ids=("B16", "B29", "B33"),
+    description="chi-square drift: event-type mix, early vs late half of the time range",
+)
+def drift_chi2_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution-drift detection: does the event-type mix differ
+    between the early and late halves of the stream? The
+    contingency-table chi-square every data-quality monitor runs on
+    categorical columns (the log-free sibling of PSI — PSI's ln()
+    cannot sit in a bit-exact cross-engine contract).
+
+    The split point is the integer epoch-microsecond midpoint of
+    [min ts, max ts] — a two-value global aggregate, not a percentile
+    — so both engines tag periods identically. Expected counts are
+    row-total x column-total / n (marginal independence); the total is
+    the round-6 decimal-sum convention.
+
+    Scale shape: one scan for the bounds (min/max come free from
+    parquet footers at scale), one scan + one 10-cell aggregate, and
+    window totals over 10 rows. Effectively two scans and a trivial
+    reduction at any data size.
+    """
+    ev = t(spark, sf, "events")
+    # Integer floor-division midpoint (matches DuckDB's `//`): stays in
+    # exact bigint arithmetic, no double rounding question at all. The
+    # cast to TIMESTAMP is the session-UTC identity on the fixture's
+    # TIMESTAMP_NTZ column (unix_micros requires TIMESTAMP).
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    b = ev.agg(
+        ((F.max(us("ts")) + F.min(us("ts"))) / F.lit(2))
+        .cast("long")
+        .alias("mid")
+    )
+    tagged = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.when(us("ts") < F.col("mid"), F.lit("early"))
+        .otherwise(F.lit("late"))
+        .alias("period"),
+    )
+    cells = tagged.groupBy("event_type", "period").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    )
+    w_row = Window.partitionBy("event_type")
+    w_col = Window.partitionBy("period")
+    w_all = Window.partitionBy()
+    scored = cells.withColumn(
+        "expected",
+        F.sum("n_obs").over(w_row).cast("double")
+        * F.sum("n_obs").over(w_col).cast("double")
+        / F.sum("n_obs").over(w_all).cast("double"),
+    )
+    contrib = scored.select(
+        "event_type",
+        "period",
+        "n_obs",
+        F.round("expected", 6).alias("expected"),
+        F.round(
+            (F.col("n_obs").cast("double") - F.col("expected"))
+            * (F.col("n_obs").cast("double") - F.col("expected"))
+            / F.col("expected"),
+            6,
+        ).alias("chi2_part"),
+    )
+    return contrib.withColumn(
+        "chi2_total",
+        F.sum(F.col("chi2_part").cast("decimal(18,6)"))
+        .over(w_all)
+        .cast("double"),
+    )

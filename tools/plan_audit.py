@@ -79,6 +79,10 @@ ALLOWED_FLAGS = {
     # score via an explicit broadcast cross join — one broadcast row,
     # map-side multiply, invariant in the data size.
     ("tfidf_top_terms", "BroadcastNestedLoopJoin"),
+    # The drift detector attaches the 1-row time-range midpoint
+    # aggregate to the scan via a broadcast cross join — one broadcast
+    # row, map-side period tag, invariant in the data size.
+    ("drift_chi2_events", "BroadcastNestedLoopJoin"),
     # Mixture sampling attaches the 1-row (n_total, k) aggregate to the
     # k-row per-source table via a broadcast cross join — one broadcast
     # row, invariant in the data size.
