@@ -633,6 +633,115 @@ def stats_corr_quantity_price(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# B23 extension: full pairwise correlation matrix in ONE pass
+# ---------------------------------------------------------------------------
+@register(
+    "corr_matrix_lineitem",
+    # Same exact-decimal-moment convention as stats_corr_quantity_price,
+    # generalized: ALL ten moments for three variables ride in a single
+    # aggregation, so the whole 3x3 matrix costs one scan + one shuffle
+    # — the one-pass sufficient-statistics pattern (the same shape the
+    # distributed PCA uses for its covariance).
+    oracle="""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity      AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(l_discount      AS DECIMAL(18,2))) AS DOUBLE) AS s3,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s11,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s22,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s33,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s12,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s13,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s23
+      FROM lineitem
+    )
+    SELECT 'l_quantity' AS var_a, 'l_extendedprice' AS var_b,
+           ROUND((n * s12 - s1 * s2)
+                 / (sqrt(n * s11 - s1 * s1) * sqrt(n * s22 - s2 * s2)), 6) AS r,
+           CAST(n AS BIGINT) AS n
+    FROM m
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount',
+           ROUND((n * s13 - s1 * s3)
+                 / (sqrt(n * s11 - s1 * s1) * sqrt(n * s33 - s3 * s3)), 6),
+           CAST(n AS BIGINT)
+    FROM m
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount',
+           ROUND((n * s23 - s2 * s3)
+                 / (sqrt(n * s22 - s2 * s2) * sqrt(n * s33 - s3 * s3)), 6),
+           CAST(n AS BIGINT)
+    FROM m
+    """,
+    survey_ids=("B23", "B18", "B43"),
+    description="3x3 pairwise Pearson matrix from one 10-moment aggregation pass",
+)
+def corr_matrix_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise Pearson correlations among quantity / extendedprice /
+    discount from a SINGLE aggregation: all ten exact decimal moments
+    (count, three sums, three squares, three cross-products) are
+    mergeable partials in one shuffle, then each pair's r is scalar
+    double math over the one-row result — the one-pass
+    sufficient-statistics pattern that generalizes to any k columns at
+    O(k^2) moments per partition, independent of row count (the
+    covariance shape ``operators/pca.py`` uses at dim=64)."""
+    x = F.col("l_quantity").cast(DEC)
+    y = F.col("l_extendedprice").cast(DEC)
+    z = F.col("l_discount").cast(DEC)
+    m = t(spark, sf, "lineitem").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("s1"),
+        F.sum(y).cast("double").alias("s2"),
+        F.sum(z).cast("double").alias("s3"),
+        F.sum(x * x).cast("double").alias("s11"),
+        F.sum(y * y).cast("double").alias("s22"),
+        F.sum(z * z).cast("double").alias("s33"),
+        F.sum(x * y).cast("double").alias("s12"),
+        F.sum(x * z).cast("double").alias("s13"),
+        F.sum(y * z).cast("double").alias("s23"),
+    )
+    n = F.col("n")
+
+    def r(sa, sb, sab, saa, sbb):
+        return F.round(
+            (n * F.col(sab) - F.col(sa) * F.col(sb))
+            / (
+                F.sqrt(n * F.col(saa) - F.col(sa) * F.col(sa))
+                * F.sqrt(n * F.col(sbb) - F.col(sb) * F.col(sb))
+            ),
+            6,
+        )
+
+    pairs = F.array(
+        F.struct(
+            F.lit("l_quantity").alias("var_a"),
+            F.lit("l_extendedprice").alias("var_b"),
+            r("s1", "s2", "s12", "s11", "s22").alias("r"),
+        ),
+        F.struct(
+            F.lit("l_quantity").alias("var_a"),
+            F.lit("l_discount").alias("var_b"),
+            r("s1", "s3", "s13", "s11", "s33").alias("r"),
+        ),
+        F.struct(
+            F.lit("l_extendedprice").alias("var_a"),
+            F.lit("l_discount").alias("var_b"),
+            r("s2", "s3", "s23", "s22", "s33").alias("r"),
+        ),
+    )
+    return m.select(F.explode(pairs).alias("p"), n.cast("bigint").alias("n")).select(
+        "p.var_a", "p.var_b", "p.r", "n"
+    )
+
+
+# ---------------------------------------------------------------------------
 # B36/B43 extension: conditional scalar functions
 # ---------------------------------------------------------------------------
 @register(

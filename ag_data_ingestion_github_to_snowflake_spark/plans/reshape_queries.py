@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register, t
 
@@ -184,4 +185,142 @@ def gapfill_hourly_events(spark: SparkSession, sf: str) -> DataFrame:
         "hour_ts",
         "event_type",
         F.coalesce(F.col("_n"), F.lit(0)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median (exact, decimal-threshold crossing)
+# ---------------------------------------------------------------------------
+@register(
+    "weighted_median_lineitem",
+    # The crossing rule is pure exact-decimal algebra (2*cumw >= total
+    # — no division, no interpolation), so the picked VALUE is
+    # engine-identical by construction; value ties cannot change the
+    # crossing value regardless of tie order inside the cumsum.
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag AS flag,
+             l_extendedprice AS price,
+             CAST(l_quantity AS DECIMAL(18,6)) AS wgt,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    cum AS (
+      SELECT flag, price, wgt,
+             SUM(wgt) OVER (PARTITION BY flag
+                            ORDER BY price, l_orderkey, l_linenumber
+                            ROWS UNBOUNDED PRECEDING) AS cumw,
+             SUM(wgt) OVER (PARTITION BY flag) AS total
+      FROM w
+    ),
+    crossed AS (
+      SELECT flag, MIN(price) AS weighted_median
+      FROM cum WHERE 2 * cumw >= total
+      GROUP BY flag
+    ),
+    stats AS (
+      SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(wgt) AS DOUBLE) AS total_weight
+      FROM w GROUP BY flag
+    )
+    SELECT s.flag, s.n_rows, ROUND(s.total_weight, 6) AS total_weight,
+           ROUND(c.weighted_median, 6) AS weighted_median
+    FROM stats s JOIN crossed c ON s.flag = c.flag
+    """,
+    survey_ids=("B23", "B29", "B31"),
+    description="exact weighted median of price by quantity per returnflag (no interpolation)",
+)
+def weighted_median_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted median: the smallest price whose cumulative quantity
+    weight reaches half the group total — the inventory-weighted
+    'typical price' statistic plain median misstates when row weights
+    vary. Built-in percentile() cannot weight rows.
+
+    TWO-LEVEL prefix sum (the C89/C90/C114 window-wall fix family; a
+    naive per-group cumulative window concentrates each flag's full
+    series in ONE task — measured alpha +1.85 / 92 s at 100x with only
+    3 groups):
+
+    1. bucket rows by price band and aggregate per-(flag, bucket)
+       weight — fully parallel, one small shuffle;
+    2. prefix-sum the TINY per-bucket totals (about 105 buckets x 3
+       flags) to locate each flag's crossing bucket and its carry-in
+       weight — trivially cheap regardless of data size;
+    3. finish INSIDE the crossing bucket only (~1/n_buckets of the
+       rows): carry-in + within-bucket cumulative weight, same exact
+       decimal crossing rule (2*cumw >= total — no division, no
+       interpolation, no float question in the decision).
+
+    Bucketing by the ORDER KEY (price) makes bucket-major order a
+    refinement of the global order, so the crossing value is exactly
+    the naive answer; measured 7.5 s / alpha +0.74 at 100x vs the
+    naive 92 s / +1.85 (the residual is the stats and crossing-bucket
+    re-scans, both embarrassingly parallel). The DuckDB oracle keeps
+    the one-window formulation — same answer, different algorithm,
+    which is the point."""
+    li = t(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("decimal(18,6)").alias("wgt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    b = li.withColumn(
+        "bkt", F.floor(F.col("price") / F.lit(1000.0)).cast("long")
+    )
+    per = b.groupBy("flag", "bkt").agg(F.sum("wgt").alias("bw"))
+    w_b = (
+        Window.partitionBy("flag")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_flag = Window.partitionBy("flag")
+    cumb = per.select(
+        "flag",
+        "bkt",
+        "bw",
+        F.sum("bw").over(w_b).alias("cumb"),
+        F.sum("bw").over(w_flag).alias("total"),
+    )
+    # first bucket whose running weight reaches the half-total: its
+    # carry-in is the running weight MINUS its own bucket weight.
+    info = (
+        cumb.filter(F.lit(2) * F.col("cumb") >= F.col("total"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("flag").orderBy("bkt")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "flag",
+            F.col("bkt").alias("cbkt"),
+            (F.col("cumb") - F.col("bw")).alias("carry"),
+            "total",
+        )
+    )
+    sub = b.join(F.broadcast(info), "flag").filter(
+        F.col("bkt") == F.col("cbkt")
+    )
+    w_in = (
+        Window.partitionBy("flag")
+        .orderBy("price", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    crossed = (
+        sub.withColumn(
+            "cumw", F.col("carry") + F.sum("wgt").over(w_in)
+        )
+        .filter(F.lit(2) * F.col("cumw") >= F.col("total"))
+        .groupBy("flag")
+        .agg(F.min("price").alias("weighted_median"))
+    )
+    stats = li.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("wgt").cast("double").alias("total_weight"),
+    )
+    return stats.join(crossed, "flag").select(
+        "flag",
+        "n_rows",
+        F.round("total_weight", 6).alias("total_weight"),
+        F.round("weighted_median", 6).alias("weighted_median"),
     )
