@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register
+from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register, t
 from ag_data_ingestion_github_to_snowflake_spark.sources.staging import (
     stage_dir,
     write_marker,
@@ -671,6 +671,67 @@ def streaming_multibatch_rollup(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             F.col("w.start").cast("timestamp_ntz").alias("day"),
             "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return _drain(agg, spark, "complete")
+
+
+@register(
+    "streaming_enriched_rollup",
+    # AvailableNow drains everything, so the stream-static-enriched
+    # aggregation must hash-match the equivalent batch SQL join+rollup.
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 day', e.ts) AS day,
+           COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events e
+    LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    survey_ids=("B44", "B46", "B11", "A22"),
+    description="stream-static dimension enrichment inside a streaming rollup (broadcast dim)",
+)
+def streaming_enriched_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-STATIC join exercised through the registry: the event
+    stream is enriched per micro-batch with the broadcast customer
+    dimension (``streams.py:stream_static_enrich`` — the static side
+    re-resolves every trigger, so a refreshed dim is picked up without
+    restarting the query; the stream side never shuffles for the
+    join), then rolled up per (day, segment) and drained AvailableNow.
+    The enrichment-inside-the-engine is what distinguishes this from
+    the batch twin: the dimension join executes in every micro-batch's
+    incremental plan, and the final table still hash-matches one-shot
+    SQL.
+
+    At 100 TB/day this is THE standard streaming enrichment shape:
+    broadcast dim (bounded), stream shuffles only for the stateful
+    aggregation on (window, segment) — 5-ish segments x days of
+    state, trivially bounded."""
+    sdf, _ = _staged_events_stream(spark, sf)
+    dim = t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = S.stream_static_enrich(sdf, dim, "user_id").select(
+        "ts",
+        "value",
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+    )
+    agg = (
+        enriched.groupBy(
+            F.window("ts", "1 day").alias("w"), F.col("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("day"),
+            "segment",
             "n",
             "total_value",
         )
