@@ -113,6 +113,21 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def lsh_planes_matrix(n_planes: int, n_tables: int, dim: int) -> np.ndarray:
+    """All tables' hyperplanes as one (n_tables*n_planes, dim) float64
+    matrix — the exact values the LSH bucketing uses, exposed so an
+    oracle can embed the identical literals (plans/llm_ops.py builds
+    the DuckDB replay SQL from this at import time)."""
+    return np.array(
+        [
+            plane
+            for t_idx in range(n_tables)
+            for plane in _hyperplanes(dim, n_planes, seed=42 + t_idx * 1009)
+        ],
+        dtype=np.float64,
+    )
+
+
 def _lsh_candidates(
     corpus: DataFrame,
     queries: DataFrame,
@@ -121,28 +136,43 @@ def _lsh_candidates(
     n_planes: int,
     n_tables: int,
     dim: int,
+    exact_fold: bool = False,
 ) -> DataFrame:
     """Shared LSH candidate generation: (query_id, neighbor_id,
-    q_vec, c_vec) pairs sharing at least one hash-table bucket."""
+    q_vec, c_vec) pairs sharing at least one hash-table bucket.
 
-    # All tables' hyperplanes as one (n_tables*n_planes, dim) matrix:
-    # bucketing is a single numpy matmul per Arrow batch. The naive
-    # alternative — n_tables*n_planes literal array-fold expressions —
-    # explodes codegen compile time and runs element-at-a-time.
-    planes_matrix = np.array(
-        [
-            plane
-            for t_idx in range(n_tables)
-            for plane in _hyperplanes(dim, n_planes, seed=42 + t_idx * 1009)
-        ],
-        dtype=np.float64,
-    )
+    ``exact_fold=True`` computes each plane dot product as a strict
+    SEQUENTIAL left fold (numpy cumsum along the dim axis) instead of a
+    BLAS matmul. BLAS uses blocked/pairwise summation, so a dot that
+    lands within rounding distance of 0.0 could take a different sign
+    than an engine that folds left-to-right — and a flipped sign flips
+    a bucket bit. The sequential fold is IEEE-identical to DuckDB's
+    ``list_sum`` (the same equivalence the PCA projection oracle
+    proved), which makes the whole bucket assignment — and therefore
+    the candidate set — bit-replayable in SQL. Costs one extra
+    (chunk, planes, dim) temporary per Arrow batch; the matmul stays
+    the default for operator users.
+    """
+
+    # All tables' hyperplanes as one matrix: bucketing is a single
+    # numpy op per Arrow batch. The naive alternative —
+    # n_tables*n_planes literal array-fold expressions — explodes
+    # codegen compile time and runs element-at-a-time.
+    planes_matrix = lsh_planes_matrix(n_planes, n_tables, dim)
     powers = np.array([1 << p for p in range(n_planes)], dtype=np.int64)
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def bucket_ids(vecs: pd.Series) -> pd.Series:
         mat = np.array(vecs.tolist(), dtype=np.float64)  # (batch, dim)
-        signs = (mat @ planes_matrix.T) >= 0  # (batch, tables*planes)
+        if exact_fold:
+            dots = np.empty((len(mat), planes_matrix.shape[0]))
+            for lo in range(0, len(mat), 1024):  # bound the temporary
+                chunk = mat[lo : lo + 1024]
+                prod = chunk[:, None, :] * planes_matrix[None, :, :]
+                dots[lo : lo + 1024] = np.cumsum(prod, axis=2)[:, :, -1]
+            signs = dots >= 0
+        else:
+            signs = (mat @ planes_matrix.T) >= 0  # (batch, tables*planes)
         signs = signs.reshape(len(mat), n_tables, n_planes)
         buckets = (signs * powers).sum(axis=2)  # (batch, tables)
         return pd.Series(list(buckets))

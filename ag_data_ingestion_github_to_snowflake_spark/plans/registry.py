@@ -74,76 +74,73 @@ def register(
 # cumulative ledger (CORRECTNESS_r*.json) must cover every SURVEY.md
 # §2 operator id carried by the registry.
 #
-# ROTATION (round 6): r5 went 50/50 green, bringing the ledger to
-# 192/235 queries driver-checked at least once. This window holds ALL
-# 47 never-driver-checked names (the 43 r5 C99–C127 additions plus the
-# four r6 additions: distributed-rank twins, Stupid Backoff LM, NFC
-# audit; 40 oracle-bearing + the 7 declared rows-only carriers, so the
-# ledger reaches 239/239 — full registry coverage) and 3 TPC-H-core
-# re-checks. Local parity (tests/test_oracle_parity.py) covers the
-# rotated-out tail with the identical compare.
+# ROTATION (round 9): r8 went 48/50 full-pass (2 declared rows-only
+# rode along), leaving exactly 8 registry names never driver-checked.
+# This window clears them and refreshes the oldest (r4) cohort. Local
+# parity (tests/test_oracle_parity.py) covers the rotated-out tail
+# with the identical compare.
 _PRIORITY: tuple[str, ...] = (
-    # -- r8 window: steady-state freshness (VERDICT r7 item 6) --
-    # Head: two r8 additions (frozen-axis PCA projection twin,
-    # Lloyd-trained IVF recall); then the 3 headline bench queries
-    # last driver-checked r6; then EVERY name whose last driver check
-    # is r2 (9) or r3 (34), oldest cohorts first; the final 2 slots
-    # are the other two r8 additions (forward as-of, MAD outliers).
-    # After a green r8 no query's last driver check is older than r4.
-    "embedding_pca_project_verified",  # NEW r8: oracle-verified PCA projection
-    "similarity_ivf_trained",  # NEW r8: Lloyd IVF end-to-end recall contract
-    # -- headline queries last checked r6 --
-    "pricing_summary",
-    "star_join_wide",
-    "join_inner_lineitem_orders",
-    # -- every name last driver-checked in r2 --
-    "order_priority_exists",
-    "range_join_bucketed",
-    "promo_revenue_share",
-    "salted_group_sum",
-    "window_lag_lead_orders",
-    "window_moving_avg_events",
-    "session_window_events",
-    "streaming_dedup_events",
-    "weighted_avg_udaf_parts",
-    # -- every name last driver-checked in r3 --
-    "approx_distinct_users",
-    "bm25_keyword_search",
-    "stats_corr_quantity_price",
-    "leakage_safe_split_clusters",
-    "sessionize_events_gaps",
-    "gapfill_hourly_events",
-    "variant_extract_events",
-    "streaming_corpus_curation",
-    "weekly_cohort_retention",
-    "conditional_scalar_funcs",
-    "setops_all_variants",
-    "stratified_sample_by_lang",
-    "lateral_top_nations_per_region",
-    "idle_rich_customers",
-    "csv_sink_roundtrip",
-    "pii_redaction_docs",
-    "per_domain_cap",
-    "unpivot_customer_metrics",
-    "grouping_sets_orders",
-    "struct_pack_events",
-    "winnowing_fingerprints",
-    "date_arith_orders",
-    "profile_orders_columns",
-    "expectations_orders",
-    "skew_join_revenue_by_segment",
-    "pivot_priority_by_year",
-    "similarity_ivf_persisted",
-    "training_shuffle_shards",
-    "incremental_join_refresh",
-    "udtf_split_sentences",
-    "schema_evolution_merge",
-    "graph_triangle_count",
-    "decontaminate_train_eval",
-    "bloom_prefilter_join",
-    # -- the other two r8 additions (first-time driver evidence) --
-    "asof_join_forward_tolerance",
-    "mad_outliers_events",
+    # -- r9 window (pinned in COVERAGE.md:365 at the r8 boundary) --
+    # Head: the 8 r8 additions that landed after the r8 window was
+    # drawn and have NEVER been driver-checked (local parity green);
+    # a green r9 brings the cumulative ledger to 252/252. Then the
+    # 9 sole-carrier names (each the ONLY registry carrier of some
+    # SURVEY ids) whose last driver check is r4, then the rest of the
+    # r4 cohort oldest-first. 7 TPC-H-gap analogs with heavy sibling
+    # join/agg coverage (profit_by_nation_year .. waiting_suppliers)
+    # defer to r10 for slot budget. All 50 slots are oracle-bearing.
+    "benford_first_digit_orders",
+    "corr_matrix_lineitem",
+    "drift_chi2_events",
+    "equidepth_histogram_totalprice",
+    "ols_price_by_quantity",
+    "scd2_customer_history",
+    "streaming_enriched_rollup",
+    "weighted_median_lineitem",
+    # -- sole-carrier core, last checked r4 --
+    "filter_all_notnull_customer",
+    "conditional_counts_orders",
+    "limit_first_orders",
+    "date_format_keys",
+    "from_unixtime_reset",
+    "nested_struct_flatten",
+    "json_sink_roundtrip",
+    "corrupt_json_quarantine",
+    "sliding_window_events",
+    # -- rest of the r4 cohort (last driver check r4) --
+    "funnel_click_purchase_daily",
+    "event_transition_matrix",
+    "user_event_paths",
+    "cumulative_distinct_users",
+    "kfold_assign_documents",
+    "pack_sequences_bins",
+    "weighted_sample_docs",
+    "temperature_mixture_sample",
+    "stratified_topk_sample",
+    "corpus_snapshot_diff",
+    "ssjoin_prefix_jaccard",
+    "dedup_simhash_pairs",
+    "multimodal_image_features",
+    "multimodal_decode_real",
+    "embedding_quantize_error",
+    "ngram_vocab_topk",
+    "tfidf_top_terms",
+    "similarity_topk_quantized",
+    "similarity_ivf_quantized",
+    "repetition_stats_docs",
+    "incremental_dedup_bloom",
+    "json_extract_props",
+    "local_supplier_volume",
+    "important_parts_share",
+    "priority_shipping_case_counts",
+    "returned_item_customers",
+    "disjunctive_predicate_revenue",
+    "streaming_tumbling_events",
+    "streaming_interval_join_events",
+    "window_rank_price",
+    "window_distribution_acctbal",
+    "window_value_funcs",
+    "window_range_frame_orders",
 )
 
 

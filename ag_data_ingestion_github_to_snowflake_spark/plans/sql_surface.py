@@ -78,17 +78,29 @@ def join_null_safe_priority(spark: SparkSession, sf: str) -> DataFrame:
     """Null-safe join semantics: NULLIF turns '1-URGENT' into NULL on
     both sides; ``<=>`` must pair the NULL groups exactly once (a
     plain equi-join silently drops them — the classic
-    late-night-dashboard bug). Null-safe equality stays a hash-join
-    key in Spark, not a nested loop.
+    late-night-dashboard bug).
+
+    Plan shape (r9 rewrite, VERDICT r8 item 4): the original form
+    joined every orders row against the ~5-row distinct-key table on
+    ``<=>``, so the join shuffle hashed the whole fact table onto ~5
+    reducer keys — skew by construction, measured alpha +1.28 at 100x.
+    Aggregate-first fixes it: count per null-unified key runs as a
+    map-side partial aggregation (linear, no skew — each of the 32
+    input partitions emits <=6 partial rows), and the ``<=>`` join then
+    pairs two <=6-row tables, broadcast, cost invariant in data size.
+    Same answer, same oracle; r9 measured alpha +0.18 / 0.66 s at 100x
+    (was +1.28 / 5.7 s).
     """
     o = t(spark, sf, "orders").select(
         F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("pkey")
     )
+    counts = o.groupBy("pkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
     d = o.distinct().select(F.col("pkey").alias("dkey"))
     return (
-        o.join(d, F.col("pkey").eqNullSafe(F.col("dkey")))
-        .groupBy(F.col("dkey").alias("pkey"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        counts.join(F.broadcast(d), F.col("pkey").eqNullSafe(F.col("dkey")))
+        .select("pkey", "n")
     )
 
 

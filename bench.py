@@ -146,30 +146,35 @@ def main() -> None:
         ),
         "calibration_sec": calibration,
         "queries": headline,
-        "queries_full": timings,
         "full_total": round(sum(timings.values()), 3),
-        # Deliberately-naive measured-contrast carriers and their
-        # oracle-identical distributed rewrites: read the carrier's
-        # timing as pedagogy, the twin's as the engine's scale path.
-        "naive_carriers": {
-            n: s.naive_twin_of for n, s in specs.items() if s.naive_twin_of
-        },
+        "full_query_count": len(timings),
+        "full_timings_file": "bench_full_latest.local.json",
         "sf": sf,
     }
     if errors:
         out["errors"] = errors
+    # The PRINTED line stays compact (headline map only, ~1 KB): the
+    # driver's BENCH artifact keeps a byte-bounded stdout tail, and the
+    # 252-entry per-query map inline overflowed it in r7 and r8
+    # ("parsed": null). The full per-query map, the naive-carrier tags,
+    # and the compact summary all go to repo-side files instead.
     line = json.dumps(out)
     print(line)
-    # Persist the full line in-repo: the driver's BENCH artifact keeps
-    # only a byte-bounded stdout tail, which truncated r2's line mid-
-    # object and lost the headline dict. A repo-side copy means the
-    # round-over-round comparison (tools/bench_regress.py) always has a
-    # complete artifact regardless of driver truncation.
+    full = dict(out)
+    full["queries_full"] = timings
+    # Deliberately-naive measured-contrast carriers and their
+    # oracle-identical distributed rewrites: read the carrier's
+    # timing as pedagogy, the twin's as the engine's scale path.
+    full["naive_carriers"] = {
+        n: s.naive_twin_of for n, s in specs.items() if s.naive_twin_of
+    }
+    full_line = json.dumps(full)
     try:
         here = Path(__file__).resolve().parent
         (here / "bench_latest.local.json").write_text(line + "\n")
+        (here / "bench_full_latest.local.json").write_text(full_line + "\n")
         with open(here / "BENCHLOG.jsonl", "a") as f:
-            f.write(line + "\n")
+            f.write(full_line + "\n")
     except OSError:
         pass  # bench output on stdout is still authoritative
 

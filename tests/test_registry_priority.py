@@ -86,69 +86,60 @@ def test_window_plus_ledger_cover_every_survey_id():
     )
 
 
-# r8 window: steady-state freshness (VERDICT r7 item 6). Every slot
-# except the four genuinely new r8 queries
-# (embedding_pca_project_verified, similarity_ivf_trained,
-# asof_join_forward_tolerance, mad_outliers_events) is an intended
-# re-check: the 3 headline queries last checked r6, then all 9
-# r2-cohort and all 34 r3-cohort names (oldest first). After a green
-# r8 no query's last driver check is older than r4.
+# r9 window: clear-the-ledger round (VERDICT r8 item 1). The head-8
+# are the r8 additions that landed after the r8 window was drawn and
+# have never been driver-checked — first-time evidence, not re-checks.
+# Every other slot is an intended re-check of the oldest (r4) cohort:
+# the 9 sole-carrier names first, then 33 more r4 names (7 TPC-H-gap
+# analogs defer to r10 for slot budget).
 INTENDED_RECHECKS: set[str] = {
-    "pricing_summary",
-    "star_join_wide",
-    "join_inner_lineitem_orders",
-    "order_priority_exists",
-    "range_join_bucketed",
-    "promo_revenue_share",
-    "salted_group_sum",
-    "window_lag_lead_orders",
-    "window_moving_avg_events",
-    "session_window_events",
-    "streaming_dedup_events",
-    "weighted_avg_udaf_parts",
-    "approx_distinct_users",
-    "bm25_keyword_search",
-    "stats_corr_quantity_price",
-    "leakage_safe_split_clusters",
-    "sessionize_events_gaps",
-    "gapfill_hourly_events",
-    "variant_extract_events",
-    "streaming_corpus_curation",
-    "weekly_cohort_retention",
-    "conditional_scalar_funcs",
-    "setops_all_variants",
-    "stratified_sample_by_lang",
-    "lateral_top_nations_per_region",
-    "idle_rich_customers",
-    "csv_sink_roundtrip",
-    "pii_redaction_docs",
-    "per_domain_cap",
-    "unpivot_customer_metrics",
-    "grouping_sets_orders",
-    "struct_pack_events",
-    "winnowing_fingerprints",
-    "date_arith_orders",
-    "profile_orders_columns",
-    "expectations_orders",
-    "skew_join_revenue_by_segment",
-    "pivot_priority_by_year",
-    "similarity_ivf_persisted",
-    "training_shuffle_shards",
-    "incremental_join_refresh",
-    "udtf_split_sentences",
-    "schema_evolution_merge",
-    "graph_triangle_count",
-    "decontaminate_train_eval",
-    "bloom_prefilter_join",
+    "filter_all_notnull_customer",
+    "conditional_counts_orders",
+    "limit_first_orders",
+    "date_format_keys",
+    "from_unixtime_reset",
+    "nested_struct_flatten",
+    "json_sink_roundtrip",
+    "corrupt_json_quarantine",
+    "sliding_window_events",
+    "funnel_click_purchase_daily",
+    "event_transition_matrix",
+    "user_event_paths",
+    "cumulative_distinct_users",
+    "kfold_assign_documents",
+    "pack_sequences_bins",
+    "weighted_sample_docs",
+    "temperature_mixture_sample",
+    "stratified_topk_sample",
+    "corpus_snapshot_diff",
+    "ssjoin_prefix_jaccard",
+    "dedup_simhash_pairs",
+    "multimodal_image_features",
+    "multimodal_decode_real",
+    "embedding_quantize_error",
+    "ngram_vocab_topk",
+    "tfidf_top_terms",
+    "similarity_topk_quantized",
+    "similarity_ivf_quantized",
+    "repetition_stats_docs",
+    "incremental_dedup_bloom",
+    "json_extract_props",
+    "local_supplier_volume",
+    "important_parts_share",
+    "priority_shipping_case_counts",
+    "returned_item_customers",
+    "disjunctive_predicate_revenue",
+    "streaming_tumbling_events",
+    "streaming_interval_join_events",
+    "window_rank_price",
+    "window_distribution_acctbal",
+    "window_value_funcs",
+    "window_range_frame_orders",
 }
 
-# r8 window: two rows-only rides — the new Lloyd-trained IVF recall
-# query (accuracy contract in tests/test_operators.py) and the
-# r3-cohort HLL estimate re-check.
-INTENDED_ROWS_ONLY: set[str] = {
-    "similarity_ivf_trained",
-    "approx_distinct_users",
-}
+# r9 window: every slot is oracle-bearing — no rows-only rides this
+# round (the two r8 riders already have ledger evidence).
+INTENDED_ROWS_ONLY: set[str] = set()
 
 
 def test_window_maximizes_first_time_evidence():

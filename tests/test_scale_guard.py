@@ -29,9 +29,13 @@ ROOT = Path(__file__).resolve().parent.parent
 CURVE = ROOT / "scale_curve_100x_all.json"
 
 # Super-linear threshold matching the judge's reading of the 100x curve
-# (alpha 1.0 = linear in data volume; >1.3 = the query does
-# asymptotically more work per row as data grows).
-ALPHA_NAIVE = 1.3
+# (alpha 1.0 = linear in data volume; super-linear = the query does
+# asymptotically more work per row as data grows). r9 lowered the gate
+# 1.3 -> 1.25 (VERDICT r8 item 4) after re-planning the worst
+# just-under-the-wire query (join_null_safe_priority, was +1.28 via a
+# ~5-key skewed <=> join shuffle; aggregate-first rewrite measures
+# +0.04) so borderline skew-by-construction plans no longer slip by.
+ALPHA_NAIVE = 1.25
 # The twin may be modestly super-linear only through measurement noise /
 # fixed-overhead crossover, never genuinely quadratic.
 ALPHA_TWIN_MAX = 1.3

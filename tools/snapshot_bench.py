@@ -23,7 +23,12 @@ def main() -> None:
     if len(sys.argv) != 2:
         raise SystemExit("usage: python tools/snapshot_bench.py <round_number>")
     rnd = int(sys.argv[1])
-    src = os.path.join(ROOT, "bench_latest.local.json")
+    # r9: bench.py's stdout line went compact (headline map only) so
+    # the driver's tail-capture parses it; the full per-query map now
+    # lives in bench_full_latest.local.json — archive that one.
+    src = os.path.join(ROOT, "bench_full_latest.local.json")
+    if not os.path.exists(src):
+        src = os.path.join(ROOT, "bench_latest.local.json")
     with open(src) as f:
         line = json.load(f)
     if line.get("sf") != 0.1:
