@@ -785,3 +785,64 @@ def drift_chi2_events(spark: SparkSession, sf: str) -> DataFrame:
         .over(w_all)
         .cast("double"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C149 rolling exact distinct: trailing-7-day active users per day
+# ---------------------------------------------------------------------------
+@register(
+    "rolling_distinct_users_7d",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud)
+    SELECT CAST(d.day AS TIMESTAMP) AS day,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS users_7d
+    FROM days d
+    JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+    survey_ids=("B20", "B31", "B41"),
+    description="Exact trailing-7-day distinct active users per day via bounded contribution explode",
+)
+def rolling_distinct_users_7d(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact rolling distinct: for every observed day, how many
+    DISTINCT users were active in the trailing 7 days — the DAU/WAU
+    denominator no sliding-window aggregate computes exactly, because
+    COUNT(DISTINCT) does not decompose over window frames.
+
+    Shape (100 TB): sliding-distinct is usually approximated (HLL
+    merges) or brute-forced with a per-day range self-join that
+    re-scans a week of raw events per day. Exact AND linear instead:
+
+    1. dedup to (user, day) — one shuffle keyed by the high-cardinality
+       pair, map-side combine;
+    2. CONTRIBUTION explode: activity on day d makes the user active
+       on windows d..d+6 — a bounded 7x fan-out of the already-
+       deduped pairs (independent of event volume per user);
+    3. dedup (user, window-day) and count per day — window membership
+       itself, not events, is what's counted.
+
+    Every shuffle keys on user-bearing pairs (no skew); the 7x factor
+    is the window length, not data size. The observed-day filter is a
+    broadcast semi-join (calendar-bounded). The DuckDB oracle keeps
+    the textbook day-range join — same answer, different algorithm.
+    """
+    ev = t(spark, sf, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    days = ud.select("day").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+    ).distinct()
+    return (
+        contrib.join(F.broadcast(days), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("users_7d"))
+        # timestamp, not date, purely for the hash compare's type
+        # normalization (same convention as funnel_click_purchase_daily)
+        .select(F.col("day").cast("timestamp").alias("day"), "users_7d")
+    )

@@ -1388,3 +1388,346 @@ def equidepth_histogram_totalprice(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 6).alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C147 Mann-Whitney U (exact, tie-corrected) + C148 Kolmogorov-Smirnov
+# two-sample — rank statistics without the rank window wall
+# ---------------------------------------------------------------------------
+def _two_level_value_cum(vals: DataFrame, width: float) -> DataFrame:
+    """Attach exact cumulative counts to a per-distinct-value table
+    without a single global cumulative window.
+
+    ``vals`` has one row per DISTINCT value with integer columns
+    ``n_a``/``n_b``/``n`` (group A count, group B count, total). A
+    global ``ORDER BY value`` running sum would concentrate every
+    distinct value in ONE task (the C89-family window wall — measured
+    alpha ~+1.8 on this box for data-scale series). Two levels instead:
+
+    1. bucket values by range (``floor(value/width)``), aggregate
+       per-bucket totals — one tiny shuffle;
+    2. prefix-sum the ~O(range/width) bucket totals (trivially small);
+    3. run the in-bucket cumulative window PARTITIONED BY BUCKET —
+       every bucket scans in parallel — and add the bucket carry-in.
+
+    Bucketing by the order key makes bucket-major order a refinement
+    of the value order, so ``cum_*`` equal the naive window's answers
+    exactly (integers — no float question). Returns ``vals`` plus
+    ``cum_a``/``cum_b``/``cum_n`` (counts at <= value) per row.
+    """
+    b = vals.withColumn("bkt", F.floor(F.col("value") / F.lit(width)).cast("long"))
+    per = b.groupBy("bkt").agg(
+        F.sum("n_a").alias("ba"), F.sum("n_b").alias("bb"), F.sum("n").alias("bn")
+    )
+    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    carry = per.select(
+        "bkt",
+        (F.sum("ba").over(w_b) - F.col("ba")).alias("ca"),
+        (F.sum("bb").over(w_b) - F.col("bb")).alias("cb"),
+        (F.sum("bn").over(w_b) - F.col("bn")).alias("cn"),
+    )
+    w_in = Window.partitionBy("bkt").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        b.join(F.broadcast(carry), "bkt")
+        .select(
+            "value",
+            "n_a",
+            "n_b",
+            "n",
+            (F.col("ca") + F.sum("n_a").over(w_in)).alias("cum_a"),
+            (F.col("cb") + F.sum("n_b").over(w_in)).alias("cum_b"),
+            (F.col("cn") + F.sum("n").over(w_in)).alias("cum_n"),
+        )
+    )
+
+
+def _ab_value_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-distinct-value counts for the click-vs-view comparison the
+    two rank tests below share: one groupBy(value) with map-side
+    combine reduces the event stream to its distinct-value table."""
+    ev = t(spark, sf, "events").filter(F.col("event_type").isin("click", "view"))
+    return ev.groupBy("value").agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("n_a"),
+        F.sum((F.col("event_type") == "view").cast("long")).alias("n_b"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "mann_whitney_value_clicks",
+    # Oracle keeps the textbook single-window rank formulation — same
+    # answer, different algorithm (the two-level scan is the point).
+    # Every summed term is an integer or an exact multiple of 0.5
+    # (midranks), so r_a/u_a are EXACT doubles in both engines
+    # regardless of summation order; z = exact-input division + sqrt
+    # (both correctly-rounded IEEE) — bit-exact, no libm in the hash.
+    oracle="""
+    WITH g AS (
+      SELECT value,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY value
+    ),
+    r AS (
+      SELECT *,
+             SUM(n) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) - n AS cum_less
+      FROM g
+    ),
+    s AS (
+      SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+             CAST(SUM(nb) AS BIGINT) AS n_b,
+             SUM(na * (cum_less + (n + 1) / 2.0)) AS r_a,
+             SUM(CAST(n AS DOUBLE) * n * n - n) AS tie_term
+      FROM r
+    )
+    SELECT n_a, n_b,
+           r_a - n_a * (n_a + 1) / 2.0 AS u_a,
+           ROUND(
+             (r_a - n_a * (n_a + 1) / 2.0 - CAST(n_a AS DOUBLE) * n_b / 2.0)
+             / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+                    * ((n_a + n_b + 1)
+                       - tie_term / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))),
+             6) AS z
+    FROM s
+    """,
+    survey_ids=("B23", "B16", "B29"),
+    description="Mann-Whitney U rank-sum test (exact midranks, tie-corrected z), two-level scan",
+)
+def mann_whitney_value_clicks(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact Mann-Whitney U: do click events carry systematically
+    different values than views? Nonparametric — the robust sibling of
+    the existing t/z/chi-square family, and the classic A/B test for
+    skewed metrics where mean comparisons mislead.
+
+    Midranks come from per-distinct-value cumulative counts via the
+    TWO-LEVEL scan (``_two_level_value_cum`` — no global rank window),
+    then one aggregation row: U from the rank sum, z from the
+    tie-corrected normal approximation (no continuity correction;
+    the oracle mirrors that choice). Distinct-value grouping bounds
+    every shuffle by the value cardinality, not the event count.
+    """
+    vals = _ab_value_counts(spark, sf)
+    cum = _two_level_value_cum(vals, width=5.0)
+    # midrank(v) = (#elements < v) + (n(v)+1)/2 — cum_n is <=v, so
+    # subtracting the value's own n gives the strict-less count.
+    s = cum.select(
+        F.col("n_a").alias("na"),
+        F.col("n_b").alias("nb"),
+        ((F.col("cum_n") - F.col("n")) + (F.col("n") + F.lit(1)) / F.lit(2.0)).alias(
+            "midrank"
+        ),
+        F.col("n"),
+    ).agg(
+        F.sum("na").cast("bigint").alias("n_a"),
+        F.sum("nb").cast("bigint").alias("n_b"),
+        F.sum(F.col("na") * F.col("midrank")).alias("r_a"),
+        F.sum(
+            F.col("n").cast("double") * F.col("n") * F.col("n") - F.col("n")
+        ).alias("tie_term"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    u_a = F.col("r_a") - n_a * (n_a + F.lit(1)) / F.lit(2.0)
+    n_tot = n_a + n_b
+    var = (
+        n_a.cast("double") * n_b / F.lit(12.0)
+        * (
+            (n_tot + F.lit(1))
+            - F.col("tie_term") / (n_tot.cast("double") * (n_tot - F.lit(1)))
+        )
+    )
+    z = (u_a - n_a.cast("double") * n_b / F.lit(2.0)) / F.sqrt(var)
+    return s.select("n_a", "n_b", u_a.alias("u_a"), F.round(z, 6).alias("z"))
+
+
+@register(
+    "ks_two_sample_value",
+    # Exact ECDFs at every distinct value: integer cumulative counts
+    # divided by integer group sizes — bit-exact in both engines; the
+    # max and its min-value location are then exact too.
+    oracle="""
+    WITH g AS (
+      SELECT value,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY value
+    ),
+    c AS (
+      SELECT value,
+             SUM(na) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum_a,
+             SUM(nb) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum_b
+      FROM g
+    ),
+    tot AS (SELECT CAST(SUM(na) AS DOUBLE) AS n_a, CAST(SUM(nb) AS DOUBLE) AS n_b FROM g),
+    gaps AS (
+      SELECT value, abs(cum_a / n_a - cum_b / n_b) AS gap
+      FROM c CROSS JOIN tot
+    )
+    SELECT CAST((SELECT n_a FROM tot) AS BIGINT) AS n_a,
+           CAST((SELECT n_b FROM tot) AS BIGINT) AS n_b,
+           ROUND(MAX(gap), 6) AS d_stat,
+           MIN(value) FILTER (WHERE gap = (SELECT MAX(g2.gap) FROM gaps g2))
+             AS d_location
+    FROM gaps
+    """,
+    survey_ids=("B23", "B16", "B29"),
+    description="Kolmogorov-Smirnov two-sample D (exact ECDF gap + location), two-level scan",
+)
+def ks_two_sample_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov D: the largest ECDF gap
+    between click and view value distributions, plus the value where
+    it occurs — the distribution-shape drift test that chi-square
+    binning smooths away.
+
+    Same two-level cumulative scan as the Mann-Whitney query (shared
+    ``_two_level_value_cum``); the finish is one max-aggregation plus
+    a broadcast argmax join for the location (min value achieving the
+    max, so ties break deterministically).
+    """
+    vals = _ab_value_counts(spark, sf)
+    cum = _two_level_value_cum(vals, width=5.0)
+    tot = vals.agg(
+        F.sum("n_a").cast("double").alias("t_a"),
+        F.sum("n_b").cast("double").alias("t_b"),
+    )
+    gaps = cum.join(F.broadcast(tot)).select(
+        "value",
+        "t_a",
+        "t_b",
+        F.abs(F.col("cum_a") / F.col("t_a") - F.col("cum_b") / F.col("t_b")).alias(
+            "gap"
+        ),
+    )
+    top = gaps.agg(F.max("gap").alias("d"))
+    return (
+        gaps.join(F.broadcast(top))
+        .filter(F.col("gap") == F.col("d"))
+        .agg(
+            F.min(F.col("t_a").cast("bigint")).alias("n_a"),
+            F.min(F.col("t_b").cast("bigint")).alias("n_b"),
+            F.round(F.min("d"), 6).alias("d_stat"),
+            F.min("value").alias("d_location"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C151 deterministic Poisson bootstrap: hash-replayable resampling CI
+# ---------------------------------------------------------------------------
+# Poisson(1) inverse-CDF thresholds as INTEGER literals on a 28-bit
+# hash scale (floor(cdf_k * 2^28), k = 0..5; mass above k=5 caps at
+# w=6, ~8e-5 of draws). Integer comparisons — the weights are
+# bit-identical in any engine that can md5, with no runtime libm and
+# no float-rounding question in the draw itself. 28 bits because one
+# md5 digest (32 hex chars) then yields FOUR independent draws from
+# disjoint 7-hex substrings — 4x fewer digest computations per row at
+# a granularity (~4e-9) far below any statistical relevance.
+_POISSON1_CUM_T28 = (
+    98751885,   # P(X <= 0) = e^-1
+    197503771,  # P(X <= 1)
+    246879713,  # P(X <= 2)
+    263338361,  # P(X <= 3)
+    267453023,  # P(X <= 4)
+    268275955,  # P(X <= 5)
+)
+
+
+def _poisson_weight_sql(h: str) -> str:
+    """CASE expression mapping a 28-bit hash to a Poisson(1) draw —
+    identical text works in Spark SQL and DuckDB."""
+    branches = " ".join(
+        f"WHEN {h} < {thr} THEN {k}"
+        for k, thr in enumerate(_POISSON1_CUM_T28)
+    )
+    return f"CASE {branches} ELSE 6 END"
+
+
+@register(
+    "bootstrap_ci_order_total",
+    oracle=f"""
+    WITH reps AS (SELECT unnest(range(0, 32)) AS b),
+    weighted AS (
+      SELECT r.b,
+             {_poisson_weight_sql(
+                 "CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)"
+                 " || ':' || CAST(r.b // 4 AS VARCHAR)),"
+                 " 1 + 7 * CAST(r.b % 4 AS INT), 7)) AS BIGINT)"
+             )} AS w,
+             o.o_totalprice AS x
+      FROM orders o CROSS JOIN reps r
+    ),
+    means AS (
+      SELECT b, SUM(w * x) / SUM(w) AS m
+      FROM weighted GROUP BY b
+    ),
+    ranked AS (
+      SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rnk FROM means
+    )
+    SELECT (SELECT ROUND(AVG(o_totalprice), 6) FROM orders) AS point_mean,
+           ROUND(MIN(CASE WHEN rnk = 2 THEN m END), 6) AS ci_lo,
+           ROUND(MIN(CASE WHEN rnk = 31 THEN m END), 6) AS ci_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_replicates
+    FROM ranked
+    """,
+    survey_ids=("B18", "B16", "B43"),
+    description="Deterministic Poisson bootstrap CI for mean(o_totalprice): 32 hash-replayable replicates",
+)
+def bootstrap_ci_order_total(spark: SparkSession, sf: str) -> DataFrame:
+    """Bootstrap confidence interval for the mean order total — the
+    resampling machinery every 'is this KPI move real?' question
+    needs, in ONE corpus pass with no RNG state.
+
+    The classic bootstrap (draw n rows with replacement, B times) is
+    driver-hostile and non-reproducible at scale. The Poissonized
+    bootstrap replaces each replicate's multinomial with independent
+    Poisson(1) weights per (row, replicate) — the standard streaming
+    approximation (weights sum to ~n, not exactly n) — and this
+    implementation makes the draw DETERMINISTIC: the weight is the
+    Poisson(1) inverse CDF evaluated on a 60-bit md5 hash of
+    (orderkey, replicate) against precomputed INTEGER thresholds, so
+    the full resample is replayable bit-for-bit in any engine with
+    md5 (same family as dedup_minhash_verified / the LSH replay).
+
+    Shape at 100 TB: one 32x row fan-out (replicate id), one partial-
+    aggregated groupBy(b) producing 32 rows, one 32-row sort — no
+    driver loop, no collect, no reshuffle of the fact table. The CI is
+    the 2nd/31st order statistics of the replicate means (an exact
+    ~93.75% interval for B=32; explicit ranks, not engine-specific
+    percentile interpolation).
+    """
+    o = t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    reps = spark.range(32).select(F.col("id").cast("int").alias("b"))
+    # One digest serves replicates 4d..4d+3 via disjoint 7-hex
+    # substrings — the digest, not the CASE, dominates the fan-out
+    # cost (measured 4.4 s -> see docstring after the change).
+    h = (
+        "CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), ':',"
+        " CAST(CAST(b / 4 AS INT) AS STRING))),"
+        " 1 + 7 * CAST(b % 4 AS INT), 7), 16, 10) AS BIGINT)"
+    )
+    weighted = o.crossJoin(F.broadcast(reps)).select(
+        "b",
+        F.expr(_poisson_weight_sql(h)).alias("w"),
+        F.col("o_totalprice").alias("x"),
+    )
+    means = weighted.groupBy("b").agg(
+        (F.sum(F.col("w") * F.col("x")) / F.sum("w")).alias("m")
+    )
+    ranked = means.select(
+        "m", F.row_number().over(Window.orderBy("m")).alias("rnk")
+    )
+    point = o.agg(F.round(F.avg("o_totalprice"), 6).alias("point_mean"))
+    return ranked.agg(
+        F.round(F.min(F.when(F.col("rnk") == 2, F.col("m"))), 6).alias("ci_lo"),
+        F.round(F.min(F.when(F.col("rnk") == 31, F.col("m"))), 6).alias("ci_hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
+    ).crossJoin(F.broadcast(point)).select(
+        "point_mean", "ci_lo", "ci_hi", "n_replicates"
+    )

@@ -549,3 +549,76 @@ def autocorrelation_lag1_distributed(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("autocorr_lag1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C150 last-touch attribution: purchases credited to the nearest prior
+# click/view within a 3-day lookback, revenue rolled up per channel
+# ---------------------------------------------------------------------------
+@register(
+    "last_touch_attribution",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT user_id, ts, MAX(event_type) AS channel
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY user_id, ts
+    ),
+    attributed AS (
+      SELECT COALESCE(
+               CASE WHEN t.ts >= p.ts - INTERVAL 3 DAY THEN t.channel END,
+               'direct') AS channel,
+             p.value
+      FROM purchases p
+      ASOF LEFT JOIN touches t
+        ON p.user_id = t.user_id AND p.ts >= t.ts
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(SUM(value), 6) AS revenue
+    FROM attributed
+    GROUP BY channel
+    """,
+    survey_ids=("B14", "B16", "B29"),
+    description="Last-touch channel attribution: as-of join with 3-day lookback, revenue per channel",
+)
+def last_touch_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Marketing attribution: each purchase is credited to the SAME
+    user's most recent prior click or view; matches older than 3 days
+    (or users with no prior touch) fall to 'direct'. The classic
+    warehouse query that goes quadratic when written as a range self-
+    join — here it reuses ``operators/temporal.py:asof_join``
+    (union + one user-keyed sort, tolerance filters rather than
+    re-picks), so the event stream shuffles exactly once.
+
+    Ties at identical (user, ts): touches pre-aggregate to one row
+    (MAX(event_type) — 'view' over 'click', deterministic in both
+    engines); equal-timestamp touch-vs-purchase matches inclusively,
+    DuckDB ASOF semantics.
+    """
+    ev = t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    touches = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_type").alias("channel"))
+    )
+    joined = asof_join(
+        purchases, touches, on="user_id", right_cols=["channel"],
+        tolerance="3 days",
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("channel"), F.lit("direct")).alias("channel"),
+            "value",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.round(F.sum("value"), 6).alias("revenue"),
+        )
+    )

@@ -739,3 +739,72 @@ def xml_extract_orders(spark: SparkSession, sf: str) -> DataFrame:
         F.col("p.status").alias("status"),
         F.col("p.odate").alias("odate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C152 parquet bloom-filter point lookup: write-path index for
+# needle-in-haystack reads
+# ---------------------------------------------------------------------------
+@register(
+    "parquet_bloom_pointlookup",
+    # The staged table is a verbatim rewrite of events, so the oracle
+    # reads the ORIGINAL — identical content, and DuckDB needs no
+    # knowledge of the bloom layout (which only affects read COST).
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 6) AS total_value
+    FROM events
+    WHERE user_id = 42
+    GROUP BY event_type
+    """,
+    survey_ids=("B1", "B3", "B6", "B16"),
+    description="Parquet bloom filter on user_id: staged write with row-group blooms, point-lookup read",
+)
+def parquet_bloom_pointlookup(spark: SparkSession, sf: str) -> DataFrame:
+    """Needle-in-haystack reads on a non-sort column: stage events as
+    parquet with a BLOOM FILTER on user_id (plus dictionary + stats as
+    usual), then point-look-up one user.
+
+    Why this matters at 100 TB: min/max row-group stats prune nothing
+    for a high-cardinality column UNCORRELATED with file order (every
+    row group spans most of the user-id range), so a point predicate
+    degenerates to a full scan. A row-group bloom filter gives the
+    scanner a probabilistic "this group definitely lacks user 42" bit
+    for ~1 byte/row — the standard fix short of re-sorting the table
+    by user (which zorder_morton_events covers for multi-key access).
+    Small row groups (4 MiB here) make the bloom's pruning grain
+    finer; the predicate still reaches the scan via ordinary pushdown
+    (PushedFilters in the explain), where the reader consults the
+    bloom per group.
+
+    Staging follows the stage_dir + atomic-marker convention; the
+    bloom options are write-path only, so the read side is a plain
+    parquet scan any engine could run.
+    """
+    from ag_data_ingestion_github_to_snowflake_spark.sources.staging import (
+        stage_dir,
+        write_marker,
+    )
+
+    ev = t(spark, sf, "events")
+    out = stage_dir("ag_bloom_events", sf)
+    marker = os.path.join(out, "_STAGED_OK")
+    if not os.path.exists(marker):
+        (
+            ev.write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#user_id", "true")
+            .option("parquet.bloom.filter.expected.ndv#user_id", "100000")
+            .option("parquet.block.size", str(4 * 1024 * 1024))
+            .parquet(out)
+        )
+        write_marker(marker)
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("user_id") == 42)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )

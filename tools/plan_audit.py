@@ -133,6 +133,13 @@ ALLOWED_FLAGS = {
     # invariant in the data size (operators/sketches.py:
     # kmv_merged_estimate).
     ("kmv_distinct_users", "BroadcastNestedLoopJoin"),
+    # The 32-row replicate table fans out via a broadcast cross join
+    # (deliberate 32x row multiplication — there is no join key), and
+    # the 1-row point-estimate attaches the same way.
+    ("bootstrap_ci_order_total", "BroadcastNestedLoopJoin"),
+    # 1-row broadcast attaches: the global max-gap scalar (argmax
+    # filter) and the two-group totals row.
+    ("ks_two_sample_value", "BroadcastNestedLoopJoin"),
 }
 
 # Queries whose build() executes side work and returns a materialized
