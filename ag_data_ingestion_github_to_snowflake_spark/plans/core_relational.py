@@ -1731,3 +1731,306 @@ def bootstrap_ci_order_total(spark: SparkSession, sf: str) -> DataFrame:
     ).crossJoin(F.broadcast(point)).select(
         "point_mean", "ci_lo", "ci_hi", "n_replicates"
     )
+
+
+# ---------------------------------------------------------------------------
+# C153 CDC changelog apply: materialize the final state of an
+# insert/update/delete stream
+# ---------------------------------------------------------------------------
+@register(
+    "cdc_apply_changelog",
+    oracle="""
+    WITH log AS (
+      SELECT o_orderkey AS key, 1 AS seq, 'I' AS op,
+             o_totalprice AS amount, o_orderstatus AS status
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 2, 'U', o_totalprice * 1.1, 'U'
+      FROM orders WHERE o_orderkey % 10 = 3
+      UNION ALL
+      SELECT o_orderkey, 2, 'D', NULL, NULL
+      FROM orders WHERE o_orderkey % 10 = 7
+      UNION ALL
+      SELECT o_orderkey, 3, 'U', o_totalprice * 1.2, 'V'
+      FROM orders WHERE o_orderkey % 100 = 13
+    ),
+    final AS (
+      SELECT key,
+             arg_max(op, seq) AS op,
+             arg_max(amount, seq) AS amount,
+             arg_max(status, seq) AS status
+      FROM log GROUP BY key
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DOUBLE) AS total_amount
+    FROM final WHERE op <> 'D'
+    GROUP BY status
+    """,
+    survey_ids=("B16", "B27", "B29"),
+    description="CDC apply: last-writer-wins materialization of an I/U/D changelog, deletes dropped",
+)
+def cdc_apply_changelog(spark: SparkSession, sf: str) -> DataFrame:
+    """Change-data-capture apply — the ingestion primitive every
+    warehouse MERGE implements: given a changelog of (key, seq, op,
+    payload) rows, materialize the final table state (last writer per
+    key wins; a final 'D' removes the key). The changelog is
+    synthesized deterministically from orders (inserts for all, an
+    update wave at seq 2 for keys %10=3, deletes at seq 2 for %10=7,
+    a second update wave at seq 3 for %100=13) so both engines replay
+    the identical stream.
+
+    Plan shape: ONE aggregation — ``max_by(payload, seq)`` per key
+    (mergeable partial aggregates, high-cardinality key, no window,
+    no sort). The common windowed formulation (row_number over
+    key ORDER BY seq DESC) pays a per-key sort for the same answer;
+    max_by is the aggregation-only form, the right shape at 100 TB
+    where the changelog is append-only and keys are uniform. Output
+    rolls the survivors up per final status (exact counts + rounded
+    sums) to keep the compare row-count bounded.
+
+    Tie rule: seq values are unique per key by construction (real CDC
+    streams carry a total order per key — LSN/binlog position);
+    max_by semantics on the unique seq are therefore deterministic.
+    """
+    o = t(spark, sf, "orders")
+    ins = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    upd = o.filter(F.col("o_orderkey") % 10 == 3).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+        (F.col("o_totalprice") * 1.1).alias("amount"),
+        F.lit("U").alias("status"),
+    )
+    dele = o.filter(F.col("o_orderkey") % 10 == 7).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit(2).alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("amount"),
+        F.lit(None).cast("string").alias("status"),
+    )
+    upd2 = o.filter(F.col("o_orderkey") % 100 == 13).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit(3).alias("seq"),
+        F.lit("U").alias("op"),
+        (F.col("o_totalprice") * 1.2).alias("amount"),
+        F.lit("V").alias("status"),
+    )
+    log = ins.unionByName(upd).unionByName(dele).unionByName(upd2)
+    final = log.groupBy("key").agg(
+        F.max_by("op", "seq").alias("op"),
+        F.max_by("amount", "seq").alias("amount"),
+        F.max_by("status", "seq").alias("status"),
+    )
+    return (
+        final.filter(F.col("op") != "D")
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            # decimal accumulator (repo convention for billion-scale
+            # double sums): per-row products are bit-identical across
+            # engines, but a double SUM's association error (~7e-6 at
+            # this magnitude) exceeds the round-6 contract — decimal
+            # sums are exact, so the hash cannot drift
+            F.sum(F.col("amount").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_amount"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C154 mix-shift decomposition: is the KPI move rate or mix?
+# ---------------------------------------------------------------------------
+@register(
+    "mix_shift_decomposition",
+    oracle="""
+    WITH seg AS (
+      SELECT c.c_mktsegment AS segment,
+             CASE WHEN o.o_orderdate < TIMESTAMP '1996-01-01'
+                  THEN 'old' ELSE 'new' END AS period,
+             o.o_totalprice AS x
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    g AS (
+      SELECT segment, period,
+             CAST(COUNT(*) AS BIGINT) AS n, AVG(x) AS rate
+      FROM seg GROUP BY segment, period
+    ),
+    tot AS (
+      SELECT period, CAST(SUM(n) AS DOUBLE) AS n_tot FROM g GROUP BY period
+    ),
+    shares AS (
+      SELECT g.segment,
+             MAX(CASE WHEN g.period = 'old' THEN g.n / t.n_tot END) AS share_old,
+             MAX(CASE WHEN g.period = 'new' THEN g.n / t.n_tot END) AS share_new,
+             MAX(CASE WHEN g.period = 'old' THEN g.rate END) AS rate_old,
+             MAX(CASE WHEN g.period = 'new' THEN g.rate END) AS rate_new
+      FROM g JOIN tot t ON g.period = t.period
+      GROUP BY g.segment
+    )
+    SELECT segment,
+           ROUND(share_old, 6) AS share_old,
+           ROUND(share_new, 6) AS share_new,
+           ROUND((share_new - share_old) * rate_old, 6) AS mix_effect,
+           ROUND(share_new * (rate_new - rate_old), 6) AS rate_effect
+    FROM shares
+    """,
+    survey_ids=("B10", "B16", "B22"),
+    description="Mix-shift decomposition: per-segment split of a KPI move into mix vs rate effects",
+)
+def mix_shift_decomposition(spark: SparkSession, sf: str) -> DataFrame:
+    """The 'why did average order value move?' query: the change in
+    the overall average between two periods decomposes EXACTLY as
+    sum_g[(share_new - share_old) * rate_old]   (mix effect)
+    + sum_g[share_new * (rate_new - rate_old)]  (rate effect),
+    per customer segment — the standard analyst decomposition that
+    separates 'segments got bigger' from 'segments spend more'.
+
+    One fact-dim join (customer side broadcastable at any realistic
+    segment-dim size... the CUSTOMER join here shuffles, as it must —
+    the dim is fact-sized in TPC-H) and two tiny aggregations; the
+    pivot to old/new columns runs on a segment-count-sized table.
+    """
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    seg = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"), "old")
+        .otherwise("new")
+        .alias("period"),
+        F.col("o_totalprice").alias("x"),
+    )
+    g = seg.groupBy("segment", "period").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"), F.avg("x").alias("rate")
+    )
+    tot = g.groupBy("period").agg(F.sum("n").cast("double").alias("n_tot"))
+    shares = (
+        g.join(F.broadcast(tot), "period")
+        .groupBy("segment")
+        .agg(
+            F.max(F.when(F.col("period") == "old", F.col("n") / F.col("n_tot"))).alias("share_old"),
+            F.max(F.when(F.col("period") == "new", F.col("n") / F.col("n_tot"))).alias("share_new"),
+            F.max(F.when(F.col("period") == "old", F.col("rate"))).alias("rate_old"),
+            F.max(F.when(F.col("period") == "new", F.col("rate"))).alias("rate_new"),
+        )
+    )
+    return shares.select(
+        "segment",
+        F.round("share_old", 6).alias("share_old"),
+        F.round("share_new", 6).alias("share_new"),
+        F.round((F.col("share_new") - F.col("share_old")) * F.col("rate_old"), 6).alias("mix_effect"),
+        F.round(F.col("share_new") * (F.col("rate_new") - F.col("rate_old")), 6).alias("rate_effect"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C155 bitmap exact distinct: COUNT(DISTINCT) as bit_or / bit_count
+# ---------------------------------------------------------------------------
+@register(
+    "bitmap_distinct_users_by_type",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+    survey_ids=("B20", "B16", "B43"),
+    description="Exact distinct users per type via 64-bit bitmap words (bit_or + bit_count)",
+)
+def bitmap_distinct_users_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) in bitmap form — the roaring-bitmap trick
+    restricted to 64-bit words: user u sets bit (u mod 64) of word
+    (u div 64); ``bit_or`` is the mergeable partial aggregate, and the
+    distinct count is the sum of popcounts.
+
+    Why at 100 TB: COUNT(DISTINCT) shuffles every distinct (group,
+    user) pair. The bitmap form's map-side combine collapses each
+    partition's users into AT MOST ceil(id_space/64) words per group
+    — for dense id spaces the shuffle shrinks up to 64x, and words
+    OR together associatively (works in rollups and incremental
+    refreshes where re-counting raw pairs would re-scan history; the
+    same reason sketches exist, but EXACT for bounded id spaces).
+    The oracle is the plain COUNT(DISTINCT) — same answer.
+    """
+    ev = t(spark, sf, "events")
+    words = (
+        ev.select(
+            "event_type",
+            (F.col("user_id") / 64).cast("long").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("event_type", "word_idx")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+    return (
+        words.groupBy("event_type")
+        .agg(F.sum(F.bit_count("word")).cast("bigint").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# C156 order-independent table checksum: migration/replication audit
+# ---------------------------------------------------------------------------
+@register(
+    "table_checksum_orders",
+    # Per-row digests from md5 over a canonical string of the typed-
+    # stable columns (integers + strings only — float/timestamp
+    # FORMATTING is engine-specific and has no canonical text form),
+    # combined with the two classic order-independent reducers.
+    oracle="""
+    WITH h AS (
+      SELECT CAST(('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' ||
+               o_orderstatus || '|' || o_orderpriority), 1, 15)) AS BIGINT) AS d
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(d) AS BIGINT) AS xor_sum,
+           CAST(SUM(d) % 9223372036854775807 AS BIGINT) AS add_sum
+    FROM h
+    """,
+    survey_ids=("B18", "B40", "B43"),
+    description="Order-independent table checksum (md5 row digests, XOR + modular-add reducers)",
+)
+def table_checksum_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Content equality for tables that live in two places — the
+    migration/replication audit that must not depend on row order,
+    partitioning, or file layout: digest each row canonically, reduce
+    with ORDER-INDEPENDENT combiners (XOR catches any single-row
+    difference; the modular add catches the duplicate-pair case XOR
+    misses). One scan, one 1-row aggregate, zero shuffle beyond the
+    partial merge — at 100 TB this is the only affordable shape
+    (sort-based diffing pays a global sort; row-level anti-joins pay
+    a full shuffle of both sides).
+
+    Only type-stable columns join the digest (ints + strings):
+    float and timestamp TEXT formatting differs across engines, so a
+    cross-engine checksum contract has to either canonicalize them
+    explicitly (scaled-integer encoding) or leave them out; this
+    query documents the contract by example.
+    """
+    o = t(spark, sf, "orders")
+    d = F.expr(
+        "CAST(conv(substring(md5(concat("
+        " CAST(o_orderkey AS STRING), '|',"
+        " CAST(o_custkey AS STRING), '|',"
+        " o_orderstatus, '|', o_orderpriority)), 1, 15), 16, 10) AS BIGINT)"
+    )
+    return o.select(d.alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.expr("bit_xor(d)").cast("bigint").alias("xor_sum"),
+        # decimal(38,0) accumulator: 60-bit digests summed over data-
+        # scale rows overflow BIGINT (DuckDB silently widens to
+        # HUGEINT; Spark ANSI mode rightly refuses)
+        (F.sum(F.col("d").cast("decimal(38,0)")) % F.lit(9223372036854775807))
+        .cast("bigint")
+        .alias("add_sum"),
+    )
