@@ -1778,3 +1778,164 @@ def image_ahash_neardup(spark: SparkSession, sf: str) -> DataFrame:
         media_fixtures.ahash_fixture_rows(), schema
     ).repartition(4)
     return simhash_near_pairs(image_ahash_df(media), "doc_id", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# C159 Matryoshka truncation recall: how much ANN quality do the first
+# 16 dims keep?
+# ---------------------------------------------------------------------------
+@register(
+    "matryoshka_truncation_recall",
+    # Both the truncated and full-dim top-5 are exact brute force with
+    # the established rounded-cosine tiebreak, so the recall join is
+    # fully SQL-expressible — no approximation anywhere.
+    oracle="""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    full_s AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(
+               list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))
+                * sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))),
+             6) AS cosine
+      FROM embeddings c, q WHERE q.vec_id <> c.vec_id
+    ),
+    trunc_s AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(
+               list_sum(list_transform(list_zip(q.embedding[1:16], c.embedding[1:16]),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.embedding[1:16], v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))
+                * sqrt(list_sum(list_transform(c.embedding[1:16], v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))),
+             6) AS cosine
+      FROM embeddings c, q WHERE q.vec_id <> c.vec_id
+    ),
+    full_k AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM full_s
+      ) WHERE rnk <= 5
+    ),
+    trunc_k AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM trunc_s
+      ) WHERE rnk <= 5
+    )
+    SELECT f.query_id,
+           CAST(COUNT(t.neighbor_id) AS BIGINT) AS hits,
+           COUNT(t.neighbor_id) / 5.0 AS recall_at_5
+    FROM full_k f
+    LEFT JOIN trunc_k t
+      ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+    GROUP BY f.query_id
+    """,
+    survey_ids=("B55", "B41"),
+    description="Matryoshka-style dim truncation: exact recall@5 of 16-dim search vs full 64-dim",
+)
+def matryoshka_truncation_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka-representation economics: search with only the FIRST
+    16 of 64 dimensions (4x less compute/memory/IO) and measure exact
+    recall@5 against full-dimension search — the measurement that
+    decides whether an MRL-style truncated index tier is safe to
+    deploy. Both sides are exact brute force over the broadcast
+    10-query batch (the ANN-recall measurement pattern of C124); at
+    corpus scale the truncated side is the cheap first-pass tier and
+    this query is its offline quality gate.
+
+    Fixture note: these synthetic embeddings are near-uniform (no MRL
+    training), so recall is LOW by construction — the measurement, not
+    the number, is the operator.
+    """
+    emb = t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    full_k = S.brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    tr = lambda df: df.select(  # noqa: E731
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    trunc_k = S.brute_force_topk(tr(emb), tr(queries), k=5).select(
+        F.col("query_id").alias("t_qid"), F.col("neighbor_id").alias("t_nid")
+    )
+    return (
+        full_k.join(
+            trunc_k,
+            (F.col("query_id") == F.col("t_qid"))
+            & (F.col("neighbor_id") == F.col("t_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("t_nid").cast("bigint").alias("hits"),
+            (F.count("t_nid") / F.lit(5.0)).alias("recall_at_5"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C160 deterministic negative sampling for contrastive training
+# ---------------------------------------------------------------------------
+@register(
+    "contrastive_negative_sample",
+    # The anchor-candidate priority is an md5-derived 60-bit integer —
+    # the replayable-hash family again — so the sampled negative SET
+    # (not just its size) is pinned by the oracle.
+    oracle="""
+    WITH anchors AS (
+      SELECT doc_id AS anchor_id, lang FROM documents WHERE doc_id < 50
+    ),
+    cand AS (
+      SELECT a.anchor_id, d.doc_id AS neg_id,
+             CAST(('0x' || substr(md5(CAST(a.anchor_id AS VARCHAR) || ':'
+                    || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS pri
+      FROM anchors a
+      JOIN documents d
+        ON d.doc_id <> a.anchor_id AND d.lang <> a.lang
+    )
+    SELECT anchor_id, neg_id, rnk FROM (
+      SELECT anchor_id, neg_id,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                ORDER BY pri ASC, neg_id ASC) AS rnk
+      FROM cand
+    ) WHERE rnk <= 5
+    """,
+    survey_ids=("B56", "B29", "B13"),
+    description="Deterministic hash-ranked negative sampling: 5 cross-lang negatives per anchor",
+)
+def contrastive_negative_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Negative mining for contrastive training: each anchor document
+    draws 5 negatives uniformly-at-hash from the corpus, constrained
+    to a DIFFERENT language (the 'not trivially related' filter), with
+    the draw fully deterministic — the md5-derived (anchor, candidate)
+    priority makes the sample reproducible across runs, engines, and
+    repartitioning, which is what makes training-data builds auditable.
+
+    Plan: the bounded anchor batch broadcasts against the corpus (the
+    per-training-batch shape — anchors are a batch, never the whole
+    corpus); per-anchor top-5-by-hash is a window over each anchor's
+    candidate stream. At 100 TB the candidate side stays a single scan
+    and the shuffle keys on anchor_id.
+    """
+    docs = t(spark, sf, "documents")
+    anchors = docs.filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("anchor_id"), F.col("lang").alias("a_lang")
+    )
+    cand = docs.join(
+        F.broadcast(anchors),
+        (F.col("doc_id") != F.col("anchor_id"))
+        & (F.col("lang") != F.col("a_lang")),
+    ).select(
+        "anchor_id",
+        F.col("doc_id").alias("neg_id"),
+        F.expr(
+            "CAST(conv(substring(md5(concat(CAST(anchor_id AS STRING), ':',"
+            " CAST(neg_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("pri"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.asc("pri"), F.asc("neg_id"))
+    return (
+        cand.select("anchor_id", "neg_id", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 5)
+    )

@@ -18,6 +18,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register, t
 from ag_data_ingestion_github_to_snowflake_spark.sources.staging import (
@@ -744,3 +745,155 @@ def streaming_enriched_rollup(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return _drain(agg, spark, "complete")
+
+
+# ---------------------------------------------------------------------------
+# C157 streaming drift monitor: chi-square mix drift accumulated
+# incrementally across micro-batches
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_drift_monitor",
+    # Identical algebra to drift_chi2_events but at HOUR-WINDOW
+    # granularity (the streaming state unit): the oracle recomputes
+    # from raw events with the same hour bucketing, so the 8-batch
+    # incremental accumulation must hash-match one-shot SQL. All
+    # arithmetic stays libm-free (the Benford/chi2 convention).
+    oracle="""
+    WITH hours AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS h, event_type FROM events
+    ),
+    bounds AS (
+      SELECT (epoch_us(MIN(h)) + epoch_us(MAX(h))) // 2 AS mid FROM hours
+    ),
+    tagged AS (
+      SELECT event_type,
+             CASE WHEN epoch_us(h) < (SELECT mid FROM bounds)
+                  THEN 'early' ELSE 'late' END AS period
+      FROM hours
+    ),
+    cells AS (
+      SELECT event_type, period, CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM tagged GROUP BY event_type, period
+    ),
+    scored AS (
+      SELECT event_type, period, n_obs,
+             CAST(SUM(n_obs) OVER (PARTITION BY event_type) AS DOUBLE)
+               * CAST(SUM(n_obs) OVER (PARTITION BY period) AS DOUBLE)
+               / CAST(SUM(n_obs) OVER () AS DOUBLE) AS expected
+      FROM cells
+    ),
+    contrib AS (
+      SELECT event_type, period, n_obs, ROUND(expected, 6) AS expected,
+             ROUND((CAST(n_obs AS DOUBLE) - expected)
+                   * (CAST(n_obs AS DOUBLE) - expected) / expected, 6)
+               AS chi2_part
+      FROM scored
+    )
+    SELECT event_type, period, n_obs, expected, chi2_part,
+           CAST(SUM(CAST(chi2_part AS DECIMAL(18,6))) OVER () AS DOUBLE)
+             AS chi2_total
+    FROM contrib
+    """,
+    survey_ids=("B44", "B46", "B16"),
+    description="Streaming drift monitor: hourly-state chi2 mix drift across 8 genuine micro-batches",
+)
+def streaming_drift_monitor(spark: SparkSession, sf: str) -> DataFrame:
+    """The production drift-monitor shape: a streaming job maintains
+    per-(hour, event_type) counts incrementally (bounded state — time
+    range x type cardinality, NOT event volume), and the monitor reads
+    that state table to score distribution drift, here early-vs-late
+    chi-square over the hour-quantized midpoint.
+
+    Built on the same 8-file hash-split stage as
+    ``streaming_multibatch_rollup`` (one file per trigger), so the
+    hourly counts genuinely accumulate across 8 commits before the
+    batch-side chi-square finish — and must hash-match the one-shot
+    SQL over raw events. At 100 TB/day the streaming half is the only
+    affordable side: the raw stream is touched once, the monitor
+    re-reads only the tiny state table each evaluation.
+    """
+    src = os.path.join(sf, "events.parquet")
+    stage = stage_dir("ag_stream_split8", sf)
+    marker = os.path.join(stage, "_staged")
+    if not os.path.exists(marker) or os.path.getmtime(marker) < os.path.getmtime(src):
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage)
+        from ag_data_ingestion_github_to_snowflake_spark.catalog import load_table
+
+        ev = load_table(spark, sf, "events")
+        ev.withColumn("_b", F.pmod(F.xxhash64("event_id"), F.lit(8))).repartition(
+            8, "_b"
+        ).write.partitionBy("_b").mode("overwrite").parquet(stage + "_tmp")
+        for i in range(8):
+            part_dir = os.path.join(stage + "_tmp", f"_b={i}")
+            parts = [p for p in os.listdir(part_dir) if p.endswith(".parquet")]
+            assert len(parts) == 1, parts
+            shutil.copy(
+                os.path.join(part_dir, parts[0]),
+                os.path.join(stage, f"batch_{i}.parquet"),
+            )
+        shutil.rmtree(stage + "_tmp", ignore_errors=True)
+        write_marker(marker)
+    schema = spark.read.parquet(os.path.join(stage, "batch_0.parquet")).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .drop("_b")
+    )
+    hourly = (
+        sdf.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.col("w.start").alias("h"), "event_type", "n")
+    )
+    state = _drain(hourly, spark, "complete")
+
+    # batch finish over the (tiny) state table: hour-midpoint split,
+    # contingency chi-square — the drift_chi2_events algebra.
+    b = state.agg(
+        ((F.max(F.unix_micros(F.col("h"))) + F.min(F.unix_micros(F.col("h"))))
+         / F.lit(2)).cast("long").alias("mid")
+    )
+    cells = (
+        state.crossJoin(F.broadcast(b))
+        .select(
+            "event_type",
+            F.when(F.unix_micros(F.col("h")) < F.col("mid"), F.lit("early"))
+            .otherwise(F.lit("late"))
+            .alias("period"),
+            "n",
+        )
+        .groupBy("event_type", "period")
+        .agg(F.sum("n").cast("bigint").alias("n_obs"))
+    )
+    w_row = Window.partitionBy("event_type")
+    w_col = Window.partitionBy("period")
+    w_all = Window.partitionBy()
+    scored = cells.withColumn(
+        "expected",
+        F.sum("n_obs").over(w_row).cast("double")
+        * F.sum("n_obs").over(w_col).cast("double")
+        / F.sum("n_obs").over(w_all).cast("double"),
+    )
+    contrib = scored.select(
+        "event_type",
+        "period",
+        "n_obs",
+        F.round("expected", 6).alias("expected"),
+        F.round(
+            (F.col("n_obs").cast("double") - F.col("expected"))
+            * (F.col("n_obs").cast("double") - F.col("expected"))
+            / F.col("expected"),
+            6,
+        ).alias("chi2_part"),
+    )
+    return contrib.select(
+        "*",
+        F.sum(F.col("chi2_part").cast("decimal(18,6)"))
+        .over(w_all)
+        .cast("double")
+        .alias("chi2_total"),
+    )

@@ -622,3 +622,95 @@ def last_touch_attribution(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.sum("value"), 6).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C158 multi-touch (linear) attribution: credit split across every
+# touch in the lookback
+# ---------------------------------------------------------------------------
+@register(
+    "multi_touch_attribution",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id AS pid, user_id, ts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT user_id, ts AS tts, event_type AS channel
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    pairs AS (
+      SELECT p.pid, p.value, t.channel
+      FROM purchases p
+      JOIN touches t
+        ON p.user_id = t.user_id
+       AND t.tts <= p.ts AND t.tts >= p.ts - INTERVAL 3 DAY
+    ),
+    credited AS (
+      SELECT channel,
+             CAST(value / (COUNT(*) OVER (PARTITION BY pid)) AS DECIMAL(18,6))
+               AS credit,
+             pid
+      FROM pairs
+      UNION ALL
+      SELECT 'direct', CAST(p.value AS DECIMAL(18,6)), p.pid
+      FROM purchases p
+      WHERE NOT EXISTS (SELECT 1 FROM pairs x WHERE x.pid = p.pid)
+    )
+    SELECT channel,
+           CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_purchases,
+           CAST(SUM(credit) AS DOUBLE) AS revenue
+    FROM credited
+    GROUP BY channel
+    """,
+    survey_ids=("B14", "B16", "B29"),
+    description="Linear multi-touch attribution: each purchase's value split equally over its 3-day touches",
+)
+def multi_touch_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear-credit attribution — the fairness-over-recency sibling
+    of ``last_touch_attribution``: every click/view by the same user
+    in the 3 days before a purchase gets an equal share of its value;
+    untouched purchases stay 'direct'.
+
+    Plan: one user-keyed equi-join with the time-range predicate
+    applied as a join filter — per-user pairs are bounded by per-user
+    activity (uniform here; a salted variant would handle whale
+    users), so the pair volume is linear in events for bounded
+    per-user lookback density. Credit = value / touches-per-purchase
+    via one purchase-keyed window; decimal accumulators on the credit
+    sums keep the hash bit-exact (the CDC lesson).
+    """
+    ev = t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", "ts", "value"
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", F.col("ts").alias("tts"), F.col("event_type").alias("channel")
+    )
+    pairs = purchases.join(touches, "user_id").filter(
+        (F.col("tts") <= F.col("ts"))
+        & (F.col("tts") >= F.col("ts") - F.expr("INTERVAL 3 DAYS"))
+    )
+    w_p = Window.partitionBy("pid")
+    credited = pairs.select(
+        "pid",
+        "channel",
+        (F.col("value") / F.count(F.lit(1)).over(w_p))
+        .cast("decimal(18,6)")
+        .alias("credit"),
+    )
+    direct = purchases.join(
+        credited.select("pid").distinct(), "pid", "left_anti"
+    ).select(
+        "pid",
+        F.lit("direct").alias("channel"),
+        F.col("value").cast("decimal(18,6)").alias("credit"),
+    )
+    return (
+        credited.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            F.countDistinct("pid").cast("bigint").alias("n_purchases"),
+            F.sum("credit").cast("double").alias("revenue"),
+        )
+    )

@@ -140,6 +140,18 @@ ALLOWED_FLAGS = {
     # 1-row broadcast attaches: the global max-gap scalar (argmax
     # filter) and the two-group totals row.
     ("ks_two_sample_value", "BroadcastNestedLoopJoin"),
+    # The drift monitor's batch finish attaches the 1-row hour-midpoint
+    # aggregate to the TINY drained state table (hours x types rows)
+    # via a broadcast cross join — the drift_chi2_events shape on
+    # state, not on the raw stream.
+    ("streaming_drift_monitor", "BroadcastNestedLoopJoin"),
+    # Two exact brute-force top-k sides (full-dim + truncated), each
+    # the LIMITed broadcast query batch streaming the corpus map-side.
+    ("matryoshka_truncation_recall", "BroadcastNestedLoopJoin"),
+    # The bounded anchor batch broadcasts against the corpus on a
+    # non-equi (!=) condition by design: every candidate is scored
+    # once per anchor, map-side.
+    ("contrastive_negative_sample", "BroadcastNestedLoopJoin"),
 }
 
 # Queries whose build() executes side work and returns a materialized
