@@ -1701,22 +1701,33 @@ def bootstrap_ci_order_total(spark: SparkSession, sf: str) -> DataFrame:
     the 2nd/31st order statistics of the replicate means (an exact
     ~93.75% interval for B=32; explicit ranks, not engine-specific
     percentile interpolation).
+
+    Measured floor (r9, 100x = 15M orders): 16.6 s / alpha +0.61 —
+    the cost is the 480M-row weighted aggregation itself (~29M
+    rows/s/box), not the hashing (hoisting digests before the fan-out
+    and quartering the md5 count both moved it < 5%). B, not data
+    size, is the knob if the budget matters; halving B halves the
+    floor at the cost of CI resolution.
     """
     o = t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
-    reps = spark.range(32).select(F.col("id").cast("int").alias("b"))
     # One digest serves replicates 4d..4d+3 via disjoint 7-hex
-    # substrings — the digest, not the CASE, dominates the fan-out
-    # cost (measured 4.4 s -> see docstring after the change).
-    h = (
-        "CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), ':',"
-        " CAST(CAST(b / 4 AS INT) AS STRING))),"
-        " 1 + 7 * CAST(b % 4 AS INT), 7), 16, 10) AS BIGINT)"
+    # substrings, and the 8 digests per row are computed BEFORE the
+    # 32x fan-out (nested transform: the outer lambda runs md5 once
+    # per d; a per-fanned-row expression would recompute each digest
+    # 4x). posexplode's position IS the replicate id: b = 4d + j
+    # matches the oracle's (b // 4, b % 4) hash exactly — verified
+    # cell-for-cell against the per-row form.
+    hs = (
+        "flatten(transform("
+        " transform(sequence(0, 7), d ->"
+        "   md5(concat(CAST(o_orderkey AS STRING), ':', CAST(d AS STRING)))),"
+        " m -> transform(sequence(0, 3), j ->"
+        "   CAST(conv(substring(m, 1 + 7 * j, 7), 16, 10) AS BIGINT))))"
     )
-    weighted = o.crossJoin(F.broadcast(reps)).select(
-        "b",
-        F.expr(_poisson_weight_sql(h)).alias("w"),
+    weighted = o.select(
         F.col("o_totalprice").alias("x"),
-    )
+        F.posexplode(F.expr(hs)).alias("b", "h"),
+    ).select("b", F.expr(_poisson_weight_sql("h")).alias("w"), "x")
     means = weighted.groupBy("b").agg(
         (F.sum(F.col("w") * F.col("x")) / F.sum("w")).alias("m")
     )
