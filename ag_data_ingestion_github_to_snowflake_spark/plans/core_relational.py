@@ -2045,3 +2045,155 @@ def table_checksum_orders(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("add_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C163 k-anonymity audit: quasi-identifier group sizes
+# ---------------------------------------------------------------------------
+@register(
+    "k_anonymity_audit",
+    oracle="""
+    WITH qi AS (
+      SELECT c_nationkey,
+             c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS acctbal_band,
+             COUNT(*) AS grp
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(MIN(grp) AS BIGINT) AS k_min,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN grp < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_below_5,
+           CAST(SUM(CASE WHEN grp < 5 THEN grp ELSE 0 END) AS BIGINT)
+             AS rows_at_risk
+    FROM qi
+    """,
+    survey_ids=("B16", "B18", "B43"),
+    description="k-anonymity audit: quasi-identifier group-size floor and re-identification exposure",
+)
+def k_anonymity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Privacy release gate: under the quasi-identifier tuple
+    (nation, market segment, account-balance band), what is the
+    smallest group size k, and how many rows sit in groups below
+    k = 5 — the re-identification exposure a k-anonymity policy
+    bounds before a dataset leaves the warehouse. Companion to the
+    PII redaction operator: redaction strips direct identifiers,
+    this measures the joinable-attribute risk that remains.
+
+    One groupBy on the quasi-identifier tuple (map-side combined,
+    cardinality = the QI domain, not the row count) + a 4-scalar
+    reduction over the group-size table. Banding the continuous
+    attribute (floor to 1000s) is itself the standard generalization
+    step — tighten the band and watch rows_at_risk fall.
+    """
+    c = t(spark, sf, "customer")
+    qi = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("acctbal_band"),
+    ).agg(F.count(F.lit(1)).alias("grp"))
+    return qi.agg(
+        F.min("grp").cast("bigint").alias("k_min"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum((F.col("grp") < 5).cast("bigint")).cast("bigint").alias("groups_below_5"),
+        F.sum(F.when(F.col("grp") < 5, F.col("grp")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C164 exact ROC AUC via the rank identity (no curve sweep)
+# ---------------------------------------------------------------------------
+@register(
+    "exact_auc_quality_english",
+    # AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) with midranks
+    # — the Mann-Whitney identity, so the two-level scan applies and
+    # every term is an exact multiple of 0.5: bit-exact in any engine.
+    oracle="""
+    WITH scored AS (
+      SELECT ROUND(
+        LEAST(CAST(len(list_filter(string_split_regex(text,'\\s+'),
+                   t -> list_contains(['the','and','of','to','a','in','is','it'], lower(t)))) AS DOUBLE)
+              / GREATEST(len(string_split_regex(text,'\\s+')),1) * 2.0, 1.0) * 0.25
+        + CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+              / GREATEST(length(text),1) * 0.25
+        + CAST(len(list_distinct(string_split_regex(text,'\\s+'))) AS DOUBLE)
+              / GREATEST(len(string_split_regex(text,'\\s+')),1) * 0.25
+        + (CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.5 END) * 0.25,
+      6) AS score,
+      CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+      FROM documents
+    ),
+    g AS (
+      SELECT score,
+             CAST(SUM(label) AS BIGINT) AS np,
+             CAST(COUNT(*) - SUM(label) AS BIGINT) AS nn,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM scored GROUP BY score
+    ),
+    r AS (
+      SELECT *,
+             SUM(n) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) - n AS cum_less
+      FROM g
+    ),
+    s AS (
+      SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+             CAST(SUM(nn) AS BIGINT) AS n_neg,
+             SUM(np * (cum_less + (n + 1) / 2.0)) AS r_pos
+      FROM r
+    )
+    SELECT n_pos, n_neg,
+           (r_pos - n_pos * (n_pos + 1) / 2.0)
+             / (CAST(n_pos AS DOUBLE) * n_neg) AS auc
+    FROM s
+    """,
+    survey_ids=("B56", "B23", "B16"),
+    description="Exact ROC AUC of the quality score predicting lang=en, via the rank identity",
+)
+def exact_auc_quality_english(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact ROC AUC without building the curve: AUC equals the
+    Mann-Whitney U of positive-class scores over negative-class
+    scores, normalized — the identity every large-scale model-eval
+    pipeline should use instead of threshold sweeps (one pass + tiny
+    aggregates vs materializing the ROC staircase). Here: does the
+    heuristic quality score separate English docs from the rest?
+
+    Same two-level cumulative scan as mann_whitney_value_clicks
+    (per-distinct-score counts, bucket prefix + in-bucket parallel
+    windows); ties handled by midranks, which is exactly the
+    trapezoidal tie convention for AUC. All terms are exact halves —
+    bit-exact, no tolerance. (Fixture note: langs share one synthetic
+    vocabulary, so AUC ~ 0.5 by construction; the estimator, not the
+    separation, is the operator.)
+    """
+    from ag_data_ingestion_github_to_snowflake_spark.operators import text as X
+
+    docs = X.quality_score(t(spark, sf, "documents"))
+    scored = docs.select(
+        F.round("quality", 6).alias("value"),
+        (F.col("lang") == "en").cast("long").alias("is_pos"),
+    )
+    vals = scored.groupBy("value").agg(
+        F.sum("is_pos").alias("n_a"),
+        (F.count(F.lit(1)) - F.sum("is_pos")).alias("n_b"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cum = _two_level_value_cum(vals, width=0.05)
+    s = cum.select(
+        "n_a",
+        "n_b",
+        ((F.col("cum_n") - F.col("n")) + (F.col("n") + F.lit(1)) / F.lit(2.0)).alias(
+            "midrank"
+        ),
+    ).agg(
+        F.sum("n_a").cast("bigint").alias("n_pos"),
+        F.sum("n_b").cast("bigint").alias("n_neg"),
+        F.sum(F.col("n_a") * F.col("midrank")).alias("r_pos"),
+    )
+    auc = (
+        F.col("r_pos") - F.col("n_pos") * (F.col("n_pos") + F.lit(1)) / F.lit(2.0)
+    ) / (F.col("n_pos").cast("double") * F.col("n_neg"))
+    return s.select("n_pos", "n_neg", auc.alias("auc"))

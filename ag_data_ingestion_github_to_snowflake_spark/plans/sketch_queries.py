@@ -559,3 +559,123 @@ def approx_topk_event_types(spark: SparkSession, sf: str) -> DataFrame:
             F.col("e.count").cast("bigint").alias("cnt"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C161 HLL set algebra: overlap estimate via inclusion-exclusion on
+# mergeable registers
+# ---------------------------------------------------------------------------
+def _hll_overlap_oracle() -> str:
+    from ag_data_ingestion_github_to_snowflake_spark.operators import hll
+
+    w_mask = (1 << hll.W_BITS) - 1
+    two49 = 1 << (hll.W_BITS + 1)
+    est = (
+        f"CAST({hll.EST_NUMERATOR!r} AS DOUBLE)"
+        f" / CAST(s_present + ({hll.M_REGISTERS} - n_present)"
+        f" * {two49} AS DOUBLE)"
+    )
+    return f"""
+    WITH hashes AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 2147483647 AS hm, user_id
+      FROM events WHERE event_type IN ('click', 'view')
+    ), h60 AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h, user_id
+      FROM events WHERE event_type IN ('click', 'view')
+    ), split AS (
+      SELECT event_type, h >> {hll.W_BITS} AS bucket, h & {w_mask} AS w, user_id
+      FROM h60
+    ), regs AS (
+      SELECT event_type, bucket, MAX({hll.rho48_sql('w')}) AS rho
+      FROM split GROUP BY 1, 2
+    ), regs_u AS (
+      SELECT bucket, MAX(rho) AS rho FROM regs GROUP BY 1
+    ), per AS (
+      SELECT event_type,
+             SUM(CAST(POW(2, 49 - rho) AS BIGINT)) AS s_present,
+             COUNT(*) AS n_present
+      FROM regs GROUP BY 1
+    ), uni AS (
+      SELECT SUM(CAST(POW(2, 49 - rho) AS BIGINT)) AS s_present,
+             COUNT(*) AS n_present
+      FROM regs_u
+    ), ests AS (
+      SELECT MAX(CASE WHEN event_type = 'click' THEN e END) AS est_click,
+             MAX(CASE WHEN event_type = 'view' THEN e END) AS est_view
+      FROM (SELECT event_type, {est} AS e FROM per)
+    ), est_u AS (SELECT {est} AS est_union FROM uni),
+    exact AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS overlap_exact FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'view'
+      )
+    )
+    SELECT est_click, est_view, est_union,
+           est_click + est_view - est_union AS overlap_est_raw,
+           overlap_exact
+    FROM ests, est_u, exact
+    """
+
+
+@register(
+    "hll_overlap_users",
+    oracle=_hll_overlap_oracle(),
+    survey_ids=("B21", "B28", "B16"),
+    description="HLL set algebra: audience-overlap estimate by inclusion-exclusion on merged registers",
+)
+def hll_overlap_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Audience overlap WITHOUT re-scanning raw ids: |A ∩ B| est =
+    est(A) + est(B) − est(A ∪ B), where the union estimate comes from
+    MERGING the two groups' HLL registers (bucket-wise MAX) — the set
+    algebra that makes sketches the only affordable shape for N-way
+    audience overlap matrices at 100 TB (the exact pairwise INTERSECT
+    re-shuffles raw ids per pair; register merges are 4096-row MAXes).
+
+    Same md5-family register pipeline as hll_verified_users_by_type
+    (bit-replayable in DuckDB, raw estimates only — no ln-based bias
+    correction inside the hash contract); the exact overlap rides
+    along as the in-query accuracy witness.
+    """
+    from ag_data_ingestion_github_to_snowflake_spark.operators import hll
+
+    ev = t(spark, sf, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    regs = hll.hll_registers(ev, "user_id", ["event_type"])
+    per = hll.hll_estimate(regs, ["event_type"])
+    ests = per.groupBy().agg(
+        F.max(
+            F.when(F.col("event_type") == "click", F.col("distinct_est_raw"))
+        ).alias("est_click"),
+        F.max(
+            F.when(F.col("event_type") == "view", F.col("distinct_est_raw"))
+        ).alias("est_view"),
+    )
+    regs_u = regs.groupBy("bucket").agg(F.max("rho").alias("rho"))
+    est_u = hll.hll_estimate(regs_u.withColumn("_g", F.lit(1)), ["_g"]).select(
+        F.col("distinct_est_raw").alias("est_union")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    exact = (
+        clicks.intersect(views)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("overlap_exact"))
+    )
+    return (
+        ests.crossJoin(F.broadcast(est_u))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "est_click",
+            "est_view",
+            "est_union",
+            (F.col("est_click") + F.col("est_view") - F.col("est_union")).alias(
+                "overlap_est_raw"
+            ),
+            "overlap_exact",
+        )
+    )

@@ -714,3 +714,51 @@ def multi_touch_attribution(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("credit").cast("double").alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C162 OHLC resample: first/last/min/max per bucket without a sort
+# ---------------------------------------------------------------------------
+@register(
+    "ohlc_resample_events",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 day', ts) AS day,
+           ROUND(arg_min(value, ts), 6) AS open,
+           ROUND(MAX(value), 6) AS high,
+           ROUND(MIN(value), 6) AS low,
+           ROUND(arg_max(value, ts), 6) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    survey_ids=("B46", "B16", "B33"),
+    description="OHLC downsample: per-day open/high/low/close via min_by/max_by, no sort",
+)
+def ohlc_resample_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series downsampling to daily OHLC bars (open = first value
+    by timestamp, close = last) — the resample every metrics store
+    runs, expressed as ONE aggregation: ``min_by``/``max_by`` over the
+    timestamp replace the per-bucket ORDER BY window (which would sort
+    every bucket's rows; the aggregate form is a mergeable partial —
+    each partition keeps one candidate per bucket).
+
+    Tie note: the fixture's (event_type='purchase', ts) pairs are
+    unique, so arg_min/arg_max are deterministic; data with duplicate
+    timestamps per bucket would need a composite order key, same as
+    any engine's first/last.
+    """
+    ev = t(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "1 day")["start"]
+            .cast("timestamp_ntz")
+            .alias("day")
+        )
+        .agg(
+            F.round(F.min_by("value", "ts"), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", "ts"), 6).alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )

@@ -145,6 +145,10 @@ ALLOWED_FLAGS = {
     # via a broadcast cross join — the drift_chi2_events shape on
     # state, not on the raw stream.
     ("streaming_drift_monitor", "BroadcastNestedLoopJoin"),
+    # Three 1-row scalar attaches (per-type estimates pivot, union
+    # estimate, exact-overlap witness) — 1x1 broadcast joins,
+    # invariant in the data size.
+    ("hll_overlap_users", "BroadcastNestedLoopJoin"),
     # Two exact brute-force top-k sides (full-dim + truncated), each
     # the LIMITed broadcast query batch streaming the corpus map-side.
     ("matryoshka_truncation_recall", "BroadcastNestedLoopJoin"),
