@@ -846,3 +846,73 @@ def rolling_distinct_users_7d(spark: SparkSession, sf: str) -> DataFrame:
         # normalization (same convention as funnel_click_purchase_daily)
         .select(F.col("day").cast("timestamp").alias("day"), "users_7d")
     )
+
+
+# ---------------------------------------------------------------------------
+# C166 seasonal-baseline anomaly detection: day-of-week median + MAD
+# ---------------------------------------------------------------------------
+@register(
+    "seasonal_baseline_anomalies",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             dayofweek(CAST(ts AS DATE)) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT dow, MEDIAN(n) AS med FROM daily GROUP BY dow
+    ),
+    dev AS (
+      SELECT d.day, d.dow, d.n, b.med, ABS(d.n - b.med) AS adev
+      FROM daily d JOIN base b USING (dow)
+    ),
+    mad AS (
+      SELECT dow, MEDIAN(adev) AS mad FROM dev GROUP BY dow
+    )
+    SELECT CAST(v.day AS TIMESTAMP) AS day, v.n,
+           ROUND(v.med, 6) AS dow_median,
+           ROUND(m.mad, 6) AS dow_mad,
+           CAST(ABS(v.n - v.med) > 3 * 1.482602218505602 * m.mad AS BOOLEAN)
+             AS is_anomaly
+    FROM dev v JOIN mad m USING (dow)
+    """,
+    survey_ids=("B23", "B16", "B33"),
+    description="Seasonality-aware anomaly flags: per-day-of-week median + MAD control bands",
+)
+def seasonal_baseline_anomalies(spark: SparkSession, sf: str) -> DataFrame:
+    """Anomaly detection that respects weekly seasonality: each day's
+    event count is compared against ITS day-of-week's median with MAD
+    control bands (3 x 1.4826 x MAD ~ 3 sigma for normal data) — the
+    robust baseline that a global mean/stddev gets wrong twice
+    (weekends drag the mean; one outage inflates the sigma). The MAD
+    composition reuses the mad_outliers_events convention (medians via
+    the engines' shared linear-interpolation percentile).
+
+    Scale shape: the raw stream reduces to per-day counts in one
+    map-side-combined shuffle (calendar-bounded output); everything
+    after operates on days x 7 rows. The day-of-week baseline join is
+    a broadcast (7 rows).
+    """
+    ev = t(spark, sf, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        F.dayofweek(F.to_date("ts")).alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    base = daily.groupBy("dow").agg(
+        F.expr("percentile(n, 0.5)").alias("med")
+    )
+    dev = daily.join(F.broadcast(base), "dow").withColumn(
+        "adev", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = dev.groupBy("dow").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    return dev.join(F.broadcast(mad), "dow").select(
+        F.col("day").cast("timestamp").alias("day"),
+        "n",
+        F.round("med", 6).alias("dow_median"),
+        F.round("mad", 6).alias("dow_mad"),
+        (
+            F.abs(F.col("n") - F.col("med"))
+            > F.lit(3) * F.lit(1.482602218505602) * F.col("mad")
+        ).alias("is_anomaly"),
+    )

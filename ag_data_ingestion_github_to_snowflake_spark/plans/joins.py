@@ -445,3 +445,103 @@ def bucketed_join_colocated(spark: SparkSession, sf: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C165 spatial grid-cell neighbor join: radius search without the
+# all-pairs cross join
+# ---------------------------------------------------------------------------
+@register(
+    "spatial_grid_neighbors",
+    # Coordinates are md5-derived integers scaled to a planar grid —
+    # deterministic in both engines — and distances stay SQUARED
+    # integers (no sqrt, no haversine trig: libm-free hash contract).
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':x'), 1, 8))
+                  AS BIGINT) % 10000 AS x,
+             CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':y'), 1, 8))
+                  AS BIGINT) % 10000 AS y
+      FROM customer
+    ),
+    cells AS (
+      SELECT *, x // 100 AS cx, y // 100 AS cy FROM pts
+    ),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+      FROM cells a
+      JOIN cells b
+        ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+       AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+       AND a.id < b.id
+    )
+    SELECT id_a, id_b, CAST(d2 AS BIGINT) AS d2
+    FROM pairs WHERE d2 <= 100 * 100
+    """,
+    survey_ids=("B14", "B10", "B43"),
+    description="Spatial radius join via grid-cell blocking (cell + 8 neighbors), squared-distance exact",
+)
+def spatial_grid_neighbors(spark: SparkSession, sf: str) -> DataFrame:
+    """Points within radius r of each other WITHOUT the all-pairs
+    cross join — the grid-cell spatial join: bucket points into
+    r-sized cells, compare each point only against its own and the 8
+    adjacent cells (any pair within r must share that 3x3 window),
+    then filter by exact squared distance. The same blocking idea as
+    LSH bands / SimHash pigeonholes, in 2-D geometry: candidate count
+    scales with local density, never N².
+
+    Coordinates are md5-derived (deterministic, engine-replayable)
+    on a 10000x10000 planar grid with r = 100 = the cell size;
+    distances stay squared integers — exact, no sqrt/no trig in the
+    hash contract. The neighbor expansion is a 9-way bounded range
+    join on cell ids (Spark plans the cx band + cy band as an equi
+    join on cx-bucket with range residual after the explode below —
+    here expressed as an explode of the 9 neighbor offsets into an
+    EQUI key, the shuffle-friendly form).
+    """
+    c = t(spark, sf, "customer").select(F.col("c_custkey").alias("id"))
+    h = lambda salt: F.expr(  # noqa: E731
+        f"CAST(conv(substring(md5(concat(CAST(id AS STRING), ':{salt}')), 1, 8),"
+        " 16, 10) AS BIGINT) % 10000"
+    )
+    pts = c.select("id", h("x").alias("x"), h("y").alias("y")).withColumn(
+        "cx", (F.col("x") / 100).cast("long")
+    ).withColumn("cy", (F.col("y") / 100).cast("long"))
+    # left side replicates into its 9-cell neighborhood so the join is
+    # a pure EQUI join on the cell key (one shuffle, no range residual)
+    offs = F.expr(
+        "explode(flatten(transform(sequence(-1, 1), dx ->"
+        " transform(sequence(-1, 1), dy -> struct(dx, dy)))))"
+    )
+    a = pts.select(
+        F.col("id").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        offs.alias("o"),
+        "cx",
+        "cy",
+    ).select(
+        "id_a",
+        "xa",
+        "ya",
+        (F.col("cx") + F.col("o.dx")).alias("jx"),
+        (F.col("cy") + F.col("o.dy")).alias("jy"),
+    )
+    b = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        a.join(b, ["jx", "jy"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", d2.cast("bigint").alias("d2"))
+        .filter(F.col("d2") <= 100 * 100)
+    )

@@ -1939,3 +1939,71 @@ def contrastive_negative_sample(spark: SparkSession, sf: str) -> DataFrame:
         cand.select("anchor_id", "neg_id", F.row_number().over(w).alias("rnk"))
         .filter(F.col("rnk") <= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# C167 hashing-trick featurization: fixed-width sparse vectors with no
+# vocabulary pass
+# ---------------------------------------------------------------------------
+@register(
+    "feature_hashing_vectorize",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+      FROM documents WHERE doc_id < 200
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 1024 AS idx
+      FROM toks
+    ),
+    counts AS (
+      SELECT doc_id, idx, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM hashed GROUP BY doc_id, idx
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS nnz,
+           list_sort(list(idx)) AS indices,
+           list_transform(
+             list_sort(list([idx, cnt])), p -> p[2]) AS values
+    FROM counts
+    GROUP BY doc_id
+    """,
+    survey_ids=("B56", "B41", "B16"),
+    description="Hashing-trick featurization: 1024-bucket sparse token vectors, no vocabulary pass",
+)
+def feature_hashing_vectorize(spark: SparkSession, sf: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): tokens map straight
+    to a fixed 1024-wide feature space via a hash — NO vocabulary
+    build, NO global dictionary shuffle, and new tokens at inference
+    time land deterministically. The featurizer every streaming /
+    petabyte-scale linear model uses when a vocab pass is unaffordable
+    (collisions are the accepted trade; the width is the knob).
+
+    One explode + one (doc, idx) count shuffle + one per-doc
+    collect_list — all keys high-cardinality. The md5-derived bucket
+    makes the vectors engine-replayable (the sampled SET contract
+    again); sparse layout is (sorted indices, aligned counts), the
+    standard CSR row form.
+    """
+    docs = t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+    )
+    hashed = toks.select(
+        "doc_id",
+        F.expr(
+            "CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT) % 1024"
+        ).alias("idx"),
+    )
+    counts = hashed.groupBy("doc_id", "idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    return counts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nnz"),
+        F.sort_array(F.collect_list("idx")).alias("indices"),
+        # 0-based subscript (DuckDB's oracle twin is 1-based p[2])
+        F.expr(
+            "transform(array_sort(collect_list(array(idx, cnt))), p -> p[1])"
+        ).alias("values"),
+    )

@@ -37,6 +37,33 @@ SF_DIR = "/root/testdata/sf0.01"
 def audit_one(spark, con, name, spec) -> dict:
     sp = spec.build(spark, SF_DIR).toPandas()
     du = con.execute(spec.oracle).fetchdf()
+    # canonicalize nested cells (arrays/structs arrive as ndarray /
+    # list / dict, which pandas can neither hash nor sort): a repr on
+    # a plain-python conversion is exact for ints/strings; nested
+    # FLOATS would be hidden behind repr, so flag them instead of
+    # silently passing (no current query nests floats).
+    def _canon(frame):
+        for c in frame.columns:
+            if frame[c].dtype == object:
+                frame[c] = frame[c].map(
+                    lambda v: repr(_plain(v)) if isinstance(v, (list, dict, np.ndarray, tuple)) else v
+                )
+        return frame
+
+    def _plain(v):
+        if isinstance(v, np.ndarray):
+            v = v.tolist()
+        if isinstance(v, (list, tuple)):
+            return [_plain(x) for x in v]
+        if isinstance(v, dict):
+            return {k: _plain(x) for k, x in v.items()}
+        if isinstance(v, (np.integer,)):
+            return int(v)
+        if isinstance(v, (np.floating, float)):
+            raise TypeError("nested float cell: repr-canon would hide precision")
+        return v
+
+    sp, du = _canon(sp), _canon(du)
     key = sorted(sp.columns)
     if sorted(du.columns) != key:
         return {"status": "columns_differ"}
