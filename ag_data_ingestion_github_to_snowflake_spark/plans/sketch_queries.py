@@ -569,19 +569,8 @@ def _hll_overlap_oracle() -> str:
     from ag_data_ingestion_github_to_snowflake_spark.operators import hll
 
     w_mask = (1 << hll.W_BITS) - 1
-    two49 = 1 << (hll.W_BITS + 1)
-    est = (
-        f"CAST({hll.EST_NUMERATOR!r} AS DOUBLE)"
-        f" / CAST(s_present + ({hll.M_REGISTERS} - n_present)"
-        f" * {two49} AS DOUBLE)"
-    )
     return f"""
-    WITH hashes AS (
-      SELECT event_type,
-             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
-                  AS BIGINT) % 2147483647 AS hm, user_id
-      FROM events WHERE event_type IN ('click', 'view')
-    ), h60 AS (
+    WITH h60 AS (
       SELECT event_type,
              CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
                   AS BIGINT) AS h, user_id
@@ -603,11 +592,18 @@ def _hll_overlap_oracle() -> str:
       SELECT SUM(CAST(POW(2, 49 - rho) AS BIGINT)) AS s_present,
              COUNT(*) AS n_present
       FROM regs_u
-    ), ests AS (
-      SELECT MAX(CASE WHEN event_type = 'click' THEN e END) AS est_click,
-             MAX(CASE WHEN event_type = 'view' THEN e END) AS est_view
-      FROM (SELECT event_type, {est} AS e FROM per)
-    ), est_u AS (SELECT {est} AS est_union FROM uni),
+    ), pivoted AS (
+      SELECT
+        MAX(CASE WHEN event_type = 'click' THEN s_present END) AS s_click,
+        CAST({hll.M_REGISTERS} - MAX(CASE WHEN event_type = 'click' THEN n_present END) AS BIGINT) AS zeros_click,
+        MAX(CASE WHEN event_type = 'view' THEN s_present END) AS s_view,
+        CAST({hll.M_REGISTERS} - MAX(CASE WHEN event_type = 'view' THEN n_present END) AS BIGINT) AS zeros_view
+      FROM per
+    ), uni_row AS (
+      SELECT s_present AS s_union,
+             CAST({hll.M_REGISTERS} - n_present AS BIGINT) AS zeros_union
+      FROM uni
+    ),
     exact AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS overlap_exact FROM (
         SELECT user_id FROM events WHERE event_type = 'click'
@@ -615,10 +611,11 @@ def _hll_overlap_oracle() -> str:
         SELECT user_id FROM events WHERE event_type = 'view'
       )
     )
-    SELECT est_click, est_view, est_union,
-           est_click + est_view - est_union AS overlap_est_raw,
+    SELECT CAST(s_click AS BIGINT) AS s_click, zeros_click,
+           CAST(s_view AS BIGINT) AS s_view, zeros_view,
+           CAST(s_union AS BIGINT) AS s_union, zeros_union,
            overlap_exact
-    FROM ests, est_u, exact
+    FROM pivoted, uni_row, exact
     """
 
 
@@ -626,20 +623,28 @@ def _hll_overlap_oracle() -> str:
     "hll_overlap_users",
     oracle=_hll_overlap_oracle(),
     survey_ids=("B21", "B28", "B16"),
-    description="HLL set algebra: audience-overlap estimate by inclusion-exclusion on merged registers",
+    description="HLL set algebra: per-set + MERGED-union register sketches for audience overlap",
 )
 def hll_overlap_users(spark: SparkSession, sf: str) -> DataFrame:
-    """Audience overlap WITHOUT re-scanning raw ids: |A ∩ B| est =
-    est(A) + est(B) − est(A ∪ B), where the union estimate comes from
-    MERGING the two groups' HLL registers (bucket-wise MAX) — the set
-    algebra that makes sketches the only affordable shape for N-way
-    audience overlap matrices at 100 TB (the exact pairwise INTERSECT
-    re-shuffles raw ids per pair; register merges are 4096-row MAXes).
+    """Audience overlap WITHOUT re-scanning raw ids: the mergeable
+    ingredients for |A ∩ B| = est(A) + est(B) − est(A ∪ B), where the
+    union sketch is the bucket-wise MAX merge of the two groups'
+    registers — the set algebra that makes N-way overlap matrices
+    affordable at 100 TB (exact pairwise INTERSECT re-shuffles raw
+    ids per pair; register merges are 4096-row MAXes).
 
-    Same md5-family register pipeline as hll_verified_users_by_type
-    (bit-replayable in DuckDB, raw estimates only — no ln-based bias
-    correction inside the hash contract); the exact overlap rides
-    along as the in-query accuracy witness.
+    Emits, per set (A, B, A∪B): the integer harmonic sum
+    ``s_* = Σ 2^(49-rho)`` over PRESENT registers plus the zero-
+    register count — the exact sufficient statistics for BOTH
+    estimator regimes. The estimate itself is consumer-side on
+    purpose, twice over: (1) the hash-contract rule keeps ln() out of
+    compared values, and (2) the regime CHOICE is an estimator
+    policy, not data — raw alpha*m²*2^49/s for large cardinalities,
+    linear counting m*ln(m/zeros) when zeros is high (at this
+    fixture's ~150 users the raw form overestimates ~10x, which is
+    exactly why the correction exists; tests/test_r9_ops.py asserts
+    the corrected inclusion-exclusion lands within tolerance of the
+    exact overlap carried alongside).
     """
     from ag_data_ingestion_github_to_snowflake_spark.operators import hll
 
@@ -647,35 +652,28 @@ def hll_overlap_users(spark: SparkSession, sf: str) -> DataFrame:
         F.col("event_type").isin("click", "view")
     )
     regs = hll.hll_registers(ev, "user_id", ["event_type"])
-    per = hll.hll_estimate(regs, ["event_type"])
-    ests = per.groupBy().agg(
-        F.max(
-            F.when(F.col("event_type") == "click", F.col("distinct_est_raw"))
-        ).alias("est_click"),
-        F.max(
-            F.when(F.col("event_type") == "view", F.col("distinct_est_raw"))
-        ).alias("est_view"),
-    )
+
+    def suff(r, tag):
+        return r.agg(
+            F.sum(
+                F.pow(F.lit(2.0), F.lit(49) - F.col("rho")).cast("long")
+            ).cast("bigint").alias(f"s_{tag}"),
+            (F.lit(hll.M_REGISTERS) - F.count(F.lit(1)))
+            .cast("bigint")
+            .alias(f"zeros_{tag}"),
+        )
+
+    per_click = suff(regs.filter(F.col("event_type") == "click"), "click")
+    per_view = suff(regs.filter(F.col("event_type") == "view"), "view")
     regs_u = regs.groupBy("bucket").agg(F.max("rho").alias("rho"))
-    est_u = hll.hll_estimate(regs_u.withColumn("_g", F.lit(1)), ["_g"]).select(
-        F.col("distinct_est_raw").alias("est_union")
-    )
+    per_union = suff(regs_u, "union")
     clicks = ev.filter(F.col("event_type") == "click").select("user_id")
     views = ev.filter(F.col("event_type") == "view").select("user_id")
-    exact = (
-        clicks.intersect(views)
-        .agg(F.count(F.lit(1)).cast("bigint").alias("overlap_exact"))
+    exact = clicks.intersect(views).agg(
+        F.count(F.lit(1)).cast("bigint").alias("overlap_exact")
     )
     return (
-        ests.crossJoin(F.broadcast(est_u))
+        per_click.crossJoin(F.broadcast(per_view))
+        .crossJoin(F.broadcast(per_union))
         .crossJoin(F.broadcast(exact))
-        .select(
-            "est_click",
-            "est_view",
-            "est_union",
-            (F.col("est_click") + F.col("est_view") - F.col("est_union")).alias(
-                "overlap_est_raw"
-            ),
-            "overlap_exact",
-        )
     )
