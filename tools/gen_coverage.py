@@ -124,10 +124,13 @@ def driver_ledger(specs) -> list[str]:
             f"**r{next_round + 1} window (pinned):** the {len(tail)} names "
             f"still unchecked after a green r{next_round} — "
             + ", ".join(tail_fmt)
-            + " — plus a re-check of the 15-name sole-carrier core "
-            "(the r4 window head: filter_all_notnull_customer ... "
-            "dedup_simhash_pairs); remaining slots re-green the most "
-            "stale previously-checked names."
+            + " — plus the 7 TPC-H-gap analogs deferred from the r9 "
+            "draw (profit_by_nation_year, nation_volume_flows, "
+            "market_share_by_year, customer_order_distribution, "
+            "top_supplier_revenue, small_quantity_revenue, "
+            "waiting_suppliers — last driver check r4); remaining "
+            "slots re-green the most stale previously-checked names "
+            "(the r5 cohort after a green r9)."
         )
     return lines
 
