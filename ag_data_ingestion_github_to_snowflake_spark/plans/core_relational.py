@@ -2197,3 +2197,69 @@ def exact_auc_quality_english(spark: SparkSession, sf: str) -> DataFrame:
         F.col("r_pos") - F.col("n_pos") * (F.col("n_pos") + F.lit(1)) / F.lit(2.0)
     ) / (F.col("n_pos").cast("double") * F.col("n_neg"))
     return s.select("n_pos", "n_neg", auc.alias("auc"))
+
+
+# ---------------------------------------------------------------------------
+# C169 retraction-aware incremental view maintenance: signed deltas
+# ---------------------------------------------------------------------------
+@register(
+    "retractable_rollup_maintenance",
+    # The final maintained state must equal a from-scratch recompute
+    # of the post-delta world: base orders (pre-1997) minus the
+    # retracted every-10th order plus the 1997+ inserts.
+    oracle="""
+    WITH world AS (
+      SELECT o_orderpriority AS pri, o_totalprice AS x
+      FROM orders
+      WHERE (o_orderdate < TIMESTAMP '1997-01-01' AND o_orderkey % 10 != 0)
+         OR o_orderdate >= TIMESTAMP '1997-01-01'
+    )
+    SELECT pri,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM world GROUP BY pri
+    """,
+    survey_ids=("B16", "B27", "B44"),
+    description="Incremental rollup maintenance under retractions: signed-delta merge == recompute",
+)
+def retractable_rollup_maintenance(spark: SparkSession, sf: str) -> DataFrame:
+    """Materialized-view maintenance with DELETES — the step beyond
+    append-only incremental rollups (rollup_incremental_merge): a
+    delta batch carries inserts AND retractions, each applied as a
+    SIGNED contribution (+1/count, +x/sum for inserts; -1, -x for
+    retractions), so the maintained aggregate never re-reads the base
+    fact table. This is how streaming update-mode aggregations and
+    warehouse MV refresh stay O(delta) instead of O(history) — the
+    only affordable refresh at 100 TB of history with GB-sized deltas.
+
+    Base: pre-1997 orders rolled up per priority. Delta: every 10th
+    pre-1997 order retracted + all 1997+ orders inserted (both rules
+    deterministic). Decimal accumulators make base ⊕ delta EXACTLY
+    equal the from-scratch recompute the oracle runs — associativity
+    of the signed merge is the property under test, and decimals make
+    it hold bit-for-bit, not just approximately.
+    """
+    o = t(spark, sf, "orders")
+    cut = F.lit("1997-01-01").cast("timestamp")
+    signed = F.struct(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("sign"),
+        (F.col("sign") * F.col("o_totalprice")).cast("decimal(18,6)").alias("sx"),
+    )
+    base = o.filter(F.col("o_orderdate") < cut).withColumn("sign", F.lit(1))
+    retract = (
+        o.filter((F.col("o_orderdate") < cut) & (F.col("o_orderkey") % 10 == 0))
+        .withColumn("sign", F.lit(-1))
+    )
+    insert = o.filter(F.col("o_orderdate") >= cut).withColumn("sign", F.lit(1))
+    allrows = base.unionByName(retract).unionByName(insert).select(
+        signed.alias("s")
+    )
+    return (
+        allrows.select("s.*")
+        .groupBy("pri")
+        .agg(
+            F.sum("sign").cast("bigint").alias("n"),
+            F.sum("sx").cast("double").alias("total"),
+        )
+    )

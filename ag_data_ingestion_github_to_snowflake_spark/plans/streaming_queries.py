@@ -897,3 +897,130 @@ def streaming_drift_monitor(spark: SparkSession, sf: str) -> DataFrame:
         .cast("double")
         .alias("chi2_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C168 streaming dead-letter queue: poison pills routed, never dropped,
+# never fatal
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_dlq_ingest",
+    # Corruption is seeded by the deterministic every-13th rule (the
+    # corrupt_json_quarantine convention), so the expected main/DLQ
+    # split — across BOTH streamed micro-batches — is computable from
+    # the clean fixture alone; the oracle never reads staged files.
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN doc_id % 13 != 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_main,
+           CAST(SUM(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dlq,
+           CAST(SUM(CASE WHEN doc_id % 13 != 0 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS main_chars
+    FROM documents WHERE doc_id < 500
+    """,
+    survey_ids=("B50", "B44", "A14", "B2"),
+    description="Streaming dead-letter queue: per-micro-batch corrupt rows routed to a DLQ table",
+)
+def streaming_dlq_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """The production poison-pill contract: a malformed record must
+    neither kill the stream (one bad byte stalling a 100 TB/day
+    pipeline) nor vanish (silent data loss) — it routes to a
+    dead-letter table WITH its raw bytes for forensics, inside the
+    SAME foreachBatch transaction as the main-path append, so replays
+    stay consistent for both tables.
+
+    Two JSONL micro-batch files (every 13th record truncated
+    mid-object) stream one file per trigger; each batch parses
+    PERMISSIVE with ``_corrupt_record``, appends valid rows to the
+    main table and corrupt raw lines to the DLQ. The returned counts
+    aggregate BOTH materialized tables and must hash-match the
+    seeding rule computed from the clean fixture.
+    """
+    docs = t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    base = stage_dir("ag_stream_dlq", sf)
+    src = os.path.join(base, "src")
+    main_tbl = os.path.join(base, "main")
+    dlq_tbl = os.path.join(base, "dlq")
+    cp = os.path.join(base, "cp")
+    marker = os.path.join(src, "_staged")
+    ref = os.path.join(sf, "documents.parquet")
+    if not os.path.exists(marker) or os.path.getmtime(marker) < os.path.getmtime(
+        ref if not os.path.isdir(ref) else os.path.join(ref, os.listdir(ref)[0])
+    ):
+        shutil.rmtree(src, ignore_errors=True)
+        os.makedirs(src)
+        line = F.to_json(F.struct("doc_id", "lang", "n_chars"))
+        staged = docs.select(
+            F.col("doc_id"),
+            F.when(F.col("doc_id") % 13 == 0, F.substring(line, 1, 10))
+            .otherwise(line)
+            .alias("value"),
+        )
+        # two deterministic halves -> two genuine micro-batches
+        for i, half in enumerate(
+            (staged.filter(F.col("doc_id") % 2 == i) for i in range(2))
+        ):
+            rows = [r["value"] for r in half.select("value").collect()]
+            p = os.path.join(src, f"b{i}.jsonl")
+            with open(p, "w") as fh:
+                fh.write("\n".join(rows))
+            os.utime(p, (1_700_000_000 + i * 10,) * 2)
+        write_marker(marker)
+    for d in (main_tbl, dlq_tbl, cp):
+        shutil.rmtree(d, ignore_errors=True)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    sdf = (
+        spark.readStream.schema(
+            T.StructType([T.StructField("value", T.StringType())])
+        )
+        .option("maxFilesPerTrigger", 1)
+        .text(src)
+    )
+
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        parsed = batch_df.select(
+            F.col("value"),
+            F.from_json(
+                "value", schema, {"mode": "PERMISSIVE"}
+            ).alias("rec"),
+        )
+        # from_json PERMISSIVE yields a null/partial struct for corrupt
+        # lines; the truncated seed never closes the object, so rec is
+        # NULL there and non-null doc_id marks the valid side.
+        valid = parsed.filter(F.col("rec.doc_id").isNotNull()).select("rec.*")
+        bad = parsed.filter(F.col("rec.doc_id").isNull()).select(
+            F.col("value").alias("raw"),
+        )
+        valid.write.mode("append").parquet(main_tbl)
+        bad.write.mode("append").parquet(dlq_tbl)
+
+    q = (
+        sdf.writeStream.foreachBatch(route)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", cp)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming DLQ ingest did not finish within 300s")
+    main = spark.read.parquet(main_tbl)
+    dlq = spark.read.parquet(dlq_tbl)
+    return (
+        main.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_main"),
+            F.sum("n_chars").cast("bigint").alias("main_chars"),
+        )
+        .crossJoin(
+            F.broadcast(
+                dlq.agg(F.count(F.lit(1)).cast("bigint").alias("n_dlq"))
+            )
+        )
+        .select("n_main", "n_dlq", "main_chars")
+    )

@@ -149,6 +149,9 @@ ALLOWED_FLAGS = {
     # estimate, exact-overlap witness) — 1x1 broadcast joins,
     # invariant in the data size.
     ("hll_overlap_users", "BroadcastNestedLoopJoin"),
+    # The returned summary attaches the 1-row DLQ-count aggregate to
+    # the 1-row main-table aggregate — a 1x1 broadcast scalar join.
+    ("streaming_dlq_ingest", "BroadcastNestedLoopJoin"),
     # Two exact brute-force top-k sides (full-dim + truncated), each
     # the LIMITed broadcast query batch streaming the corpus map-side.
     ("matryoshka_truncation_recall", "BroadcastNestedLoopJoin"),
