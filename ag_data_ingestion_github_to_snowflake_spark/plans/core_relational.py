@@ -2263,3 +2263,105 @@ def retractable_rollup_maintenance(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("sx").cast("double").alias("total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C171 per-group quantile transform: exact percent_rank features
+# without the per-group sort wall
+# ---------------------------------------------------------------------------
+@register(
+    "quantile_transform_by_type",
+    # Oracle keeps the textbook per-group percent_rank window (exact
+    # integers in, one division out — bit-exact); the Spark side must
+    # produce the identical ranks from the grouped two-level scan.
+    oracle="""
+    WITH g AS (
+      SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE event_type IN ('click', 'view', 'purchase')
+      GROUP BY event_type, value
+    ),
+    r AS (
+      SELECT event_type, value, n,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY value
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n AS cum_less,
+             SUM(n) OVER (PARTITION BY event_type) AS n_grp
+      FROM g
+    )
+    SELECT event_type, value,
+           n,
+           CASE WHEN n_grp > 1
+                THEN CAST(cum_less AS DOUBLE) / (n_grp - 1)
+                ELSE 0.0 END AS pct_rank
+    FROM r
+    WHERE value < 5.0
+    """,
+    survey_ids=("B23", "B29", "B16"),
+    description="Exact per-group percent_rank (quantile transform) via grouped two-level scan",
+)
+def quantile_transform_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    """The quantile transform (a.k.a. rank-gauss prep, percentile
+    features): map each value to its exact percent rank WITHIN its
+    group — the feature normalization that survives skew and outliers
+    where z-scores don't. The naive form is a per-group ORDER BY
+    window: with few groups that concentrates each group's full
+    series in one task (the C89 window wall). Grouped TWO-LEVEL scan
+    instead: per-(group, value) counts, per-(group, bucket) totals
+    prefix-summed within each group (tiny), in-bucket windows
+    partitioned by (group, bucket) — every stage parallel across
+    buckets x groups.
+
+    Emits the distinct-value rank table (value < 5.0 keeps the
+    compared slice bounded); joining it back to the stream is the
+    map-side application step at train time. percent_rank convention:
+    strict-less count / (n_group - 1), ties share a rank — identical
+    to SQL PERCENT_RANK on the expanded rows.
+    """
+    ev = t(spark, sf, "events").filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+    g = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    b = g.withColumn("bkt", F.floor(F.col("value") / F.lit(5.0)).cast("long"))
+    per = b.groupBy("event_type", "bkt").agg(F.sum("n").alias("bn"))
+    w_b = (
+        Window.partitionBy("event_type")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_g = Window.partitionBy("event_type")
+    carry = per.select(
+        "event_type",
+        "bkt",
+        (F.sum("bn").over(w_b) - F.col("bn")).alias("carry"),
+        F.sum("bn").over(w_g).alias("n_grp"),
+    )
+    w_in = (
+        Window.partitionBy("event_type", "bkt")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = (
+        b.join(carry, ["event_type", "bkt"])
+        .select(
+            "event_type",
+            "value",
+            F.col("n").cast("bigint").alias("n"),
+            (F.col("carry") + F.sum("n").over(w_in) - F.col("n")).alias(
+                "cum_less"
+            ),
+            "n_grp",
+        )
+    )
+    return ranked.filter(F.col("value") < 5.0).select(
+        "event_type",
+        "value",
+        "n",
+        F.when(
+            F.col("n_grp") > 1,
+            F.col("cum_less").cast("double") / (F.col("n_grp") - F.lit(1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pct_rank"),
+    )

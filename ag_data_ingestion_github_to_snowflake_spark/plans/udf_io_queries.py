@@ -11,6 +11,7 @@
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 from collections.abc import Iterator
 
@@ -806,5 +807,84 @@ def parquet_bloom_pointlookup(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C170 small-file compaction: the lakehouse maintenance job
+# ---------------------------------------------------------------------------
+@register(
+    "small_file_compaction",
+    # The oracle checks CONTENT invariance from the original table
+    # (layout is cost, not meaning): row count, exact decimal value
+    # sum, and the deterministic before/after file counts.
+    oracle="""
+    SELECT CAST(64 AS BIGINT) AS files_before,
+           CAST(8 AS BIGINT) AS files_after,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    """,
+    survey_ids=("B1", "B3", "B16"),
+    description="Small-file compaction: 64 fragment files rewritten to 8 range-clustered files, content-invariant",
+)
+def small_file_compaction(spark: SparkSession, sf: str) -> DataFrame:
+    """THE lakehouse maintenance job: streaming ingest leaves
+    thousands of KB-sized files per partition (every micro-batch
+    commit is >=1 file per task), and each one costs a listing call,
+    a footer read, and a task at scan time — at 100 TB the small-file
+    tax dominates query latency long before data volume does.
+    Compaction rewrites fragments into target-sized files; here the
+    rewrite also RANGE-CLUSTERS by timestamp (repartitionByRange), so
+    post-compaction files carry tight min/max ts stats and time-range
+    queries prune at the file level — compaction and clustering in
+    one pass, which is how production table services schedule it.
+
+    Stage: events fractured into 64 fragment files (deterministic
+    hash split). Compact: read fragments -> repartitionByRange(8, ts)
+    -> write. Verify: file counts before/after plus content
+    invariance (count + exact decimal sum) against the ORIGINAL
+    table — a compaction that loses or duplicates a row is worse
+    than no compaction.
+    """
+    from ag_data_ingestion_github_to_snowflake_spark.sources.staging import (
+        stage_dir,
+        write_marker,
+    )
+
+    ev = t(spark, sf, "events")
+    base = stage_dir("ag_compact", sf)
+    frag = os.path.join(base, "fragments")
+    marker = os.path.join(frag, "_staged")
+    if not os.path.exists(marker):
+        shutil.rmtree(frag, ignore_errors=True)
+        ev.repartition(64, F.col("event_id")).write.mode("overwrite").parquet(
+            frag
+        )
+        write_marker(marker)
+    compact = os.path.join(base, "compacted")
+    shutil.rmtree(compact, ignore_errors=True)
+    frags = spark.read.parquet(frag)
+    frags.repartitionByRange(8, F.col("ts")).write.mode("overwrite").parquet(
+        compact
+    )
+
+    def n_parquet(d: str) -> int:
+        return sum(1 for p in os.listdir(d) if p.endswith(".parquet"))
+
+    back = spark.read.parquet(compact)
+    return (
+        back.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.lit(n_parquet(frag)).cast("bigint").alias("files_before"),
+            F.lit(n_parquet(compact)).cast("bigint").alias("files_after"),
+            "n_rows",
+            "total_value",
         )
     )
