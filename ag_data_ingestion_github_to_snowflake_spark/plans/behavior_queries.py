@@ -916,3 +916,174 @@ def seasonal_baseline_anomalies(spark: SparkSession, sf: str) -> DataFrame:
             > F.lit(3) * F.lit(1.482602218505602) * F.col("mad")
         ).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C172 CUSUM change-point detection over the daily series
+# ---------------------------------------------------------------------------
+@register(
+    "cusum_changepoint_daily",
+    # CUSUM+ via the window identity: S_t - min_{s<=t} S_s, where
+    # S_t = cumsum(x - target). No recursion (Page's textbook
+    # recurrence needs one), no libm; target = first-week mean with
+    # exact decimal division kept as DOUBLE once at the end.
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    target AS (
+      SELECT CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mu
+      FROM (SELECT n FROM daily ORDER BY day LIMIT 7)
+    ),
+    s AS (
+      SELECT day, n,
+             SUM(n - mu) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) AS cs
+      FROM daily, target
+    ),
+    c AS (
+      SELECT day, n, ROUND(cs - MIN(cs) OVER (ORDER BY day ROWS BETWEEN
+                     UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cusum_pos
+      FROM s
+    )
+    SELECT day3 AS day, n, cusum_pos,
+           CAST(cusum_pos > 50.0 AS BOOLEAN) AS alarm
+    FROM (SELECT CAST(day AS TIMESTAMP) AS day3, n, cusum_pos FROM c)
+    """,
+    survey_ids=("B29", "B31", "B16"),
+    description="CUSUM change-point detection: cumsum-minus-running-min identity, no recursion",
+)
+def cusum_changepoint_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Page's CUSUM detector over the daily event-count series: flag
+    the day a persistent level shift accumulates past threshold h —
+    the sequential test that catches slow drifts a per-day 3-sigma
+    band never trips on. Page's recurrence C+_t = max(0, C+_{t-1} +
+    x_t - mu) is RECURSIVE, which neither SQL windows nor Spark can
+    express directly; the identity C+_t = S_t - min_{s<=t}(S_s) with
+    S_t = cumsum(x_t - mu) turns it into two ordinary cumulative
+    windows over the CALENDAR-BOUNDED daily series (thousands of rows
+    at any data scale — the raw stream reduces to it in one
+    map-side-combined shuffle, so the 'global window' here is safe by
+    cardinality, not by luck). Baseline mu = the first week's mean.
+    """
+    ev = t(spark, sf, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    first7 = daily.orderBy("day").limit(7)
+    target = first7.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mu")
+    )
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = daily.crossJoin(F.broadcast(target)).select(
+        "day", "n", F.sum(F.col("n") - F.col("mu")).over(w_cum).alias("cs")
+    )
+    c = s.select(
+        "day",
+        "n",
+        F.round(F.col("cs") - F.min("cs").over(w_cum), 6).alias("cusum_pos"),
+    )
+    return c.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "n",
+        "cusum_pos",
+        (F.col("cusum_pos") > F.lit(50.0)).alias("alarm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C173 strict-order 3-step funnel with per-step conversion windows
+# ---------------------------------------------------------------------------
+@register(
+    "ordered_funnel_3step",
+    oracle="""
+    WITH signups AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    clicks AS (
+      SELECT s.user_id, s.t1, MIN(e.ts) AS t2
+      FROM signups s JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'click'
+       AND e.ts > s.t1 AND e.ts <= s.t1 + INTERVAL 7 DAY
+      GROUP BY s.user_id, s.t1
+    ),
+    purchases AS (
+      SELECT c.user_id, MIN(e.ts) AS t3
+      FROM clicks c JOIN events e
+        ON e.user_id = c.user_id AND e.event_type = 'purchase'
+       AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 7 DAY
+      GROUP BY c.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM signups) AS BIGINT) AS n_step1,
+           CAST((SELECT COUNT(*) FROM clicks) AS BIGINT) AS n_step2,
+           CAST((SELECT COUNT(*) FROM purchases) AS BIGINT) AS n_step3
+    """,
+    survey_ids=("B14", "B16", "B29"),
+    description="Strict-order signup->click->purchase funnel, 7-day windows per step",
+)
+def ordered_funnel_3step(spark: SparkSession, sf: str) -> DataFrame:
+    """The ordered multi-step funnel: users who signed up, THEN
+    clicked within 7 days of the signup, THEN purchased within 7 days
+    of that click — strict ordering with per-step conversion windows,
+    the shape product analytics calls a 'windowed funnel' (the 2-step
+    funnel_click_purchase_daily has no per-step window chain).
+
+    Each step is a user-keyed equi-join + MIN aggregation (earliest
+    qualifying event — the standard first-conversion rule), so the
+    whole chain is three shuffles on user_id: linear, skew-free, and
+    extendable to N steps by composition. Step tables shrink
+    monotonically, so later joins get cheaper, not costlier.
+    """
+    ev = t(spark, sf, "events")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    clicks = (
+        signups.join(
+            ev.filter(F.col("event_type") == "click").select(
+                "user_id", F.col("ts").alias("tc")
+            ),
+            "user_id",
+        )
+        .filter(
+            (F.col("tc") > F.col("t1"))
+            & (F.col("tc") <= F.col("t1") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("user_id", "t1")
+        .agg(F.min("tc").alias("t2"))
+    )
+    purchases = (
+        clicks.join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts").alias("tp")
+            ),
+            "user_id",
+        )
+        .filter(
+            (F.col("tp") > F.col("t2"))
+            & (F.col("tp") <= F.col("t2") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("tp").alias("t3"))
+    )
+    return (
+        signups.agg(F.count(F.lit(1)).cast("bigint").alias("n_step1"))
+        .crossJoin(
+            F.broadcast(
+                clicks.agg(F.count(F.lit(1)).cast("bigint").alias("n_step2"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                purchases.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_step3")
+                )
+            )
+        )
+    )

@@ -152,6 +152,11 @@ ALLOWED_FLAGS = {
     # The returned summary attaches the 1-row DLQ-count aggregate to
     # the 1-row main-table aggregate — a 1x1 broadcast scalar join.
     ("streaming_dlq_ingest", "BroadcastNestedLoopJoin"),
+    # The 1-row first-week-mean target attaches to the calendar-
+    # bounded daily series via a broadcast cross join.
+    ("cusum_changepoint_daily", "BroadcastNestedLoopJoin"),
+    # The three per-step counts are 1-row aggregates joined 1x1x1.
+    ("ordered_funnel_3step", "BroadcastNestedLoopJoin"),
     # Two exact brute-force top-k sides (full-dim + truncated), each
     # the LIMITed broadcast query batch streaming the corpus map-side.
     ("matryoshka_truncation_recall", "BroadcastNestedLoopJoin"),
