@@ -1087,3 +1087,99 @@ def ordered_funnel_3step(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C174 RFM segmentation: recency/frequency/monetary quintile scores
+# ---------------------------------------------------------------------------
+@register(
+    "rfm_segmentation_users",
+    # Value-based quintile binning (1 + count of cuts strictly below),
+    # NOT NTILE: ties share a score deterministically, and the cut
+    # points come from the engines' shared linear-interpolation
+    # percentile. Monetary is an exact decimal sum so per-user values
+    # — and therefore every cut comparison — are bit-identical.
+    oracle="""
+    WITH bounds AS (SELECT MAX(ts) AS mx FROM events),
+    per_user AS (
+      SELECT user_id,
+             date_diff('day', CAST(MAX(ts) AS DATE), CAST((SELECT mx FROM bounds) AS DATE)) AS recency,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+      FROM events GROUP BY user_id
+    ),
+    cuts AS (
+      SELECT quantile_cont(recency, [0.2, 0.4, 0.6, 0.8]) AS rc,
+             quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fc,
+             quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mc
+      FROM per_user
+    ),
+    scored AS (
+      SELECT user_id, monetary,
+             6 - (1 + len(list_filter(rc, c -> recency > c))) AS r_score,
+             1 + len(list_filter(fc, c -> freq > c)) AS f_score,
+             1 + len(list_filter(mc, c -> monetary > c)) AS m_score
+      FROM per_user, cuts
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(monetary AS DECIMAL(18,6))) AS DOUBLE) AS segment_value
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    """,
+    survey_ids=("B16", "B23", "B33"),
+    description="RFM segmentation: value-based quintile scores per user, segment rollup",
+)
+def rfm_segmentation_users(spark: SparkSession, sf: str) -> DataFrame:
+    """The marketer's workhorse: score every user 1-5 on Recency
+    (days since last event, inverted so recent = 5), Frequency, and
+    Monetary value, then roll up the 5x5x5 segment grid — 'champions'
+    are (5,5,5), 'at-risk big spenders' are (1-2, *, 4-5), and the
+    segment table drives the campaign.
+
+    Binning is VALUE-based (1 + cuts strictly below, quintile cut
+    points from the shared interpolated percentile), not NTILE: ties
+    share a score — deterministic under any partitioning, where
+    NTILE's positional split of ties is not. One user-keyed
+    aggregation (linear), one broadcast 1-row cut table, one
+    125-cell-bounded rollup. Monetary flows through exact decimal
+    sums end to end, so every cut comparison is bit-identical across
+    engines.
+    """
+    ev = t(spark, sf, "events")
+    mx = ev.agg(F.max("ts").alias("mx"))
+    per_user = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.max(F.col("mx")).cast("date"), F.max("ts").cast("date")
+            ).alias("recency"),
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    cuts = per_user.agg(
+        F.expr("percentile(recency, array(0.2, 0.4, 0.6, 0.8))").alias("rc"),
+        F.expr("percentile(freq, array(0.2, 0.4, 0.6, 0.8))").alias("fc"),
+        F.expr("percentile(monetary, array(0.2, 0.4, 0.6, 0.8))").alias("mc"),
+    )
+    def score(col, cut_col):
+        return F.lit(1) + F.size(
+            F.filter(F.col(cut_col), lambda c: F.col(col) > c)
+        )
+    scored = per_user.crossJoin(F.broadcast(cuts)).select(
+        "user_id",
+        "monetary",
+        (F.lit(6) - score("recency", "rc")).alias("r_score"),
+        score("freq", "fc").alias("f_score"),
+        score("monetary", "mc").alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.col("monetary").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("segment_value"),
+    )

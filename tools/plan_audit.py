@@ -157,6 +157,9 @@ ALLOWED_FLAGS = {
     ("cusum_changepoint_daily", "BroadcastNestedLoopJoin"),
     # The three per-step counts are 1-row aggregates joined 1x1x1.
     ("ordered_funnel_3step", "BroadcastNestedLoopJoin"),
+    # Two 1-row broadcast attaches: the global max-ts row (recency
+    # anchor) and the quintile-cuts row.
+    ("rfm_segmentation_users", "BroadcastNestedLoopJoin"),
     # Two exact brute-force top-k sides (full-dim + truncated), each
     # the LIMITed broadcast query batch streaming the corpus map-side.
     ("matryoshka_truncation_recall", "BroadcastNestedLoopJoin"),

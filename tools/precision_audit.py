@@ -112,10 +112,14 @@ def main() -> None:
             print(f"{name:40s} {out[name]}")
     exact = sum(1 for v in out.values() if v["status"] == "bit_exact")
     print(f"\n{exact}/{len(out)} bit-exact")
-    if not sys.argv[1:]:
-        (ROOT / "PRECISION_AUDIT.json").write_text(
-            json.dumps(out, indent=1) + "\n"
-        )
+    dest = ROOT / "PRECISION_AUDIT.json"
+    if sys.argv[1:] and dest.exists():
+        merged = json.loads(dest.read_text())
+        merged.update(out)
+        out = merged
+    (ROOT / "PRECISION_AUDIT.json").write_text(
+        json.dumps(out, indent=1) + "\n"
+    )
 
 
 if __name__ == "__main__":
