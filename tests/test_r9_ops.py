@@ -225,3 +225,49 @@ def test_auc_rank_identity_extremes(spark):
     # everything tied at one score
     tied = [(1.0, 4, 6, 10)]
     assert auc(tied) == 0.5
+
+
+def test_asof_join_rejects_reserved_column_names(spark):
+    """The as-of union plan owns _ts/_side/_payload/_matched and the
+    in-payload _rts; inputs carrying them must be rejected up front
+    (silent collision produced ambiguous getField results before r9)."""
+    from ag_data_ingestion_github_to_snowflake_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "k long, ts_s string"
+    ).select("k", F.to_timestamp("ts_s").alias("ts"))
+    right_bad = left.withColumn("_rts", F.lit(1))
+    with pytest.raises(ValueError, match="reserves column names"):
+        asof_join(left, right_bad, on="k")
+    left_bad = left.withColumn("_side", F.lit(1))
+    with pytest.raises(ValueError, match="reserves column names"):
+        asof_join(left_bad, left, on="k")
+    # clean inputs still work
+    out = asof_join(left, left.withColumn("v", F.lit(7.0)), on="k",
+                    right_cols=["v"])
+    assert out.collect()[0]["v"] == 7.0
+
+
+def test_parquet_bloom_write_option_is_honored(spark, tmp_path):
+    """The bloom-filter write options must actually land in the file:
+    a bloom for ndv=100k adds ~130 KB per row group, so the with-bloom
+    file must be measurably larger than the without-bloom twin.
+    (Neither pyarrow nor DuckDB exposes the bloom offsets on this
+    build, so the size delta is the observable.)"""
+    import glob
+    import os
+
+    df = spark.range(100_000).selectExpr("id AS user_id", "id % 7 AS v").coalesce(1)
+    plain = str(tmp_path / "plain")
+    bloom = str(tmp_path / "bloom")
+    df.write.mode("overwrite").parquet(plain)
+    (
+        df.write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#user_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#user_id", "100000")
+        .parquet(bloom)
+    )
+    size = lambda d: sum(  # noqa: E731
+        os.path.getsize(p) for p in glob.glob(d + "/part-*.parquet")
+    )
+    assert size(bloom) > size(plain) + 50_000
