@@ -2365,3 +2365,75 @@ def quantile_transform_by_type(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("pct_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C177 join-fanout audit: catch the silent row-multiplication bug
+# ---------------------------------------------------------------------------
+@register(
+    "join_fanout_audit",
+    oracle="""
+    WITH l AS (
+      SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS ml
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT c_custkey AS k, CAST(COUNT(*) AS BIGINT) AS mr
+      FROM customer GROUP BY c_custkey
+    ),
+    j AS (SELECT l.k, l.ml, r.mr FROM l JOIN r USING (k))
+    SELECT CAST((SELECT COUNT(*) FROM l) AS BIGINT) AS left_keys,
+           CAST((SELECT COUNT(*) FROM r) AS BIGINT) AS right_keys,
+           CAST(SUM(CASE WHEN mr > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS right_dup_keys,
+           CAST(SUM(ml * mr) AS BIGINT) AS joined_rows,
+           CAST(SUM(ml) AS BIGINT) AS left_rows_matched,
+           CAST(SUM(ml * mr) - SUM(ml) AS BIGINT) AS fanout_extra_rows
+    FROM j
+    """,
+    survey_ids=("B16", "B10", "B18"),
+    description="Join-fanout audit: predicted join cardinality and duplicate-key exposure WITHOUT running the join",
+)
+def join_fanout_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """The warehouse's most common silent bug — a 'dimension' join
+    that quietly multiplies fact rows because the dim key isn't unique
+    — caught BEFORE running the join: per-side key multiplicities cost
+    two map-side-combined aggregations, and the exact joined row count
+    is sum(ml * mr) over shared keys. fanout_extra_rows > 0 means the
+    join would inflate the fact side (here 0: c_custkey is a true
+    key — the audit proving a 1:N join is safe is the point). At
+    100 TB this is two cheap aggregates vs discovering the blowup in
+    a 3-hour job's shuffle spill.
+    """
+    l = (
+        t(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ml"))
+    )
+    r = (
+        t(spark, sf, "customer")
+        .groupBy(F.col("c_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("mr"))
+    )
+    j = l.join(r, "k")
+    lk = l.agg(F.count(F.lit(1)).cast("bigint").alias("left_keys"))
+    rk = r.agg(F.count(F.lit(1)).cast("bigint").alias("right_keys"))
+    agg = j.agg(
+        F.sum((F.col("mr") > 1).cast("bigint")).cast("bigint").alias("right_dup_keys"),
+        F.sum(F.col("ml") * F.col("mr")).cast("bigint").alias("joined_rows"),
+        F.sum("ml").cast("bigint").alias("left_rows_matched"),
+    )
+    return (
+        lk.crossJoin(F.broadcast(rk))
+        .crossJoin(F.broadcast(agg))
+        .select(
+            "left_keys",
+            "right_keys",
+            "right_dup_keys",
+            "joined_rows",
+            "left_rows_matched",
+            (F.col("joined_rows") - F.col("left_rows_matched")).alias(
+                "fanout_extra_rows"
+            ),
+        )
+    )

@@ -2007,3 +2007,63 @@ def feature_hashing_vectorize(spark: SparkSession, sf: str) -> DataFrame:
             "transform(array_sort(collect_list(array(idx, cnt))), p -> p[1])"
         ).alias("values"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C175 inverted index: posting-list build + conjunctive query
+# ---------------------------------------------------------------------------
+@register(
+    "inverted_index_and_query",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id,
+             SUM(CASE WHEN tok = 'spark' THEN 1 ELSE 0 END) AS has_a,
+             SUM(CASE WHEN tok = 'window' THEN 1 ELSE 0 END) AS has_b
+      FROM toks WHERE tok IN ('spark', 'window')
+      GROUP BY doc_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM hits WHERE has_a = 1) AS BIGINT) AS df_spark,
+           CAST((SELECT COUNT(*) FROM hits WHERE has_b = 1) AS BIGINT) AS df_window,
+           CAST(COUNT(*) AS BIGINT) AS n_and,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM hits WHERE has_a = 1 AND has_b = 1
+    """,
+    survey_ids=("B56", "B41", "B16"),
+    description="Inverted index: per-token posting lists built once, conjunctive (AND) query answered by intersection",
+)
+def inverted_index_and_query(spark: SparkSession, sf: str) -> DataFrame:
+    """The search-engine primitive underneath BM25's scoring: build
+    per-token POSTING LISTS (sorted doc-id arrays, one shuffle keyed
+    by token with distinct-(doc, token) map-side combine), then answer
+    a conjunctive query — docs containing BOTH terms — by intersecting
+    two postings with ``array_intersect``, never rescanning the
+    corpus. At 100 TB the posting table is the queryable artifact:
+    build cost is one tokenize pass, and every subsequent term lookup
+    is an index point-read (here the two postings ride a 2-row
+    broadcast); df_* are the document frequencies BM25 would consume.
+    """
+    docs = t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+    ).distinct()
+    postings = (
+        toks.filter(F.col("tok").isin("spark", "window"))
+        .groupBy("tok")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+    )
+    two = postings.groupBy().agg(
+        F.max(F.when(F.col("tok") == "spark", F.col("docs"))).alias("pa"),
+        F.max(F.when(F.col("tok") == "window", F.col("docs"))).alias("pb"),
+    )
+    return two.select(
+        F.size("pa").cast("bigint").alias("df_spark"),
+        F.size("pb").cast("bigint").alias("df_window"),
+        F.size(F.array_intersect("pa", "pb")).cast("bigint").alias("n_and"),
+        F.array_min(F.array_intersect("pa", "pb"))
+        .cast("bigint")
+        .alias("first_doc"),
+    )

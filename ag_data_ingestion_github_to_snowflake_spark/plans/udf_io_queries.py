@@ -888,3 +888,88 @@ def small_file_compaction(spark: SparkSession, sf: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C176 partition-layout evolution: one logical table across two
+# physical partitioning schemes
+# ---------------------------------------------------------------------------
+@register(
+    "partition_evolution_union",
+    # The oracle reads the ORIGINAL events — layout evolution must be
+    # invisible to consumers (that's the whole contract).
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 day', ts) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+    survey_ids=("B1", "B3", "B16", "B33"),
+    description="Partition evolution: day-partitioned history + hour-partitioned recent read as ONE table",
+)
+def partition_evolution_union(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition-scheme evolution without a rewrite: history was
+    ingested day-partitioned; the pipeline later moved to hourly
+    partitions for fresher pruning — and 100 TB of history is exactly
+    what you never rewrite to match. The table facade reads BOTH
+    layouts (partition-discovery columns differ: dt vs dt/hr),
+    normalizes the discovered columns away, and unions — consumers
+    see one logical table; each side still prunes on its own scheme.
+    This is the manual form of what Iceberg/Delta call partition-spec
+    evolution, expressed with plain parquet + unionByName.
+
+    Stage once per fixture: events < Jan 16 written partitioned by
+    day, the rest by (day, hour). The verifying aggregate must equal
+    the one-shot SQL over the ORIGINAL table — evolution is a layout
+    fact, not a data fact.
+    """
+    from ag_data_ingestion_github_to_snowflake_spark.sources.staging import (
+        stage_dir,
+        write_marker,
+    )
+
+    ev = t(spark, sf, "events")
+    base = stage_dir("ag_part_evo", sf)
+    old = os.path.join(base, "daily")
+    new = os.path.join(base, "hourly")
+    marker = os.path.join(base, "_staged")
+    if not os.path.exists(marker):
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(new, ignore_errors=True)
+        cut = F.lit("2024-01-16").cast("timestamp")
+        (
+            ev.filter(F.col("ts") < cut)
+            .withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+            .write.mode("overwrite")
+            .partitionBy("dt")
+            .parquet(old)
+        )
+        (
+            ev.filter(F.col("ts") >= cut)
+            .withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+            .withColumn("hr", F.date_format("ts", "HH"))
+            .write.mode("overwrite")
+            .partitionBy("dt", "hr")
+            .parquet(new)
+        )
+        os.makedirs(base, exist_ok=True)
+        write_marker(marker)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    facade = (
+        spark.read.parquet(old).select(*cols)
+        .unionByName(spark.read.parquet(new).select(*cols))
+    )
+    return (
+        facade.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "1 day")["start"]
+            .cast("timestamp_ntz")
+            .alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

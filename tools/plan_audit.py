@@ -160,6 +160,9 @@ ALLOWED_FLAGS = {
     # Two 1-row broadcast attaches: the global max-ts row (recency
     # anchor) and the quintile-cuts row.
     ("rfm_segmentation_users", "BroadcastNestedLoopJoin"),
+    # The three per-side summary counts are 1-row aggregates joined
+    # 1x1x1 into the audit row.
+    ("join_fanout_audit", "BroadcastNestedLoopJoin"),
     # Two exact brute-force top-k sides (full-dim + truncated), each
     # the LIMITed broadcast query batch streaming the corpus map-side.
     ("matryoshka_truncation_recall", "BroadcastNestedLoopJoin"),
