@@ -2437,3 +2437,85 @@ def join_fanout_audit(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C178 randomized response: privacy-preserving rate estimation
+# ---------------------------------------------------------------------------
+@register(
+    "randomized_response_debias",
+    # The flip draw is md5-derived (deterministic replay, like every
+    # sampling contract here): flip when the 60-bit hash falls in the
+    # bottom quarter of its range — integer comparison, p = 1/4 exact.
+    oracle="""
+    WITH bits AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS truth,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                    || ':rr'), 1, 15)) AS BIGINT) < 288230376151711744
+                  THEN 1 ELSE 0 END AS flip
+      FROM events
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN flip = 1 THEN 1 - truth ELSE truth END)
+                  AS BIGINT) AS reported_yes,
+             CAST(SUM(truth) AS BIGINT) AS true_yes
+      FROM bits
+    )
+    SELECT n, reported_yes, true_yes,
+           CAST(reported_yes AS DOUBLE) / n AS reported_rate,
+           (CAST(reported_yes AS DOUBLE) / n - 0.25) / 0.5 AS debiased_rate,
+           CAST(true_yes AS DOUBLE) / n AS true_rate
+    FROM agg
+    """,
+    survey_ids=("B16", "B19", "B43"),
+    description="Randomized response (Warner 1965): flip bits at p=1/4, debias the aggregate - local-DP precursor",
+)
+def randomized_response_debias(spark: SparkSession, sf: str) -> DataFrame:
+    """Privacy-preserving rate estimation, the local-DP precursor:
+    each record's sensitive bit ('did this user purchase?') is
+    REPORTED FLIPPED with probability p = 1/4, so no individual row
+    can be trusted — yet the population rate recovers exactly as
+    (reported_rate − p) / (1 − 2p). The collector never needs the
+    true bits; this query carries them only as the accuracy witness.
+    Completes the privacy family: PII redaction strips identifiers,
+    k-anonymity bounds joinable risk, randomized response protects
+    the VALUES themselves.
+
+    The flip is an integer comparison on an md5-derived hash (p = 1/4
+    exactly: bottom quarter of the 60-bit range), so the perturbed
+    dataset — not just its aggregate — replays bit-identically in any
+    engine: an auditable privacy mechanism. One scan, one 1-row
+    aggregate; divisions on exact integers keep the whole output
+    bit-exact.
+    """
+    ev = t(spark, sf, "events")
+    truth = (F.col("event_type") == "purchase").cast("long")
+    flip = (
+        F.expr(
+            "CAST(conv(substring(md5(concat(CAST(event_id AS STRING), ':rr')),"
+            " 1, 15), 16, 10) AS BIGINT)"
+        )
+        < F.lit(288230376151711744)  # 2^60 / 4: p = 1/4 exact
+    ).cast("long")
+    bits = ev.select(truth.alias("truth"), flip.alias("flip"))
+    agg = bits.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("flip") == 1, 1 - F.col("truth")).otherwise(
+                F.col("truth")
+            )
+        )
+        .cast("bigint")
+        .alias("reported_yes"),
+        F.sum("truth").cast("bigint").alias("true_yes"),
+    )
+    rate = F.col("reported_yes").cast("double") / F.col("n")
+    return agg.select(
+        "n",
+        "reported_yes",
+        "true_yes",
+        rate.alias("reported_rate"),
+        ((rate - F.lit(0.25)) / F.lit(0.5)).alias("debiased_rate"),
+        (F.col("true_yes").cast("double") / F.col("n")).alias("true_rate"),
+    )
