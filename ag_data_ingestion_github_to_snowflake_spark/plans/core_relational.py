@@ -2519,3 +2519,146 @@ def randomized_response_debias(spark: SparkSession, sf: str) -> DataFrame:
         ((rate - F.lit(0.25)) / F.lit(0.5)).alias("debiased_rate"),
         (F.col("true_yes").cast("double") / F.col("n")).alias("true_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C180 split-conformal prediction intervals around an OLS fit
+# ---------------------------------------------------------------------------
+@register(
+    "split_conformal_ols",
+    # Splits are order-keyed sha256 gates (group-level, so lines of
+    # one order never straddle the boundary); the conformal quantile
+    # is the EXACT ceil((n+1)*0.9)-th order statistic of the round-6
+    # calibration residuals (the distribution-free guarantee needs the
+    # exact rank, not an interpolated percentile).
+    oracle="""
+    WITH gated AS (
+      SELECT l_quantity AS x, l_extendedprice AS y,
+             CAST(('0x' || substr(sha256(CAST(l_orderkey AS VARCHAR)), 1, 2))
+                  AS INT) AS hb
+      FROM lineitem
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2)))
+                  AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2)))
+                  AS DOUBLE) AS sxy
+      FROM gated WHERE hb < 170
+    ),
+    fit AS (
+      SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS a
+      FROM m
+    ),
+    cal AS (
+      SELECT ROUND(ABS(y - (a + b * x)), 6) AS r
+      FROM gated, fit WHERE hb >= 170 AND hb < 213
+    ),
+    cal_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
+    ranked AS (
+      SELECT r, SUM(cnt) OVER (ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum
+      FROM (SELECT r, COUNT(*) AS cnt FROM cal GROUP BY r)
+    ),
+    q AS (
+      SELECT MIN(r) AS q_hat
+      FROM ranked, cal_n
+      WHERE cum >= CEIL(0.9 * (n_cal + 1))
+    ),
+    test AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN ROUND(ABS(y - (a + b * x)), 6) <= q_hat
+                           THEN 1 ELSE 0 END) AS BIGINT) AS covered
+      FROM gated, fit, q WHERE hb >= 213
+    )
+    SELECT CAST((SELECT COUNT(*) FROM gated WHERE hb < 170) AS BIGINT)
+             AS n_train,
+           (SELECT n_cal FROM cal_n) AS n_cal,
+           n_test,
+           ROUND((SELECT q_hat FROM q), 6) AS q_hat,
+           CAST(covered AS DOUBLE) / n_test AS coverage
+    FROM test
+    """,
+    survey_ids=("B23", "B43", "B16"),
+    description="Split-conformal OLS intervals: exact rank-(ceil(.9(n+1))) calibration quantile, test coverage",
+)
+def split_conformal_ols(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution-free prediction intervals (split conformal,
+    Vovk et al. / Lei et al.): fit OLS on the train split, take the
+    ceil(0.9 * (n_cal + 1))-th smallest absolute residual on a held-
+    out CALIBRATION split as the interval half-width q, and the
+    guarantee P(|y - yhat| <= q) >= 0.9 holds on exchangeable test
+    data with NO distributional assumptions — the model-eval operator
+    that turns any point predictor into a calibrated interval, which
+    is what a 100 TB feature pipeline should ship alongside its fits.
+
+    Pieces already proven here, composed: exact-decimal OLS moments
+    (C144), sha256 group-level three-way split (train/cal/test on
+    ORDER keys so no order straddles a boundary), and the exact
+    order statistic via per-distinct-residual cumulative counts — the
+    conformal rank must be exact, not an interpolated percentile.
+    The test row reports realized coverage (~0.9) as the witness.
+    """
+    from ag_data_ingestion_github_to_snowflake_spark.plans.sampling_queries import (
+        hash_bucket,
+    )
+
+    li = t(spark, sf, "lineitem").select(
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+        hash_bucket(F.col("l_orderkey")).alias("hb"),
+    )
+    train = li.filter(F.col("hb") < 170)
+    cal = li.filter((F.col("hb") >= 170) & (F.col("hb") < 213))
+    test = li.filter(F.col("hb") >= 213)
+    DEC = "decimal(18,2)"
+    m = train.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        F.sum(F.col("x").cast(DEC) * F.col("x").cast(DEC)).cast("double").alias("sxx"),
+        F.sum(F.col("x").cast(DEC) * F.col("y").cast(DEC)).cast("double").alias("sxy"),
+    )
+    b_ = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit = m.select(b_.alias("b"), ((F.col("sy") - b_ * F.col("sx")) / F.col("n")).alias("a"))
+    resid = lambda df: F.round(  # noqa: E731
+        F.abs(F.col("y") - (F.col("a") + F.col("b") * F.col("x"))), 6
+    )
+    cal_r = cal.crossJoin(F.broadcast(fit)).select(resid(cal).alias("r"))
+    cal_n = cal_r.agg(F.count(F.lit(1)).cast("bigint").alias("n_cal"))
+    counts = cal_r.groupBy("r").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = counts.select("r", F.sum("cnt").over(w).alias("cum"))
+    q = (
+        ranked.crossJoin(F.broadcast(cal_n))
+        .filter(F.col("cum") >= F.ceil(F.lit(0.9) * (F.col("n_cal") + F.lit(1))))
+        .agg(F.min("r").alias("q_hat"))
+    )
+    tested = (
+        test.crossJoin(F.broadcast(fit))
+        .crossJoin(F.broadcast(q))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum((resid(test) <= F.col("q_hat")).cast("bigint"))
+            .cast("bigint")
+            .alias("covered"),
+        )
+    )
+    n_train = train.agg(F.count(F.lit(1)).cast("bigint").alias("n_train"))
+    return (
+        n_train.crossJoin(F.broadcast(cal_n))
+        .crossJoin(F.broadcast(tested))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "n_train",
+            "n_cal",
+            "n_test",
+            F.round("q_hat", 6).alias("q_hat"),
+            (F.col("covered").cast("double") / F.col("n_test")).alias("coverage"),
+        )
+    )

@@ -762,3 +762,110 @@ def ohlc_resample_events(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C179 time-weighted average (TWAP) with a TWO-LEVEL LEAD — the
+# window-wall fix family extended from prefix sums to lead/lag
+# ---------------------------------------------------------------------------
+@register(
+    "twap_daily_value",
+    # Convention (both engines): each event's value holds until the
+    # next event that day; the day's last event contributes 0 weight.
+    # Durations are exact integer microseconds and values flow through
+    # exact decimals, so the weighted mean is bit-exact.
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(ts AS DATE) AS day, ts, event_id, value FROM events
+    ),
+    d AS (
+      SELECT day, value,
+             epoch_us(LEAD(ts) OVER (PARTITION BY day
+                                     ORDER BY ts, event_id))
+               - epoch_us(ts) AS dur
+      FROM ev
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(COALESCE(dur, 0)) AS BIGINT) AS covered_us,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6)) * COALESCE(dur, 0))
+                      AS DOUBLE)
+                 / CAST(SUM(COALESCE(dur, 0)) AS DOUBLE), 6) AS twap
+    FROM d GROUP BY day
+    """,
+    survey_ids=("B30", "B31", "B16"),
+    description="Daily TWAP via two-level lead: in-bucket lead + next-bucket-first join, no per-day sort wall",
+)
+def twap_daily_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-weighted average value per day — the metric that is right
+    when observations arrive unevenly (a price quoted for 6 hours must
+    outweigh one quoted for 6 seconds; the plain AVG treats them
+    equally). Each value persists until the day's next event
+    (last event weights 0; the oracle shares the convention).
+
+    The naive plan is LEAD over (PARTITION BY day ORDER BY ts): with
+    ~30 day-partitions and data-scale rows per day, each day's full
+    series sorts in ONE task — the C89 window wall, now for a
+    NAVIGATION function where the prefix-sum fix doesn't apply
+    directly. TWO-LEVEL LEAD instead:
+
+    1. bucket rows by (day, hour-of-ts); in-bucket LEAD runs windows
+       partitioned by (day, bucket) — parallel across day x 24;
+    2. a per-(day, bucket) FIRST-EVENT table (tiny) takes its own
+       LEAD over buckets within the day, giving every bucket its
+       successor bucket's first timestamp;
+    3. bucket-LAST rows (in-bucket LEAD null) take that carry-in as
+       their duration end — exactly the row the naive LEAD would have
+       paired them with, because bucketing by the ORDER KEY makes
+       bucket-major order a refinement of the day order.
+
+    Empty buckets cost nothing (only non-empty buckets appear in the
+    first-event table, and LEAD there skips gaps by construction).
+    Durations stay exact integer microseconds; decimal value sums make
+    the weighted mean bit-exact.
+    """
+    ev = t(spark, sf, "events").select(
+        F.to_date("ts").alias("day"),
+        F.col("ts"),
+        "event_id",
+        "value",
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = ev.withColumn("bkt", F.hour("ts"))
+    w_in = Window.partitionBy("day", "bkt").orderBy("ts", "event_id")
+    # step 2: per-bucket first timestamp, then its successor within day
+    firsts = b.groupBy("day", "bkt").agg(F.min(F.struct("ts", "event_id")).alias("f"))
+    w_bkts = Window.partitionBy("day").orderBy("bkt")
+    nxt = firsts.select(
+        "day",
+        "bkt",
+        F.lead(F.col("f.ts")).over(w_bkts).alias("next_bucket_ts"),
+    )
+    d = (
+        b.withColumn("lead_ts", F.lead("ts").over(w_in))
+        .join(nxt, ["day", "bkt"])
+        .withColumn(
+            "end_ts", F.coalesce(F.col("lead_ts"), F.col("next_bucket_ts"))
+        )
+        .withColumn(
+            "dur",
+            F.coalesce(
+                F.unix_micros(F.col("end_ts").cast("timestamp")) - us,
+                F.lit(0),
+            ),
+        )
+    )
+    return d.groupBy(F.col("day").cast("timestamp").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("dur").cast("bigint").alias("covered_us"),
+        # numerator/denominator are EXACT (decimal sum / bigint sum);
+        # the one division runs in DOUBLE on both engines (Spark's
+        # decimal division truncates to scale 6, DuckDB's promotes —
+        # same inputs, different scales), then round-6.
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)") * F.col("dur"))
+            .cast("double")
+            / F.sum("dur").cast("double"),
+            6,
+        ).alias("twap"),
+    )

@@ -163,6 +163,10 @@ ALLOWED_FLAGS = {
     # The three per-side summary counts are 1-row aggregates joined
     # 1x1x1 into the audit row.
     ("join_fanout_audit", "BroadcastNestedLoopJoin"),
+    # Conformal attaches three 1-row scalars (the OLS fit, the
+    # calibration count, the conformal quantile) to data-scale scans
+    # via broadcast cross joins — all invariant in the data size.
+    ("split_conformal_ols", "BroadcastNestedLoopJoin"),
     # Two exact brute-force top-k sides (full-dim + truncated), each
     # the LIMITed broadcast query batch streaming the corpus map-side.
     ("matryoshka_truncation_recall", "BroadcastNestedLoopJoin"),
