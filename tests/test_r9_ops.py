@@ -271,3 +271,43 @@ def test_parquet_bloom_write_option_is_honored(spark, tmp_path):
         os.path.getsize(p) for p in glob.glob(d + "/part-*.parquet")
     )
     assert size(bloom) > size(plain) + 50_000
+
+
+def test_two_level_lead_equals_naive_lead(spark):
+    """C179's claim: in-bucket LEAD + next-bucket-first carry must
+    reproduce the naive per-day LEAD pairing exactly — including
+    single-row buckets, empty buckets (hour gaps), and day ends."""
+    rows = []
+    # staggered events: some hours dense, some empty, some single-row
+    for d in (1, 2):
+        for h, mins in [(0, [5, 20]), (3, [1]), (7, [2, 30, 59]), (23, [59])]:
+            for m in mins:
+                rows.append((f"2024-01-0{d} {h:02d}:{m:02d}:00", float(h * 60 + m)))
+    ev = spark.createDataFrame(rows, "ts_s string, value double").select(
+        F.to_timestamp("ts_s").alias("ts"), "value",
+        F.monotonically_increasing_id().alias("event_id"),
+    ).select(F.to_date("ts").alias("day"), "ts", "event_id", "value")
+
+    w_naive = Window.partitionBy("day").orderBy("ts", "event_id")
+    naive = {
+        (str(r["day"]), str(r["ts"])): str(r["nxt"])
+        for r in ev.withColumn("nxt", F.lead("ts").over(w_naive)).collect()
+    }
+
+    b = ev.withColumn("bkt", F.hour("ts"))
+    w_in = Window.partitionBy("day", "bkt").orderBy("ts", "event_id")
+    firsts = b.groupBy("day", "bkt").agg(
+        F.min(F.struct("ts", "event_id")).alias("f")
+    )
+    w_bkts = Window.partitionBy("day").orderBy("bkt")
+    nxt = firsts.select(
+        "day", "bkt", F.lead(F.col("f.ts")).over(w_bkts).alias("nb_ts")
+    )
+    two_level = {
+        (str(r["day"]), str(r["ts"])): str(r["end_ts"])
+        for r in b.withColumn("lead_ts", F.lead("ts").over(w_in))
+        .join(nxt, ["day", "bkt"])
+        .withColumn("end_ts", F.coalesce(F.col("lead_ts"), F.col("nb_ts")))
+        .collect()
+    }
+    assert two_level == naive
