@@ -74,73 +74,68 @@ def register(
 # cumulative ledger (CORRECTNESS_r*.json) must cover every SURVEY.md
 # §2 operator id carried by the registry.
 #
-# ROTATION (round 9): r8 went 48/50 full-pass (2 declared rows-only
-# rode along), leaving exactly 8 registry names never driver-checked.
-# This window clears them and refreshes the oldest (r4) cohort. Local
-# parity (tests/test_oracle_parity.py) covers the rotated-out tail
-# with the identical compare.
+# ROTATION (round 10): r9 went 50/50 full-pass, leaving exactly the 34
+# r9-addition names never driver-checked. This window clears ALL of
+# them (cumulative ledger hits 286/286 driver-checked on a green run),
+# then refreshes the 7 TPC-H-gap analogs deferred from the r9 draw
+# (last driver check r4), then the 9 stalest r5-cohort names. All 50
+# slots are oracle-bearing (INTENDED_ROWS_ONLY is empty). Local parity
+# (tests/test_oracle_parity.py) covers the rotated-out tail with the
+# identical compare.
 _PRIORITY: tuple[str, ...] = (
-    # -- r9 window (pinned in COVERAGE.md:365 at the r8 boundary) --
-    # Head: the 8 r8 additions that landed after the r8 window was
-    # drawn and have NEVER been driver-checked (local parity green);
-    # a green r9 brings the cumulative ledger to 252/252. Then the
-    # 9 sole-carrier names (each the ONLY registry carrier of some
-    # SURVEY ids) whose last driver check is r4, then the rest of the
-    # r4 cohort oldest-first. 7 TPC-H-gap analogs with heavy sibling
-    # join/agg coverage (profit_by_nation_year .. waiting_suppliers)
-    # defer to r10 for slot budget. All 50 slots are oracle-bearing.
-    "benford_first_digit_orders",
-    "corr_matrix_lineitem",
-    "drift_chi2_events",
-    "equidepth_histogram_totalprice",
-    "ols_price_by_quantity",
-    "scd2_customer_history",
-    "streaming_enriched_rollup",
-    "weighted_median_lineitem",
-    # -- sole-carrier core, last checked r4 --
-    "filter_all_notnull_customer",
-    "conditional_counts_orders",
-    "limit_first_orders",
-    "date_format_keys",
-    "from_unixtime_reset",
-    "nested_struct_flatten",
-    "json_sink_roundtrip",
-    "corrupt_json_quarantine",
-    "sliding_window_events",
-    # -- rest of the r4 cohort (last driver check r4) --
-    "funnel_click_purchase_daily",
-    "event_transition_matrix",
-    "user_event_paths",
-    "cumulative_distinct_users",
-    "kfold_assign_documents",
-    "pack_sequences_bins",
-    "weighted_sample_docs",
-    "temperature_mixture_sample",
-    "stratified_topk_sample",
-    "corpus_snapshot_diff",
-    "ssjoin_prefix_jaccard",
-    "dedup_simhash_pairs",
-    "multimodal_image_features",
-    "multimodal_decode_real",
-    "embedding_quantize_error",
-    "ngram_vocab_topk",
-    "tfidf_top_terms",
-    "similarity_topk_quantized",
-    "similarity_ivf_quantized",
-    "repetition_stats_docs",
-    "incremental_dedup_bloom",
-    "json_extract_props",
-    "local_supplier_volume",
-    "important_parts_share",
-    "priority_shipping_case_counts",
-    "returned_item_customers",
-    "disjunctive_predicate_revenue",
-    "streaming_tumbling_events",
-    "streaming_interval_join_events",
-    "window_rank_price",
-    "window_distribution_acctbal",
-    "window_value_funcs",
-    "window_range_frame_orders",
+    # -- the 34 r9 additions, never driver-checked (COVERAGE.md pin) --
+    "bitmap_distinct_users_by_type",
+    "bootstrap_ci_order_total",
+    "cdc_apply_changelog",
+    "contrastive_negative_sample",
+    "cusum_changepoint_daily",
+    "exact_auc_quality_english",
+    "feature_hashing_vectorize",
+    "hll_overlap_users",
+    "inverted_index_and_query",
+    "join_fanout_audit",
+    "k_anonymity_audit",
+    "ks_two_sample_value",
+    "last_touch_attribution",
+    "mann_whitney_value_clicks",
+    "matryoshka_truncation_recall",
+    "mix_shift_decomposition",
+    "multi_touch_attribution",
+    "ohlc_resample_events",
+    "ordered_funnel_3step",
+    "parquet_bloom_pointlookup",
+    "partition_evolution_union",
+    "quantile_transform_by_type",
+    "randomized_response_debias",
+    "retractable_rollup_maintenance",
+    "rfm_segmentation_users",
+    "rolling_distinct_users_7d",
+    "seasonal_baseline_anomalies",
+    "small_file_compaction",
+    "spatial_grid_neighbors",
+    "split_conformal_ols",
+    "streaming_dlq_ingest",
+    "streaming_drift_monitor",
+    "table_checksum_orders",
+    "twap_daily_value",
+    # -- the 7 TPC-H-gap analogs deferred from r9 (last checked r4) --
+    "profit_by_nation_year",
+    "nation_volume_flows",
+    "market_share_by_year",
+    "customer_order_distribution",
+    "top_supplier_revenue",
+    "small_quantity_revenue",
+    "waiting_suppliers",
+    # -- stalest r5-cohort re-greens (last driver check r5) --
+    "bucketed_join_colocated",
+    "html_text_extract",
+    "html_link_graph",
+    "pagerank_link_graph",
+    "arrow_ipc_roundtrip",
+    "warc_extract_records",
+    "audio_tags",
+    "video_container_meta",
+    "audio_container_meta",
 )
 
 

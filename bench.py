@@ -13,6 +13,10 @@ import sys
 import time
 from pathlib import Path
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution
+# needs `pd` in the function's globals under `from __future__ import
+# annotations` (local imports leave the stringified hint unresolvable)
+
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from ag_data_ingestion_github_to_snowflake_spark.plans.registry import all_specs
@@ -38,6 +42,19 @@ HEADLINE = [
     "rollup_cascade_daily",
     "shipping_priority_top10",
 ]
+
+# Arrow-UDF-heavy headliners (r10, VERDICT r9 item 2): these four swung
+# +-25% run-to-run against FLAT calibrations across the r9 closing runs
+# (spread 9.31-11.80s) — the noise lives in the Python-worker/Arrow
+# lane (worker spawn, Arrow IPC buffers, numpy thread pools), which
+# neither the CPU nor the I/O calibration exercises. They get an extra
+# rep (min-of-3) and a dedicated Arrow calibration plan below.
+UDF_HEAVY = {
+    "dedup_minhash_pairs",
+    "similarity_topk_cosine",
+    "grouped_zscore_events",
+    "embedding_near_dup",
+}
 
 
 def main() -> None:
@@ -110,6 +127,34 @@ def main() -> None:
 
     calibration_io = _calibrate_io()
 
+    # Arrow-lane calibration (r10): a fixed pandas-UDF plan over the
+    # embeddings fixture. The UDF-heavy headliners swing +-25% against
+    # flat CPU/IO calibrations because their cost is Python-worker +
+    # Arrow-IPC time, a third independent drift axis (worker reuse,
+    # fork latency, numpy/BLAS thread contention). If UDF-heavy queries
+    # move WITH calibration_arrow_sec, it's the Arrow lane, not plans.
+    def _calibrate_arrow() -> float:
+        import numpy as np
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import DoubleType
+
+        @F.pandas_udf(DoubleType())
+        def _l2(v: pd.Series) -> pd.Series:
+            return v.map(lambda a: float(np.sqrt(np.dot(a, a))))
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        best = None
+        for _ in range(2):
+            start = time.perf_counter()
+            emb.select(_l2("embedding").alias("n")).selectExpr(
+                "sum(n) as s", "count(*) as c"
+            ).write.format("noop").mode("overwrite").save()
+            t = time.perf_counter() - start
+            best = t if best is None else min(best, t)
+        return round(best, 3)
+
+    calibration_arrow = _calibrate_arrow()
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     # Noise control (r6 headline, extended r8 per VERDICT r7 item 2):
@@ -127,7 +172,8 @@ def main() -> None:
     EXPENSIVE_SEC = 2.0
     for name in names:
         best = None
-        for rep in range(2):
+        reps = 3 if name in UDF_HEAVY else 2
+        for rep in range(reps):
             start = time.perf_counter()
             try:
                 df = specs[name].build(spark, sf_dir)  # build inside the clock:
@@ -161,10 +207,13 @@ def main() -> None:
         # fixed calibration plan. Round-over-round deltas need the line
         # to say which clock produced it.
         "methodology": (
-            "single_shot" if single_shot else "min_of_2_headline_and_expensive"
+            "single_shot"
+            if single_shot
+            else "min_of_2_headline_and_expensive;min_of_3_udf_heavy"
         ),
         "calibration_sec": calibration,
         "calibration_io_sec": calibration_io,
+        "calibration_arrow_sec": calibration_arrow,
         "queries": headline,
         "full_total": round(sum(timings.values()), 3),
         "full_query_count": len(timings),

@@ -86,59 +86,33 @@ def test_window_plus_ledger_cover_every_survey_id():
     )
 
 
-# r9 window: clear-the-ledger round (VERDICT r8 item 1). The head-8
-# are the r8 additions that landed after the r8 window was drawn and
-# have never been driver-checked — first-time evidence, not re-checks.
-# Every other slot is an intended re-check of the oldest (r4) cohort:
-# the 9 sole-carrier names first, then 33 more r4 names (7 TPC-H-gap
-# analogs defer to r10 for slot budget).
+# r10 window: ledger-completion round (VERDICT r9 item 1). The head-34
+# are the r9 additions that have never been driver-checked — first-time
+# evidence, not re-checks; a green run brings the cumulative ledger to
+# 286/286. The remaining 16 slots are intended re-checks: the 7
+# TPC-H-gap analogs deferred from the r9 draw (last checked r4) plus
+# the 9 stalest r5-cohort names.
 INTENDED_RECHECKS: set[str] = {
-    "filter_all_notnull_customer",
-    "conditional_counts_orders",
-    "limit_first_orders",
-    "date_format_keys",
-    "from_unixtime_reset",
-    "nested_struct_flatten",
-    "json_sink_roundtrip",
-    "corrupt_json_quarantine",
-    "sliding_window_events",
-    "funnel_click_purchase_daily",
-    "event_transition_matrix",
-    "user_event_paths",
-    "cumulative_distinct_users",
-    "kfold_assign_documents",
-    "pack_sequences_bins",
-    "weighted_sample_docs",
-    "temperature_mixture_sample",
-    "stratified_topk_sample",
-    "corpus_snapshot_diff",
-    "ssjoin_prefix_jaccard",
-    "dedup_simhash_pairs",
-    "multimodal_image_features",
-    "multimodal_decode_real",
-    "embedding_quantize_error",
-    "ngram_vocab_topk",
-    "tfidf_top_terms",
-    "similarity_topk_quantized",
-    "similarity_ivf_quantized",
-    "repetition_stats_docs",
-    "incremental_dedup_bloom",
-    "json_extract_props",
-    "local_supplier_volume",
-    "important_parts_share",
-    "priority_shipping_case_counts",
-    "returned_item_customers",
-    "disjunctive_predicate_revenue",
-    "streaming_tumbling_events",
-    "streaming_interval_join_events",
-    "window_rank_price",
-    "window_distribution_acctbal",
-    "window_value_funcs",
-    "window_range_frame_orders",
+    "profit_by_nation_year",
+    "nation_volume_flows",
+    "market_share_by_year",
+    "customer_order_distribution",
+    "top_supplier_revenue",
+    "small_quantity_revenue",
+    "waiting_suppliers",
+    "bucketed_join_colocated",
+    "html_text_extract",
+    "html_link_graph",
+    "pagerank_link_graph",
+    "arrow_ipc_roundtrip",
+    "warc_extract_records",
+    "audio_tags",
+    "video_container_meta",
+    "audio_container_meta",
 }
 
-# r9 window: every slot is oracle-bearing — no rows-only rides this
-# round (the two r8 riders already have ledger evidence).
+# r10 window: every slot is oracle-bearing — all 34 first-timers carry
+# oracles and all 16 re-checks were oracle-green in their last check.
 INTENDED_ROWS_ONLY: set[str] = set()
 
 
