@@ -222,7 +222,13 @@ def count_distinct_customers(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "approx_distinct_users",
-    oracle=None,  # approximate result: no exact oracle (SURVEY B21)
+    # DECIDED rows-only (final, r10): HLL++ estimates are
+    # engine-specific by design — no SQL engine reproduces Spark's
+    # register layout. Correctness evidence lives in the oracle-green
+    # twin `hll_verified_users_by_type` (same rollup, estimate checked
+    # against exact distinct within rsd bounds) and the accuracy
+    # contract in tests/test_sketches.py.
+    oracle=None,
     survey_ids=("B21",),
 )
 def approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
@@ -830,7 +836,13 @@ def setops_all_variants(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "approx_percentiles_nchars",
-    oracle=None,  # sketch-based (KLL/GK-style): engine-specific, rows-only
+    # DECIDED rows-only (final, r10): percentile_approx's GK-sketch
+    # internals are engine-specific, so no SQL twin can replay the
+    # estimate. Correctness evidence: the EXACT twin
+    # `percentiles_nchars` is oracle-green on the same grouping, and
+    # tests/test_sketches.py pins the sketch within its 1/10000
+    # accuracy contract against the exact values.
+    oracle=None,
     survey_ids=("B23",),
     description="approx_percentile sketch — the fixed-memory percentile scale path",
 )

@@ -470,7 +470,16 @@ def similarity_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "similarity_ivf_probed",
-    oracle=None,  # nprobe < n_cells: approximate (recall < 1), rows-only
+    # DECIDED rows-only (final, r10): this is the TRAINED production
+    # config (Lloyd centroids from corpus data), and a DuckDB oracle is
+    # a static string fixed at import — it cannot contain centroids
+    # that only exist after training runs. The probed path's recall is
+    # oracle-pinned end-to-end by `ivf_recall_fixed_cells` (fixed
+    # replayable centroids, same probe-2-of-8 plan), the trained
+    # machinery by `similarity_ivf_topk` (full probe == brute force,
+    # hash-matched), and `similarity_ivf_trained` carries the recall
+    # accuracy contract.
+    oracle=None,
     survey_ids=("B55",),
 )
 def similarity_ivf_probed(spark: SparkSession, sf: str) -> DataFrame:

@@ -199,6 +199,15 @@ def incremental_join_refresh(spark: SparkSession, sf: str) -> DataFrame:
     O(|Δ| x fan-out), never a re-shuffle of the standing view. This is
     the joined-fact sibling of ``rollup_incremental_merge``'s
     algebraic rollup.
+
+    Shuffle-floor note (r10): the α ≈ 1.0 exponent is the standing
+    L⋈R join itself — the QUERY recomputes it each run by contract
+    (the oracle is the one-shot join), so the full-fact shuffle is
+    irreducible here. In a deployed view the standing join is a
+    materialized table and only the Δ terms run per refresh; the
+    per-refresh cost is O(|Δ|), which tests/test_rollup_refresh.py
+    pins. No bloom applies: the date split is ~50/50, scale-invariant
+    (see waiting_suppliers for the measured bloom loss on this band).
     """
     from ag_data_ingestion_github_to_snowflake_spark.operators.incremental import (
         delta_join_append,

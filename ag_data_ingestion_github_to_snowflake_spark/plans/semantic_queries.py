@@ -85,7 +85,13 @@ def semdedup_embeddings(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "bpe_train_merges",
-    oracle=None,  # iterative, driver-coordinated argmax loop: rows-only
+    # DECIDED rows-only (final, r10): BPE training is an inherently
+    # iterative argmax loop (merge k+1 depends on the corpus rewritten
+    # by merge k) — not expressible as one SQL statement in either
+    # engine. Correctness evidence: exact-verified against a
+    # pure-Python reference in tests/test_bpe.py, and the APPLY side
+    # (`bpe_apply_tokenize`-family) is oracle-pinned.
+    oracle=None,
     survey_ids=("B56", "B41", "B16"),
     description="BPE tokenizer training: first 6 merge rules over the document corpus",
 )
@@ -804,8 +810,13 @@ def pmi_collocations_topk(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "embedding_pca_project",
-    oracle=None,  # eigendecomposition has no SQL twin: rows-only;
-    # math contracts pinned in tests/test_pca.py
+    # DECIDED rows-only (final, r10): eigendecomposition has no SQL
+    # twin in DuckDB. Correctness evidence: tests/test_pca.py pins the
+    # math contracts (orthonormality, variance ordering, reconstruction
+    # error vs numpy full-matrix PCA, sign canonicalization), and the
+    # sufficient-statistics pass is the same one `corr_matrix_lineitem`
+    # (oracle-green) hash-verifies.
+    oracle=None,
     survey_ids=("B51", "B55", "B43"),
     description="Distributed PCA: one stats pass, driver eigh, map-side projection",
 )

@@ -29,7 +29,13 @@ from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register,
 
 @register(
     "hll_sketch_users_by_type",
-    oracle=None,  # sketch estimates are engine-specific by design
+    # DECIDED rows-only (final, r10): Datasketches HLL binary state is
+    # engine-specific by design; the value of THIS query is the
+    # sketch-merge rollup shape. Correctness evidence: oracle-green
+    # twin `hll_verified_users_by_type` checks the same per-type
+    # estimates against exact distincts, and tests/test_sketches.py
+    # pins merge associativity and error bounds.
+    oracle=None,
     survey_ids=("B21", "B16"),
     description="HLL sketches per event_type, merged to a global distinct estimate",
 )
@@ -63,7 +69,13 @@ def hll_sketch_users_by_type(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "kll_quantiles_value",
-    oracle=None,  # sketch estimates are engine-specific by design
+    # DECIDED rows-only (final, r10): KLL sketch state is
+    # engine-specific; no SQL twin can replay compaction. Correctness
+    # evidence: tests/test_kmv_cms.py/test_sketches.py pin the
+    # published epsilon bound against exact percentiles, which are
+    # themselves oracle-green (`percentiles_nchars`,
+    # `equidepth_histogram_totalprice`).
+    oracle=None,
     survey_ids=("B23",),
     description="KLL quantile sketch: one-pass mergeable p50/p90/p99 of event value",
 )

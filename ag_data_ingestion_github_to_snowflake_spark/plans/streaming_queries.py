@@ -378,7 +378,7 @@ def streaming_corpus_curation(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "streaming_neardup_curation",
-    # Rows-only by design: the MinHash family is engine-specific and
+    # DECIDED rows-only (final, r10): the MinHash family is engine-specific and
     # LSH recall on sub-1.0 Jaccard pairs is probabilistic, so no SQL
     # twin can pin the exact surviving set. Semantics (fuzzy
     # re-arrivals blocked, fresh content admitted, replay idempotence)

@@ -331,6 +331,15 @@ def supplier_part_counts(spark: SparkSession, sf: str) -> DataFrame:
     expensive COUNT(DISTINCT) (which Spark expands to a two-level
     aggregate); the excluded-supplier list is null-free by
     construction, so anti-join and NOT IN semantics coincide.
+
+    Shuffle-floor note (r10): both joins already broadcast, so the only
+    shuffle is the two-level COUNT(DISTINCT) over (brand,size,suppkey)
+    triples — O(|lineitem|) map-side-reduced to distinct triples. No
+    runtime filter applies: the brand predicate removes a fixed 1/25 of
+    parts, a scale-invariant fraction (a bloom would prune constants,
+    not the exponent; the measured attempt on the band's most selective
+    sibling, waiting_suppliers, lost 1.4-1.5x at both decades). α ≈ 1.0
+    is the floor for a full-fact distinct aggregate.
     """
     li = t(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
     bad = F.broadcast(

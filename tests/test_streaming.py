@@ -5,6 +5,8 @@ resume, rate capping, watermark late-drop, and streaming dedup.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -555,3 +557,72 @@ def test_multibatch_rollup_runs_eight_batches(spark, tmp_path):
     ]
     assert len(commits) == 8, commits
     spark.catalog.dropTempView("mb_commits")
+
+
+def test_crash_mid_drain_restart_recovers_exactly_once(spark, tmp_path):
+    """VERDICT r9 item 4 — the engine twin of the reference's
+    crash-resume claim (src/extract_github_data.py:820-824): a drain
+    killed mid-stream after >=1 committed batch, restarted from the
+    same checkpoint, must neither lose nor duplicate rows.
+
+    The crash is injected deterministically: a foreachBatch sink that
+    raises once batch_id reaches 2, i.e. batches 0-1 commit, batch 2
+    dies AFTER its work started but BEFORE its commit — exactly the
+    torn state a worker OOM leaves. The restarted query re-runs batch 2
+    with the SAME batch id (Structured Streaming's replay contract);
+    the sink is idempotent-by-batch-id (overwrite of batch=<id>), so
+    the retry is absorbed. Final table hash-matches a one-shot batch
+    read of the source."""
+    ev = load_table(spark, SF, "events").select("event_id", "user_id", "event_type")
+    src = str(tmp_path / "crash_src")
+    ev.repartition(6).write.mode("overwrite").parquet(src)
+    cp = str(tmp_path / "crash_cp")
+    out = tmp_path / "crash_out"
+
+    def make_sink(fail_at):
+        def sink(batch_df, batch_id):
+            if fail_at is not None and batch_id >= fail_at:
+                raise RuntimeError(f"injected crash at batch {batch_id}")
+            batch_df.write.mode("overwrite").parquet(
+                str(out / f"batch={batch_id}")
+            )
+
+        return sink
+
+    def drain(fail_at):
+        sdf = S.stream_events_from_parquet(
+            spark, src, ev.schema, max_files_per_trigger=1
+        )
+        q = (
+            sdf.writeStream.foreachBatch(make_sink(fail_at))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", cp)
+            .start()
+        )
+        try:
+            q.awaitTermination(180)
+        except Exception:
+            pass  # the injected crash surfaces as StreamingQueryException
+        finally:
+            if q.isActive:
+                q.stop()
+
+    drain(fail_at=2)
+    committed = [
+        f
+        for f in os.listdir(os.path.join(cp, "commits"))
+        if not f.startswith(".")
+    ]
+    # the crash happened mid-drain: some but not all batches committed
+    assert 1 <= len(committed) < 6, committed
+    partial = spark.read.parquet(str(out / "*")).count()
+    assert 0 < partial < ev.count()
+
+    drain(fail_at=None)  # restart from the same checkpoint
+    got = spark.read.parquet(str(out / "*")).select(
+        "event_id", "user_id", "event_type"
+    )
+    # no lost rows, no duplicated rows across the crash boundary
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
+    assert got.exceptAll(ev).count() == 0 and ev.exceptAll(got).count() == 0
