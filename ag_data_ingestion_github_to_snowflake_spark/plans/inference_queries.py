@@ -1,0 +1,577 @@
+"""Statistical-inference queries: Welch's t, Spearman rank correlation,
+Theil-Sen robust slope, Kaplan-Meier survival, mutual information.
+
+These extend the r9 hypothesis-testing family (Mann-Whitney U, KS,
+chi-square drift, bootstrap CI, conformal OLS) with the remaining
+textbook inference tools an analytics warehouse ships: a parametric
+two-sample test, a rank correlation, a robust regression slope, a
+survival curve, and an information-theoretic dependence measure.
+
+Scale rules shared by every query here (same as core_relational):
+- No global rank/cumulative window over data-scale rows — midranks
+  come from distinct-value tables via the two-level bucket scan
+  (``_midrank2``), survival curves operate on calendar-bounded
+  duration tables, robust slopes on a deterministic fixed-size sample.
+- Exact integer/decimal arithmetic everywhere the hash can see it;
+  libm (ln/exp/sqrt) only on final presentation columns, rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register, t
+
+
+def _midrank2(vals: DataFrame, value_col: str, width: float) -> DataFrame:
+    """Per-distinct-value table ``(value, n)`` -> add ``m2`` = 2x the
+    midrank of that value in the underlying multiset (an INTEGER:
+    2*midrank = 2*strict_less + n + 1, and strict_less = cum_n - n).
+
+    Two-level cumulative scan (bucket prefix-sum + in-bucket window,
+    the _two_level_value_cum pattern from core_relational) so no
+    single task ever sees the whole distinct-value stream. Doubling
+    the midrank keeps every downstream sum integer-exact.
+    """
+    b = vals.withColumn(
+        "bkt", F.floor(F.col(value_col) / F.lit(width)).cast("long")
+    )
+    per = b.groupBy("bkt").agg(F.sum("n").alias("bn"))
+    w_b = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    carry = per.select(
+        "bkt", (F.sum("bn").over(w_b) - F.col("bn")).alias("cn")
+    )
+    w_in = Window.partitionBy("bkt").orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum_n = F.col("cn") + F.sum("n").over(w_in)
+    return b.join(F.broadcast(carry), "bkt").select(
+        value_col,
+        "n",
+        (F.lit(2) * (cum_n - F.col("n")) + F.col("n") + F.lit(1))
+        .cast("bigint")
+        .alias("m2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Welch's unequal-variance t-test: click vs view event values
+# ---------------------------------------------------------------------------
+@register(
+    "welch_ttest_value_clicks",
+    # Sums and sums-of-squares go through DECIMAL so they are exact
+    # and order-independent; the t statistic and Welch-Satterthwaite
+    # df are then pure double expressions over exact inputs (division
+    # and sqrt are correctly-rounded IEEE in both engines).
+    oracle="""
+    WITH s AS (
+      SELECT
+        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        CAST(SUM(CASE WHEN event_type = 'view'  THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        CAST(SUM(CASE WHEN event_type = 'click'
+                 THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sa,
+        CAST(SUM(CASE WHEN event_type = 'view'
+                 THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sb,
+        CAST(SUM(CASE WHEN event_type = 'click'
+                 THEN CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) END)
+             AS DOUBLE) AS qa,
+        CAST(SUM(CASE WHEN event_type = 'view'
+                 THEN CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) END)
+             AS DOUBLE) AS qb
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    m AS (
+      SELECT na, nb,
+             sa / na AS ma, sb / nb AS mb,
+             (qa - sa * sa / na) / (na - 1) AS va,
+             (qb - sb * sb / nb) / (nb - 1) AS vb
+      FROM s
+    )
+    SELECT na AS n_click, nb AS n_view,
+           ROUND(ma, 6) AS mean_click,
+           ROUND(mb, 6) AS mean_view,
+           ROUND((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
+           ROUND(
+             (va / na + vb / nb) * (va / na + vb / nb)
+             / ((va / na) * (va / na) / (na - 1)
+                + (vb / nb) * (vb / nb) / (nb - 1)),
+           4) AS welch_df
+    FROM m
+    """,
+    survey_ids=("B18", "B19", "B43"),
+    description="Welch's unequal-variance t-test (click vs view values), one conditional pass",
+)
+def welch_ttest_value_clicks(spark: SparkSession, sf: str) -> DataFrame:
+    """Welch's t-test: do click events carry different mean values than
+    views, without assuming equal variances? The parametric sibling of
+    mann_whitney_value_clicks.
+
+    ONE conditional aggregation pass over the stream (map-side combine,
+    a single 1-row shuffle); sums and sums-of-squares are exact
+    decimals, so partial-aggregation order cannot perturb the t
+    statistic. Scale shape: map-only reduce — the cheapest possible
+    plan for a global two-sample test.
+    """
+    ev = t(spark, sf, "events").filter(F.col("event_type").isin("click", "view"))
+    dec = F.col("value").cast("decimal(18,6)")
+    is_a = F.col("event_type") == "click"
+    s = ev.agg(
+        F.sum(is_a.cast("long")).cast("bigint").alias("na"),
+        F.sum((~is_a).cast("long")).cast("bigint").alias("nb"),
+        F.sum(F.when(is_a, dec)).cast("double").alias("sa"),
+        F.sum(F.when(~is_a, dec)).cast("double").alias("sb"),
+        F.sum(F.when(is_a, dec * dec)).cast("double").alias("qa"),
+        F.sum(F.when(~is_a, dec * dec)).cast("double").alias("qb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    ma, mb = F.col("sa") / na, F.col("sb") / nb
+    va = (F.col("qa") - F.col("sa") * F.col("sa") / na) / (na - F.lit(1))
+    vb = (F.col("qb") - F.col("sb") * F.col("sb") / nb) / (nb - F.lit(1))
+    se2_a, se2_b = va / na, vb / nb
+    t_stat = (ma - mb) / F.sqrt(se2_a + se2_b)
+    df = (se2_a + se2_b) * (se2_a + se2_b) / (
+        se2_a * se2_a / (na - F.lit(1)) + se2_b * se2_b / (nb - F.lit(1))
+    )
+    return s.select(
+        na.alias("n_click"),
+        nb.alias("n_view"),
+        F.round(ma, 6).alias("mean_click"),
+        F.round(mb, 6).alias("mean_view"),
+        F.round(t_stat, 6).alias("t_stat"),
+        F.round(df, 4).alias("welch_df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation: quantity vs extended price, midrank-exact
+# ---------------------------------------------------------------------------
+@register(
+    "spearman_corr_qty_price",
+    # Doubled midranks (m2 = 2*midrank) are INTEGERS, so every sum
+    # below is integer-exact (bounded by ~9e17 at sf0.1, well inside
+    # BIGINT; the Spark side sums DECIMAL(38,0) so the same plan
+    # survives corpora ~1000x larger). The rho expression is then
+    # identical double arithmetic over identical exact inputs.
+    oracle="""
+    WITH rx AS (
+      SELECT l_quantity AS v, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1
+    ),
+    mx AS (
+      SELECT v,
+             2 * (SUM(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - n) + n + 1 AS m2
+      FROM rx
+    ),
+    ry AS (
+      SELECT l_extendedprice AS v, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1
+    ),
+    my AS (
+      SELECT v,
+             2 * (SUM(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - n) + n + 1 AS m2
+      FROM ry
+    ),
+    joined AS (
+      SELECT CAST(mx.m2 AS BIGINT) AS x2, CAST(my.m2 AS BIGINT) AS y2
+      FROM lineitem l
+      JOIN mx ON l.l_quantity = mx.v
+      JOIN my ON l.l_extendedprice = my.v
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(x2) AS DECIMAL(38,0)) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(y2) AS DECIMAL(38,0)) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(x2 * x2) AS DECIMAL(38,0)) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(y2 * y2) AS DECIMAL(38,0)) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(x2 * y2) AS DECIMAL(38,0)) AS DOUBLE) AS sxy
+      FROM joined
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           ROUND(
+             (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+           6) AS rho_spearman
+    FROM s
+    """,
+    survey_ids=("B23", "B29", "B10"),
+    description="Spearman rank correlation (exact midranks, two-level scan, no global sort)",
+)
+def spearman_corr_qty_price(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact Spearman rank correlation between l_quantity and
+    l_extendedprice — the monotone-dependence measure Pearson's r
+    misses (stats_corr_quantity_price covers the linear case).
+
+    NO global rank window over the fact table: each column reduces to
+    its distinct-value table (quantity: 50 rows; price: one row per
+    distinct cent value), midranks attach via the two-level bucket
+    scan, and the rank maps join back (quantity map broadcast, price
+    map shuffled on the join key). Doubled midranks keep all five
+    sufficient sums integer-exact; Spark accumulates them as
+    DECIMAL(38,0) so the identical plan holds at ~1000x this corpus.
+    """
+    li = t(spark, sf, "lineitem").select("l_quantity", "l_extendedprice")
+    # 50 distinct quantities: the cumulative window runs on 50 rows.
+    rx = li.groupBy(F.col("l_quantity").alias("value")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    mx = _midrank2(rx, "value", width=5.0).withColumnRenamed("m2", "x2")
+    ry = li.groupBy(F.col("l_extendedprice").alias("value")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    my = _midrank2(ry, "value", width=2000.0).withColumnRenamed("m2", "y2")
+    joined = (
+        li.join(F.broadcast(mx.select("value", "x2")),
+                li.l_quantity == mx.value)
+        .drop("value", "n")
+        .join(my.select("value", "y2"), li.l_extendedprice == my.value)
+        .select("x2", "y2")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = joined.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec(F.col("x2"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("y2"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("x2") * F.col("x2"))).cast("double").alias("sxx"),
+        F.sum(dec(F.col("y2") * F.col("y2"))).cast("double").alias("syy"),
+        F.sum(dec(F.col("x2") * F.col("y2"))).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    rho = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        n.cast("bigint").alias("n_rows"),
+        F.round(rho, 6).alias("rho_spearman"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust slope on a deterministic bounded sample
+# ---------------------------------------------------------------------------
+@register(
+    "theil_sen_slope_sampled",
+    # The sample is a deterministic hash gate (first sha256 byte < 8)
+    # narrowed to the first 200 rows by (hash, key) total order, so
+    # both engines see the IDENTICAL point set; pair slopes are plain
+    # double ratios of identical inputs, and the median is the shared
+    # linear-interpolation percentile (mad_outliers convention).
+    oracle="""
+    WITH pts AS (
+      SELECT date_diff('day', DATE '1970-01-01', o_orderdate) AS x,
+             o_totalprice AS y
+      FROM (
+        SELECT *, sha256(CAST(o_orderkey AS VARCHAR)) AS hx FROM orders
+        WHERE CAST(('0x' || substr(sha256(CAST(o_orderkey AS VARCHAR)), 1, 2)) AS INT) < 8
+        ORDER BY hx, o_orderkey
+        LIMIT 200
+      )
+    ),
+    slopes AS (
+      SELECT (b.y - a.y) / (b.x - a.x) AS slope
+      FROM pts a JOIN pts b ON a.x < b.x OR (a.x = b.x AND a.y < b.y)
+      WHERE a.x <> b.x
+    ),
+    med AS (
+      SELECT COUNT(*) AS n_pairs, MEDIAN(slope) AS ts_slope FROM slopes
+    ),
+    mpt AS (
+      SELECT COUNT(*) AS n_sample, MEDIAN(x) AS med_x, MEDIAN(y) AS med_y FROM pts
+    )
+    SELECT CAST(mpt.n_sample AS BIGINT) AS n_sample,
+           CAST(med.n_pairs AS BIGINT) AS n_pairs,
+           ROUND(med.ts_slope, 6) AS ts_slope,
+           ROUND(mpt.med_y - med.ts_slope * mpt.med_x, 6) AS ts_intercept
+    FROM med, mpt
+    """,
+    survey_ids=("B23", "B14", "B43"),
+    description="Theil-Sen robust regression slope over a deterministic 200-point sample",
+)
+def theil_sen_slope_sampled(spark: SparkSession, sf: str) -> DataFrame:
+    """Theil-Sen estimator: the median of pairwise slopes of
+    (order date -> total price), with the Siegel-style intercept
+    med(y) - slope*med(x). Robust to ~29% outliers where the existing
+    ols_price_by_quantity is not.
+
+    Theil-Sen is O(n^2) in points by definition, so the scale lever is
+    the SAMPLE, not the pair join: a deterministic hash gate (~3%)
+    followed by a (hash, key)-ordered LIMIT 200 — a map-side top-k
+    heap, never a global sort — caps the pair set at 19,900 rows no
+    matter the corpus size (the train_ivf_centroids bounded-sample
+    pattern). The pair self-join broadcasts the 200-row side.
+    """
+    orders = t(spark, sf, "orders")
+    hx = F.sha2(F.col("o_orderkey").cast("string"), 256)
+    gate = F.conv(F.substring(hx, 1, 2), 16, 10).cast("int") < 8
+    pts = (
+        orders.filter(gate)
+        .select(
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+            .alias("x"),
+            F.col("o_totalprice").alias("y"),
+            hx.alias("hx"),
+            "o_orderkey",
+        )
+        .orderBy("hx", "o_orderkey")
+        .limit(200)
+        .select("x", "y")
+    )
+    a, b = pts.alias("a"), F.broadcast(pts.alias("b"))
+    pair_ok = (F.col("a.x") < F.col("b.x")) | (
+        (F.col("a.x") == F.col("b.x")) & (F.col("a.y") < F.col("b.y"))
+    )
+    slopes = (
+        a.join(b, pair_ok)
+        .filter(F.col("a.x") != F.col("b.x"))
+        .select(
+            ((F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x")))
+            .alias("slope")
+        )
+    )
+    med = slopes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr("percentile(slope, 0.5)").alias("ts_slope"),
+    )
+    mpt = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sample"),
+        F.expr("percentile(x, 0.5)").alias("med_x"),
+        F.expr("percentile(y, 0.5)").alias("med_y"),
+    )
+    return med.join(F.broadcast(mpt)).select(
+        "n_sample",
+        "n_pairs",
+        F.round("ts_slope", 6).alias("ts_slope"),
+        F.round(F.col("med_y") - F.col("ts_slope") * F.col("med_x"), 6)
+        .alias("ts_intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival: time from first view to first purchase
+# ---------------------------------------------------------------------------
+@register(
+    "kaplan_meier_survival",
+    # Durations are integer hours (floor of integer-second epoch
+    # arithmetic), so the event/censor/at-risk table is integer-exact;
+    # survival compounds via exp(sum(ln(...))) on final presentation
+    # only, rounded to 6 (the tfidf ln-precedent). A CASE guards the
+    # d=n row so neither engine evaluates ln(0).
+    oracle="""
+    WITH fv AS (
+      SELECT user_id, MIN(ts) AS tv FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    fp AS (
+      SELECT e.user_id, MIN(e.ts) AS tp
+      FROM events e JOIN fv ON e.user_id = fv.user_id AND e.ts >= fv.tv
+      WHERE e.event_type = 'purchase'
+      GROUP BY e.user_id
+    ),
+    gmax AS (SELECT MAX(ts) AS tmax FROM events),
+    subj AS (
+      SELECT fv.user_id,
+             CAST(floor((epoch(COALESCE(fp.tp, gmax.tmax)) - epoch(fv.tv))
+                        / 3600) AS BIGINT) AS dur_h,
+             CASE WHEN fp.tp IS NULL THEN 0 ELSE 1 END AS died
+      FROM fv LEFT JOIN fp ON fv.user_id = fp.user_id, gmax
+    ),
+    km AS (
+      SELECT dur_h,
+             CAST(SUM(died) AS BIGINT) AS n_event,
+             CAST(SUM(1 - died) AS BIGINT) AS n_censor
+      FROM subj GROUP BY dur_h
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM subj),
+    risk AS (
+      SELECT dur_h, n_event, n_censor,
+             n_total
+             - (SUM(n_event + n_censor) OVER (ORDER BY dur_h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - (n_event + n_censor)) AS n_risk
+      FROM km, tot
+    )
+    SELECT dur_h, n_risk, n_event, n_censor,
+           ROUND(CASE
+             WHEN MAX(CASE WHEN n_event >= n_risk THEN 1 ELSE 0 END)
+                  OVER (ORDER BY dur_h ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) = 1
+             THEN 0.0
+             ELSE exp(SUM(CASE WHEN n_event = 0 OR n_event >= n_risk THEN 0.0
+                          ELSE ln(CAST(n_risk - n_event AS DOUBLE) / n_risk) END)
+                      OVER (ORDER BY dur_h ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW))
+           END, 6) AS survival
+    FROM risk
+    """,
+    survey_ids=("B23", "B31", "B12"),
+    description="Kaplan-Meier survival curve: first view to first purchase, right-censored",
+)
+def kaplan_meier_survival(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan-Meier estimator of time-to-convert: for each user with a
+    'view', the hours until their first subsequent 'purchase';
+    users who never purchase are right-censored at the end of the
+    observation window. Complements funnel_time_to_convert (which
+    drops non-converters and so overstates conversion speed).
+
+    Scale shape: the stream reduces to ONE ROW PER USER (two grouped
+    aggregates + an equi-join on user_id), then to one row per
+    integer-hour duration — calendar-bounded (<= observation span in
+    hours), so the ordered survival window runs on a provably tiny
+    table, never on data-scale rows. The censor horizon is a 1-row
+    broadcast.
+    """
+    ev = t(spark, sf, "events")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ts") >= F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    gmax = ev.agg(F.max("ts").alias("tmax"))
+    subj = (
+        fv.join(fp, "user_id", "left")
+        .join(F.broadcast(gmax))
+        .select(
+            F.floor(
+                (
+                    F.unix_timestamp(F.coalesce("tp", "tmax"))
+                    - F.unix_timestamp("tv")
+                )
+                / F.lit(3600)
+            )
+            .cast("bigint")
+            .alias("dur_h"),
+            F.when(F.col("tp").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("died"),
+        )
+    )
+    km = subj.groupBy("dur_h").agg(
+        F.sum("died").cast("bigint").alias("n_event"),
+        F.sum(F.lit(1) - F.col("died")).cast("bigint").alias("n_censor"),
+    )
+    tot = subj.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    # The remaining windows run over <=(observation span in hours)
+    # rows — calendar-bounded, same exemption as seasonal baselines.
+    w = Window.orderBy("dur_h").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    leave = F.col("n_event") + F.col("n_censor")
+    risk = km.join(F.broadcast(tot)).select(
+        "dur_h",
+        "n_event",
+        "n_censor",
+        (F.col("n_total") - (F.sum(leave).over(w) - leave)).alias("n_risk"),
+    )
+    ln_term = F.when(
+        (F.col("n_event") == 0) | (F.col("n_event") >= F.col("n_risk")), F.lit(0.0)
+    ).otherwise(
+        F.log((F.col("n_risk") - F.col("n_event")).cast("double") / F.col("n_risk"))
+    )
+    dead_flag = F.max(
+        F.when(F.col("n_event") >= F.col("n_risk"), F.lit(1)).otherwise(F.lit(0))
+    ).over(w)
+    survival = F.when(dead_flag == 1, F.lit(0.0)).otherwise(
+        F.exp(F.sum(ln_term).over(w))
+    )
+    return risk.select(
+        "dur_h",
+        "n_risk",
+        "n_event",
+        "n_censor",
+        F.round(survival, 6).alias("survival"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between document language and source
+# ---------------------------------------------------------------------------
+@register(
+    "mutual_info_lang_source",
+    # All probabilities are integer-count ratios; ln appears only in
+    # the final rounded presentation (tfidf precedent). The cell table
+    # is |lang| x |source| — tiny — so summation-order jitter is far
+    # below the 6-decimal hash resolution.
+    oracle="""
+    WITH cell AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS nxy
+      FROM documents GROUP BY lang, source
+    ),
+    mx AS (SELECT lang, CAST(SUM(nxy) AS BIGINT) AS nx FROM cell GROUP BY lang),
+    my AS (SELECT source, CAST(SUM(nxy) AS BIGINT) AS ny FROM cell GROUP BY source),
+    tot AS (SELECT CAST(SUM(nxy) AS DOUBLE) AS n FROM cell),
+    mi AS (
+      SELECT SUM((nxy / n) * ln(nxy * n / (CAST(nx AS DOUBLE) * ny))) AS mi_nats
+      FROM cell JOIN mx USING (lang) JOIN my USING (source), tot
+    ),
+    hx AS (SELECT -SUM((nx / n) * ln(nx / n)) AS h_lang FROM mx, tot),
+    hy AS (SELECT -SUM((ny / n) * ln(ny / n)) AS h_source FROM my, tot)
+    SELECT ROUND(mi.mi_nats, 6) AS mi_nats,
+           ROUND(hx.h_lang, 6) AS h_lang,
+           ROUND(hy.h_source, 6) AS h_source,
+           ROUND(mi.mi_nats / LEAST(hx.h_lang, hy.h_source), 6) AS norm_mi
+    FROM mi, hx, hy
+    """,
+    survey_ids=("B18", "B16", "B43"),
+    description="Mutual information + marginal entropies of (lang, source), count-exact",
+)
+def mutual_info_lang_source(spark: SparkSession, sf: str) -> DataFrame:
+    """How much does a document's source tell you about its language?
+    MI in nats with both marginal entropies and the min-entropy
+    normalized coefficient — the dependence audit run before
+    stratifying a corpus on correlated facets (char_entropy_docs is
+    per-document; this is the cross-column dependence).
+
+    Scale shape: one grouped count to the |lang| x |source| cell table
+    (map-side combine), margins re-aggregated FROM THE CELLS (never a
+    second corpus pass), 1-row totals broadcast. Everything after the
+    first shuffle operates on a few hundred rows.
+    """
+    docs = t(spark, sf, "documents")
+    cell = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nxy")
+    )
+    cell = cell.persist()
+    mx = cell.groupBy("lang").agg(F.sum("nxy").cast("bigint").alias("nx"))
+    my = cell.groupBy("source").agg(F.sum("nxy").cast("bigint").alias("ny"))
+    tot = cell.agg(F.sum("nxy").cast("double").alias("n"))
+    mi = (
+        cell.join(F.broadcast(mx), "lang")
+        .join(F.broadcast(my), "source")
+        .join(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("nxy") / F.col("n"))
+                * F.log(
+                    F.col("nxy") * F.col("n")
+                    / (F.col("nx").cast("double") * F.col("ny"))
+                )
+            ).alias("mi_nats")
+        )
+    )
+    hx = mx.join(F.broadcast(tot)).agg(
+        (-F.sum((F.col("nx") / F.col("n")) * F.log(F.col("nx") / F.col("n"))))
+        .alias("h_lang")
+    )
+    hy = my.join(F.broadcast(tot)).agg(
+        (-F.sum((F.col("ny") / F.col("n")) * F.log(F.col("ny") / F.col("n"))))
+        .alias("h_source")
+    )
+    return (
+        mi.join(F.broadcast(hx))
+        .join(F.broadcast(hy))
+        .select(
+            F.round("mi_nats", 6).alias("mi_nats"),
+            F.round("h_lang", 6).alias("h_lang"),
+            F.round("h_source", 6).alias("h_source"),
+            F.round(
+                F.col("mi_nats") / F.least(F.col("h_lang"), F.col("h_source")), 6
+            ).alias("norm_mi"),
+        )
+    )

@@ -146,6 +146,7 @@ def all_specs() -> dict[str, QuerySpec]:
         behavior_queries,
         core_relational,
         curation_queries,
+        inference_queries,
         joins,
         llm_ops,
         reshape_queries,

@@ -527,11 +527,9 @@ def test_multibatch_rollup_runs_eight_batches(spark, tmp_path):
     )
     assert result.count() == batch.count()
     # now re-run the drain manually to inspect the commit log
-    import tempfile
+    from ag_data_ingestion_github_to_snowflake_spark.sources.staging import stage_dir
 
-    stage = os.path.join(
-        tempfile.gettempdir(), "ag_stream_split8_sf0.001"
-    )
+    stage = stage_dir("ag_stream_split8", sf)
     files = [p for p in os.listdir(stage) if p.endswith(".parquet")]
     assert len(files) == 8, files
     schema = spark.read.parquet(os.path.join(stage, files[0])).schema
