@@ -324,3 +324,153 @@ def weighted_median_lineitem(spark: SparkSession, sf: str) -> DataFrame:
         F.round("total_weight", 6).alias("total_weight"),
         F.round("weighted_median", 6).alias("weighted_median"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear-interpolation gap-fill: the value-imputation upgrade of
+# gapfill_hourly_events (which zero-fills counts)
+# ---------------------------------------------------------------------------
+@register(
+    "linear_interp_gapfill",
+    # Portable gaps-and-islands formulation (no IGNORE NULLS window
+    # option): a running count of known cells forms a group id whose
+    # FIRST row is the known anchor, in both directions. Hour indexes
+    # are exact integers, known means are exact decimal sums / counts,
+    # and the interpolation weight is a ratio of small integers — the
+    # arithmetic is identical double ops over identical inputs.
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS ih, event_type, value
+      FROM events
+    ),
+    bounds AS (
+      SELECT MIN(ih) AS lo, MAX(ih) AS hi, list(DISTINCT event_type) AS types
+      FROM ev
+    ),
+    grid AS (
+      SELECT h.ih, ty.event_type
+      FROM (SELECT UNNEST(generate_series(lo, hi)) AS ih FROM bounds) h
+      CROSS JOIN (SELECT UNNEST(types) AS event_type FROM bounds) ty
+    ),
+    known AS (
+      SELECT ih, event_type,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS v
+      FROM ev GROUP BY ih, event_type
+    ),
+    g AS (
+      SELECT grid.ih, grid.event_type, known.v,
+             SUM(CASE WHEN known.v IS NOT NULL THEN 1 END)
+               OVER (PARTITION BY grid.event_type ORDER BY grid.ih
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gp,
+             SUM(CASE WHEN known.v IS NOT NULL THEN 1 END)
+               OVER (PARTITION BY grid.event_type ORDER BY grid.ih DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gn
+      FROM grid LEFT JOIN known USING (ih, event_type)
+    ),
+    anch AS (
+      SELECT ih, event_type, v,
+             FIRST_VALUE(v) OVER (PARTITION BY event_type, gp ORDER BY ih
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             FIRST_VALUE(ih) OVER (PARTITION BY event_type, gp ORDER BY ih
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+             FIRST_VALUE(v) OVER (PARTITION BY event_type, gn ORDER BY ih DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv,
+             FIRST_VALUE(ih) OVER (PARTITION BY event_type, gn ORDER BY ih DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nh
+      FROM g
+    )
+    SELECT ih AS hour_idx, event_type,
+           CAST(v IS NOT NULL AS BOOLEAN) AS observed,
+           ROUND(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv) * (CAST(ih - ph AS DOUBLE) / (nh - ph))
+           END, 6) AS value_filled
+    FROM anch
+    """,
+    survey_ids=("B31", "B12", "B46"),
+    description="Dense hourly grid with linear interpolation between known cells",
+)
+def linear_interp_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-fill with LINEAR INTERPOLATION: every (hour, event_type)
+    cell gets a value — observed hourly means stay as-is, missing
+    hours take the straight line between their known neighbors, and
+    edge gaps extend the nearest known value. gapfill_hourly_events
+    zero-fills counts; this imputes a continuous measure, which is
+    what feature pipelines need before window math over sensor-like
+    series.
+
+    Portable gaps-and-islands (no IGNORE NULLS dependency): a running
+    count of known cells per direction forms a group id; the group's
+    first row IS the anchor, so two window passes recover (prev, next)
+    anchors exactly. All windows run over the CALENDAR-BOUNDED grid
+    (hours x types), partitioned by event_type — never data-scale rows;
+    the raw stream reduces to hourly means in one map-side-combined
+    shuffle.
+    """
+    ev = t(spark, sf, "events").select(
+        F.floor(F.unix_timestamp("ts") / F.lit(3600)).cast("bigint").alias("ih"),
+        "event_type",
+        "value",
+    )
+    bounds = ev.agg(
+        F.min("ih").alias("lo"),
+        F.max("ih").alias("hi"),
+        F.collect_set("event_type").alias("types"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("ih"), "types"
+    ).select("ih", F.explode("types").alias("event_type"))
+    known = ev.groupBy("ih", "event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    g = grid.join(known, ["ih", "event_type"], "left")
+    known_flag = F.when(F.col("v").isNotNull(), F.lit(1))
+    w_fwd = Window.partitionBy("event_type").orderBy("ih").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_bwd = Window.partitionBy("event_type").orderBy(F.col("ih").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    g = g.select(
+        "ih",
+        "event_type",
+        "v",
+        F.sum(known_flag).over(w_fwd).alias("gp"),
+        F.sum(known_flag).over(w_bwd).alias("gn"),
+    )
+    w_gp = Window.partitionBy("event_type", "gp").orderBy("ih").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_gn = Window.partitionBy("event_type", "gn").orderBy(F.col("ih").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    anch = g.select(
+        "ih",
+        "event_type",
+        "v",
+        F.first("v").over(w_gp).alias("pv"),
+        F.first("ih").over(w_gp).alias("ph"),
+        F.first("v").over(w_gn).alias("nv"),
+        F.first("ih").over(w_gn).alias("nh"),
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * ((F.col("ih") - F.col("ph")).cast("double") / (F.col("nh") - F.col("ph")))
+        )
+    )
+    return anch.select(
+        F.col("ih").alias("hour_idx"),
+        "event_type",
+        F.col("v").isNotNull().alias("observed"),
+        F.round(filled, 6).alias("value_filled"),
+    )

@@ -869,3 +869,69 @@ def twap_daily_value(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("twap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Volume-weighted average price, daily + cumulative (VWAP): the
+# volume-weighted sibling of twap_daily_value
+# ---------------------------------------------------------------------------
+@register(
+    "vwap_cumulative_daily",
+    # Numerators/denominators are exact decimal/integer-valued sums
+    # (l_quantity is integer-valued, l_extendedprice cent-valued), so
+    # the cumulative ratios divide exact inputs; one double division +
+    # round-6 per output row.
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_items,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      GROUP BY 1
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, n_items,
+           ROUND(CAST(rev AS DOUBLE) / CAST(qty AS DOUBLE), 6) AS vwap_day,
+           ROUND(
+             CAST(SUM(rev) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS DOUBLE)
+             / CAST(SUM(qty) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS DOUBLE),
+           6) AS vwap_cum
+    FROM daily
+    """,
+    survey_ids=("B31", "B16", "B33"),
+    description="Daily + running volume-weighted average price (exact decimal cumsums)",
+)
+def vwap_cumulative_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily VWAP (revenue per unit shipped) and its running
+    since-period-start cumulative — the pair a pricing dashboard
+    plots together. twap_daily_value weights by TIME; this weights by
+    VOLUME, the other half of the resampling family.
+
+    Scale shape: the fact table reduces to per-day sums in one
+    map-side-combined shuffle; the cumulative window then runs over
+    the CALENDAR-BOUNDED day table (the seasonal_baseline exemption —
+    ~2.5k rows for the fixture's horizon), never over data-scale rows.
+    Both cumulative sums stay exact decimals until the final division.
+    """
+    li = t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
+    daily = li.groupBy(F.to_date("l_shipdate").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "n_items",
+        F.round(F.col("rev").cast("double") / F.col("qty").cast("double"), 6)
+        .alias("vwap_day"),
+        F.round(
+            F.sum("rev").over(w).cast("double") / F.sum("qty").over(w).cast("double"),
+            6,
+        ).alias("vwap_cum"),
+    )
