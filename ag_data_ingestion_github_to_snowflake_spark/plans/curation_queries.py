@@ -1596,3 +1596,233 @@ def unicode_nfc_audit(spark: SparkSession, sf: str) -> DataFrame:
         F.length("norm_text").cast("bigint").alias("n_after"),
         F.when(F.col("changed"), F.col("norm_text")).alias("emitted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture reweighting: per-source sampling weights to hit a
+# target mixture (the static half of DoReMi-style data mixing)
+# ---------------------------------------------------------------------------
+@register(
+    "domain_mixture_reweight",
+    # Shares and weights are ratios of exact integer counts — single
+    # double division per cell, identical in both engines.
+    oracle="""
+    WITH per AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_docs) AS DOUBLE) AS total_docs,
+             CAST(COUNT(*) AS DOUBLE) AS n_sources
+      FROM per
+    )
+    SELECT source, n_docs, sum_chars,
+           ROUND(n_docs / total_docs, 6) AS actual_share,
+           ROUND(1.0 / n_sources, 6) AS target_share,
+           ROUND((1.0 / n_sources) / (n_docs / total_docs), 6) AS sample_weight,
+           CAST(round(sum_chars * ((1.0 / n_sources) / (n_docs / total_docs)))
+                AS BIGINT) AS expected_chars_after
+    FROM per, tot
+    """,
+    survey_ids=("B16", "B18", "B43"),
+    description="Per-source sampling weights matching a uniform target mixture",
+)
+def domain_mixture_reweight(spark: SparkSession, sf: str) -> DataFrame:
+    """Static domain reweighting: given the corpus's actual per-source
+    share, emit the sampling weight that makes the resampled corpus hit
+    a TARGET mixture (uniform here; any target table drops in the same
+    way). This is the planning step before weighted_sample_docs /
+    temperature_mixture_sample EXECUTE a mixture — those draw rows,
+    this decides the rates, including the expected post-resample
+    character budget per source.
+
+    Scale shape: one grouped count (map-side combine) to a |sources|-row
+    table, a 1-row total broadcast, pure arithmetic after. The cheapest
+    possible plan — the corpus is read once.
+    """
+    per = t(spark, sf, "documents").groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("double").alias("total_docs"),
+        F.count(F.lit(1)).cast("double").alias("n_sources"),
+    )
+    actual = F.col("n_docs") / F.col("total_docs")
+    target = F.lit(1.0) / F.col("n_sources")
+    weight = target / actual
+    return per.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "sum_chars",
+        F.round(actual, 6).alias("actual_share"),
+        F.round(target, 6).alias("target_share"),
+        F.round(weight, 6).alias("sample_weight"),
+        F.round(F.col("sum_chars") * weight, 0)
+        .cast("bigint")
+        .alias("expected_chars_after"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes language classifier: trained AND evaluated in-engine,
+# held-out confusion matrix (pure counting — no ML library)
+# ---------------------------------------------------------------------------
+@register(
+    "naive_bayes_lang_confusion",
+    # Every model parameter is an integer count; ln only touches
+    # integer-valued inputs (counts + 1, class totals + vocab), so both
+    # engines compute identical doubles per term (tfidf ln-precedent).
+    # Per-doc score sums are rounded to 9 decimals BEFORE the argmax in
+    # both engines, so partial-sum association jitter (~1e-14) cannot
+    # flip the predicted class; the confusion cells are then integers.
+    oracle="""
+    WITH split AS (
+      SELECT doc_id, lang, text,
+             CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) < 200
+               AS is_train
+      FROM documents
+    ),
+    train_tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS word
+      FROM split WHERE is_train
+    ),
+    clw AS (
+      SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c FROM train_tok GROUP BY 1, 2
+    ),
+    class_tot AS (
+      SELECT lang, CAST(SUM(c) AS BIGINT) AS t_l FROM clw GROUP BY lang
+    ),
+    vocab AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v FROM clw),
+    prior AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS d_l FROM split WHERE is_train GROUP BY lang
+    ),
+    dtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM split WHERE is_train),
+    test_tok AS (
+      SELECT doc_id, lang AS lang_true, word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+            FROM split WHERE NOT is_train)
+      GROUP BY 1, 2, 3
+    ),
+    doc_len AS (
+      SELECT doc_id, lang_true, CAST(SUM(cnt) AS BIGINT) AS n_tok
+      FROM test_tok GROUP BY 1, 2
+    ),
+    s1 AS (
+      SELECT tt.doc_id, clw.lang, SUM(tt.cnt * ln(CAST(clw.c + 1 AS DOUBLE))) AS s_num
+      FROM test_tok tt JOIN clw ON tt.word = clw.word
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT dl.doc_id, dl.lang_true, ct.lang AS lang_cand,
+             ROUND(
+               ln(CAST(p.d_l AS DOUBLE)) - ln(CAST(dt.d AS DOUBLE))
+               + COALESCE(s1.s_num, 0.0)
+               - dl.n_tok * ln(CAST(ct.t_l + vocab.v AS DOUBLE)),
+             9) AS score
+      FROM doc_len dl
+      CROSS JOIN class_tot ct
+      JOIN prior p ON p.lang = ct.lang
+      LEFT JOIN s1 ON s1.doc_id = dl.doc_id AND s1.lang = ct.lang, dtot dt, vocab
+    ),
+    pred AS (
+      SELECT doc_id, lang_true, lang_cand AS lang_pred,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang_cand ASC) AS rnk
+      FROM scored
+    )
+    SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rnk = 1
+    GROUP BY lang_true, lang_pred
+    """,
+    survey_ids=("B56", "B16", "B10"),
+    description="Multinomial Naive Bayes lang classifier: train + held-out confusion, all counting",
+)
+def naive_bayes_lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Train a multinomial Naive Bayes language classifier on a
+    deterministic ~78% hash split and evaluate the held-out confusion
+    matrix — model fitting as a QUERY. Multinomial NB is pure counting
+    (per-class word counts + Laplace smoothing), so the full train/
+    predict/evaluate loop expresses as joins and aggregations with no
+    ML library and no driver-side state; quality_classifier_inference
+    scores with fixed weights, this LEARNS its weights from the corpus.
+
+    Scale shape: training reduces the corpus to a (lang x word) count
+    table in one shuffle; scoring joins held-out tokens to it on the
+    word key (broadcast here — the fixture vocabulary is tiny; at web
+    scale the same plan shuffle-joins on word, still key-bounded).
+    The OOV algebra keeps the join INNER: unseen words contribute
+    ln(1)=0 to the numerator, so only the shared n_tok * ln(T_l + V)
+    normalizer sees them. The candidate fan-out is |langs| per doc via
+    a broadcast cross of the 5-row class table.
+    """
+    docs = t(spark, sf, "documents")
+    is_train = (
+        F.conv(F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 2), 16, 10)
+        .cast("int")
+        < 200
+    )
+    split = docs.select("doc_id", "lang", "text", is_train.alias("is_train"))
+    train = split.filter("is_train")
+    test = split.filter(~F.col("is_train"))
+    train_tok = train.select(
+        "lang", F.explode(F.split("text", " ")).alias("word")
+    )
+    clw = train_tok.groupBy("lang", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    clw = clw.persist()
+    class_tot = clw.groupBy("lang").agg(F.sum("c").cast("bigint").alias("t_l"))
+    vocab = clw.agg(F.countDistinct("word").cast("bigint").alias("v"))
+    prior = train.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("d_l"))
+    dtot = train.agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    test_tok = (
+        test.select(
+            "doc_id",
+            F.col("lang").alias("lang_true"),
+            F.explode(F.split("text", " ")).alias("word"),
+        )
+        .groupBy("doc_id", "lang_true", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    doc_len = test_tok.groupBy("doc_id", "lang_true").agg(
+        F.sum("cnt").cast("bigint").alias("n_tok")
+    )
+    s1 = (
+        test_tok.join(F.broadcast(clw), "word")
+        .groupBy("doc_id", F.col("lang").alias("lang_cand"))
+        .agg(
+            F.sum(F.col("cnt") * F.log((F.col("c") + F.lit(1)).cast("double")))
+            .alias("s_num")
+        )
+    )
+    cand = class_tot.join(F.broadcast(prior), "lang").withColumnRenamed(
+        "lang", "lang_cand"
+    )
+    scored = (
+        doc_len.join(F.broadcast(cand))
+        .join(s1, ["doc_id", "lang_cand"], "left")
+        .join(F.broadcast(dtot))
+        .join(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "lang_true",
+            "lang_cand",
+            F.round(
+                F.log(F.col("d_l").cast("double"))
+                - F.log(F.col("d").cast("double"))
+                + F.coalesce(F.col("s_num"), F.lit(0.0))
+                - F.col("n_tok") * F.log((F.col("t_l") + F.col("v")).cast("double")),
+                9,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("lang_cand").asc()
+    )
+    pred = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") == 1)
+    return pred.groupBy(
+        "lang_true", F.col("lang_cand").alias("lang_pred")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
