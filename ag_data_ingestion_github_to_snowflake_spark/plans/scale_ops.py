@@ -486,3 +486,101 @@ def partition_grouped_pushdown(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Range-partition planning audit: sampled bounds -> actual bucket
+# balance (what repartitionByRange/Sort does internally, made visible)
+# ---------------------------------------------------------------------------
+@register(
+    "range_partition_balance",
+    # The sample is a deterministic hash gate narrowed to the first
+    # 1000 rows by (hash, key) order, sorted once as a 1-row list;
+    # bound indexes are integer arithmetic, bucket assignment counts
+    # bounds <= price — everything either integer or a comparison of
+    # identical doubles.
+    oracle="""
+    WITH samp AS (
+      SELECT list_sort(list(o_totalprice)) AS s FROM (
+        SELECT o_totalprice,
+               sha256(CAST(o_orderkey AS VARCHAR)) AS hx, o_orderkey
+        FROM orders
+        WHERE CAST(('0x' || substr(sha256(CAST(o_orderkey AS VARCHAR)), 1, 2)) AS INT) < 4
+        ORDER BY hx, o_orderkey
+        LIMIT 1000
+      )
+    ),
+    b AS (
+      SELECT [s[CAST(ceil(i * len(s) / 16.0) AS BIGINT)]
+              FOR i IN generate_series(1, 15)] AS bounds
+      FROM samp
+    ),
+    assigned AS (
+      SELECT CAST(len(list_filter(b.bounds, x -> o.o_totalprice >= x)) AS BIGINT)
+               AS bucket
+      FROM orders o, b
+    ),
+    counts AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows FROM assigned GROUP BY bucket
+    ),
+    tot AS (SELECT CAST(SUM(n_rows) AS DOUBLE) AS n FROM counts)
+    SELECT bucket, n_rows,
+           ROUND(n_rows / (n / 16.0), 6) AS balance_ratio
+    FROM counts, tot
+    """,
+    survey_ids=("B24", "B23", "B9"),
+    description="Range-partitioner audit: sampled split bounds vs actual bucket balance",
+)
+def range_partition_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """Make repartitionByRange's internal decision auditable: draw the
+    deterministic bounded sample a range partitioner would draw,
+    derive 16 split bounds, then measure how balanced the ACTUAL row
+    distribution over those bounds is (balance_ratio 1.0 = perfect).
+    The pre-flight check before a sort/range-bucketed write at 100 TB
+    — a 10x-hot bucket found here is a straggler task avoided there.
+
+    Scale shape: the sample is a hash gate + map-side top-k heap
+    (never a global sort), sorted once as a single 1000-element list;
+    bucket assignment is a broadcast of the 15-bound array folded per
+    row (F.aggregate over literals-at-runtime); the final count is one
+    map-side-combined 16-group shuffle.
+    """
+    orders = t(spark, sf, "orders")
+    hx = F.sha2(F.col("o_orderkey").cast("string"), 256)
+    gate = F.conv(F.substring(hx, 1, 2), 16, 10).cast("int") < 4
+    samp = (
+        orders.filter(gate)
+        .select("o_totalprice", hx.alias("hx"), "o_orderkey")
+        .orderBy("hx", "o_orderkey")
+        .limit(1000)
+        .agg(F.sort_array(F.collect_list("o_totalprice")).alias("s"))
+    )
+    n = F.size("s")
+    bounds = samp.select(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(15)),
+            lambda i: F.element_at(
+                F.col("s"), F.ceil(i * n / F.lit(16.0)).cast("int")
+            ),
+        ).alias("bounds")
+    )
+    assigned = orders.join(F.broadcast(bounds)).select(
+        F.size(
+            F.filter(
+                F.col("bounds"), lambda x: F.col("o_totalprice") >= x
+            )
+        )
+        .cast("bigint")
+        .alias("bucket")
+    )
+    counts = assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    tot = counts.agg(F.sum("n_rows").cast("double").alias("n"))
+    return counts.join(F.broadcast(tot)).select(
+        "bucket",
+        "n_rows",
+        F.round(F.col("n_rows") / (F.col("n") / F.lit(16.0)), 6).alias(
+            "balance_ratio"
+        ),
+    )

@@ -1011,3 +1011,93 @@ def stupid_backoff_trigram_lm(spark: SparkSession, sf: str) -> DataFrame:
     train = docs.filter(hash_bucket(F.col("doc_id")) < 204)
     test = docs.filter(hash_bucket(F.col("doc_id")) >= 204)
     return stupid_backoff_scores(train, test, id_col="doc_id", text_col="text")
+
+
+# ---------------------------------------------------------------------------
+# k-NN majority-vote classification on top of exact cosine top-k
+# ---------------------------------------------------------------------------
+@register(
+    "knn_label_majority",
+    # Same determinism chain as similarity_topk_cosine: cosines round
+    # to 6dp BEFORE ranking with an id tiebreak, votes are integers,
+    # and the winning label breaks vote ties by ascending label.
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 20),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id, c.label,
+             ROUND(
+               list_sum(list_transform(list_zip(q.q_vec, c.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.q_vec,  v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))
+                * sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))),
+             6) AS cosine
+      FROM embeddings c, q
+      WHERE q.query_id <> c.vec_id
+    ),
+    topk AS (
+      SELECT query_id, neighbor_id, label, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+        FROM scored
+      ) WHERE rnk <= 5
+    ),
+    votes AS (
+      SELECT query_id, label,
+             CAST(COUNT(*) AS BIGINT) AS votes,
+             ROUND(AVG(cosine), 6) AS mean_cos
+      FROM topk GROUP BY query_id, label
+    )
+    SELECT query_id, CAST(label AS BIGINT) AS pred_label, votes, mean_cos
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY votes DESC, label ASC) AS vr
+      FROM votes
+    ) WHERE vr = 1
+    """,
+    survey_ids=("B55", "B32", "B16"),
+    description="k-NN classification: majority label of exact cosine top-5 neighbors",
+)
+def knn_label_majority(spark: SparkSession, sf: str) -> DataFrame:
+    """Classify query vectors by the MAJORITY LABEL of their exact
+    cosine top-5 neighbors — the retrieval family's first predictive
+    consumer (similarity_topk_cosine returns neighbors; this votes
+    them into a label, with vote-count then ascending-label
+    tiebreaks).
+
+    Scale shape: identical to brute_force_topk (bounded query side
+    broadcast against the corpus scan, per-query top-k heap via
+    window-on-rounded-cosine), plus one broadcast join to recover
+    neighbor labels and a |queries x labels|-row vote aggregate —
+    nothing new touches data-scale rows. The IVF/PQ variants drop in
+    as the candidate generator unchanged.
+    """
+    from ag_data_ingestion_github_to_snowflake_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from pyspark.sql.window import Window
+
+    emb = t(spark, sf, "embeddings")
+    nbrs = brute_force_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+    labeled = nbrs.join(
+        F.broadcast(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+        ),
+        "neighbor_id",
+    )
+    votes = labeled.groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("votes"),
+        F.round(F.avg("cosine"), 6).alias("mean_cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(w))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            F.col("label").cast("bigint").alias("pred_label"),
+            "votes",
+            "mean_cos",
+        )
+    )
