@@ -1183,3 +1183,89 @@ def rfm_segmentation_users(spark: SparkSession, sf: str) -> DataFrame:
         .cast("double")
         .alias("segment_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential probability ratio test (Wald SPRT): the always-valid
+# sequential sibling of ab_test_two_proportion_z
+# ---------------------------------------------------------------------------
+@register(
+    "sprt_sequential_ab",
+    # The cumulative LLR is (integer count) x (ln of a double literal):
+    # both factors are identical doubles in both engines, the two-term
+    # sum per row has a fixed association, and the boundary compare
+    # uses the same unrounded expression — so the per-day decision
+    # labels are deterministic, not just the rounded statistic.
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT day,
+             SUM(x) OVER w AS cum_x,
+             SUM(n) OVER w AS cum_n
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    llr AS (
+      SELECT day, CAST(cum_x AS BIGINT) AS cum_x, CAST(cum_n AS BIGINT) AS cum_n,
+             cum_x * ln(0.52 / 0.48)
+               + (cum_n - cum_x) * ln(0.48 / 0.52) AS s
+      FROM cum
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, cum_x, cum_n,
+           ROUND(s, 6) AS cum_llr,
+           CASE WHEN s >= ln(19.0) THEN 'accept_h1'
+                WHEN s <= -ln(19.0) THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM llr
+    """,
+    survey_ids=("B31", "B19", "B33"),
+    description="Wald SPRT: daily cumulative log-likelihood ratio with accept/continue boundaries",
+)
+def sprt_sequential_ab(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequential A/B testing done right: instead of peeking at a
+    fixed-horizon z-test daily (which inflates false positives), the
+    Wald SPRT accumulates the log-likelihood ratio for H1: p=0.52 vs
+    H0: p=0.48 over the click share of click+view traffic and stops
+    the moment a boundary (alpha = beta = 0.05, i.e. +/-ln 19) is
+    crossed. Emits the full decision trajectory — the audit trail a
+    peeking-safe experimentation platform stores.
+
+    Scale shape: the stream reduces to per-day (x, n) in one map-side
+    combined shuffle; the cumulative window runs over the CALENDAR-
+    BOUNDED day table. Bernoulli SPRT needs only the two cumulative
+    counts, so no per-event state survives the first aggregation.
+    """
+    ev = t(spark, sf, "events").filter(F.col("event_type").isin("click", "view"))
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == "click").cast("long"))
+        .cast("bigint")
+        .alias("x"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = daily.select(
+        "day",
+        F.sum("x").over(w).cast("bigint").alias("cum_x"),
+        F.sum("n").over(w).cast("bigint").alias("cum_n"),
+    )
+    l1 = F.log(F.lit(0.52) / F.lit(0.48))
+    l0 = F.log(F.lit(0.48) / F.lit(0.52))
+    s = F.col("cum_x") * l1 + (F.col("cum_n") - F.col("cum_x")) * l0
+    bound = F.log(F.lit(19.0))
+    return cum.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "cum_x",
+        "cum_n",
+        F.round(s, 6).alias("cum_llr"),
+        F.when(s >= bound, F.lit("accept_h1"))
+        .when(s <= -bound, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )

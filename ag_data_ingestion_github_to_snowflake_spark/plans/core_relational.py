@@ -2674,3 +2674,72 @@ def split_conformal_ols(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("covered").cast("double") / F.col("n_test")).alias("coverage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# epsilon-DP Laplace counts: the central-DP companion of
+# randomized_response_debias (which is the local-DP mechanism)
+# ---------------------------------------------------------------------------
+@register(
+    "dp_laplace_counts",
+    # The Laplace draw is inverse-CDF over an md5-derived uniform:
+    # u = hash/2^60 is a dyadic rational (exactly representable), so
+    # ln(1-2|u-1/2|) sees identical doubles in both engines (tfidf
+    # ln-precedent); everything else is exact integers.
+    oracle="""
+    WITH g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_n FROM events GROUP BY 1
+    ),
+    noise AS (
+      SELECT event_type, true_n,
+             CAST(('0x' || substr(md5(event_type || ':dp'), 1, 15)) AS BIGINT)
+               / 1152921504606846976.0 - 0.5 AS v
+      FROM g
+    )
+    SELECT event_type, true_n,
+           ROUND(true_n - sign(v) * ln(1 - 2 * abs(v)), 6) AS noisy_n,
+           ROUND(abs(sign(v) * ln(1 - 2 * abs(v))), 6) AS abs_noise,
+           1.0 AS epsilon,
+           CAST(1 AS BIGINT) AS sensitivity
+    FROM noise
+    """,
+    survey_ids=("B16", "B43", "B19"),
+    description="epsilon-DP Laplace-noised group counts (deterministic inverse-CDF draw)",
+)
+def dp_laplace_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Differentially-private per-group counts under the central-DP
+    Laplace mechanism: each event-type count is released with
+    Laplace(sensitivity/epsilon) noise, epsilon = 1. Completes the
+    privacy family's third leg — PII redaction strips identifiers,
+    k-anonymity bounds joinable risk, randomized response perturbs
+    values locally, Laplace perturbs the AGGREGATES centrally. The
+    noise draw is inverse-CDF over a seeded hash uniform, so the
+    released counts replay identically anywhere — an auditable
+    mechanism (sensitivity here is event-level: one event changes a
+    count by at most 1; user-level DP would first cap events/user).
+
+    Scale shape: one map-side-combined grouped count; noise is per
+    GROUP (a handful of rows), so the mechanism adds zero data-scale
+    work. True counts are carried only as the accuracy witness.
+    """
+    ev = t(spark, sf, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_n")
+    )
+    v = (
+        F.expr(
+            "CAST(conv(substring(md5(concat(event_type, ':dp')), 1, 15),"
+            " 16, 10) AS BIGINT)"
+        )
+        / F.lit(1152921504606846976.0)  # 2^60: u is a dyadic rational
+        - F.lit(0.5)
+    )
+    noise = F.signum(v) * F.log(F.lit(1) - F.lit(2) * F.abs(v))
+    return g.select(
+        "event_type",
+        "true_n",
+        F.round(F.col("true_n") - noise, 6).alias("noisy_n"),
+        F.round(F.abs(noise), 6).alias("abs_noise"),
+        F.lit(1.0).alias("epsilon"),
+        F.lit(1).cast("bigint").alias("sensitivity"),
+    )

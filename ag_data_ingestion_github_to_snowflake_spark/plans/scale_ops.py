@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ag_data_ingestion_github_to_snowflake_spark.operators.skew import salted_aggregate
 from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register, t
@@ -583,4 +584,103 @@ def range_partition_balance(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("n_rows") / (F.col("n") / F.lit(16.0)), 6).alias(
             "balance_ratio"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline (Pareto frontier) via a two-level STRICT running max —
+# the window-wall pattern extended from prefix sums to running extrema
+# ---------------------------------------------------------------------------
+@register(
+    "skyline_price_date_orders",
+    # Dominance compares exact doubles/timestamps; the strict running
+    # max is computed over the distinct-price table, so equal prices
+    # share one row and the strict (1 PRECEDING) frame is exact.
+    oracle="""
+    WITH per_price AS (
+      SELECT o_totalprice AS price, MAX(o_orderdate) AS meq
+      FROM orders GROUP BY 1
+    ),
+    runmax AS (
+      SELECT price, meq,
+             MAX(meq) OVER (ORDER BY price DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS mstrict
+      FROM per_price
+    )
+    SELECT o.o_orderkey AS orderkey,
+           o.o_totalprice AS price,
+           o.o_orderdate AS orderdate
+    FROM orders o JOIN runmax r ON o.o_totalprice = r.price
+    WHERE (r.mstrict IS NULL OR o.o_orderdate > r.mstrict)
+      AND o.o_orderdate = r.meq
+    """,
+    survey_ids=("B14", "B29", "B24"),
+    description="2-D skyline (max price, max recency) via two-level strict running max",
+)
+def skyline_price_date_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """The Pareto frontier of orders over (total price high, order
+    date recent): an order survives iff NO other order is at least as
+    good on both axes and strictly better on one — the multi-objective
+    top-k that a plain ORDER BY cannot express (skyline operator,
+    Borzsony/Kossmann/Stocker ICDE'01).
+
+    Scale shape: dominance against the whole fact table reduces to a
+    STRICT running max of per-price best dates over the DISTINCT-price
+    table — never an all-pairs join. The running max is computed with
+    the two-level bucket scan (bucket carry via lag of the bucket
+    running max + in-bucket 1-PRECEDING frame), so no single task
+    scans all distinct prices; the frontier test then joins back on
+    the price key. Running MAX is associative, so the bucket-major
+    decomposition is exact.
+    """
+    orders = t(spark, sf, "orders")
+    per_price = orders.groupBy(F.col("o_totalprice").alias("price")).agg(
+        F.max("o_orderdate").alias("meq")
+    )
+    # two-level strict running max over price DESC: bucket by price
+    # range; DESC order means higher buckets come first
+    b = per_price.withColumn(
+        "bkt", F.floor(F.col("price") / F.lit(25000.0)).cast("long")
+    )
+    per_bkt = b.groupBy("bkt").agg(F.max("meq").alias("bmax"))
+    w_b = Window.orderBy(F.col("bkt").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = per_bkt.select(
+        "bkt", F.max("bmax").over(w_b).alias("carry")
+    )
+    w_in = Window.partitionBy("bkt").orderBy(F.col("price").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    runmax = (
+        b.join(F.broadcast(carry), "bkt")
+        .select(
+            "price",
+            "meq",
+            F.greatest(
+                F.max("meq").over(w_in),
+                F.col("carry"),
+            ).alias("_both"),
+            F.coalesce(F.max("meq").over(w_in), F.col("carry")).alias("_one"),
+        )
+        # greatest() is null-safe only when one side exists; coalesce
+        # covers the single-sided cases, greatest the two-sided one
+        .select(
+            "price",
+            "meq",
+            F.coalesce(F.col("_both"), F.col("_one")).alias("mstrict"),
+        )
+    )
+    return (
+        orders.join(runmax, orders.o_totalprice == runmax.price)
+        .filter(
+            (F.col("mstrict").isNull() | (F.col("o_orderdate") > F.col("mstrict")))
+            & (F.col("o_orderdate") == F.col("meq"))
+        )
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderdate").alias("orderdate"),
+        )
     )

@@ -1024,3 +1024,186 @@ def streaming_dlq_ingest(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("n_main", "n_dlq", "main_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming SCD2 upsert: micro-batch foreachBatch merges into a
+# versioned dimension-history table; final state equals the batch twin
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_scd2_upsert",
+    # IDENTICAL oracle to scd2_customer_history: four time-ordered
+    # micro-batch upserts must land the exact history the one-shot
+    # window build produces — the incremental MERGE path itself is
+    # hash-verified, not just smoke-tested.
+    oracle="""
+    WITH changes AS (
+      SELECT c_custkey AS custkey,
+             TIMESTAMP '1990-01-01 00:00:00' AS ts,
+             c_mktsegment AS tier,
+             CAST(0 AS BIGINT) AS seq
+      FROM customer WHERE c_custkey < 300
+      UNION ALL
+      SELECT o_custkey, o_orderdate, o_orderpriority, o_orderkey
+      FROM orders WHERE o_custkey < 300
+    ),
+    marked AS (
+      SELECT *, LAG(tier) OVER (PARTITION BY custkey ORDER BY ts, seq) AS prev
+      FROM changes
+    ),
+    vers AS (
+      SELECT custkey, ts, tier, seq FROM marked
+      WHERE prev IS DISTINCT FROM tier
+    )
+    SELECT custkey, tier,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY custkey ORDER BY ts, seq) AS valid_to,
+           LEAD(ts) OVER (PARTITION BY custkey ORDER BY ts, seq) IS NULL
+             AS is_current
+    FROM vers
+    """,
+    survey_ids=("B44", "B29", "B13"),
+    description="Streaming SCD2: foreachBatch upserts across 4 micro-batches equal the batch build",
+)
+def streaming_scd2_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 dimension maintenance as a STREAM: priority changes arrive
+    in four time-sliced micro-batches and a foreachBatch MERGE upserts
+    each into a versioned history table — close the touched keys' open
+    versions, append the new ones, leave everything else untouched.
+    The final table must hash-match scd2_customer_history's one-shot
+    window build: the reference repo's warehouse layer does this merge
+    in Snowflake SQL per run (README.md:285-291); here it is the
+    engine-side incremental twin.
+
+    Scale shape: each merge touches ONLY the batch's affected keys
+    (semi-join pull of their open versions + union + per-key window
+    over versions-per-key rows); unaffected history is carried by
+    reference, and versions are written to a fresh subdir then swapped
+    (the warehouse_sink two-phase pattern) — never an in-place
+    overwrite of the files being read. Batches are time-sliced, so the
+    open-version + new-changes recompute is exactly the global window.
+    """
+    orders = t(spark, sf, "orders")
+    customer = t(spark, sf, "customer")
+    changes = orders.filter(F.col("o_custkey") < 300).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderpriority").alias("tier"),
+        F.col("o_orderkey").cast("bigint").alias("seq"),
+    )
+    seed = customer.filter(F.col("c_custkey") < 300).select(
+        F.col("c_custkey").alias("custkey"),
+        F.lit("1990-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.col("c_mktsegment").alias("tier"),
+        F.lit(0).cast("bigint").alias("seq"),
+    )
+    # stage 4 TIME-SLICED change files (slice = o_orderdate year band,
+    # so every key's observations arrive in event-time order across
+    # batches); mtimes ascend so the file source replays them in order
+    src = os.path.join(sf, "orders.parquet")
+    stage = stage_dir("ag_scd2_slices", sf)
+    marker = os.path.join(stage, "_staged")
+    if not os.path.exists(marker) or os.path.getmtime(marker) < os.path.getmtime(src):
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage)
+        bands = [(None, 1996), (1996, 1998), (1998, 2000), (2000, None)]
+        for i, (lo, hi) in enumerate(bands):
+            sl = changes
+            if lo is not None:
+                sl = sl.filter(F.year("ts") >= lo)
+            if hi is not None:
+                sl = sl.filter(F.year("ts") < hi)
+            sl.coalesce(1).write.mode("overwrite").parquet(stage + f"_tmp{i}")
+            part = [
+                p for p in os.listdir(stage + f"_tmp{i}") if p.endswith(".parquet")
+            ][0]
+            dest = os.path.join(stage, f"batch_{i}.parquet")
+            shutil.copy(os.path.join(stage + f"_tmp{i}", part), dest)
+            os.utime(dest, (1_000_000_000 + i * 1000, 1_000_000_000 + i * 1000))
+            shutil.rmtree(stage + f"_tmp{i}", ignore_errors=True)
+        write_marker(marker)
+    hist_root = tempfile.mkdtemp(prefix="ag_scd2_hist_")
+    from ag_data_ingestion_github_to_snowflake_spark.operators.scd import (
+        scd2_from_changes,
+    )
+
+    def merge(batch: DataFrame, bid: int) -> None:
+        sp = batch.sparkSession
+        obs = batch.select("custkey", "ts", "tier", "seq")
+        prev_dir = os.path.join(hist_root, f"v{bid}")
+        if bid == 0:
+            # initialize: the dimension seed opens every key's first
+            # version; fold it into the first batch's observations
+            obs = seed.unionByName(obs)
+            hist = None
+        else:
+            hist = sp.read.parquet(prev_dir)
+        if hist is not None:
+            keys = obs.select("custkey").distinct()
+            open_vers = (
+                hist.filter(F.col("is_current"))
+                .join(keys, "custkey", "semi")
+                .select(
+                    "custkey",
+                    F.col("valid_from").alias("ts"),
+                    "tier",
+                    "seq",
+                )
+            )
+            # affected keys: recompute from (open version + new obs);
+            # the open version re-emits first (lag=null), closed rows
+            # and untouched keys carry over by reference
+            carried = hist.filter(~F.col("is_current")).unionByName(
+                hist.filter(F.col("is_current")).join(keys, "custkey", "anti")
+            )
+            recomputed = scd2_from_changes(
+                open_vers.unionByName(obs),
+                key="custkey",
+                ts_col="ts",
+                attr_cols=["tier"],
+                tiebreak="seq",
+            ).select(
+                "custkey",
+                "tier",
+                F.col("valid_from"),
+                "valid_to",
+                "is_current",
+                "seq",
+            )
+            new_hist = carried.unionByName(recomputed)
+        else:
+            new_hist = scd2_from_changes(
+                obs, key="custkey", ts_col="ts", attr_cols=["tier"], tiebreak="seq"
+            ).select(
+                "custkey", "tier", "valid_from", "valid_to", "is_current", "seq"
+            )
+        new_hist.write.mode("overwrite").parquet(
+            os.path.join(hist_root, f"v{bid + 1}")
+        )
+
+    schema = spark.read.parquet(os.path.join(stage, "batch_0.parquet")).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    cp = tempfile.mkdtemp(prefix="ag_scd2_cp_")
+    q = (
+        sdf.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", cp)
+        .start()
+    )
+    q.awaitTermination()
+    final = max(
+        (d for d in os.listdir(hist_root) if d.startswith("v")),
+        key=lambda d: int(d[1:]),
+    )
+    out = (
+        spark.read.parquet(os.path.join(hist_root, final))
+        .select("custkey", "tier", "valid_from", "valid_to", "is_current")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(hist_root, ignore_errors=True)
+    shutil.rmtree(cp, ignore_errors=True)
+    return out

@@ -935,3 +935,90 @@ def vwap_cumulative_daily(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("vwap_cum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Expanding-window backtest: walk-forward evaluation of three
+# forecasting baselines over the monthly revenue series
+# ---------------------------------------------------------------------------
+@register(
+    "expanding_holdout_backtest",
+    # Monthly revenues are exact decimal sums; the expanding mean is an
+    # exact decimal cumsum divided by an integer count; naive and
+    # seasonal predictions are lags of exact values. All ratios/diffs
+    # are single double ops over identical inputs.
+    oracle="""
+    WITH monthly AS (
+      SELECT date_trunc('month', l_shipdate) AS month,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      FROM lineitem GROUP BY 1
+    ),
+    feat AS (
+      SELECT month, rev,
+             LAG(rev) OVER w AS p_naive,
+             LAG(rev, 12) OVER w AS p_seasonal,
+             CAST(SUM(rev) OVER (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS DOUBLE)
+               / (COUNT(*) OVER (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING)) AS p_mean
+      FROM monthly
+      WINDOW w AS (ORDER BY month)
+    )
+    SELECT CAST(month AS TIMESTAMP) AS month,
+           CAST(rev AS DOUBLE) AS actual,
+           ROUND(CAST(p_naive AS DOUBLE), 6) AS pred_naive,
+           ROUND(p_mean, 6) AS pred_mean,
+           ROUND(CAST(p_seasonal AS DOUBLE), 6) AS pred_seasonal,
+           ROUND(ABS(CAST(rev - p_naive AS DOUBLE)), 6) AS abs_err_naive,
+           ROUND(ABS(CAST(rev AS DOUBLE) - p_mean), 6) AS abs_err_mean,
+           ROUND(ABS(CAST(rev - p_seasonal AS DOUBLE)), 6) AS abs_err_seasonal
+    FROM feat
+    WHERE p_seasonal IS NOT NULL
+    """,
+    survey_ids=("B30", "B31", "B16"),
+    description="Walk-forward backtest: naive / expanding-mean / seasonal-naive forecasts with per-month errors",
+)
+def expanding_holdout_backtest(spark: SparkSession, sf: str) -> DataFrame:
+    """Walk-forward (expanding-window) backtest of three forecasting
+    baselines over monthly revenue: last-month naive, expanding mean
+    of ALL prior months, and seasonal-naive (same month last year) —
+    each month is predicted using only data strictly before it, the
+    evaluation protocol every production forecaster is graded by
+    (regr_trend_monthly_revenue fits one line to everything; this
+    measures honest out-of-sample error month by month).
+
+    Scale shape: the fact table reduces to the CALENDAR-BOUNDED
+    monthly series in one map-side-combined shuffle; all lags and the
+    expanding mean run over that ~84-row table. The expanding mean
+    stays an exact decimal cumsum / integer count until the final
+    double presentation.
+    """
+    li = t(spark, sf, "lineitem")
+    monthly = li.groupBy(F.date_trunc("month", "l_shipdate").alias("month")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = Window.orderBy("month")
+    w_prev = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, -1)
+    feat = monthly.select(
+        "month",
+        "rev",
+        F.lag("rev").over(w).alias("p_naive"),
+        F.lag("rev", 12).over(w).alias("p_seasonal"),
+        (
+            F.sum("rev").over(w_prev).cast("double")
+            / F.count(F.lit(1)).over(w_prev)
+        ).alias("p_mean"),
+    )
+    return feat.filter(F.col("p_seasonal").isNotNull()).select(
+        F.col("month").cast("timestamp").alias("month"),
+        F.col("rev").cast("double").alias("actual"),
+        F.round(F.col("p_naive").cast("double"), 6).alias("pred_naive"),
+        F.round(F.col("p_mean"), 6).alias("pred_mean"),
+        F.round(F.col("p_seasonal").cast("double"), 6).alias("pred_seasonal"),
+        F.round(F.abs((F.col("rev") - F.col("p_naive")).cast("double")), 6)
+        .alias("abs_err_naive"),
+        F.round(F.abs(F.col("rev").cast("double") - F.col("p_mean")), 6)
+        .alias("abs_err_mean"),
+        F.round(F.abs((F.col("rev") - F.col("p_seasonal")).cast("double")), 6)
+        .alias("abs_err_seasonal"),
+    )

@@ -43,6 +43,33 @@ RED_FLAGS = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
 # (query, flag) pairs that are correct-by-design, each with the reason
 # the plan stays safe at scale.
 ALLOWED_FLAGS = {
+    # Kaplan-Meier attaches the 1-row censor-horizon (global max ts)
+    # and 1-row subject-total aggregates via broadcast cross joins —
+    # single broadcast rows, invariant in the data size.
+    ("kaplan_meier_survival", "BroadcastNestedLoopJoin"),
+    # Mutual information attaches 1-row total aggregates to the tiny
+    # |lang| x |source| cell/margin tables — single broadcast rows.
+    ("mutual_info_lang_source", "BroadcastNestedLoopJoin"),
+    # Theil-Sen pairs the 200-row bounded sample against itself under
+    # an inequality (the pair predicate is < by definition); the
+    # broadcast side is capped by the LIMIT, never data-scale. The
+    # 1-row median frames cross-attach the same way.
+    ("theil_sen_slope_sampled", "BroadcastNestedLoopJoin"),
+    # Mixture reweighting attaches the 1-row (total, n_sources)
+    # aggregate to the |sources|-row table — one broadcast row.
+    ("domain_mixture_reweight", "BroadcastNestedLoopJoin"),
+    # NB scoring cross-attaches the |langs|-row class table (candidate
+    # fan-out is the model's class count, a bounded constant) plus
+    # 1-row vocab/doc-total aggregates — all broadcast and invariant
+    # in the corpus size.
+    ("naive_bayes_lang_confusion", "BroadcastNestedLoopJoin"),
+    # k-NN vote runs the same LIMITed broadcast-query brute-force scan
+    # as similarity_topk_cosine underneath.
+    ("knn_label_majority", "BroadcastNestedLoopJoin"),
+    # Bucket assignment folds the broadcast 15-element bounds array
+    # (from the LIMIT-1000 sample) over the scan — one broadcast row;
+    # the balance ratio attaches a 1-row total the same way.
+    ("range_partition_balance", "BroadcastNestedLoopJoin"),
     # Brute-force top-k scores EVERY (query, candidate) pair by
     # definition; the query side is LIMITed to a small constant and
     # broadcast, so BNLJ here is a map-side loop over a tiny broadcast
@@ -204,6 +231,9 @@ MATERIALIZED = {
     "map-side expression on the checkpointed label table",
     "split_leakage_audit": "same CC core plus a checkpointed pair table "
     "feeding the audit join",
+    "streaming_scd2_upsert": "foreachBatch drain; the per-batch SCD2 merge "
+    "plan (semi/anti pull + per-key window) runs inside build(); returned "
+    "frame scans the final history version",
 }
 
 
