@@ -1269,3 +1269,89 @@ def sprt_sequential_ab(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(F.lit("continue"))
         .alias("decision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve: cumulative purchase value per user by cohort age
+# ---------------------------------------------------------------------------
+@register(
+    "cohort_ltv_curve",
+    # Cohort sizes are exact integers, revenues exact decimal sums,
+    # the cumulative is a decimal window sum over the bounded
+    # (cohort x age) table; one double division per output cell.
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    cohort_size AS (
+      SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM first_seen GROUP BY cohort_week
+    ),
+    rev AS (
+      SELECT f.cohort_week,
+             CAST(date_diff('week', f.cohort_week, date_trunc('week', e.ts))
+                  AS BIGINT) AS age_weeks,
+             SUM(CAST(e.value AS DECIMAL(18,6))) AS wk_rev
+      FROM events e
+      JOIN first_seen f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT CAST(r.cohort_week AS TIMESTAMP) AS cohort_week,
+           r.age_weeks,
+           c.n_users,
+           ROUND(CAST(SUM(r.wk_rev) OVER (PARTITION BY r.cohort_week
+                      ORDER BY r.age_weeks
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / c.n_users, 6) AS ltv_per_user
+    FROM rev r JOIN cohort_size c ON r.cohort_week = c.cohort_week
+    """,
+    survey_ids=("B31", "B16", "B33"),
+    description="Cohort lifetime-value curve: cumulative purchase value per user by cohort age",
+)
+def cohort_ltv_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """The LTV triangle: for each weekly signup cohort, cumulative
+    purchase value PER USER at each week of age — the curve growth
+    teams extrapolate payback from. weekly_cohort_retention counts who
+    comes back; this accumulates what they are worth.
+
+    Scale shape: first-seen reduces the stream to one row per user
+    (map-side-combined); revenue joins that on user_id (key-bounded
+    shuffle) and reduces to the CALENDAR-BOUNDED (cohort x age) grid;
+    the cumulative window runs per cohort over that tiny table, exact
+    decimals until the final per-user division.
+    """
+    ev = t(spark, sf, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    cohort_size = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.floor(
+                    F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                    / F.lit(7)
+                )
+            )
+            .cast("bigint")
+            .alias("age_weeks"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("wk_rev"))
+    )
+    w = Window.partitionBy("cohort_week").orderBy("age_weeks").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return rev.join(F.broadcast(cohort_size), "cohort_week").select(
+        F.col("cohort_week").cast("timestamp").alias("cohort_week"),
+        "age_weeks",
+        "n_users",
+        F.round(F.sum("wk_rev").over(w).cast("double") / F.col("n_users"), 6)
+        .alias("ltv_per_user"),
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register, t
 
@@ -764,4 +765,122 @@ def url_parse_components(spark: SparkSession, sf: str) -> DataFrame:
         F.parse_url(u, F.lit("QUERY"), F.lit("k")).alias("k_param"),
         F.parse_url(u, F.lit("REF")).alias("fragment"),
         F.substring_index(host, ".", -2).alias("domain"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert vs Morton clustering locality: consecutive curve positions'
+# spatial distance — the measurable reason "liquid"-style clustering
+# prefers Hilbert over Z-order
+# ---------------------------------------------------------------------------
+def _hilbert_locality_oracle() -> str:
+    from ag_data_ingestion_github_to_snowflake_spark.functions.zorder import (
+        hilbert_index_sql,
+    )
+
+    body = hilbert_index_sql("cx", "cy", 4)
+    return f"""
+    WITH cells AS (
+      SELECT CAST(day(ts) - 1 AS INT) AS cx,
+             CAST(floor(hour(ts) * 2 / 3.0) AS INT) AS cy
+      FROM events WHERE day(ts) <= 16
+      GROUP BY 1, 2
+    ),
+    r0 AS (SELECT cx, cy, cx AS x0, cy AS y0, 0 AS d0 FROM cells),
+    {body},
+    keyed AS (
+      SELECT cx, cy, CAST(d4 AS BIGINT) AS hilbert,
+             CAST(
+               (cx & 1) + 2 * (cy & 1)
+               + 4 * ((cx >> 1) & 1) + 8 * ((cy >> 1) & 1)
+               + 16 * ((cx >> 2) & 1) + 32 * ((cy >> 2) & 1)
+               + 64 * ((cx >> 3) & 1) + 128 * ((cy >> 3) & 1)
+             AS BIGINT) AS morton
+      FROM r4
+    ),
+    long AS (
+      SELECT 'hilbert' AS curve, cx, cy, hilbert AS idx FROM keyed
+      UNION ALL
+      SELECT 'morton' AS curve, cx, cy, morton AS idx FROM keyed
+    ),
+    steps AS (
+      SELECT curve,
+             ABS(cx - LAG(cx) OVER w) + ABS(cy - LAG(cy) OVER w) AS step
+      FROM long
+      WINDOW w AS (PARTITION BY curve ORDER BY idx)
+    )
+    SELECT curve,
+           CAST(COUNT(*) AS BIGINT) AS n_steps,
+           CAST(SUM(step) AS BIGINT) AS total_manhattan,
+           ROUND(CAST(SUM(step) AS DOUBLE) / COUNT(*), 6) AS avg_manhattan,
+           CAST(MAX(step) AS BIGINT) AS max_step
+    FROM steps WHERE step IS NOT NULL
+    GROUP BY curve
+    """
+
+
+@register(
+    "hilbert_vs_morton_locality",
+    oracle=_hilbert_locality_oracle(),
+    survey_ids=("B43", "B33", "B16"),
+    description="Hilbert vs Morton curve locality: spatial distance between consecutive positions",
+)
+def hilbert_vs_morton_locality(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantify WHY Hilbert clustering beats Z-order for
+    multi-dimensional layout: walk each space-filling curve over the
+    occupied (day, hour-band) cells of the event stream and measure
+    the spatial Manhattan distance between CONSECUTIVE curve
+    positions. Hilbert's defining property is that consecutive indexes
+    are always spatially adjacent (avg = 1.0 exactly on a full grid —
+    a self-verifying output); Morton jumps at every quadrant seam, so
+    its average step is strictly larger, which at file-layout scale
+    means wider min/max bounding boxes and fewer skipped files.
+    zorder_morton_events computes the key compact_table() sorts by;
+    this query is the measured comparison that justifies offering
+    hilbert_index as the alternative.
+
+    Scale shape: the event stream reduces to the bounded 16x16 cell
+    grid in one map-side-combined shuffle; both curve indexes are pure
+    integer CASE/bit expressions (whole-stage codegen, no UDF —
+    functions/zorder.py:hilbert_index unrolls the classic xy2d
+    transform); the walk windows run over <=256 rows per curve.
+    """
+    from ag_data_ingestion_github_to_snowflake_spark.functions.zorder import (
+        hilbert_index,
+        morton_code,
+    )
+
+    ev = t(spark, sf, "events").filter(F.dayofmonth("ts") <= 16)
+    cells = ev.groupBy(
+        (F.dayofmonth("ts") - 1).cast("int").alias("cx"),
+        F.floor(F.hour("ts") * 2 / 3.0).cast("int").alias("cy"),
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    keyed = cells.select(
+        "cx",
+        "cy",
+        hilbert_index(F.col("cx"), F.col("cy"), 4).alias("hilbert"),
+        morton_code(F.col("cx"), F.col("cy")).cast("bigint").alias("morton"),
+    )
+    long = keyed.select(
+        F.lit("hilbert").alias("curve"), "cx", "cy", F.col("hilbert").alias("idx")
+    ).unionByName(
+        keyed.select(
+            F.lit("morton").alias("curve"), "cx", "cy", F.col("morton").alias("idx")
+        )
+    )
+    w = Window.partitionBy("curve").orderBy("idx")
+    steps = long.select(
+        "curve",
+        (
+            F.abs(F.col("cx") - F.lag("cx").over(w))
+            + F.abs(F.col("cy") - F.lag("cy").over(w))
+        ).alias("step"),
+    ).filter(F.col("step").isNotNull())
+    return steps.groupBy("curve").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_steps"),
+        F.sum("step").cast("bigint").alias("total_manhattan"),
+        F.round(F.sum("step").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_manhattan"
+        ),
+        F.max("step").cast("bigint").alias("max_step"),
     )

@@ -309,3 +309,109 @@ def url_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
             F.min("variant_id").cast("bigint").alias("kept_variant"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the link graph: do popular pages link to
+# popular pages?
+# ---------------------------------------------------------------------------
+@register(
+    "graph_degree_assortativity",
+    # Degrees are exact integer counts; all five sufficient sums are
+    # integer-exact (DECIMAL(38,0) accumulators), so the Pearson
+    # coefficient is one double expression over exact inputs.
+    oracle="""
+    WITH edges AS (
+      SELECT doc_id AS src, (doc_id * doc_id + 7) % 1000 AS dst FROM documents
+      UNION ALL
+      SELECT doc_id, (doc_id * 17 + 3) % 1000 FROM documents
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT src AS node FROM edges
+        UNION ALL
+        SELECT dst FROM edges
+      ) GROUP BY node
+    ),
+    joined AS (
+      SELECT ds.degree AS dx, dd.degree AS dy
+      FROM edges e
+      JOIN deg ds ON e.src = ds.node
+      JOIN deg dd ON e.dst = dd.node
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+             CAST(CAST(SUM(dx) AS DECIMAL(38,0)) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(dy) AS DECIMAL(38,0)) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(dx * dx) AS DECIMAL(38,0)) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(dy * dy) AS DECIMAL(38,0)) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(dx * dy) AS DECIMAL(38,0)) AS DOUBLE) AS sxy
+      FROM joined
+    )
+    SELECT CAST(m AS BIGINT) AS n_edges,
+           ROUND(
+             (m * sxy - sx * sy)
+             / (sqrt(m * sxx - sx * sx) * sqrt(m * syy - sy * sy)),
+           6) AS assortativity
+    FROM s
+    """,
+    survey_ids=("B10", "B16", "B43"),
+    description="Degree assortativity (Pearson over edge-endpoint degrees), integer-exact sums",
+)
+def graph_degree_assortativity(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree assortativity of the synthesized link graph (Newman
+    2002): the Pearson correlation of total degree across edge
+    endpoints — positive means hubs link hubs, negative means hubs
+    link leaves. pagerank_link_graph ranks nodes; this is the global
+    MIXING statistic that tells you whether rank concentrates.
+
+    The first link targets a QUADRATIC residue ((id^2+7) mod 1000), so
+    target in-degrees stay skewed under any uniform id coverage — an
+    affine map goes degree-regular once ids cover every residue class
+    (as the 100x replicated fixture does), which would zero the degree
+    variance and make assortativity undefined.
+
+    Scale shape: degrees come from one grouped count over the edge
+    endpoints; the edge list then joins the degree table on each
+    endpoint (two key-bounded shuffle joins — never adjacency
+    materialization); five integer-exact sufficient sums finish in a
+    1-row aggregate. Same sum-exactness contract as
+    spearman_corr_qty_price (DECIMAL(38,0) accumulators).
+    """
+    docs = t(spark, sf, "documents").select("doc_id")
+    e1 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * F.col("doc_id") + 7) % 1000).alias("dst"),
+    )
+    e2 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 17 + 3) % 1000).alias("dst"),
+    )
+    edges = e1.unionByName(e2)
+    nodes = edges.select(F.col("src").alias("node")).unionByName(
+        edges.select(F.col("dst").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    joined = (
+        edges.join(deg.select(F.col("node").alias("src"), F.col("degree").alias("dx")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("degree").alias("dy")), "dst")
+        .select("dx", "dy")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = joined.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum(dec(F.col("dx"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("dy"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("dx") * F.col("dx"))).cast("double").alias("sxx"),
+        F.sum(dec(F.col("dy") * F.col("dy"))).cast("double").alias("syy"),
+        F.sum(dec(F.col("dx") * F.col("dy"))).cast("double").alias("sxy"),
+    )
+    m = F.col("m")
+    r = (m * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(m * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(m * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        m.cast("bigint").alias("n_edges"),
+        F.round(r, 6).alias("assortativity"),
+    )
