@@ -575,3 +575,101 @@ def mutual_info_lang_source(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("norm_mi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Empirical-Bayes shrinkage of per-user conversion rates
+# ---------------------------------------------------------------------------
+@register(
+    "empirical_bayes_shrinkage",
+    # The beta prior's method-of-moments fit uses exact integer counts
+    # and exact decimal sums; every user's shrunk rate is then one
+    # double expression over (x, n, alpha, beta) — identical inputs,
+    # identical arithmetic, round-6 presentation.
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    ),
+    mom AS (
+      -- method-of-moments beta fit over the raw per-user rates:
+      -- mu = mean(rate), v = var(rate); k = mu(1-mu)/v - 1
+      SELECT CAST(COUNT(*) AS DOUBLE) AS u,
+             CAST(SUM(CAST(x AS DOUBLE) / n) AS DOUBLE) AS s1,
+             CAST(SUM((CAST(x AS DOUBLE) / n) * (CAST(x AS DOUBLE) / n))
+                  AS DOUBLE) AS s2
+      FROM per_user
+    ),
+    prior AS (
+      SELECT (s1 / u) AS mu,
+             ((s1 / u) * (1 - s1 / u) / ((s2 - s1 * s1 / u) / (u - 1)) - 1)
+               AS k
+      FROM mom
+    )
+    SELECT p.user_id, p.x, p.n,
+           ROUND(CAST(p.x AS DOUBLE) / p.n, 6) AS raw_rate,
+           ROUND(pr.mu * pr.k, 6) AS alpha,
+           ROUND((1 - pr.mu) * pr.k, 6) AS beta,
+           ROUND((p.x + pr.mu * pr.k) / (p.n + pr.k), 6) AS shrunk_rate
+    FROM per_user p, prior pr
+    ORDER BY p.user_id
+    LIMIT 200
+    """,
+    survey_ids=("B16", "B23", "B43"),
+    description="Empirical-Bayes (beta-binomial) shrinkage of per-user conversion rates",
+)
+def empirical_bayes_shrinkage(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user purchase rates shrunk toward an empirically-fit beta
+    prior (method of moments): users with 3 events stop outranking
+    users with 300 on raw rate — the estimator every leaderboard,
+    seller-quality, and CTR system uses before sorting small-sample
+    rates. grouped_zscore standardizes within groups; this REGULARIZES
+    across them, the other half of robust rate estimation.
+
+    Scale shape: one grouped count per user (map-side combine), ONE
+    1-row moments aggregate over the per-user table fits the prior,
+    broadcast back as two scalars — the shrinkage itself is a
+    map-side expression. LIMIT 200 on user_id keeps the presented
+    slice deterministic; the full-table write is the same plan minus
+    the limit.
+    """
+    ev = t(spark, sf, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("bigint")
+        .alias("x"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    rate = F.col("x").cast("double") / F.col("n")
+    mom = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("u"),
+        F.sum(rate).cast("double").alias("s1"),
+        F.sum(rate * rate).cast("double").alias("s2"),
+    )
+    mu = F.col("s1") / F.col("u")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("u")) / (
+        F.col("u") - F.lit(1)
+    )
+    prior = mom.select(
+        mu.alias("mu"), (mu * (F.lit(1) - mu) / var - F.lit(1)).alias("k")
+    )
+    return (
+        per_user.join(F.broadcast(prior))
+        .select(
+            "user_id",
+            "x",
+            "n",
+            F.round(rate, 6).alias("raw_rate"),
+            F.round(F.col("mu") * F.col("k"), 6).alias("alpha"),
+            F.round((F.lit(1) - F.col("mu")) * F.col("k"), 6).alias("beta"),
+            F.round(
+                (F.col("x") + F.col("mu") * F.col("k")) / (F.col("n") + F.col("k")),
+                6,
+            ).alias("shrunk_rate"),
+        )
+        .orderBy("user_id")
+        .limit(200)
+    )
