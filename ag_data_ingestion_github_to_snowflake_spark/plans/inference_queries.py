@@ -673,3 +673,279 @@ def empirical_bayes_shrinkage(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("user_id")
         .limit(200)
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test over the daily event-count series
+# ---------------------------------------------------------------------------
+@register(
+    "mann_kendall_trend",
+    # S and the tie term are exact integers; var_S is a ratio of exact
+    # integers; z is one double expression. The pair comparison runs
+    # over the CALENDAR-BOUNDED daily series (30 rows -> 435 pairs).
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+      FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    s AS (SELECT CAST(SUM(sgn) AS BIGINT) AS s_stat FROM pairs),
+    ties AS (
+      SELECT COALESCE(SUM(CAST(cnt AS DOUBLE) * (cnt - 1) * (2 * cnt + 5)), 0.0)
+               AS tie_term
+      FROM (SELECT y, COUNT(*) AS cnt FROM daily GROUP BY y HAVING COUNT(*) > 1)
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+    v AS (
+      SELECT n.n_days, s.s_stat,
+             (CAST(n.n_days AS DOUBLE) * (n.n_days - 1) * (2 * n.n_days + 5)
+              - ties.tie_term) / 18.0 AS var_s
+      FROM n, s, ties
+    )
+    SELECT n_days, s_stat,
+           ROUND(var_s, 6) AS var_s,
+           ROUND(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                      WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                      ELSE 0.0 END, 6) AS z,
+           CASE WHEN s_stat > 0 THEN 'increasing'
+                WHEN s_stat < 0 THEN 'decreasing'
+                ELSE 'no_trend' END AS direction
+    FROM v
+    """,
+    survey_ids=("B23", "B14", "B33"),
+    description="Mann-Kendall nonparametric trend test (tie-corrected) on the daily series",
+)
+def mann_kendall_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Is daily event volume trending, without assuming linearity or
+    normality? Mann-Kendall counts concordant vs discordant day pairs
+    (the trend-detection standard in monitoring/hydrology — robust
+    where regr_trend's OLS slope is hostage to outliers), with the
+    tie-corrected normal approximation and continuity correction.
+
+    Scale shape: the stream reduces to the CALENDAR-BOUNDED daily
+    series in one map-side-combined shuffle; the O(days^2) pair
+    comparison is over 30 rows (435 pairs) — pairing is quadratic in
+    CALENDAR DAYS, never in data volume, so the exponent is pure scan.
+    """
+    ev = t(spark, sf, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    )
+    daily = daily.persist()
+    a, b = daily.alias("a"), daily.alias("b")
+    sgn = (
+        F.when(F.col("b.y") > F.col("a.y"), F.lit(1))
+        .when(F.col("b.y") < F.col("a.y"), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    s = (
+        a.join(F.broadcast(b), F.col("a.day") < F.col("b.day"))
+        .agg(F.sum(sgn).cast("bigint").alias("s_stat"))
+    )
+    ties = (
+        daily.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("cnt").cast("double")
+                    * (F.col("cnt") - 1)
+                    * (2 * F.col("cnt") + 5)
+                ),
+                F.lit(0.0),
+            ).alias("tie_term")
+        )
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    v = (
+        n.join(F.broadcast(s))
+        .join(F.broadcast(ties))
+        .select(
+            "n_days",
+            "s_stat",
+            (
+                (
+                    F.col("n_days").cast("double")
+                    * (F.col("n_days") - 1)
+                    * (2 * F.col("n_days") + 5)
+                    - F.col("tie_term")
+                )
+                / F.lit(18.0)
+            ).alias("var_s"),
+        )
+    )
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1) / F.sqrt(F.col("var_s")),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1) / F.sqrt(F.col("var_s")),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return v.select(
+        "n_days",
+        "s_stat",
+        F.round("var_s", 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+        F.when(F.col("s_stat") > 0, F.lit("increasing"))
+        .when(F.col("s_stat") < 0, F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("direction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Propensity-stratified treatment effect (observational ATT)
+# ---------------------------------------------------------------------------
+@register(
+    "propensity_stratified_att",
+    # Strata boundaries come from the engines' shared interpolation
+    # percentile over per-user activity; all rates are exact-integer
+    # ratios; the weighted ATT combines them with integer weights.
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS errors,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS purchases
+      FROM events GROUP BY user_id
+    ),
+    med AS (SELECT MEDIAN(errors) AS err_med FROM u),
+    cuts AS (
+      SELECT quantile_cont(n_events, 0.25) AS q1,
+             quantile_cont(n_events, 0.50) AS q2,
+             quantile_cont(n_events, 0.75) AS q3
+      FROM u
+    ),
+    marked AS (
+      SELECT u.*,
+             CAST(u.errors > med.err_med AS INT) AS treated,
+             CASE WHEN u.n_events <= cuts.q1 THEN 0
+                  WHEN u.n_events <= cuts.q2 THEN 1
+                  WHEN u.n_events <= cuts.q3 THEN 2
+                  ELSE 3 END AS stratum
+      FROM u, med, cuts
+    ),
+    per AS (
+      SELECT stratum,
+             CAST(SUM(treated) AS BIGINT) AS n_treated,
+             CAST(SUM(1 - treated) AS BIGINT) AS n_control,
+             CAST(SUM(CASE WHEN treated = 1 THEN purchases END) AS BIGINT) AS p_t,
+             CAST(SUM(CASE WHEN treated = 1 THEN n_events END) AS BIGINT) AS e_t,
+             CAST(SUM(CASE WHEN treated = 0 THEN purchases END) AS BIGINT) AS p_c,
+             CAST(SUM(CASE WHEN treated = 0 THEN n_events END) AS BIGINT) AS e_c
+      FROM marked GROUP BY stratum
+    ),
+    rates AS (
+      SELECT stratum, n_treated, n_control,
+             CAST(p_t AS DOUBLE) / e_t AS rate_t,
+             CAST(p_c AS DOUBLE) / e_c AS rate_c
+      FROM per
+      WHERE n_treated > 0 AND n_control > 0
+    ),
+    att AS (
+      SELECT SUM((rate_t - rate_c) * n_treated) / SUM(n_treated) AS att
+      FROM rates
+    )
+    SELECT CAST(stratum AS BIGINT) AS stratum, n_treated, n_control,
+           ROUND(rate_t, 6) AS rate_t,
+           ROUND(rate_c, 6) AS rate_c,
+           ROUND(rate_t - rate_c, 6) AS stratum_effect,
+           ROUND(att.att, 6) AS weighted_att
+    FROM rates, att
+    """,
+    survey_ids=("B23", "B19", "B16"),
+    description="Observational ATT: activity-stratified purchase-rate effect of high error exposure",
+)
+def propensity_stratified_att(spark: SparkSession, sf: str) -> DataFrame:
+    """Observational causal estimate by stratification: does heavy
+    error exposure (treatment = error count above the user median)
+    move a user's purchase rate, comparing ONLY within activity
+    quartiles so the obvious confounder — active users see more errors
+    AND buy more — is held fixed? Emits per-stratum effects plus the
+    treated-weighted ATT, the standard first-pass causal readout
+    before anyone reaches for a model.
+
+    Scale shape: one per-user reduce (map-side combine), two 1-row
+    quantile aggregates broadcast back as literals (stratum assignment
+    is a map-side CASE — no ntile window over data-scale users), one
+    |strata|-row aggregate. Rates divide exact integers.
+    """
+    ev = t(spark, sf, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum((F.col("event_type") == "error").cast("long"))
+        .cast("bigint")
+        .alias("errors"),
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("bigint")
+        .alias("purchases"),
+    )
+    u = u.persist()
+    med = u.agg(F.expr("percentile(errors, 0.5)").alias("err_med"))
+    cuts = u.agg(
+        F.expr("percentile(n_events, 0.25)").alias("q1"),
+        F.expr("percentile(n_events, 0.5)").alias("q2"),
+        F.expr("percentile(n_events, 0.75)").alias("q3"),
+    )
+    marked = (
+        u.join(F.broadcast(med))
+        .join(F.broadcast(cuts))
+        .select(
+            "*",
+            (F.col("errors") > F.col("err_med")).cast("int").alias("treated"),
+            F.when(F.col("n_events") <= F.col("q1"), F.lit(0))
+            .when(F.col("n_events") <= F.col("q2"), F.lit(1))
+            .when(F.col("n_events") <= F.col("q3"), F.lit(2))
+            .otherwise(F.lit(3))
+            .alias("stratum"),
+        )
+    )
+    per = marked.groupBy("stratum").agg(
+        F.sum("treated").cast("bigint").alias("n_treated"),
+        F.sum(F.lit(1) - F.col("treated")).cast("bigint").alias("n_control"),
+        F.sum(F.when(F.col("treated") == 1, F.col("purchases")))
+        .cast("bigint")
+        .alias("p_t"),
+        F.sum(F.when(F.col("treated") == 1, F.col("n_events")))
+        .cast("bigint")
+        .alias("e_t"),
+        F.sum(F.when(F.col("treated") == 0, F.col("purchases")))
+        .cast("bigint")
+        .alias("p_c"),
+        F.sum(F.when(F.col("treated") == 0, F.col("n_events")))
+        .cast("bigint")
+        .alias("e_c"),
+    )
+    rates = per.filter((F.col("n_treated") > 0) & (F.col("n_control") > 0)).select(
+        "stratum",
+        "n_treated",
+        "n_control",
+        (F.col("p_t").cast("double") / F.col("e_t")).alias("rate_t"),
+        (F.col("p_c").cast("double") / F.col("e_c")).alias("rate_c"),
+    )
+    rates = rates.persist()
+    att = rates.agg(
+        (
+            F.sum((F.col("rate_t") - F.col("rate_c")) * F.col("n_treated"))
+            / F.sum("n_treated")
+        ).alias("att")
+    )
+    return rates.join(F.broadcast(att)).select(
+        F.col("stratum").cast("bigint").alias("stratum"),
+        "n_treated",
+        "n_control",
+        F.round("rate_t", 6).alias("rate_t"),
+        F.round("rate_c", 6).alias("rate_c"),
+        F.round(F.col("rate_t") - F.col("rate_c"), 6).alias("stratum_effect"),
+        F.round("att", 6).alias("weighted_att"),
+    )
