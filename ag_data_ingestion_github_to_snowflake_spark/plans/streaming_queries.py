@@ -1207,3 +1207,101 @@ def streaming_scd2_upsert(spark: SparkSession, sf: str) -> DataFrame:
     shutil.rmtree(hist_root, ignore_errors=True)
     shutil.rmtree(cp, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Streaming CEP: the stateful twin of cep_funnel_first_match, same
+# oracle verbatim — pattern state carries across 4 time-ordered
+# micro-batches
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_cep_funnel",
+    oracle=None,  # set below to share the batch twin's oracle verbatim
+    survey_ids=("B52", "B44", "B30"),
+    description="Streaming CEP (applyInPandasWithState): first funnel chain per user across 4 micro-batches",
+)
+def streaming_cep_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """FlinkCEP/MATCH_RECOGNIZE-style streaming pattern detection: the
+    view->click->purchase first-match chain, maintained as O(1)
+    custom state per user (``streaming/stateful.py:
+    make_funnel_cep_kernel``) across FOUR time-sliced micro-batches —
+    and the emitted matches must hash-equal the one-shot batch
+    composition (cep_funnel_first_match): the arbitrary-state pattern
+    path is oracle-verified, not smoke-tested.
+
+    Scale shape: state is (3 timestamps + flag) per user — no event
+    buffering; partitioned by user like any streaming agg. Batches are
+    day-band slices with ascending mtimes, so the file source replays
+    them in event-time order (the ordering contract the kernel
+    documents); in-batch ordering is restored inside the Arrow kernel.
+    Cost is linear in events (alpha +1.01 at 100x — every event
+    crosses the Arrow boundary into the Python kernel, the documented
+    streaming_stateful_totals class); cep_funnel_first_match is the
+    batch path when drain semantics aren't needed.
+    """
+    from ag_data_ingestion_github_to_snowflake_spark.streaming.stateful import (
+        funnel_cep_matches,
+    )
+
+    src = os.path.join(sf, "events.parquet")
+    stage = stage_dir("ag_cep_slices", sf)
+    marker = os.path.join(stage, "_staged")
+    if not os.path.exists(marker) or os.path.getmtime(marker) < os.path.getmtime(src):
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage)
+        from ag_data_ingestion_github_to_snowflake_spark.catalog import load_table
+
+        ev = load_table(spark, sf, "events").select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+        bands = [(None, 9), (9, 16), (16, 24), (24, None)]
+        for i, (lo, hi) in enumerate(bands):
+            day = F.dayofmonth(F.timestamp_micros(F.col("ts_us")))
+            sl = ev
+            if lo is not None:
+                sl = sl.filter(day >= lo)
+            if hi is not None:
+                sl = sl.filter(day < hi)
+            sl.coalesce(1).write.mode("overwrite").parquet(stage + f"_tmp{i}")
+            part = [
+                p for p in os.listdir(stage + f"_tmp{i}") if p.endswith(".parquet")
+            ][0]
+            dest = os.path.join(stage, f"batch_{i}.parquet")
+            shutil.copy(os.path.join(stage + f"_tmp{i}", part), dest)
+            os.utime(dest, (1_000_000_000 + i * 1000, 1_000_000_000 + i * 1000))
+            shutil.rmtree(stage + f"_tmp{i}", ignore_errors=True)
+        write_marker(marker)
+    schema = spark.read.parquet(os.path.join(stage, "batch_0.parquet")).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    matches = funnel_cep_matches(sdf, window_us=7 * 86400 * 1_000_000)
+    drained = _drain(
+        matches,
+        spark,
+        "append",
+        shuffle_partitions=str(spark.sparkContext.defaultParallelism),
+    )
+    return drained.select(
+        "user_id",
+        F.timestamp_micros(F.col("tv_us")).alias("tv"),
+        F.timestamp_micros(F.col("tc_us")).alias("tc"),
+        F.timestamp_micros(F.col("tp_us")).alias("tp"),
+    )
+
+
+# share the batch twin's oracle verbatim (single source of truth)
+from ag_data_ingestion_github_to_snowflake_spark.plans.temporal_queries import (  # noqa: E402
+    CEP_FUNNEL_ORACLE as _CEP_ORACLE,
+)
+from ag_data_ingestion_github_to_snowflake_spark.plans.registry import _REGISTRY  # noqa: E402
+import dataclasses  # noqa: E402
+
+_REGISTRY["streaming_cep_funnel"] = dataclasses.replace(
+    _REGISTRY["streaming_cep_funnel"], oracle=_CEP_ORACLE
+)

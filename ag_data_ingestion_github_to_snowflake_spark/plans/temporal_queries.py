@@ -1022,3 +1022,93 @@ def expanding_holdout_backtest(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.abs((F.col("rev") - F.col("p_seasonal")).cast("double")), 6)
         .alias("abs_err_seasonal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CEP funnel match (batch): first view -> click -> purchase chain per
+# user; the streaming stateful twin (streaming_cep_funnel) shares this
+# oracle verbatim
+# ---------------------------------------------------------------------------
+CEP_FUNNEL_ORACLE = """
+    WITH p AS (SELECT user_id, ts AS tp FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts AS tc FROM events WHERE event_type = 'click'),
+    v AS (SELECT user_id, ts AS tv FROM events WHERE event_type = 'view'),
+    pc AS (
+      SELECT p.user_id, p.tp, MAX(c.tc) AS tc
+      FROM p JOIN c ON c.user_id = p.user_id AND c.tc <= p.tp
+      GROUP BY 1, 2
+    ),
+    pcv AS (
+      SELECT pc.user_id, pc.tp, pc.tc, MAX(v.tv) AS tv
+      FROM pc JOIN v ON v.user_id = pc.user_id AND v.tv <= pc.tc
+      GROUP BY 1, 2, 3
+    ),
+    q AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY tp, tc, tv) AS rn
+      FROM pcv WHERE tp - tv <= INTERVAL 7 DAY
+    )
+    SELECT user_id, tv, tc, tp FROM q WHERE rn = 1
+"""
+
+
+@register(
+    "cep_funnel_first_match",
+    oracle=CEP_FUNNEL_ORACLE,
+    survey_ids=("B14", "B30", "B32"),
+    description="CEP pattern match: first view->click->purchase chain per user (as-of composition)",
+)
+def cep_funnel_first_match(spark: SparkSession, sf: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style pattern detection as a batch query: for
+    each user, the FIRST purchase whose latest preceding click had a
+    preceding view, with view->purchase inside a 7-day window —
+    emitting the full (view, click, purchase) timestamp chain, not
+    just a count (ordered_funnel_3step counts stage survivors; this
+    RETURNS the matched instances, which is what attribution and
+    debugging need).
+
+    Scale shape: two chained AS-OF joins (union+window trick — one
+    shuffle + one sort each, no range-join pair blowup; the oracle's
+    MAX-join formulation materializes |p|x|clicks-per-user| pairs,
+    exactly the cost this composition avoids), then a per-user
+    first-match window over the matched purchases only.
+    """
+    from ag_data_ingestion_github_to_snowflake_spark.operators.temporal import (
+        asof_join,
+    )
+
+    ev = t(spark, sf, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("tp")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("ts").alias("tc"))
+        .select("user_id", "ts", "tc")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("ts").alias("tv"))
+        .select("user_id", "ts", "tv")
+    )
+    pc = asof_join(p, c, on="user_id", left_ts="tp", right_ts="ts", right_cols=["tc"])
+    pcv = asof_join(
+        pc.filter(F.col("tc").isNotNull()),
+        v,
+        on="user_id",
+        left_ts="tc",
+        right_ts="ts",
+        right_cols=["tv"],
+    )
+    q = pcv.filter(
+        F.col("tv").isNotNull()
+        & (F.col("tp") <= F.col("tv") + F.expr("INTERVAL 7 DAY"))
+    )
+    w = Window.partitionBy("user_id").orderBy("tp", "tc", "tv")
+    return (
+        q.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "tv", "tc", "tp")
+    )

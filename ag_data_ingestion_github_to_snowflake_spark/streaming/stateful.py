@@ -156,3 +156,94 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeMode="none",
     )
+
+
+# ---------------------------------------------------------------------------
+# CEP pattern matcher: first view -> click -> purchase chain per user
+# ---------------------------------------------------------------------------
+CEP_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("tv_us", T.LongType()),
+        T.StructField("tc_us", T.LongType()),
+        T.StructField("tp_us", T.LongType()),
+    ]
+)
+
+# (latest_view_us, latest_click_us, view_at_click_us, matched) with -1
+# sentinels — GroupState tuples must be flat primitives.
+CEP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("lv", T.LongType()),
+        T.StructField("lc", T.LongType()),
+        T.StructField("lcv", T.LongType()),
+        T.StructField("matched", T.LongType()),
+    ]
+)
+
+_CEP_RANK = {"view": 0, "click": 1, "purchase": 2}
+
+
+def make_funnel_cep_kernel(window_us: int):
+    """CEP kernel: per user, emit the FIRST purchase preceded (at or
+    before, ties inclusive) by a click that itself had a view at or
+    before it, with the view within ``window_us`` of the purchase.
+
+    O(1) state per key — (latest view, latest click, that click's
+    view) — never an event buffer: the 'latest click at-or-before the
+    purchase' is exactly the last click processed, and its
+    view-at-click was frozen when the click arrived. Requires
+    time-ordered micro-batches (the staged slices guarantee it);
+    within a batch, rows sort by (ts, stage-rank, event_id) so
+    same-instant view->click->purchase chains match inclusively,
+    mirroring the <= joins of the batch oracle.
+    """
+
+    def kernel(key, batches, state) -> "Iterator[pd.DataFrame]":
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout drains
+            state.remove()
+            return
+        lv, lc, lcv, matched = (
+            state.get if state.exists else (-1, -1, -1, 0)
+        )
+        out = []
+        for pdf in batches:
+            if matched:
+                break
+            # non-funnel stages (signup/error/...) are noise: drop them
+            # BEFORE ranking — an unmapped type would rank NaN and fall
+            # through the elif chain into the purchase branch
+            pdf = pdf[pdf["event_type"].isin(_CEP_RANK)]
+            pdf = pdf.assign(_rank=pdf["event_type"].map(_CEP_RANK))
+            pdf = pdf.sort_values(["ts_us", "_rank", "event_id"])
+            for ts, rank in zip(pdf["ts_us"], pdf["_rank"]):
+                ts = int(ts)
+                if rank == 0:
+                    lv = ts
+                elif rank == 1:
+                    lc, lcv = ts, lv
+                elif matched == 0 and lc >= 0 and lcv >= 0 and ts - lcv <= window_us:
+                    out.append((key[0], lcv, lc, ts))
+                    matched = 1
+                    break
+        state.update((lv, lc, lcv, matched))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "tv_us", "tc_us", "tp_us"]
+            )
+
+    return kernel
+
+
+def funnel_cep_matches(events: DataFrame, window_us: int) -> DataFrame:
+    """Streaming CEP over (user_id, ts_us, event_type, event_id):
+    first qualifying view->click->purchase chain per user."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        make_funnel_cep_kernel(window_us),
+        outputStructType=CEP_OUTPUT_SCHEMA,
+        stateStructType=CEP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -234,6 +234,9 @@ MATERIALIZED = {
     "streaming_scd2_upsert": "foreachBatch drain; the per-batch SCD2 merge "
     "plan (semi/anti pull + per-key window) runs inside build(); returned "
     "frame scans the final history version",
+    "streaming_cep_funnel": "stateful drain (applyInPandasWithState CEP "
+    "kernel); the pattern-state plan runs inside build(); returned frame "
+    "scans the memory-sink checkpoint",
 }
 
 
