@@ -1112,3 +1112,409 @@ def cep_funnel_first_match(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "tv", "tc", "tp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Finance/time-series family (r10): drawdown, CAPM beta, Brown's double
+# exponential smoothing, nearest-direction as-of join.
+# ---------------------------------------------------------------------------
+@register(
+    "max_drawdown_daily",
+    # Daily sums are exact decimals; the running peak is a MAX window
+    # (order-independent), and every drawdown difference is an exact
+    # decimal subtraction — the hash sees no float accumulation at all.
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(18,6))) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    dd AS (
+      SELECT event_type, day, v,
+             MAX(v) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS peak
+      FROM daily
+    ),
+    r AS (
+      SELECT event_type, day, v, peak, peak - v AS drawdown,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY peak - v DESC, day) AS rn
+      FROM dd
+    )
+    SELECT event_type,
+           CAST((SELECT COUNT(*) FROM daily d2
+                 WHERE d2.event_type = r.event_type) AS BIGINT) AS n_days,
+           CAST(peak AS DOUBLE) AS peak_value,
+           CAST(v AS DOUBLE) AS trough_value,
+           CAST(drawdown AS DOUBLE) AS max_drawdown,
+           CAST(day AS TIMESTAMP) AS trough_day
+    FROM r WHERE rn = 1
+    """,
+    survey_ids=("B31", "B29", "B16"),
+    description="Max drawdown of the per-type daily-value series (exact running peak)",
+)
+def max_drawdown_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximum drawdown per event_type: the deepest drop of the daily
+    value series below its running peak — the risk metric every
+    portfolio/KPI dashboard pairs with the VWAP/TWAP family.
+
+    Scale shape: the fact stream reduces to one row per (type, day) in
+    a single map-side-combined shuffle; the running-peak window and the
+    argmax both run over the CALENDAR-BOUNDED daily table partitioned
+    by type (the seasonal_baseline exemption), never over data-scale
+    rows. All comparisons are on exact decimals, so peak/trough
+    selection is engine-identical with no float ordering hazard.
+    """
+    ev = t(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("v"))
+    w_peak = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dd = daily.select(
+        "event_type",
+        "day",
+        "v",
+        F.max("v").over(w_peak).alias("peak"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n_days"),
+    ).withColumn("drawdown", F.col("peak") - F.col("v"))
+    w_rank = Window.partitionBy("event_type").orderBy(F.desc("drawdown"), "day")
+    return (
+        dd.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.col("peak").cast("double").alias("peak_value"),
+            F.col("v").cast("double").alias("trough_value"),
+            F.col("drawdown").cast("double").alias("max_drawdown"),
+            F.col("day").cast("timestamp_ntz").alias("trough_day"),
+        )
+    )
+
+
+@register(
+    "capm_beta_by_type",
+    # Five cross-moments of the (type-daily, market-daily) pairs are
+    # exact decimal sums (daily values re-cast to DECIMAL(19,6) so both
+    # engines multiply in int128; products are DECIMAL(38,12)); beta/alpha/r are assembled in scalar double math
+    # over those exact inputs and rounded — the stats_corr convention.
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(18,6))) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    market AS (
+      SELECT day, CAST(SUM(v) AS DECIMAL(19,6)) AS m FROM daily GROUP BY 1
+    ),
+    dn AS (
+      SELECT event_type, day, CAST(v AS DECIMAL(19,6)) AS v FROM daily
+    ),
+    mom AS (
+      SELECT d.event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(mk.m) AS DOUBLE) AS sx,
+             CAST(SUM(d.v) AS DOUBLE) AS sy,
+             CAST(SUM(mk.m * mk.m) AS DOUBLE) AS sxx,
+             CAST(SUM(d.v * d.v) AS DOUBLE) AS syy,
+             CAST(SUM(mk.m * d.v) AS DOUBLE) AS sxy
+      FROM dn d JOIN market mk ON d.day = mk.day
+      GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+           ROUND(sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx / n, 6)
+             AS alpha,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+             AS corr_mkt
+    FROM mom
+    """,
+    survey_ids=("B16", "B10", "B23"),
+    description="CAPM-style beta/alpha of each event type's daily series vs the market total",
+)
+def capm_beta_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    """Beta of each event type's daily value series against the
+    market (the all-types daily total): OLS slope, intercept, and
+    correlation from exact cross-moments — the classic single-factor
+    exposure decomposition.
+
+    Scale shape: ONE map-side-combined shuffle reduces the stream to
+    (type, day) rows; the market series is a second aggregation of
+    that small daily table, broadcast back onto it (days are calendar-
+    bounded). Moments per type are exact decimal sums, so partial-
+    aggregation order cannot move the hash.
+    """
+    ev = t(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("v"))
+    market = daily.groupBy("day").agg(
+        F.sum("v").cast("decimal(18,6)").alias("m")
+    )
+    j = daily.withColumn("v", F.col("v").cast("decimal(18,6)")).join(
+        F.broadcast(market), "day"
+    )
+    mom = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("m").cast("double").alias("sx"),
+        F.sum("v").cast("double").alias("sy"),
+        F.sum(F.col("m") * F.col("m")).cast("double").alias("sxx"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("syy"),
+        F.sum(F.col("m") * F.col("v")).cast("double").alias("sxy"),
+    )
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return mom.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(beta, 6).alias("beta"),
+        F.round(F.col("sy") / F.col("n") - beta * F.col("sx") / F.col("n"), 6)
+        .alias("alpha"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("corr_mkt"),
+    )
+
+
+@register(
+    "double_ewma_forecast",
+    # Both engines replay the IDENTICAL left fold over the day-ordered
+    # series with a two-field {s2, s1} accumulator (alpha=0.25, a binary
+    # fraction), so the doubles match bit-for-bit. DuckDB 1.0's
+    # list_reduce materializes struct fields sequentially INTO the
+    # accumulator, so the field that reads the other field's OLD value
+    # (s2 reads acc.s1) must be declared FIRST — with {s1, s2} order the
+    # s2 expression would see the already-updated s1 (verified
+    # empirically; the {s2, s1} order is correct under both sequential-
+    # and snapshot-evaluation semantics).
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT event_type, list(v ORDER BY day) AS vals
+      FROM daily GROUP BY 1
+    ),
+    folded AS (
+      SELECT event_type,
+             CAST(len(vals) AS BIGINT) AS n_days,
+             list_reduce(
+               list_transform(vals, x -> {s2: x, s1: x}),
+               (acc, e) -> {
+                 s2: 0.25 * (0.25 * e.s1 + 0.75 * acc.s1) + 0.75 * acc.s2,
+                 s1: 0.25 * e.s1 + 0.75 * acc.s1
+               }) AS st
+      FROM seq
+    )
+    SELECT event_type, n_days,
+           ROUND(st.s1, 6) AS s1,
+           ROUND(st.s2, 6) AS s2,
+           ROUND(2 * st.s1 - st.s2, 6) AS level,
+           ROUND((st.s1 - st.s2) / 3.0, 6) AS trend,
+           ROUND((2 * st.s1 - st.s2) + (st.s1 - st.s2) / 3.0, 6)
+             AS forecast_next
+    FROM folded
+    """,
+    survey_ids=("B31", "B51", "B43"),
+    description="Brown's double exponential smoothing per type (coupled ordered fold, alpha=0.25)",
+)
+def double_ewma_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    """Brown's linear (double) exponential smoothing of the per-type
+    daily value series: s1 = EWMA(y), s2 = EWMA(s1), level = 2*s1-s2,
+    trend = (alpha/(1-alpha))*(s1-s2), one-step forecast = level +
+    trend. The trend-aware upgrade of ewma_events_daily — the coupled
+    recursion cannot be split into two independent passes without
+    materializing the intermediate s1 SERIES, so both smoothers advance
+    together in ONE ordered fold with a two-field struct accumulator.
+
+    Scale shape: identical to ewma_events_daily — the fold length is
+    bounded by the CALENDAR (one element per type-day after one
+    map-side-combined shuffle), never by data scale; an unbounded
+    horizon would chunk by window and chain the carried (s1, s2) state.
+    """
+    ev = t(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("v")
+    )
+    seq = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "v"))), lambda s: s["v"]
+        ).alias("vals")
+    )
+    y0 = F.element_at(F.col("vals"), 1)
+
+    def step(acc, x):
+        s1n = F.lit(0.25) * x + F.lit(0.75) * acc["s1"]
+        return F.struct(
+            (F.lit(0.25) * s1n + F.lit(0.75) * acc["s2"]).alias("s2"),
+            s1n.alias("s1"),
+        )
+
+    st = F.aggregate(
+        F.slice(F.col("vals"), 2, F.size(F.col("vals"))),
+        F.struct(y0.alias("s2"), y0.alias("s1")),
+        step,
+    )
+    folded = seq.select(
+        "event_type",
+        F.size("vals").cast("bigint").alias("n_days"),
+        st.alias("st"),
+    )
+    s1, s2 = F.col("st.s1"), F.col("st.s2")
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.round(s1, 6).alias("s1"),
+        F.round(s2, 6).alias("s2"),
+        F.round(F.lit(2) * s1 - s2, 6).alias("level"),
+        F.round((s1 - s2) / F.lit(3.0), 6).alias("trend"),
+        F.round((F.lit(2) * s1 - s2) + (s1 - s2) / F.lit(3.0), 6)
+        .alias("forecast_next"),
+    )
+
+
+@register(
+    "asof_join_nearest",
+    # Two DuckDB ASOF joins (backward + forward) and a deterministic
+    # arbitration: smaller absolute gap wins, exact tie -> backward.
+    # The 1-hour tolerance is a post-match CASE (voids, never re-picks)
+    # on BOTH sides, mirroring pandas.merge_asof(direction='nearest',
+    # tolerance=...). Gaps are exact integer epoch-microsecond differences
+    # (millisecond rounding differs between epoch_ms and timestampdiff).
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'purchase'
+    ), views AS (
+      SELECT user_id, ts, max(value) AS view_value
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, ts
+    ),
+    b AS (
+      SELECT p.event_id, p.user_id, p.ts, p.value,
+             CASE WHEN v.ts >= p.ts - INTERVAL 1 HOUR
+                  THEN v.view_value END AS bv,
+             CASE WHEN v.ts >= p.ts - INTERVAL 1 HOUR
+                  THEN epoch_us(p.ts) - epoch_us(v.ts) END AS bgap
+      FROM purchases p
+      ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
+    ),
+    f AS (
+      SELECT p.event_id,
+             CASE WHEN v.ts <= p.ts + INTERVAL 1 HOUR
+                  THEN v.view_value END AS fv,
+             CASE WHEN v.ts <= p.ts + INTERVAL 1 HOUR
+                  THEN epoch_us(v.ts) - epoch_us(p.ts) END AS fgap
+      FROM purchases p
+      ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts <= v.ts
+    )
+    SELECT b.event_id, b.user_id,
+           ROUND(b.value, 6) AS purchase_value,
+           ROUND(CASE
+             WHEN b.bv IS NOT NULL AND (f.fv IS NULL OR b.bgap <= f.fgap)
+               THEN b.bv ELSE f.fv END, 6) AS nearest_view_value,
+           CAST(CASE
+             WHEN b.bv IS NOT NULL AND (f.fv IS NULL OR b.bgap <= f.fgap)
+               THEN -b.bgap
+             WHEN f.fv IS NOT NULL THEN f.fgap END AS BIGINT)
+             AS signed_gap_us
+    FROM b JOIN f ON f.event_id = b.event_id
+    """,
+    survey_ids=("B14", "B29", "B31"),
+    description="nearest-direction as-of join with 1h tolerance (backward wins ties)",
+)
+def asof_join_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    """For each purchase, the NEAREST view value in either direction
+    within 1 hour — pandas.merge_asof(direction='nearest') semantics,
+    completing the backward/forward as-of pair. Arbitration is exact:
+    integer millisecond gaps, backward wins ties.
+
+    Scale shape: two union+window as-of passes (one shuffle + one sort
+    each, both on the same user_id key so AQE reuses the exchange) and
+    a broadcast-free equi-join of their outputs on event_id. No
+    range-condition pair blowup at any scale — the oracle's ASOF is
+    the same O(n log n) sort-merge.
+    """
+    from ag_data_ingestion_github_to_snowflake_spark.operators.temporal import (
+        asof_join,
+    )
+
+    ev = t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+        .withColumn("vts", F.col("ts"))
+    )
+    back = asof_join(
+        purchases,
+        views.select("user_id", "ts", "vts", F.col("view_value").alias("bv")),
+        on="user_id",
+        right_cols=["vts", "bv"],
+        direction="backward",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(
+            F.col("vts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"), F.col("bv")
+        ).alias("bv"),
+        F.when(
+            F.col("vts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"),
+            F.expr("timestampdiff(MICROSECOND, vts, ts)"),
+        ).alias("bgap"),
+    )
+    fwd = asof_join(
+        purchases,
+        views.select("user_id", "ts", "vts", F.col("view_value").alias("fv")),
+        on="user_id",
+        right_cols=["vts", "fv"],
+        direction="forward",
+    ).select(
+        "event_id",
+        F.when(
+            F.col("vts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR"), F.col("fv")
+        ).alias("fv"),
+        F.when(
+            F.col("vts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR"),
+            F.expr("timestampdiff(MICROSECOND, ts, vts)"),
+        ).alias("fgap"),
+    )
+    take_back = F.col("bv").isNotNull() & (
+        F.col("fv").isNull() | (F.col("bgap") <= F.col("fgap"))
+    )
+    return back.join(fwd, "event_id").select(
+        "event_id",
+        "user_id",
+        F.round("value", 6).alias("purchase_value"),
+        F.round(F.when(take_back, F.col("bv")).otherwise(F.col("fv")), 6)
+        .alias("nearest_view_value"),
+        F.when(take_back, -F.col("bgap"))
+        .otherwise(F.col("fgap"))
+        .cast("bigint")
+        .alias("signed_gap_us"),
+    )

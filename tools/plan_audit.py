@@ -201,6 +201,18 @@ ALLOWED_FLAGS = {
     # non-equi (!=) condition by design: every candidate is scored
     # once per anchor, map-side.
     ("contrastive_negative_sample", "BroadcastNestedLoopJoin"),
+    # Empirical-Bayes shrinkage attaches the 1-row method-of-moments
+    # prior (mu, k) to the per-user table via a broadcast cross join —
+    # one broadcast row, invariant in the data size.
+    ("empirical_bayes_shrinkage", "BroadcastNestedLoopJoin"),
+    # Mann-Kendall pairs the CALENDAR-BOUNDED daily table against
+    # itself under the a.day < b.day inequality (the S statistic is a
+    # pair sum by definition; the broadcast side is one row per day,
+    # never data-scale), plus 1-row n/S/tie-term attaches.
+    ("mann_kendall_trend", "BroadcastNestedLoopJoin"),
+    # The stratified-ATT summary attaches the 1-row weighted-ATT
+    # aggregate back onto the |strata|-row table — one broadcast row.
+    ("propensity_stratified_att", "BroadcastNestedLoopJoin"),
 }
 
 # Queries whose build() executes side work and returns a materialized
