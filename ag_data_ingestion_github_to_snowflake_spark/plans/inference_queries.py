@@ -949,3 +949,416 @@ def propensity_stratified_att(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("rate_t") - F.col("rate_c"), 6).alias("stratum_effect"),
         F.round("att", 6).alias("weighted_att"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA: order totals across order priorities
+# ---------------------------------------------------------------------------
+@register(
+    "anova_oneway_f",
+    # N, S, Q are exact decimal/integer sums (order-independent). The
+    # only cross-group double accumulation (sum of s_g^2/n_g over the 5
+    # priority groups) runs as an ORDERED fold over the grp-sorted list
+    # — the ewma replay technique — so both engines add in the same
+    # sequence and the F statistic is bit-identical before round-6.
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority AS grp,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(19,2))) AS s,
+             SUM(CAST(o_totalprice AS DECIMAL(19,2))
+                 * CAST(o_totalprice AS DECIMAL(19,2))) AS q
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(s) AS DOUBLE) AS ss,
+             CAST(SUM(q) AS DOUBLE) AS qq,
+             list_reduce(
+               list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n ORDER BY grp),
+               (acc, x) -> acc + x) AS sb
+      FROM g
+    )
+    SELECT k AS k_groups, nn AS n_total,
+           ROUND(sb - ss * ss / nn, 2) AS ss_between,
+           ROUND((qq - ss * ss / nn) - (sb - ss * ss / nn), 2) AS ss_within,
+           ROUND(((sb - ss * ss / nn) / (k - 1))
+                 / (((qq - ss * ss / nn) - (sb - ss * ss / nn)) / (nn - k)), 6)
+             AS f_stat,
+           ROUND((sb - ss * ss / nn) / (qq - ss * ss / nn), 6) AS eta_sq
+    FROM tot
+    """,
+    survey_ids=("B16", "B18", "B43"),
+    description="One-way ANOVA F of order totals across priorities (exact moments, ordered fold)",
+)
+def anova_oneway_f(spark: SparkSession, sf: str) -> DataFrame:
+    """Does mean order value differ across the five order priorities?
+    One-way ANOVA from exact sufficient statistics: per-group (n, sum,
+    sum-of-squares) in ONE map-side-combined shuffle, then the
+    between/within decomposition over the 5-row group table.
+
+    Scale shape: the fact scan reduces to k=5 rows; every data-scale
+    sum is exact decimal. The only float accumulation (sum over groups
+    of s^2/n) folds over the grp-SORTED 5-element list, so partial-agg
+    order cannot move the hash. F and eta^2 are scalar double math.
+    """
+    o = t(spark, sf, "orders")
+    dec = F.col("o_totalprice").cast("decimal(19,2)")
+    g = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec).alias("s"),
+        F.sum(dec * dec).alias("q"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("s").cast("double").alias("ss"),
+        F.sum("q").cast("double").alias("qq"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("grp", "n", "s"))),
+                lambda e: e["s"].cast("double") * e["s"].cast("double") / e["n"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("sb"),
+    )
+    k, nn = F.col("k"), F.col("nn")
+    ssb = F.col("sb") - F.col("ss") * F.col("ss") / nn
+    sst = F.col("qq") - F.col("ss") * F.col("ss") / nn
+    ssw = sst - ssb
+    return tot.select(
+        k.alias("k_groups"),
+        nn.alias("n_total"),
+        F.round(ssb, 2).alias("ss_between"),
+        F.round(ssw, 2).alias("ss_within"),
+        F.round((ssb / (k - F.lit(1))) / (ssw / (nn - k)), 6).alias("f_stat"),
+        F.round(ssb / sst, 6).alias("eta_sq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over per-nation proportion tests
+# ---------------------------------------------------------------------------
+_BH_PHI_TAIL_DOC = """Normal upper-tail via the Abramowitz-Stegun
+26.2.17 polynomial, written in IDENTICAL Horner form in both engines;
+exp() is the one non-correctly-rounded op, so p-values are rounded to
+9 decimals BEFORE ranking/thresholding on both sides."""
+
+
+@register(
+    "fdr_bh_segment_tests",
+    # z is assembled from exact integer counts (sqrt/div are correctly
+    # rounded IEEE); the A&S tail polynomial is the same Horner chain
+    # both sides; ROUND(p, 9) happens before the BH rank so the two
+    # engines rank identical values. BH step-up: largest rank i with
+    # p_i <= i*q/m rejects ranks 1..i (q = 0.10).
+    oracle="""
+    WITH per AS (
+      SELECT n.n_name,
+             CAST(COUNT(*) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x1
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n1) AS BIGINT) AS nn,
+             CAST(SUM(x1) AS BIGINT) AS xx,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM per
+    ),
+    z AS (
+      SELECT p.n_name, p.n1, p.x1, t.m,
+             (CAST(p.x1 AS DOUBLE) / p.n1
+              - CAST(t.xx - p.x1 AS DOUBLE) / (t.nn - p.n1))
+             / sqrt((CAST(t.xx AS DOUBLE) / t.nn)
+                    * (1.0 - CAST(t.xx AS DOUBLE) / t.nn)
+                    * (1.0 / p.n1 + 1.0 / (t.nn - p.n1))) AS zv
+      FROM per p, tot t
+    ),
+    pv AS (
+      SELECT n_name, n1, x1, m, zv,
+             ROUND(2.0 * (exp(-abs(zv) * abs(zv) / 2.0) * 0.3989422804014327)
+                   * ((1.0 / (1.0 + 0.2316419 * abs(zv)))
+                      * (0.319381530
+                         + (1.0 / (1.0 + 0.2316419 * abs(zv)))
+                           * (-0.356563782
+                              + (1.0 / (1.0 + 0.2316419 * abs(zv)))
+                                * (1.781477937
+                                   + (1.0 / (1.0 + 0.2316419 * abs(zv)))
+                                     * (-1.821255978
+                                        + (1.0 / (1.0 + 0.2316419 * abs(zv)))
+                                          * 1.330274429))))),
+                   9) AS p_value
+      FROM z
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY p_value, n_name) AS BIGINT)
+                  AS p_rank
+      FROM pv
+    ),
+    kstar AS (
+      SELECT COALESCE(MAX(p_rank), 0) AS ks
+      FROM ranked WHERE p_value <= p_rank * 0.10 / m
+    )
+    SELECT r.n_name, r.n1, r.x1,
+           ROUND(r.zv, 6) AS z_stat,
+           r.p_value,
+           r.p_rank,
+           CAST(CASE WHEN r.p_rank <= k.ks THEN 1 ELSE 0 END AS INTEGER)
+             AS bh_reject
+    FROM ranked r, kstar k
+    """,
+    survey_ids=("B16", "B10", "B43"),
+    description="BH false-discovery control over 25 per-nation proportion z-tests (q=0.10)",
+)
+def fdr_bh_segment_tests(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiple-testing control, the missing piece of the A/B family:
+    each nation's 'F'-status order rate is z-tested against the rest of
+    the world, then Benjamini-Hochberg step-up at q=0.10 decides which
+    nations are genuine outliers — 25 simultaneous tests without 25x
+    the false positives.
+
+    Scale shape: one fact-dim join (customer broadcast at fixture SF,
+    shuffle-hash beyond) reduces to a 25-row nation table; everything
+    after — z, the A&S tail, the BH rank/threshold — runs on 25 rows.
+    The 1-row totals row and k* attach via broadcast. p-values are
+    rounded to 9 BEFORE ranking so exp() ulp drift can't reorder.
+    """
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    per = (
+        o.join(c.select("c_custkey", "c_nationkey"),
+               o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n1"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            .cast("bigint")
+            .alias("x1"),
+        )
+    )
+    per = per.persist()
+    tot = per.agg(
+        F.sum("n1").cast("bigint").alias("nn"),
+        F.sum("x1").cast("bigint").alias("xx"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    z = per.join(F.broadcast(tot))
+    pool = F.col("xx").cast("double") / F.col("nn")
+    zv = (
+        F.col("x1").cast("double") / F.col("n1")
+        - (F.col("xx") - F.col("x1")).cast("double")
+        / (F.col("nn") - F.col("n1"))
+    ) / F.sqrt(
+        pool
+        * (F.lit(1.0) - pool)
+        * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / (F.col("nn") - F.col("n1")))
+    )
+    z = z.select("n_name", "n1", "x1", "m", zv.alias("zv"))
+    az = F.abs(F.col("zv"))
+    tt = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * az)
+    horner = tt * (
+        F.lit(0.319381530)
+        + tt
+        * (
+            F.lit(-0.356563782)
+            + tt
+            * (
+                F.lit(1.781477937)
+                + tt * (F.lit(-1.821255978) + tt * F.lit(1.330274429))
+            )
+        )
+    )
+    pv = z.select(
+        "n_name",
+        "n1",
+        "x1",
+        "m",
+        "zv",
+        F.round(
+            F.lit(2.0)
+            * (F.exp(-az * az / F.lit(2.0)) * F.lit(0.3989422804014327))
+            * horner,
+            9,
+        ).alias("p_value"),
+    )
+    w = Window.orderBy("p_value", "n_name")
+    ranked = pv.withColumn(
+        "p_rank", F.row_number().over(w).cast("bigint")
+    ).persist()
+    kstar = ranked.filter(
+        F.col("p_value") <= F.col("p_rank") * F.lit(0.10) / F.col("m")
+    ).agg(F.coalesce(F.max("p_rank"), F.lit(0)).alias("ks"))
+    return ranked.join(F.broadcast(kstar)).select(
+        "n_name",
+        "n1",
+        "x1",
+        F.round("zv", 6).alias("z_stat"),
+        "p_value",
+        "p_rank",
+        F.when(F.col("p_rank") <= F.col("ks"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("bh_reject"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cramer's V association matrix over categorical column pairs
+# ---------------------------------------------------------------------------
+def _cramer_sql(pair: str, table: str, a: str, b: str) -> str:
+    """One Cramer's-V block: contingency cells -> margins -> chi-square
+    as an ORDERED fold over (a,b)-sorted cell terms (expected counts
+    are double math over exact integer counts; the fold replays the
+    identical addition sequence in both engines)."""
+    return f"""
+    SELECT '{pair}' AS pair, n, r_levels, c_levels,
+           ROUND(chi2, 6) AS chi2,
+           ROUND(sqrt(chi2 / (n * (CASE WHEN r_levels < c_levels
+                                        THEN r_levels ELSE c_levels END - 1))),
+                 6) AS cramers_v
+    FROM (
+      SELECT MAX(n) AS n,
+             CAST(COUNT(DISTINCT a) AS BIGINT) AS r_levels,
+             CAST(COUNT(DISTINCT b) AS BIGINT) AS c_levels,
+             list_reduce(
+               list((CAST(o AS DOUBLE)
+                     - CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(o AS DOUBLE)
+                       - CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE) / CAST(n AS DOUBLE))
+                    / (CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE) / CAST(n AS DOUBLE))
+                    ORDER BY a, b),
+               (acc, x) -> acc + x) AS chi2
+      FROM (
+        SELECT c.a, c.b, c.o,
+               SUM(c.o) OVER (PARTITION BY c.a) AS rm,
+               SUM(c.o) OVER (PARTITION BY c.b) AS cm,
+               SUM(c.o) OVER () AS n
+        FROM (
+          SELECT {a} AS a, {b} AS b, CAST(COUNT(*) AS BIGINT) AS o
+          FROM {table} GROUP BY 1, 2
+        ) c
+      )
+    )
+    """
+
+
+@register(
+    "cramers_v_pairs",
+    oracle=" UNION ALL ".join(
+        [
+            _cramer_sql(
+                "orders:priority~status", "orders",
+                "o_orderpriority", "o_orderstatus",
+            ),
+            _cramer_sql(
+                "events:type~isodow", "events",
+                "event_type", "CAST(isodow(ts) AS VARCHAR)",
+            ),
+            _cramer_sql(
+                "customer:segment~natmod5", "customer",
+                "c_mktsegment", "CAST(c_nationkey % 5 AS VARCHAR)",
+            ),
+        ]
+    ),
+    survey_ids=("B16", "B19", "B43"),
+    description="Cramer's V association strength for three categorical column pairs",
+)
+def cramers_v_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Categorical-association profiling: chi-square independence and
+    Cramer's V for three column pairs across three tables — the
+    dataset-datasheet companion that tells a feature engineer which
+    categorical columns are redundant (V near 1) vs independent (V
+    near 0).
+
+    Scale shape: each pair reduces its table to a BOUNDED contingency
+    grid (|a| x |b| cells) in one map-side-combined shuffle; margins
+    are windows over that tiny cell table, and the chi-square sum
+    folds over the (a,b)-SORTED cell list so cross-engine addition
+    order is pinned. No data-scale state anywhere past the first agg.
+    """
+
+    def one(pair: str, df: DataFrame, a, b) -> DataFrame:
+        cells = df.select(a.alias("a"), b.alias("b")).groupBy("a", "b").agg(
+            F.count(F.lit(1)).cast("bigint").alias("o")
+        )
+        wa = Window.partitionBy("a")
+        wb = Window.partitionBy("b")
+        wn = Window.partitionBy()
+        g = cells.select(
+            "a",
+            "b",
+            "o",
+            F.sum("o").over(wa).alias("rm"),
+            F.sum("o").over(wb).alias("cm"),
+            F.sum("o").over(wn).alias("n"),
+        )
+        e = F.col("rm").cast("double") * F.col("cm").cast("double") / F.col(
+            "n"
+        ).cast("double")
+        term = (
+            (F.col("o").cast("double") - e)
+            * (F.col("o").cast("double") - e)
+            / e
+        )
+        agg = g.select("a", "b", "o", "n", term.alias("term")).agg(
+            F.max("n").alias("n"),
+            F.count_distinct(F.col("a")).cast("bigint").alias("r_levels"),
+            F.count_distinct(F.col("b")).cast("bigint").alias("c_levels"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("a", "b", "term"))),
+                    lambda s: s["term"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("chi2"),
+        )
+        mindim = F.when(
+            F.col("r_levels") < F.col("c_levels"), F.col("r_levels")
+        ).otherwise(F.col("c_levels"))
+        return agg.select(
+            F.lit(pair).alias("pair"),
+            "n",
+            "r_levels",
+            "c_levels",
+            F.round("chi2", 6).alias("chi2"),
+            F.round(
+                F.sqrt(F.col("chi2") / (F.col("n") * (mindim - F.lit(1)))), 6
+            ).alias("cramers_v"),
+        )
+
+    o = t(spark, sf, "orders")
+    ev = t(spark, sf, "events")
+    c = t(spark, sf, "customer")
+    return (
+        one(
+            "orders:priority~status",
+            o,
+            F.col("o_orderpriority"),
+            F.col("o_orderstatus"),
+        )
+        .unionAll(
+            one(
+                "events:type~isodow",
+                ev,
+                F.col("event_type"),
+                (F.expr("weekday(ts)") + F.lit(1)).cast("string"),
+            )
+        )
+        .unionAll(
+            one(
+                "customer:segment~natmod5",
+                c,
+                F.col("c_mktsegment"),
+                (F.col("c_nationkey") % 5).cast("string"),
+            )
+        )
+    )

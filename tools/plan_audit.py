@@ -213,6 +213,10 @@ ALLOWED_FLAGS = {
     # The stratified-ATT summary attaches the 1-row weighted-ATT
     # aggregate back onto the |strata|-row table — one broadcast row.
     ("propensity_stratified_att", "BroadcastNestedLoopJoin"),
+    # BH attaches the 1-row (N, X, m) totals and the 1-row k* step-up
+    # cutoff to the 25-row nation table — single broadcast rows,
+    # invariant in the data size.
+    ("fdr_bh_segment_tests", "BroadcastNestedLoopJoin"),
 }
 
 # Queries whose build() executes side work and returns a materialized
