@@ -415,3 +415,272 @@ def graph_degree_assortativity(spark: SparkSession, sf: str) -> DataFrame:
         m.cast("bigint").alias("n_edges"),
         F.round(r, 6).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient and Jaccard link prediction over the
+# hub-filtered undirected link graph
+# ---------------------------------------------------------------------------
+_UND_EDGES_SQL = """
+    raw AS (
+      SELECT doc_id AS src, (doc_id * doc_id + 7) % 1000 AS dst FROM documents
+      UNION ALL
+      SELECT doc_id, (doc_id * 17 + 3) % 1000 FROM documents
+    ),
+    und AS (
+      SELECT DISTINCT
+             CASE WHEN src < dst THEN src ELSE dst END AS u,
+             CASE WHEN src < dst THEN dst ELSE src END AS v
+      FROM raw WHERE src <> dst
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT u AS node FROM und UNION ALL SELECT v FROM und
+      ) GROUP BY node
+    ),
+    small AS (
+      SELECT e.u, e.v
+      FROM und e
+      JOIN deg du ON du.node = e.u AND du.degree <= 64
+      JOIN deg dv ON dv.node = e.v AND dv.degree <= 64
+    )
+"""
+
+
+@register(
+    "clustering_coefficient_nodes",
+    # Triangles enumerated once each via the ordered a<b<c three-way
+    # join on the hub-filtered subgraph; per-node counts and degrees
+    # are exact integers, the coefficient one double division.
+    oracle=f"""
+    WITH {_UND_EDGES_SQL},
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM small e1
+      JOIN small e2 ON e2.u = e1.v
+      JOIN small e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    tcount AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    ),
+    sdeg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT u AS node FROM small UNION ALL SELECT v FROM small
+      ) GROUP BY node
+    )
+    SELECT d.node, d.degree,
+           COALESCE(tc.n_tri, 0) AS n_triangles,
+           ROUND(2.0 * COALESCE(tc.n_tri, 0)
+                 / (d.degree * (d.degree - 1)), 6) AS clustering_coeff
+    FROM sdeg d LEFT JOIN tcount tc ON tc.node = d.node
+    WHERE d.degree >= 2
+    ORDER BY clustering_coeff DESC, n_triangles DESC, d.node
+    LIMIT 25
+    """,
+    survey_ids=("B10", "B16", "B24"),
+    description="Per-node local clustering coefficient on the hub-filtered link graph, top-25",
+)
+def clustering_coefficient_nodes(spark: SparkSession, sf: str) -> DataFrame:
+    """Local clustering coefficient (Watts-Strogatz) per node: what
+    fraction of each page's neighbor pairs are themselves linked —
+    the community-tightness signal pagerank/assortativity don't see.
+
+    Hub filter (degree <= 64) BEFORE enumeration: wedge generation is
+    sum-of-degree-squared, so unbounded hubs make triangle listing
+    super-linear at scale; capping participant degree bounds it by
+    64 * |E| (linear), and hub coefficients are ~0 anyway. Triangles
+    are enumerated ONCE each by the ordered a<b<c join (same
+    convention as graph_triangle_count), then exploded to corners for
+    per-node counts — integer-exact throughout, one double division.
+    """
+    docs = t(spark, sf, "documents").select("doc_id")
+    raw = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * F.col("doc_id") + 7) % 1000).alias("dst"),
+    ).unionByName(
+        docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 17 + 3) % 1000).alias("dst"),
+        )
+    )
+    und = (
+        raw.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    nonhub = deg.filter(F.col("degree") <= 64).select("node")
+    small = (
+        und.join(nonhub.withColumnRenamed("node", "u"), "u")
+        .join(nonhub.withColumnRenamed("node", "v"), "v")
+        .select("u", "v")
+    )
+    small = small.persist()
+    e1 = small.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = small.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = small.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    tcount = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
+    )
+    sdeg = (
+        small.select(F.col("u").alias("node"))
+        .unionByName(small.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    out = (
+        sdeg.filter(F.col("degree") >= 2)
+        .join(tcount, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint")
+            .alias("n_triangles"),
+            F.round(
+                F.lit(2.0)
+                * F.coalesce(F.col("n_tri"), F.lit(0))
+                / (F.col("degree") * (F.col("degree") - F.lit(1))),
+                6,
+            ).alias("clustering_coeff"),
+        )
+        .orderBy(F.desc("clustering_coeff"), F.desc("n_triangles"), "node")
+        .limit(25)
+    )
+    return out
+
+
+@register(
+    "jaccard_link_prediction",
+    # Common-neighbor counts come from wedge enumeration through
+    # non-hub centers only (bounded fan-out); Jaccard is one double
+    # division of exact integers; candidate pairs must NOT already be
+    # edges (anti-join) and are fully tie-broken before LIMIT.
+    oracle=f"""
+    WITH {_UND_EDGES_SQL},
+    adj AS (
+      SELECT u AS node, v AS nbr FROM small
+      UNION ALL
+      SELECT v, u FROM small
+    ),
+    wedge AS (
+      SELECT a1.nbr AS u, a2.nbr AS v,
+             CAST(COUNT(*) AS BIGINT) AS common
+      FROM adj a1 JOIN adj a2
+        ON a1.node = a2.node AND a1.nbr < a2.nbr
+      GROUP BY 1, 2
+    ),
+    sdeg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM adj GROUP BY node
+    ),
+    cand AS (
+      SELECT w.u, w.v, w.common, du.degree AS deg_u, dv.degree AS deg_v
+      FROM wedge w
+      JOIN sdeg du ON du.node = w.u
+      JOIN sdeg dv ON dv.node = w.v
+      ANTI JOIN small e ON e.u = w.u AND e.v = w.v
+    )
+    SELECT u, v, common, deg_u, deg_v,
+           ROUND(CAST(common AS DOUBLE) / (deg_u + deg_v - common), 6)
+             AS jaccard
+    FROM cand
+    ORDER BY jaccard DESC, common DESC, u, v
+    LIMIT 25
+    """,
+    survey_ids=("B10", "B13", "B24"),
+    description="Jaccard link prediction: top-25 unlinked pairs by neighbor overlap (hub-filtered)",
+)
+def jaccard_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
+    """Link prediction by neighborhood overlap: for node pairs NOT yet
+    connected, the Jaccard similarity of their neighbor sets — the
+    classic recommend-an-edge baseline (Liben-Nowell & Kleinberg).
+
+    Scale shape: wedge enumeration through each center node is the
+    quadratic step, so the graph is hub-filtered (degree <= 64) FIRST
+    — sum over centers of deg^2 is then bounded by 64 * |E|, linear in
+    the corpus. Common counts and degrees are exact integers; the
+    anti-join removes existing edges; full (jaccard, common, u, v)
+    tie-break before the LIMIT.
+    """
+    docs = t(spark, sf, "documents").select("doc_id")
+    raw = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * F.col("doc_id") + 7) % 1000).alias("dst"),
+    ).unionByName(
+        docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 17 + 3) % 1000).alias("dst"),
+        )
+    )
+    und = (
+        raw.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    nonhub = deg.filter(F.col("degree") <= 64).select("node")
+    small = (
+        und.join(nonhub.withColumnRenamed("node", "u"), "u")
+        .join(nonhub.withColumnRenamed("node", "v"), "v")
+        .select("u", "v")
+    )
+    small = small.persist()
+    adj = small.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionByName(
+        small.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    a1 = adj.select("node", F.col("nbr").alias("u"))
+    a2 = adj.select("node", F.col("nbr").alias("v"))
+    wedge = (
+        a1.join(a2, "node")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    sdeg = adj.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    cand = (
+        wedge.join(
+            sdeg.select(F.col("node").alias("u"), F.col("degree").alias("deg_u")),
+            "u",
+        )
+        .join(
+            sdeg.select(F.col("node").alias("v"), F.col("degree").alias("deg_v")),
+            "v",
+        )
+        .join(small, ["u", "v"], "left_anti")
+    )
+    return cand.select(
+        "u",
+        "v",
+        "common",
+        "deg_u",
+        "deg_v",
+        F.round(
+            F.col("common").cast("double")
+            / (F.col("deg_u") + F.col("deg_v") - F.col("common")),
+            6,
+        ).alias("jaccard"),
+    ).orderBy(F.desc("jaccard"), F.desc("common"), "u", "v").limit(25)
