@@ -651,3 +651,92 @@ def prefix_filter_similar_pairs(
         .filter(jacc >= threshold)
         .select("id_a", "id_b", F.round(jacc, 6).alias("jaccard"))
     )
+
+
+def prefix_filter_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT token-set CONTAINMENT join: every ordered pair (a, b),
+    a != b, with ``|A ∩ B| / |A| >= threshold`` — the asymmetric
+    sibling of :func:`prefix_filter_similar_pairs`. Containment finds
+    sub-document duplication (quotes, excerpts, wrapped reposts) that
+    symmetric Jaccard misses: a 50-token quote inside a 5000-token page
+    has Jaccard ~0.01 but containment 1.0.
+
+    Prefix lemma for containment (Chaudhuri et al. ICDE'06, asymmetric
+    form): if B holds >= ceil(t*sA) of A's tokens, then among A's first
+    ``sA - ceil(t*sA) + 1`` tokens under ANY fixed global order, at
+    least one is in B — so joining A-prefixes against B's FULL posting
+    list is lossless. The postings side is not prefix-filtered, but the
+    rarest-first vocabulary order means only RARE tokens' postings are
+    ever probed (an A-prefix is made of its rarest tokens), which is
+    what bounds the candidate volume at scale. A size band prunes
+    ``sB < ceil(t*sA)`` candidates before verification; the verify step
+    joins back full sorted-rank arrays and computes one exact
+    intersection per unique pair.
+    """
+    toks = F.array_distinct(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    )
+    docs = df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+    tok = docs.select("_id", F.explode("_toks").alias("token"))
+    ranked_vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "token",
+            F.format_string("%019d|%s", F.col("cnt"), F.col("token")).alias(
+                "rank"
+            ),
+        )
+    )
+    ranked = tok.join(ranked_vocab, "token")
+    arr = (
+        ranked.groupBy("_id")
+        .agg(F.sort_array(F.collect_list("rank")).alias("ranks"))
+        .withColumn("s", F.size("ranks"))
+    ).localCheckpoint(eager=False)
+    plen = (F.col("s") - F.ceil(F.lit(threshold) * F.col("s")) + 1).cast("int")
+    prefix = arr.select(
+        "_id", "s", F.explode(F.slice("ranks", 1, plen)).alias("rank")
+    )
+    postings = arr.select(
+        F.col("_id").alias("_idb"),
+        F.col("s").alias("sb"),
+        F.explode("ranks").alias("rank"),
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            postings.alias("b"),
+            (F.col("a.rank") == F.col("b.rank"))
+            & (F.col("a._id") != F.col("b._idb"))
+            # containment needs |B| >= ceil(t*|A|): prune by size first
+            & (F.col("b.sb") >= F.ceil(F.lit(threshold) * F.col("a.s"))),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._idb").alias("id_b"))
+        .distinct()
+    )
+    va = arr.select(
+        F.col("_id").alias("id_a"), F.col("ranks").alias("ra"), F.col("s").alias("sa")
+    )
+    vb = arr.select(
+        F.col("_id").alias("id_b"), F.col("ranks").alias("rb"), F.col("s").alias("sb")
+    )
+    inter = F.size(F.array_intersect("ra", "rb"))
+    cont = inter / F.col("sa")
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(cont >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("sa").cast("bigint").alias("size_a"),
+            F.col("sb").cast("bigint").alias("size_b"),
+            F.round(cont, 6).alias("containment"),
+        )
+    )

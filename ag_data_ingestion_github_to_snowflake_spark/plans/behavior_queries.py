@@ -1355,3 +1355,85 @@ def cohort_ltv_curve(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.sum("wk_rev").over(w).cast("double") / F.col("n_users"), 6)
         .alias("ltv_per_user"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Longest consecutive-day activity streak per user (gaps and islands)
+# ---------------------------------------------------------------------------
+@register(
+    "longest_daily_streak_users",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                        AS INTEGER) AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, grp,
+             CAST(COUNT(*) AS BIGINT) AS streak_days,
+             MIN(day) AS streak_start,
+             MAX(day) AS streak_end
+      FROM isl GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT user_id, streak_days, streak_start, streak_end,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY streak_days DESC, streak_start) AS rn
+      FROM streaks
+    )
+    SELECT user_id, streak_days,
+           CAST(streak_start AS TIMESTAMP) AS streak_start,
+           CAST(streak_end AS TIMESTAMP) AS streak_end
+    FROM best WHERE rn = 1
+    ORDER BY streak_days DESC, user_id
+    LIMIT 25
+    """,
+    survey_ids=("B29", "B16", "B24"),
+    description="Longest consecutive-day activity streak per user (gaps-and-islands), top-25",
+)
+def longest_daily_streak_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Engagement streaks: each user's longest run of consecutive
+    active days, with its start/end — the classic gaps-and-islands
+    (day minus dense ordinal is constant within a run).
+
+    Scale shape: the event stream reduces to DISTINCT (user, day) in
+    one map-side-combined shuffle; every window after partitions by
+    user_id over at-most-calendar-length sequences. The final top-25
+    carries a full (streak_days, user_id) total order before LIMIT.
+    """
+    ev = t(spark, sf, "events")
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.select(
+        "user_id",
+        "day",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("grp"),
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("streak_days"),
+        F.min("day").alias("streak_start"),
+        F.max("day").alias("streak_end"),
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_days"), "streak_start"
+    )
+    best = streaks.withColumn("rn", F.row_number().over(wb)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        best.select(
+            "user_id",
+            "streak_days",
+            F.col("streak_start").cast("timestamp_ntz").alias("streak_start"),
+            F.col("streak_end").cast("timestamp_ntz").alias("streak_end"),
+        )
+        .orderBy(F.desc("streak_days"), "user_id")
+        .limit(25)
+    )

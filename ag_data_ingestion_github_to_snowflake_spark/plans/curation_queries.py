@@ -1826,3 +1826,213 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
     return pred.groupBy(
         "lang_true", F.col("lang_cand").alias("lang_pred")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment join: sub-document duplication
+# ---------------------------------------------------------------------------
+@register(
+    "containment_join_docs",
+    # Oracle is the brute-force inverted-index join on the same 10%
+    # hash sample: intersection counts per ordered pair, divided by the
+    # CONTAINEE size. Prefix filtering is lossless, so the plans must
+    # agree exactly.
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, tk AS token
+      FROM (SELECT doc_id, UNNEST(string_split_regex(text, '\\s+')) AS tk
+            FROM documents
+            WHERE CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2))
+                       AS INT) < 26)
+      WHERE tk <> ''
+    ),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS s FROM tok GROUP BY 1),
+    ins AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS INT) AS c
+      FROM tok a JOIN tok b ON b.token = a.token AND b.doc_id <> a.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(sa.s AS BIGINT) AS size_a,
+           CAST(sb.s AS BIGINT) AS size_b,
+           ROUND(CAST(c AS DOUBLE) / sa.s, 6) AS containment
+    FROM ins
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE CAST(c AS DOUBLE) / sa.s >= 0.8
+    ORDER BY id_a, id_b
+    """,
+    survey_ids=("B54", "B41", "B10"),
+    description="Exact containment>=0.8 ordered pairs (sub-document duplication), prefix-filtered",
+)
+def containment_join_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact token-set containment >= 0.8 join on the deterministic 10%
+    hash sample: which documents are mostly CONTAINED in another —
+    quotes, excerpts, wrapped reposts — the asymmetric duplication
+    that whole-document Jaccard (ssjoin_prefix_jaccard) structurally
+    misses.
+
+    See :func:`...operators.dedup.prefix_filter_containment_pairs` for
+    the lossless asymmetric prefix lemma and the scale argument
+    (A-prefixes are rare tokens, so only rare postings are probed; a
+    size band prunes containers too small to qualify; one exact
+    intersection per unique candidate pair). Same sample-gating
+    rationale as ssjoin_prefix_jaccard: the fixture corpus is near-dup
+    saturated, so the audit runs the production measure-on-a-sample
+    shape while exercising the full plan.
+    """
+    from ag_data_ingestion_github_to_snowflake_spark.operators.dedup import (
+        prefix_filter_containment_pairs,
+    )
+    from ag_data_ingestion_github_to_snowflake_spark.plans.sampling_queries import (
+        hash_bucket,
+    )
+
+    docs = t(spark, sf, "documents").filter(hash_bucket(F.col("doc_id")) < 26)
+    return prefix_filter_containment_pairs(docs, "text", "doc_id", 0.8)
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter record linkage: incoming batch vs master table
+# ---------------------------------------------------------------------------
+@register(
+    "record_linkage_fs",
+    # u-probabilities are estimated from the candidate pairs themselves
+    # (overwhelmingly non-matches, the standard FS estimator); m are
+    # fixed literals. Field weights sum in one fixed 3-term expression;
+    # ln() is the only non-correctly-rounded op, so the total weight is
+    # rounded to 9 BEFORE the rank. The batch is the deterministic
+    # sha-bucket sample with deterministic perturbations.
+    oracle="""
+    WITH batch AS (
+      SELECT c_custkey AS a_key, c_nationkey,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END
+               AS a_seg,
+             ROUND(c_acctbal / 100.0, 0) * 100.0 AS a_bal,
+             substr(c_name, length(c_name) - 2, 3) AS a_sfx
+      FROM customer
+      WHERE CAST(('0x' || substr(sha256(CAST(c_custkey AS VARCHAR)), 1, 2))
+                 AS INT) < 26
+    ),
+    cand AS (
+      SELECT b.a_key, m.c_custkey AS b_key,
+             CASE WHEN b.a_seg IS NULL THEN NULL
+                  WHEN b.a_seg = m.c_mktsegment THEN 1 ELSE 0 END AS g_seg,
+             CASE WHEN abs(b.a_bal - m.c_acctbal) <= 50.0 THEN 1 ELSE 0 END
+               AS g_bal,
+             CASE WHEN b.a_sfx = substr(m.c_name, length(m.c_name) - 2, 3)
+                  THEN 1 ELSE 0 END AS g_sfx
+      FROM batch b JOIN customer m ON m.c_nationkey = b.c_nationkey
+    ),
+    u AS (
+      SELECT CAST(SUM(g_seg) AS DOUBLE) / COUNT(g_seg) AS u_seg,
+             CAST(SUM(g_bal) AS DOUBLE) / COUNT(*) AS u_bal,
+             CAST(SUM(g_sfx) AS DOUBLE) / COUNT(*) AS u_sfx
+      FROM cand
+    ),
+    w AS (
+      SELECT c.a_key, c.b_key, c.g_seg, c.g_bal, c.g_sfx,
+             ROUND(
+               (CASE WHEN c.g_seg IS NULL THEN 0.0
+                     WHEN c.g_seg = 1 THEN ln(0.95 / u.u_seg)
+                     ELSE ln(0.05 / (1.0 - u.u_seg)) END)
+               + (CASE WHEN c.g_bal = 1 THEN ln(0.90 / u.u_bal)
+                       ELSE ln(0.10 / (1.0 - u.u_bal)) END)
+               + (CASE WHEN c.g_sfx = 1 THEN ln(0.98 / u.u_sfx)
+                       ELSE ln(0.02 / (1.0 - u.u_sfx)) END),
+             9) AS weight
+      FROM cand c, u
+    )
+    SELECT a_key, b_key, g_seg, g_bal, g_sfx, weight,
+           CAST(CASE WHEN a_key = b_key THEN 1 ELSE 0 END AS INTEGER)
+             AS is_true_match
+    FROM w
+    ORDER BY weight DESC, a_key, b_key
+    LIMIT 50
+    """,
+    survey_ids=("B10", "B19", "B43"),
+    description="Fellegi-Sunter record linkage: batch-vs-master match weights, top-50 pairs",
+)
+def record_linkage_fs(spark: SparkSession, sf: str) -> DataFrame:
+    """Probabilistic record linkage (Fellegi-Sunter 1969): score
+    candidate (incoming, master) pairs by agreement on segment,
+    rounded balance, and name suffix — log-likelihood weights with
+    m-probabilities fixed and u-probabilities estimated from the
+    candidate population (almost all non-matches). True matches
+    (same key) should surface at the top; the is_true_match column
+    makes the audit self-evaluating.
+
+    Scale shape: the incoming batch is a bounded deterministic sample
+    (the production incremental-linkage shape), broadcast against the
+    master on the nationkey blocking key — candidate volume is
+    |batch| x block size, LINEAR in the master table. Missing fields
+    (nulled segment) contribute weight 0, the FS convention. The u
+    estimate is one extra aggregate over the candidates (1-row
+    broadcast back).
+    """
+    from ag_data_ingestion_github_to_snowflake_spark.plans.sampling_queries import (
+        hash_bucket,
+    )
+
+    cust = t(spark, sf, "customer")
+    batch = cust.filter(hash_bucket(F.col("c_custkey")) < 26).select(
+        F.col("c_custkey").alias("a_key"),
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("a_seg"),
+        (F.round(F.col("c_acctbal") / 100.0, 0) * 100.0).alias("a_bal"),
+        F.substring(F.col("c_name"), -3, 3).alias("a_sfx"),
+    )
+    master = cust.select(
+        F.col("c_custkey").alias("b_key"),
+        "c_nationkey",
+        F.col("c_mktsegment").alias("b_seg"),
+        F.col("c_acctbal").alias("b_bal"),
+        F.substring(F.col("c_name"), -3, 3).alias("b_sfx"),
+    )
+    cand = F.broadcast(batch).join(master, "c_nationkey").select(
+        "a_key",
+        "b_key",
+        F.when(F.col("a_seg").isNull(), F.lit(None).cast("int"))
+        .when(F.col("a_seg") == F.col("b_seg"), 1)
+        .otherwise(0)
+        .alias("g_seg"),
+        F.when(F.abs(F.col("a_bal") - F.col("b_bal")) <= 50.0, 1)
+        .otherwise(0)
+        .alias("g_bal"),
+        F.when(F.col("a_sfx") == F.col("b_sfx"), 1).otherwise(0).alias("g_sfx"),
+    )
+    cand = cand.persist()
+    u = cand.agg(
+        (F.sum("g_seg").cast("double") / F.count("g_seg")).alias("u_seg"),
+        (F.sum("g_bal").cast("double") / F.count(F.lit(1))).alias("u_bal"),
+        (F.sum("g_sfx").cast("double") / F.count(F.lit(1))).alias("u_sfx"),
+    )
+    w = cand.join(F.broadcast(u))
+    weight = F.round(
+        F.when(F.col("g_seg").isNull(), F.lit(0.0))
+        .when(F.col("g_seg") == 1, F.log(F.lit(0.95) / F.col("u_seg")))
+        .otherwise(F.log(F.lit(0.05) / (F.lit(1.0) - F.col("u_seg"))))
+        + F.when(F.col("g_bal") == 1, F.log(F.lit(0.90) / F.col("u_bal")))
+        .otherwise(F.log(F.lit(0.10) / (F.lit(1.0) - F.col("u_bal"))))
+        + F.when(F.col("g_sfx") == 1, F.log(F.lit(0.98) / F.col("u_sfx")))
+        .otherwise(F.log(F.lit(0.02) / (F.lit(1.0) - F.col("u_sfx")))),
+        9,
+    )
+    return (
+        w.select(
+            "a_key",
+            "b_key",
+            "g_seg",
+            "g_bal",
+            "g_sfx",
+            weight.alias("weight"),
+            F.when(F.col("a_key") == F.col("b_key"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_true_match"),
+        )
+        .orderBy(F.desc("weight"), "a_key", "b_key")
+        .limit(50)
+    )

@@ -1362,3 +1362,513 @@ def cramers_v_pairs(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Median (LAD) regression slope by exact grid search
+# ---------------------------------------------------------------------------
+@register(
+    "quantile_regression_grid",
+    # Candidate slopes are exact decimals (k * 25.00), so residuals
+    # y - b*x and their absolute sums are EXACT decimal arithmetic end
+    # to end — the loss curve has zero float content; the argmin is an
+    # exact comparison with a smallest-slope tie-break.
+    oracle="""
+    WITH grid AS (
+      SELECT CAST(k * 25 AS DECIMAL(8,2)) AS slope
+      FROM range(1, 81) r(k)
+    ),
+    losses AS (
+      SELECT g.slope,
+             SUM(ABS(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                     - g.slope * CAST(l.l_quantity AS DECIMAL(18,2))))
+               AS loss
+      FROM lineitem l JOIN grid g ON TRUE
+      GROUP BY 1
+    ),
+    best AS (SELECT MIN(loss) AS mloss FROM losses)
+    SELECT CAST(l.slope AS DOUBLE) AS slope,
+           CAST(l.loss AS DOUBLE) AS lad_loss,
+           CAST(CASE WHEN l.loss = b.mloss
+                     AND l.slope = (SELECT MIN(slope) FROM losses l2, best b2
+                                    WHERE l2.loss = b2.mloss)
+                THEN 1 ELSE 0 END AS INTEGER) AS is_best
+    FROM losses l, best b
+    """,
+    survey_ids=("B18", "B16", "B43"),
+    description="LAD (median-regression) slope via exact decimal grid search, full loss curve",
+)
+def quantile_regression_grid(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust through-origin price-per-unit estimation: the slope
+    minimizing SUM |extendedprice - b * quantity| (least absolute
+    deviations = tau=0.5 quantile regression) over an 80-point exact
+    decimal grid — the outlier-immune sibling of ols_price_by_quantity,
+    returning the full loss curve with the argmin flagged.
+
+    Scale shape: ONE pass over the fact table with an 80-element
+    literal-array explode (map-side, whole-stage codegen), reduced by
+    map-side combine to 80 rows; the argmin is a 1-row aggregate
+    broadcast back. Residual arithmetic is exact decimal throughout —
+    this is grid search as a DATAFLOW, the pattern that generalizes to
+    any separable hyperparameter sweep (one shuffle, candidates x
+    partial-agg rows).
+    """
+    li = t(spark, sf, "lineitem").select(
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("y"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("x"),
+    )
+    grid = F.transform(
+        F.sequence(F.lit(1), F.lit(80)),
+        lambda k: (k * 25).cast("decimal(8,2)"),
+    )
+    losses = (
+        li.select("y", "x", F.explode(grid).alias("slope"))
+        .groupBy("slope")
+        .agg(F.sum(F.abs(F.col("y") - F.col("slope") * F.col("x"))).alias("loss"))
+    )
+    losses = losses.persist()
+    best = losses.agg(F.min("loss").alias("mloss"))
+    bslope = (
+        losses.join(F.broadcast(best), losses["loss"] == best["mloss"])
+        .agg(F.min("slope").alias("bslope"))
+    )
+    return (
+        losses.join(F.broadcast(bslope))
+        .select(
+            F.col("slope").cast("double").alias("slope"),
+            F.col("loss").cast("double").alias("lad_loss"),
+            F.when(F.col("slope") == F.col("bslope"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_best"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe (out-of-fold) target encoding
+# ---------------------------------------------------------------------------
+@register(
+    "target_encoding_kfold",
+    # All counts/sums are exact integers; the global prior mean and the
+    # out-of-fold encodings are double expressions over them in fixed
+    # operand order. The corpus total rides the 25-row cell table as a
+    # window sum — no 1-row cross join anywhere.
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority AS cat,
+             CAST(CAST(('0x' || substr(sha256(CAST(o_orderkey AS VARCHAR)), 1, 2))
+                       AS INT) % 5 AS BIGINT) AS fold,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS s
+      FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT cat, fold, n, s,
+             SUM(n) OVER (PARTITION BY cat) AS cn,
+             SUM(s) OVER (PARTITION BY cat) AS cs,
+             SUM(n) OVER () AS tn,
+             SUM(s) OVER () AS ts
+      FROM cells
+    )
+    SELECT cat, fold, n AS n_rows,
+           ROUND((CAST(cs - s AS DOUBLE)
+                  + 10.0 * (CAST(ts AS DOUBLE) / tn))
+                 / (CAST(cn - n AS DOUBLE) + 10.0), 6) AS oof_encoding
+    FROM m
+    ORDER BY cat, fold
+    """,
+    survey_ids=("B16", "B19", "B29"),
+    description="Out-of-fold smoothed target encoding of order priority (leakage-safe)",
+)
+def target_encoding_kfold(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe target encoding: replace a categorical feature by
+    the target rate computed WITHOUT the row's own fold — the standard
+    trick that lets tree/linear models consume high-cardinality
+    categoricals without peeking at their own labels. Smoothed toward
+    the global rate with a pseudo-count prior (alpha=10).
+
+    Scale shape: ONE map-side-combined shuffle reduces the fact table
+    to |cat| x |folds| cells; category margins and the global prior are
+    window sums over that bounded cell table (equi/window only — no
+    1-row broadcast). Every input to the encoding is an exact integer.
+    """
+    from ag_data_ingestion_github_to_snowflake_spark.plans.sampling_queries import (
+        hash_bucket,
+    )
+
+    o = t(spark, sf, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("cat"),
+        (hash_bucket(F.col("o_orderkey")) % 5).cast("bigint").alias("fold"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("s"),
+    )
+    wc = Window.partitionBy("cat")
+    wa = Window.partitionBy()
+    m = cells.select(
+        "cat",
+        "fold",
+        "n",
+        "s",
+        F.sum("n").over(wc).alias("cn"),
+        F.sum("s").over(wc).alias("cs"),
+        F.sum("n").over(wa).alias("tn"),
+        F.sum("s").over(wa).alias("ts"),
+    )
+    return m.select(
+        "cat",
+        "fold",
+        F.col("n").alias("n_rows"),
+        F.round(
+            (
+                (F.col("cs") - F.col("s")).cast("double")
+                + F.lit(10.0) * (F.col("ts").cast("double") / F.col("tn"))
+            )
+            / ((F.col("cn") - F.col("n")).cast("double") + F.lit(10.0)),
+            6,
+        ).alias("oof_encoding"),
+    ).orderBy("cat", "fold")
+
+
+# ---------------------------------------------------------------------------
+# Population stability index between two periods
+# ---------------------------------------------------------------------------
+@register(
+    "psi_population_stability",
+    # Bucket counts are exact integers under a fixed bucketing; the
+    # Laplace-smoothed rates and per-bucket terms are doubles in fixed
+    # operand order, and the cross-bucket sum folds over the
+    # bucket-SORTED 10-element list (the anova convention). ln() ulp
+    # drift is absorbed by round-6 on the single output.
+    oracle="""
+    WITH b AS (
+      SELECT LEAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT), 9) AS bucket,
+             CAST(SUM(CASE WHEN o_orderdate <  TIMESTAMP '1996-07-01'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS ne,
+             CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1996-07-01'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS na
+      FROM orders GROUP BY 1
+    ),
+    m AS (
+      SELECT bucket, ne, na,
+             SUM(ne) OVER () AS te, SUM(na) OVER () AS ta,
+             COUNT(*) OVER () AS k
+      FROM b
+    ),
+    tot AS (
+      SELECT CAST(MAX(te) AS BIGINT) AS te, CAST(MAX(ta) AS BIGINT) AS ta,
+             CAST(MAX(k) AS BIGINT) AS k,
+             list_reduce(
+               list(((CAST(na AS DOUBLE) + 1.0) / (CAST(ta AS DOUBLE) + k)
+                     - (CAST(ne AS DOUBLE) + 1.0) / (CAST(te AS DOUBLE) + k))
+                    * ln(((CAST(na AS DOUBLE) + 1.0) / (CAST(ta AS DOUBLE) + k))
+                         / ((CAST(ne AS DOUBLE) + 1.0) / (CAST(te AS DOUBLE) + k)))
+                    ORDER BY bucket),
+               (acc, x) -> acc + x) AS psi
+      FROM m
+    )
+    SELECT te AS n_expected, ta AS n_actual, k AS k_buckets,
+           ROUND(psi, 6) AS psi
+    FROM tot
+    """,
+    survey_ids=("B16", "B19", "B43"),
+    description="PSI of the order-value distribution across two halves of the order history",
+)
+def psi_population_stability(spark: SparkSession, sf: str) -> DataFrame:
+    """Population Stability Index — the model-monitoring drift metric:
+    sum over buckets of (p_actual - p_expected) * ln(p_actual /
+    p_expected), comparing order-value mix before vs after mid-1996.
+    Complements drift_chi2_events (chi-square answers 'did it move?';
+    PSI is the banking-standard magnitude with the 0.1/0.25 rulebook).
+
+    Scale shape: one conditional aggregation to 10 fixed buckets
+    (map-side combine), Laplace-smoothed rates, and the cross-bucket
+    sum as a bucket-sorted ordered fold — no data-scale state past the
+    first reduce.
+    """
+    o = t(spark, sf, "orders")
+    cut = F.lit("1996-07-01").cast("timestamp")
+    b = o.groupBy(
+        F.least(F.floor(F.col("o_totalprice") / 50000).cast("bigint"), F.lit(9)).alias(
+            "bucket"
+        )
+    ).agg(
+        F.sum(F.when(F.col("o_orderdate") < cut, 1).otherwise(0))
+        .cast("bigint")
+        .alias("ne"),
+        F.sum(F.when(F.col("o_orderdate") >= cut, 1).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+    )
+    wa = Window.partitionBy()
+    b2 = b.select(
+        "bucket",
+        "ne",
+        "na",
+        F.sum("ne").over(wa).alias("te"),
+        F.sum("na").over(wa).alias("ta"),
+        F.count(F.lit(1)).over(wa).alias("k"),
+    )
+    tot = b2.agg(
+        F.max("te").cast("bigint").alias("n_expected"),
+        F.max("ta").cast("bigint").alias("n_actual"),
+        F.max("k").cast("bigint").alias("k_buckets"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("bucket", "ne", "na", "te", "ta", "k"))
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc
+            + (
+                (e["na"].cast("double") + F.lit(1.0))
+                / (e["ta"].cast("double") + e["k"])
+                - (e["ne"].cast("double") + F.lit(1.0))
+                / (e["te"].cast("double") + e["k"])
+            )
+            * F.log(
+                (
+                    (e["na"].cast("double") + F.lit(1.0))
+                    / (e["ta"].cast("double") + e["k"])
+                )
+                / (
+                    (e["ne"].cast("double") + F.lit(1.0))
+                    / (e["te"].cast("double") + e["k"])
+                )
+            ),
+        ).alias("psi_raw"),
+    )
+    return tot.select(
+        "n_expected",
+        "n_actual",
+        "k_buckets",
+        F.round("psi_raw", 6).alias("psi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Best single-split decision stump by Gini impurity
+# ---------------------------------------------------------------------------
+@register(
+    "decision_stump_split",
+    # The value histogram is exact integers; cumulative counts come
+    # from a window over the ~50-row distinct-value table; weighted
+    # Gini is a double expression over exact integers in fixed operand
+    # order, rounded to 9 before the argmin rank (threshold asc breaks
+    # ties).
+    oracle="""
+    WITH h AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pos
+      FROM lineitem GROUP BY 1
+    ),
+    c AS (
+      SELECT q, n, pos,
+             SUM(n) OVER (ORDER BY q) AS cn,
+             SUM(pos) OVER (ORDER BY q) AS cp,
+             SUM(n) OVER () AS tn,
+             SUM(pos) OVER () AS tp
+      FROM h
+    ),
+    s AS (
+      SELECT q AS threshold, cn AS n_left, tn - cn AS n_right,
+             cp AS pos_left, tp - cp AS pos_right,
+             ROUND(
+               (CAST(cn AS DOUBLE) / tn)
+               * (2.0 * (CAST(cp AS DOUBLE) / cn)
+                      * (1.0 - CAST(cp AS DOUBLE) / cn))
+               + (CAST(tn - cn AS DOUBLE) / tn)
+                 * (2.0 * (CAST(tp - cp AS DOUBLE) / (tn - cn))
+                        * (1.0 - CAST(tp - cp AS DOUBLE) / (tn - cn))),
+             9) AS weighted_gini
+      FROM c WHERE cn < tn
+    )
+    SELECT CAST(threshold AS BIGINT) AS threshold,
+           CAST(n_left AS BIGINT) AS n_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           CAST(pos_left AS BIGINT) AS pos_left,
+           CAST(pos_right AS BIGINT) AS pos_right,
+           weighted_gini
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY weighted_gini, threshold) AS rn
+      FROM s
+    ) WHERE rn = 1
+    """,
+    survey_ids=("B16", "B29", "B43"),
+    description="Best decision-stump split of quantity predicting returns (Gini argmin)",
+)
+def decision_stump_split(spark: SparkSession, sf: str) -> DataFrame:
+    """One-feature decision-tree induction in pure SQL: the quantity
+    threshold that best separates returned line items, by weighted
+    Gini impurity over every candidate split — the inner loop of
+    CART/GBDT expressed as histogram + prefix-sum + argmin.
+
+    Scale shape: the fact table reduces to the ~50-row distinct-value
+    histogram in one map-side-combined shuffle; cumulative class
+    counts are a window over that bounded table; every candidate's
+    impurity is a double expression over exact integers, rounded to 9
+    before the deterministic argmin. This is exactly how distributed
+    GBDT frameworks (XGBoost/LightGBM histogram mode) evaluate splits.
+    """
+    li = t(spark, sf, "lineitem")
+    h = li.groupBy(F.col("l_quantity").cast("bigint").alias("q")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos"),
+    )
+    wq = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wa = Window.partitionBy()
+    c = h.select(
+        "q",
+        F.sum("n").over(wq).alias("cn"),
+        F.sum("pos").over(wq).alias("cp"),
+        F.sum("n").over(wa).alias("tn"),
+        F.sum("pos").over(wa).alias("tp"),
+    )
+    pl = F.col("cp").cast("double") / F.col("cn")
+    pr = (F.col("tp") - F.col("cp")).cast("double") / (F.col("tn") - F.col("cn"))
+    s = c.filter(F.col("cn") < F.col("tn")).select(
+        F.col("q").alias("threshold"),
+        F.col("cn").alias("n_left"),
+        (F.col("tn") - F.col("cn")).alias("n_right"),
+        F.col("cp").alias("pos_left"),
+        (F.col("tp") - F.col("cp")).alias("pos_right"),
+        F.round(
+            (F.col("cn").cast("double") / F.col("tn"))
+            * (F.lit(2.0) * pl * (F.lit(1.0) - pl))
+            + ((F.col("tn") - F.col("cn")).cast("double") / F.col("tn"))
+            * (F.lit(2.0) * pr * (F.lit(1.0) - pr)),
+            9,
+        ).alias("weighted_gini"),
+    )
+    wr = Window.orderBy("weighted_gini", "threshold")
+    return (
+        s.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("threshold").cast("bigint").alias("threshold"),
+            F.col("n_left").cast("bigint").alias("n_left"),
+            F.col("n_right").cast("bigint").alias("n_right"),
+            F.col("pos_left").cast("bigint").alias("pos_left"),
+            F.col("pos_right").cast("bigint").alias("pos_right"),
+            "weighted_gini",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences: promo parts before/after 1997
+# ---------------------------------------------------------------------------
+@register(
+    "diff_in_diff_promo",
+    # Four cell means from exact decimal sums and integer counts in one
+    # conditional aggregation; the DiD estimate is scalar double math
+    # over those exact inputs.
+    oracle="""
+    WITH j AS (
+      SELECT CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS treated,
+             CASE WHEN l.l_shipdate >= TIMESTAMP '1997-01-01'
+                  THEN 1 ELSE 0 END AS post,
+             CAST(l.l_extendedprice AS DECIMAL(18,2)) AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    s AS (
+      SELECT
+        CAST(SUM(CASE WHEN treated = 1 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_t0,
+        CAST(SUM(CASE WHEN treated = 1 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t1,
+        CAST(SUM(CASE WHEN treated = 0 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c0,
+        CAST(SUM(CASE WHEN treated = 0 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_c1,
+        CAST(SUM(CASE WHEN treated = 1 AND post = 0 THEN y END) AS DOUBLE) AS s_t0,
+        CAST(SUM(CASE WHEN treated = 1 AND post = 1 THEN y END) AS DOUBLE) AS s_t1,
+        CAST(SUM(CASE WHEN treated = 0 AND post = 0 THEN y END) AS DOUBLE) AS s_c0,
+        CAST(SUM(CASE WHEN treated = 0 AND post = 1 THEN y END) AS DOUBLE) AS s_c1
+      FROM j
+    )
+    SELECT n_t0, n_t1, n_c0, n_c1,
+           ROUND(s_t0 / n_t0, 6) AS mean_treated_pre,
+           ROUND(s_t1 / n_t1, 6) AS mean_treated_post,
+           ROUND(s_c0 / n_c0, 6) AS mean_control_pre,
+           ROUND(s_c1 / n_c1, 6) AS mean_control_post,
+           ROUND((s_t1 / n_t1 - s_t0 / n_t0) - (s_c1 / n_c1 - s_c0 / n_c0), 6)
+             AS did_estimate
+    FROM s
+    """,
+    survey_ids=("B10", "B19", "B18"),
+    description="Difference-in-differences of promo vs non-promo line-item value across 1997",
+)
+def diff_in_diff_promo(spark: SparkSession, sf: str) -> DataFrame:
+    """The 2x2 difference-in-differences design: did PROMO-type parts'
+    line-item value move differently across the 1997 boundary than
+    everything else's? The causal-inference companion to
+    propensity_stratified_att (panel-over-time vs cross-sectional).
+
+    Scale shape: one fact-dim equi-join (part side broadcast/shuffled
+    by AQE), then ONE conditional aggregation to eight exact sufficient
+    statistics — the whole 2x2 panel collapses map-side; the estimate
+    is scalar arithmetic on the 1-row result.
+    """
+    li = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part").select(
+        "p_partkey",
+        F.when(F.col("p_type").like("PROMO%"), 1).otherwise(0).alias("treated"),
+    )
+    j = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
+        "treated",
+        F.when(
+            F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"), 1
+        )
+        .otherwise(0)
+        .alias("post"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("y"),
+    )
+
+    def cnt(tr, po):
+        return (
+            F.sum(
+                F.when((F.col("treated") == tr) & (F.col("post") == po), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+        )
+
+    def tot(tr, po):
+        return (
+            F.sum(
+                F.when((F.col("treated") == tr) & (F.col("post") == po), F.col("y"))
+            )
+            .cast("double")
+        )
+
+    s = j.agg(
+        cnt(1, 0).alias("n_t0"),
+        cnt(1, 1).alias("n_t1"),
+        cnt(0, 0).alias("n_c0"),
+        cnt(0, 1).alias("n_c1"),
+        tot(1, 0).alias("s_t0"),
+        tot(1, 1).alias("s_t1"),
+        tot(0, 0).alias("s_c0"),
+        tot(0, 1).alias("s_c1"),
+    )
+    m = lambda sc, nc: F.col(sc) / F.col(nc)  # noqa: E731
+    return s.select(
+        "n_t0",
+        "n_t1",
+        "n_c0",
+        "n_c1",
+        F.round(m("s_t0", "n_t0"), 6).alias("mean_treated_pre"),
+        F.round(m("s_t1", "n_t1"), 6).alias("mean_treated_post"),
+        F.round(m("s_c0", "n_c0"), 6).alias("mean_control_pre"),
+        F.round(m("s_c1", "n_c1"), 6).alias("mean_control_post"),
+        F.round(
+            (m("s_t1", "n_t1") - m("s_t0", "n_t0"))
+            - (m("s_c1", "n_c1") - m("s_c0", "n_c0")),
+            6,
+        ).alias("did_estimate"),
+    )

@@ -528,3 +528,62 @@ def training_shuffle_shards(spark: SparkSession, sf: str) -> DataFrame:
         "shard",
         F.row_number().over(w).cast("bigint").alias("shard_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted reservoir top-k (Efraimidis-Spirakis A-Res keys)
+# ---------------------------------------------------------------------------
+@register(
+    "weighted_reservoir_topk",
+    # The A-Res key ln(u)/w is the only libm-touching expression;
+    # both engines compute it from the SAME deterministic u (first 8
+    # sha256 hex chars over 2^32) in identical operand order, and the
+    # key is rounded to 9 before the rank with a doc_id tie-break.
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             ROUND(
+               ln((CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) + 1.0) / 4294967297.0)
+               / n_chars,
+             9) AS ares_key
+      FROM documents
+      WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars, ares_key
+    FROM keyed
+    ORDER BY ares_key DESC, doc_id
+    LIMIT 25
+    """,
+    survey_ids=("B24", "B43", "B6"),
+    description="Weighted sampling without replacement: top-25 by Efraimidis-Spirakis key",
+)
+def weighted_reservoir_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted random sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): each record draws key u^(1/w) — equivalently
+    ln(u)/w — from a deterministic uniform u, and the k largest keys
+    are the sample. Unlike weighted_sample_docs (with-replacement
+    expectation), this yields exactly-k distinct docs with inclusion
+    probability proportional to weight (n_chars), and because the keys
+    are a simple column expression the 'reservoir' is just a
+    distributed top-k: map-side per-partition heads, one tiny shuffle.
+
+    Scale shape: fully map-side key computation (sha256 + ln in
+    codegen), then TakeOrderedAndProject — no global sort, no
+    data-scale shuffle. The hash-derived u makes the draw reproducible
+    across engines and runs (the same audit-over-randomness convention
+    as the other sampling queries).
+    """
+    d = t(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 8),
+               16, 10).cast("bigint")
+        + F.lit(1.0)
+    ) / F.lit(4294967297.0)
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round(F.log(u) / F.col("n_chars"), 9).alias("ares_key"),
+    )
+    return keyed.orderBy(F.desc("ares_key"), "doc_id").limit(25)

@@ -1101,3 +1101,152 @@ def knn_label_majority(spark: SparkSession, sf: str) -> DataFrame:
             "mean_cos",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster topic terms: fixed-cell embedding clusters -> distinctive
+# vocabulary per cluster (lift over the corpus rate)
+# ---------------------------------------------------------------------------
+def _cluster_topic_oracle() -> str:
+    lits = ["[" + ", ".join(repr(x) for x in c) + "]" for c in _CENTS]
+    dot_cols = ",\n             ".join(
+        f"ROUND(list_sum(list_transform(list_zip(v, {lit}), x -> x[1] * x[2])), 6) AS d{j}"
+        for j, lit in enumerate(lits)
+    )
+    best = "GREATEST(" + ", ".join(f"d{j}" for j in range(_N_CELLS)) + ")"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN d{j} = m THEN {j}" for j in range(_N_CELLS))
+        + " END"
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+      FROM embeddings
+    ),
+    dots AS (
+      SELECT vec_id, v,
+             {dot_cols}
+      FROM corpus
+    ),
+    assigned AS (
+      SELECT vec_id, CAST({case} AS INT) AS cell
+      FROM (SELECT *, {best} AS m FROM dots)
+    ),
+    doctok AS (
+      SELECT DISTINCT a.cell, d.doc_id, tk AS token
+      FROM assigned a
+      JOIN documents d ON d.doc_id = a.vec_id,
+      UNNEST(string_split_regex(d.text, '\\s+')) AS u(tk)
+      WHERE tk <> ''
+    ),
+    ct AS (
+      SELECT cell, token, CAST(COUNT(*) AS BIGINT) AS n_ct
+      FROM doctok GROUP BY 1, 2
+    ),
+    tmarg AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n_t
+      FROM (SELECT DISTINCT doc_id, token FROM doctok) GROUP BY 1
+    ),
+    cmarg AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_c,
+             CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n_docs
+      FROM (SELECT DISTINCT cell, doc_id FROM doctok) GROUP BY cell
+    ),
+    scored AS (
+      SELECT ct.cell, ct.token, ct.n_ct, cm.n_c, tm.n_t,
+             ROUND((CAST(ct.n_ct AS DOUBLE) * cm.n_docs)
+                   / (CAST(cm.n_c AS DOUBLE) * tm.n_t), 6) AS lift
+      FROM ct
+      JOIN cmarg cm ON cm.cell = ct.cell
+      JOIN tmarg tm ON tm.token = ct.token
+      WHERE ct.n_ct >= 3
+    )
+    SELECT cell, token, n_ct, n_c, n_t, lift
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
+                                   ORDER BY lift DESC, n_ct DESC, token) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """
+
+
+@register(
+    "cluster_topic_terms",
+    oracle=_cluster_topic_oracle(),
+    survey_ids=("B55", "B56", "B16"),
+    description="Top-5 distinctive terms per embedding cluster (lift over corpus rate)",
+)
+def cluster_topic_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Lightweight topic modeling: assign each document's embedding to
+    a fixed IVF cell (the replayable assignment from semdedup/IVF),
+    then surface each cluster's most DISTINCTIVE vocabulary — tokens
+    whose in-cluster document rate most exceeds their corpus rate
+    (lift), the label a curation UI shows next to a cluster.
+
+    Scale shape: assignment is map-side (centroid literals); doc-token
+    pairs reduce in ONE shuffle to (cell, token) counts; margins are
+    per-token and per-cell aggregates joined back EQUI (the corpus
+    total rides the 8-row cell table as a window sum, so no 1-row
+    cross join); the final rank partitions by cell. Lift is one double
+    expression over exact counts in fixed operand order.
+    """
+    emb = t(spark, sf, "embeddings")
+    assigned = SD.assign_cells(emb, _CENTS).select("vec_id", "cell")
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    doctok = (
+        docs.join(assigned, docs["doc_id"] == assigned["vec_id"])
+        .select(
+            "cell",
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.filter(F.split("text", r"\s+"), lambda x: x != "")
+                )
+            ).alias("token"),
+        )
+    )
+    doctok = doctok.persist()
+    ct = doctok.groupBy("cell", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ct")
+    )
+    tmarg = (
+        doctok.select("doc_id", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_t"))
+    )
+    from pyspark.sql.window import Window as W
+
+    cmarg = (
+        doctok.select("cell", "doc_id")
+        .distinct()
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_c"))
+        .withColumn(
+            "n_docs", F.sum("n_c").over(W.partitionBy()).cast("bigint")
+        )
+    )
+    scored = (
+        ct.join(F.broadcast(cmarg), "cell")
+        .join(tmarg, "token")
+        .filter(F.col("n_ct") >= 3)
+        .select(
+            "cell",
+            "token",
+            "n_ct",
+            "n_c",
+            "n_t",
+            F.round(
+                (F.col("n_ct").cast("double") * F.col("n_docs"))
+                / (F.col("n_c").cast("double") * F.col("n_t")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    w = W.partitionBy("cell").orderBy(F.desc("lift"), F.desc("n_ct"), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("cell", "token", "n_ct", "n_c", "n_t", "lift")
+    )

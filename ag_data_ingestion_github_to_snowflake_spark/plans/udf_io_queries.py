@@ -19,6 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register, t
 
@@ -972,4 +973,77 @@ def partition_evolution_union(spark: SparkSession, sf: str) -> DataFrame:
             .cast("double")
             .alias("total_value"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Iceberg/Delta-style position-delete (deletion vector) application
+# ---------------------------------------------------------------------------
+@register(
+    "deletion_vector_scan",
+    # Positions are ROW_NUMBER within each synthetic "file" (orderkey
+    # order — in a real lakehouse the ordinal comes from the file
+    # layout; the window stands in deterministically). The delete set
+    # is positional (pos % 53 = 7), applied as an anti-join; survivors
+    # aggregate with exact decimal sums.
+    oracle="""
+    WITH scan AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             o_orderkey % 256 AS file_id,
+             ROW_NUMBER() OVER (PARTITION BY o_orderkey % 256
+                                ORDER BY o_orderkey) - 1 AS pos
+      FROM orders
+    ),
+    dv AS (
+      SELECT file_id, pos FROM scan WHERE pos % 53 = 7
+    )
+    SELECT s.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS rows_kept,
+           CAST((SELECT COUNT(*) FROM dv) AS BIGINT) AS rows_deleted_total,
+           CAST(SUM(CAST(s.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS kept_revenue
+    FROM scan s
+    ANTI JOIN dv ON dv.file_id = s.file_id AND dv.pos = s.pos
+    GROUP BY 1
+    """,
+    survey_ids=("B1", "B13", "B16"),
+    description="Apply a positional deletion vector (Iceberg/Delta DV) as an anti-join, then aggregate",
+)
+def deletion_vector_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Merge-on-read with position deletes: a deletion vector is a set
+    of (file, ordinal) pairs; applying it is an anti-join of the scan
+    against the DV before any downstream logic — the Iceberg v2 /
+    Delta deletion-vectors read path, expressed relationally.
+
+    Scale shape: position assignment partitions by file (a real reader
+    gets ordinals free from the file layout; the window here is the
+    deterministic stand-in and parallelizes across the 256 synthetic
+    files). The DV is derived from positions only (pos % 53), so it
+    stays proportional to the data; the anti-join is an equi-join on
+    (file_id, pos) — hash-partitioned, no broadcast of data-scale
+    state — and the surviving rows reduce with exact decimal sums.
+    """
+    o = t(spark, sf, "orders")
+    w = Window.partitionBy(F.col("o_orderkey") % 256).orderBy("o_orderkey")
+    scan = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        (F.col("o_orderkey") % 256).alias("file_id"),
+        (F.row_number().over(w) - 1).alias("pos"),
+    )
+    scan = scan.persist()
+    dv = scan.filter(F.col("pos") % 53 == 7).select("file_id", "pos")
+    n_del = dv.agg(F.count(F.lit(1)).cast("bigint").alias("rows_deleted_total"))
+    kept = scan.join(dv, ["file_id", "pos"], "left_anti")
+    return (
+        kept.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("rows_kept"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("kept_revenue"),
+        )
+        .join(F.broadcast(n_del))
+        .select("o_orderstatus", "rows_kept", "rows_deleted_total", "kept_revenue")
     )

@@ -217,6 +217,15 @@ ALLOWED_FLAGS = {
     # cutoff to the 25-row nation table — single broadcast rows,
     # invariant in the data size.
     ("fdr_bh_segment_tests", "BroadcastNestedLoopJoin"),
+    # FS linkage attaches the 1-row u-probability estimate to the
+    # candidate table via a broadcast cross join — one broadcast row.
+    ("record_linkage_fs", "BroadcastNestedLoopJoin"),
+    # The DV scan attaches the 1-row deleted-total counter to the
+    # |status|-row aggregate — one broadcast row.
+    ("deletion_vector_scan", "BroadcastNestedLoopJoin"),
+    # The grid search attaches the 1-row argmin slope to the 80-row
+    # loss curve — one broadcast row, invariant in the data size.
+    ("quantile_regression_grid", "BroadcastNestedLoopJoin"),
 }
 
 # Queries whose build() executes side work and returns a materialized
