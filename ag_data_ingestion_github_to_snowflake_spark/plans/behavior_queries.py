@@ -1437,3 +1437,119 @@ def longest_daily_streak_users(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("streak_days"), "user_id")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time SCD2 join: each fact sees the dimension version valid
+# at its own (timestamp, sequence) moment
+# ---------------------------------------------------------------------------
+@register(
+    "pointintime_scd2_join",
+    # Same change log as scd2_customer_history; the PIT lookup is the
+    # union+window as-of trick with a COMPOSITE (ts, seq, side) order,
+    # so same-day changes resolve deterministically and the version
+    # opened BY an event is visible TO it (side 0 sorts before 1).
+    oracle="""
+    WITH changes AS (
+      SELECT c_custkey AS custkey,
+             TIMESTAMP '1990-01-01 00:00:00' AS ts,
+             c_mktsegment AS tier,
+             CAST(0 AS BIGINT) AS seq
+      FROM customer WHERE c_custkey < 300
+      UNION ALL
+      SELECT o_custkey, o_orderdate, o_orderpriority, o_orderkey
+      FROM orders WHERE o_custkey < 300
+    ),
+    marked AS (
+      SELECT *, LAG(tier) OVER (PARTITION BY custkey ORDER BY ts, seq) AS prev
+      FROM changes
+    ),
+    vers AS (
+      SELECT custkey, ts, seq, tier FROM marked
+      WHERE prev IS DISTINCT FROM tier
+    ),
+    u AS (
+      SELECT custkey, ts, seq, 0 AS side, tier,
+             CAST(NULL AS BIGINT) AS orderkey
+      FROM vers
+      UNION ALL
+      SELECT o_custkey, o_orderdate, o_orderkey, 1, NULL, o_orderkey
+      FROM orders WHERE o_custkey < 300
+    ),
+    pit AS (
+      SELECT custkey, ts, side, orderkey,
+             last_value(tier IGNORE NULLS) OVER (
+               PARTITION BY custkey ORDER BY ts, seq, side
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tier_at
+      FROM u
+    )
+    SELECT orderkey AS o_orderkey, custkey,
+           ts AS o_orderdate, tier_at AS tier_at_order
+    FROM pit WHERE side = 1
+    """,
+    survey_ids=("B29", "B30", "B14"),
+    description="Point-in-time SCD2 lookup: each order joined to the tier valid at its moment",
+)
+def pointintime_scd2_join(spark: SparkSession, sf: str) -> DataFrame:
+    """THE data-warehouse join: enrich every fact with the dimension
+    version that was valid AT the fact's own moment — the consuming
+    side of scd2_customer_history (which builds the intervals; this
+    reads them). Implemented without interval ranges at all: versions
+    and facts union into one stream ordered by the composite
+    (ts, seq, side) and a last-non-null window carries the open
+    version onto each fact — one shuffle on the key, one sort, no
+    range-join pair blowup, and same-timestamp changes resolve by the
+    sequence tiebreak instead of undefined interval overlap.
+    """
+    cust = t(spark, sf, "customer").filter(F.col("c_custkey") < 300)
+    orders = t(spark, sf, "orders").filter(F.col("o_custkey") < 300)
+    changes = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.lit("1990-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.col("c_mktsegment").alias("tier"),
+        F.lit(0).cast("bigint").alias("seq"),
+    ).unionByName(
+        orders.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").alias("ts"),
+            F.col("o_orderpriority").alias("tier"),
+            F.col("o_orderkey").alias("seq"),
+        )
+    )
+    wv = Window.partitionBy("custkey").orderBy("ts", "seq")
+    vers = (
+        changes.withColumn("prev", F.lag("tier").over(wv))
+        .filter(
+            ~F.col("prev").eqNullSafe(F.col("tier"))
+        )
+        .select("custkey", "ts", "seq", "tier")
+    )
+    u = vers.select(
+        "custkey",
+        "ts",
+        "seq",
+        F.lit(0).alias("side"),
+        "tier",
+        F.lit(None).cast("bigint").alias("orderkey"),
+    ).unionByName(
+        orders.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").alias("ts"),
+            F.col("o_orderkey").alias("seq"),
+            F.lit(1).alias("side"),
+            F.lit(None).cast("string").alias("tier"),
+            F.col("o_orderkey").alias("orderkey"),
+        )
+    )
+    wp = Window.partitionBy("custkey").orderBy("ts", "seq", "side").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pit = u.withColumn(
+        "tier_at", F.last("tier", ignorenulls=True).over(wp)
+    )
+    return pit.filter(F.col("side") == 1).select(
+        F.col("orderkey").alias("o_orderkey"),
+        "custkey",
+        F.col("ts").alias("o_orderdate"),
+        F.col("tier_at").alias("tier_at_order"),
+    )

@@ -1872,3 +1872,97 @@ def diff_in_diff_promo(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("did_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Expected calibration error of a score against a binary label
+# ---------------------------------------------------------------------------
+@register(
+    "calibration_ece_bins",
+    # The score is LEAST(n_chars, 1000)/1000: binning and confidence
+    # sums stay INTEGER-exact on both sides (DuckDB decimal division
+    # returns DOUBLE, so the clamped integer is summed and divided
+    # only at presentation); ECE folds the bin-SORTED |acc-conf|
+    # terms (the anova convention).
+    oracle="""
+    WITH s AS (
+      SELECT LEAST(n_chars, 1000) AS score_milli,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+      FROM documents
+    ),
+    b AS (
+      SELECT LEAST(score_milli // 100, 9) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(label) AS BIGINT) AS pos,
+             CAST(SUM(score_milli) AS BIGINT) AS conf_milli
+      FROM s GROUP BY 1
+    ),
+    m AS (
+      SELECT bin, n, pos, conf_milli, SUM(n) OVER () AS tn FROM b
+    ),
+    tot AS (
+      SELECT CAST(MAX(tn) AS BIGINT) AS n_total,
+             CAST(COUNT(*) AS BIGINT) AS k_bins,
+             list_reduce(
+               list((CAST(n AS DOUBLE) / tn)
+                    * abs(CAST(pos AS DOUBLE) / n
+                          - CAST(conf_milli AS DOUBLE) / 1000.0 / n)
+                    ORDER BY bin),
+               (acc, x) -> acc + x) AS ece
+      FROM m
+    )
+    SELECT n_total, k_bins, ROUND(ece, 6) AS ece
+    FROM tot
+    """,
+    survey_ids=("B16", "B19", "B43"),
+    description="Expected calibration error of a length-based score vs the is-English label",
+)
+def calibration_ece_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-evaluation calibration: bin a [0,1000]-milli score into deciles and
+    measure the weighted gap between each bin's mean confidence and its
+    empirical accuracy (ECE) — the reliability-diagram summary that
+    completes the eval family next to exact_auc (discrimination) and
+    calibration-free rank metrics.
+
+    Scale shape: one conditional aggregation to 10 bins (map-side
+    combine) with exact decimal confidence sums; the cross-bin ECE sum
+    folds over the bin-sorted 10-element list. No data-scale state
+    past the first reduce.
+    """
+    d = t(spark, sf, "documents")
+    s = d.select(
+        F.least(F.col("n_chars"), F.lit(1000)).alias("score_milli"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+    )
+    b = s.groupBy(
+        F.least(
+            F.floor(F.col("score_milli") / 100).cast("bigint"), F.lit(9)
+        ).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("label").cast("bigint").alias("pos"),
+        F.sum("score_milli").cast("bigint").alias("conf_milli"),
+    )
+    wa = Window.partitionBy()
+    m = b.withColumn("tn", F.sum("n").over(wa))
+    return m.agg(
+        F.max("tn").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("k_bins"),
+        F.round(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("bin", "n", "pos", "conf_milli", "tn")
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, e: acc
+                + (e["n"].cast("double") / e["tn"])
+                * F.abs(
+                    e["pos"].cast("double") / e["n"]
+                    - e["conf_milli"].cast("double") / F.lit(1000.0) / e["n"]
+                ),
+            ),
+            6,
+        ).alias("ece"),
+    )

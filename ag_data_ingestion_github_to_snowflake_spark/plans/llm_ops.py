@@ -2076,3 +2076,90 @@ def inverted_index_and_query(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("first_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty: how much of each document is unseen elsewhere?
+# ---------------------------------------------------------------------------
+@register(
+    "ngram_novelty_docs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             l[g] || ' ' || l[g+1] || ' ' || l[g+2] AS gram
+      FROM toks, UNNEST(range(1, len(l) - 1)) AS r(g)
+      WHERE len(l) >= 3
+    ),
+    df AS (
+      SELECT gram, CAST(COUNT(*) AS BIGINT) AS d FROM grams GROUP BY 1
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN df.d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN df.d = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty
+    FROM grams g JOIN df ON df.gram = g.gram
+    GROUP BY 1
+    """,
+    survey_ids=("B56", "B41", "B16"),
+    description="Per-doc trigram novelty: share of word-3-grams unique to the document",
+)
+def ngram_novelty_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Content novelty scoring: the fraction of each document's
+    distinct word trigrams that appear NOWHERE else in the corpus —
+    high novelty means original content worth keeping, low novelty
+    means boilerplate/near-dup mass (the per-doc aggregate view of
+    what span_dedup_corpus removes span-by-span).
+
+    Scale shape: one narrow map-side explode of trigrams (transform
+    over the token array — no UDF), ONE shuffle for document
+    frequencies, and one doc-keyed reduce back. Nothing joins grams
+    to grams, so cost is linear in corpus size; the gram dictionary
+    shuffle is the same scale class as the TF-IDF/vocab family.
+    """
+    docs = t(spark, sf, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("l")
+    ).filter(F.size("l") >= 3)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("l") - 2),
+                    lambda g: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("l"), g),
+                        F.element_at(F.col("l"), g + 1),
+                        F.element_at(F.col("l"), g + 2),
+                    ),
+                )
+            )
+        ).alias("gram"),
+    )
+    grams = grams.persist()
+    df_ = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    return (
+        grams.join(df_, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+            F.round(
+                F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
+    )

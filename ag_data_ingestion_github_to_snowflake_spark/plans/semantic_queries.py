@@ -1250,3 +1250,165 @@ def cluster_topic_terms(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("cell", "token", "n_ct", "n_c", "n_t", "lift")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of lexical and semantic
+# rankings for the same query documents
+# ---------------------------------------------------------------------------
+@register(
+    "hybrid_rank_fusion",
+    # Both rankings carry full deterministic tie-breaks (overlap/cosine
+    # desc, doc_id asc) before row_number; RRF = 1/(60+r_lex) +
+    # 1/(60+r_sem) summed in fixed operand order over integer ranks,
+    # rounded to 9 before the fused rank.
+    oracle="""
+    WITH qd AS (SELECT doc_id AS query_id FROM documents WHERE doc_id < 5),
+    tok AS (
+      SELECT DISTINCT doc_id, tk AS token
+      FROM (SELECT doc_id, UNNEST(string_split_regex(text, '\\s+')) AS tk
+            FROM documents)
+      WHERE tk <> ''
+    ),
+    lex AS (
+      SELECT q.doc_id AS query_id, c.doc_id, CAST(COUNT(*) AS BIGINT) AS overlap
+      FROM tok q JOIN tok c ON c.token = q.token AND c.doc_id <> q.doc_id
+      WHERE q.doc_id < 5
+      GROUP BY 1, 2
+    ),
+    lexr AS (
+      SELECT query_id, doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY overlap DESC, doc_id) AS BIGINT)
+               AS r_lex
+      FROM lex
+    ),
+    corpus AS (
+      SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+    ),
+    semr AS (
+      SELECT query_id, doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, doc_id) AS BIGINT)
+               AS r_sem
+      FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+               ROUND(list_sum(list_transform(list_zip(q.v, c.v), x -> x[1] * x[2]))
+                     / (sqrt(list_sum(list_transform(q.v, y -> y * y)))
+                      * sqrt(list_sum(list_transform(c.v, y -> y * y)))), 6)
+                 AS cosine
+        FROM corpus q JOIN corpus c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+      )
+    ),
+    fused AS (
+      SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+             COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             l.r_lex, s.r_sem,
+             ROUND(COALESCE(1.0 / (60 + l.r_lex), 0.0)
+                   + COALESCE(1.0 / (60 + s.r_sem), 0.0), 9) AS rrf
+      FROM (SELECT * FROM lexr WHERE r_lex <= 20) l
+      FULL OUTER JOIN (SELECT * FROM semr WHERE r_sem <= 20) s
+        ON s.query_id = l.query_id AND s.doc_id = l.doc_id
+    )
+    SELECT query_id, doc_id, r_lex, r_sem, rrf
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf DESC, doc_id) AS rn
+      FROM fused
+    ) WHERE rn <= 10
+    """,
+    survey_ids=("B55", "B56", "B12"),
+    description="Hybrid search: RRF fusion of lexical-overlap and cosine rankings, top-10/query",
+)
+def hybrid_rank_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval the way production search does it: rank
+    candidates lexically (distinct-token overlap with the query doc)
+    AND semantically (embedding cosine), keep each list's top-20, and
+    fuse with reciprocal-rank fusion (Cormack et al. 2009) — RRF needs
+    no score calibration between the two signals, which is exactly why
+    it is the default fusion in hybrid search engines.
+
+    Scale shape: the query set is BOUNDED (5 docs, broadcast on both
+    legs — the similarity_topk_cosine convention); the lexical leg
+    probes only postings of the query docs' tokens; each leg's
+    per-query rank runs over its own candidate set and is cut to 20
+    before the full-outer fusion join, so the fused table is
+    query-sized. Ranks are integers with full tie-breaks; RRF sums two
+    reciprocal terms in fixed order, rounded before the final rank.
+    """
+    from pyspark.sql.window import Window as W
+
+    docs = t(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split("text", r"\s+"), lambda x: x != "")
+            )
+        ).alias("token"),
+    )
+    qtok = tok.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "token"
+    )
+    lex = (
+        tok.join(F.broadcast(qtok), "token")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("overlap"))
+    )
+    wl = W.partitionBy("query_id").orderBy(F.desc("overlap"), "doc_id")
+    lexr = lex.select(
+        "query_id",
+        "doc_id",
+        F.row_number().over(wl).cast("bigint").alias("r_lex"),
+    ).filter(F.col("r_lex") <= 20)
+
+    emb = t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    qv = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    sem = (
+        emb.join(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.round(dot / (nrm("qv") * nrm("v")), 6).alias("cosine"),
+        )
+    )
+    ws = W.partitionBy("query_id").orderBy(F.desc("cosine"), "doc_id")
+    semr = sem.select(
+        "query_id",
+        "doc_id",
+        F.row_number().over(ws).cast("bigint").alias("r_sem"),
+    ).filter(F.col("r_sem") <= 20)
+
+    fused = lexr.join(semr, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        "r_lex",
+        "r_sem",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_sem")), F.lit(0.0)),
+            9,
+        ).alias("rrf"),
+    )
+    wf = W.partitionBy("query_id").orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "doc_id", "r_lex", "r_sem", "rrf")
+    )

@@ -1518,3 +1518,105 @@ def asof_join_nearest(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("signed_gap_us"),
     )
+
+
+@register(
+    "seasonal_trend_decompose",
+    # Daily sums are exact decimals; the trend is an exact decimal
+    # 7-day window SUM divided by 7.0 (one double op); the per-dow
+    # seasonal mean folds the day-SORTED detrended values (bounded by
+    # the calendar) so cross-engine addition order is pinned.
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             isodow(date_trunc('day', ts)) AS dow,
+             SUM(CAST(value AS DECIMAL(18,6))) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT day, dow, v,
+             CASE WHEN COUNT(*) OVER w = 7
+                  THEN CAST(SUM(v) OVER w AS DOUBLE) / 7.0 END AS trend
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    seas AS (
+      SELECT dow,
+             list_reduce(list(CAST(v AS DOUBLE) - trend ORDER BY day),
+                         (acc, x) -> acc + x)
+               / COUNT(*) AS s
+      FROM tr WHERE trend IS NOT NULL GROUP BY dow
+    )
+    SELECT t.day::TIMESTAMP AS day, t.dow AS dow,
+           CAST(t.v AS DOUBLE) AS observed,
+           ROUND(t.trend, 6) AS trend,
+           ROUND(s.s, 6) AS seasonal,
+           ROUND(CAST(t.v AS DOUBLE) - t.trend - s.s, 6) AS residual
+    FROM tr t JOIN seas s ON s.dow = t.dow
+    """,
+    survey_ids=("B31", "B33", "B16"),
+    description="STL-lite decomposition of daily value: 7-day trend, dow seasonal, residual",
+)
+def seasonal_trend_decompose(spark: SparkSession, sf: str) -> DataFrame:
+    """Classical seasonal decomposition of the daily value series:
+    trend = centered 7-day moving average (full windows only),
+    seasonal = mean detrended value per ISO weekday, residual = what's
+    left — the decomposition a forecasting pipeline runs before
+    modeling, and the structured sibling of seasonal_baseline_anomalies
+    (which only flags deviations).
+
+    Scale shape: the event stream reduces to CALENDAR-BOUNDED daily
+    rows in one map-side-combined shuffle; the centered window, the
+    per-dow fold (7 groups, day-sorted so the float sum replays
+    identically), and the broadcast join back are all bounded by the
+    calendar, never by data scale.
+    """
+    ev = t(spark, sf, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day"),
+        (F.expr("weekday(ts)") + F.lit(1)).alias("dow"),
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("v"))
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "dow",
+        "v",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            F.sum("v").over(w).cast("double") / F.lit(7.0),
+        ).alias("trend"),
+    )
+    tr = tr.persist()
+    seas = (
+        tr.filter(F.col("trend").isNotNull())
+        .groupBy("dow")
+        .agg(
+            (
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "day",
+                                (F.col("v").cast("double") - F.col("trend")).alias(
+                                    "d"
+                                ),
+                            )
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda acc, e: acc + e["d"],
+                )
+                / F.count(F.lit(1))
+            ).alias("s")
+        )
+    )
+    return tr.join(F.broadcast(seas), "dow").select(
+        F.col("day").cast("timestamp_ntz").alias("day"),
+        F.col("dow").cast("bigint").alias("dow"),
+        F.col("v").cast("double").alias("observed"),
+        F.round("trend", 6).alias("trend"),
+        F.round("s", 6).alias("seasonal"),
+        F.round(
+            F.col("v").cast("double") - F.col("trend") - F.col("s"), 6
+        ).alias("residual"),
+    )

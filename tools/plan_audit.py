@@ -226,6 +226,10 @@ ALLOWED_FLAGS = {
     # The grid search attaches the 1-row argmin slope to the 80-row
     # loss curve — one broadcast row, invariant in the data size.
     ("quantile_regression_grid", "BroadcastNestedLoopJoin"),
+    # The semantic leg is the same LIMITed broadcast-query brute-force
+    # scan as similarity_topk_cosine (5 query vectors cross-attached,
+    # corpus streams map-side).
+    ("hybrid_rank_fusion", "BroadcastNestedLoopJoin"),
 }
 
 # Queries whose build() executes side work and returns a materialized
