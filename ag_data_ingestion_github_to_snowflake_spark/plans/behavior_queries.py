@@ -1553,3 +1553,182 @@ def pointintime_scd2_join(spark: SparkSession, sf: str) -> DataFrame:
         F.col("ts").alias("o_orderdate"),
         F.col("tier_at").alias("tier_at_order"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact Shapley-value channel attribution over touched-channel sets
+# ---------------------------------------------------------------------------
+@register(
+    "shapley_channel_attribution",
+    # Coalition values are conversion rates from exact integer counts
+    # over the 8 possible touched-set coalitions; the Shapley formula
+    # over 3 channels is a fixed literal-weight expression evaluated
+    # identically in both engines (empty coalitions contribute v=0).
+    oracle="""
+    WITH ft AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type IN ('view', 'click', 'signup') GROUP BY 1
+    ),
+    touched AS (
+      SELECT e.user_id,
+             CAST(MAX(CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END)
+                  AS INTEGER) AS has_v,
+             CAST(MAX(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END)
+                  AS INTEGER) AS has_c,
+             CAST(MAX(CASE WHEN e.event_type = 'signup' THEN 1 ELSE 0 END)
+                  AS INTEGER) AS has_s,
+             CAST(MAX(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS INTEGER) AS converted
+      FROM events e
+      JOIN ft ON ft.user_id = e.user_id
+      WHERE e.ts >= ft.t0 AND e.ts < ft.t0 + INTERVAL 3 DAY
+        AND e.event_type IN ('view', 'click', 'signup', 'purchase')
+      GROUP BY 1
+    ),
+    coal AS (
+      SELECT has_v, has_c, has_s,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(converted) AS BIGINT) AS conv
+      FROM touched GROUP BY 1, 2, 3
+    ),
+    v AS (
+      SELECT
+        COALESCE(MAX(CASE WHEN has_v=0 AND has_c=0 AND has_s=0
+                     THEN CAST(conv AS DOUBLE)/n END), 0.0) AS v000,
+        COALESCE(MAX(CASE WHEN has_v=1 AND has_c=0 AND has_s=0
+                     THEN CAST(conv AS DOUBLE)/n END), 0.0) AS v100,
+        COALESCE(MAX(CASE WHEN has_v=0 AND has_c=1 AND has_s=0
+                     THEN CAST(conv AS DOUBLE)/n END), 0.0) AS v010,
+        COALESCE(MAX(CASE WHEN has_v=0 AND has_c=0 AND has_s=1
+                     THEN CAST(conv AS DOUBLE)/n END), 0.0) AS v001,
+        COALESCE(MAX(CASE WHEN has_v=1 AND has_c=1 AND has_s=0
+                     THEN CAST(conv AS DOUBLE)/n END), 0.0) AS v110,
+        COALESCE(MAX(CASE WHEN has_v=1 AND has_c=0 AND has_s=1
+                     THEN CAST(conv AS DOUBLE)/n END), 0.0) AS v101,
+        COALESCE(MAX(CASE WHEN has_v=0 AND has_c=1 AND has_s=1
+                     THEN CAST(conv AS DOUBLE)/n END), 0.0) AS v011,
+        COALESCE(MAX(CASE WHEN has_v=1 AND has_c=1 AND has_s=1
+                     THEN CAST(conv AS DOUBLE)/n END), 0.0) AS v111
+      FROM coal
+    )
+    SELECT 'view' AS channel,
+           ROUND((1.0/3.0) * (v100 - v000)
+                 + (1.0/6.0) * (v110 - v010)
+                 + (1.0/6.0) * (v101 - v001)
+                 + (1.0/3.0) * (v111 - v011), 6) AS shapley
+    FROM v
+    UNION ALL
+    SELECT 'click',
+           ROUND((1.0/3.0) * (v010 - v000)
+                 + (1.0/6.0) * (v110 - v100)
+                 + (1.0/6.0) * (v011 - v001)
+                 + (1.0/3.0) * (v111 - v101), 6)
+    FROM v
+    UNION ALL
+    SELECT 'signup',
+           ROUND((1.0/3.0) * (v001 - v000)
+                 + (1.0/6.0) * (v101 - v100)
+                 + (1.0/6.0) * (v011 - v010)
+                 + (1.0/3.0) * (v111 - v110), 6)
+    FROM v
+    """,
+    survey_ids=("B16", "B19", "B13"),
+    description="Exact Shapley credit per marketing channel over touched-set coalitions",
+)
+def shapley_channel_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Game-theoretic attribution: each channel's Shapley value over
+    the coalition game where v(S) is the 3-day conversion rate of
+    users who touched EXACTLY the channel set S in the attribution
+    window opened by their first touch —
+    the fair-division upgrade of last-touch/linear multi-touch (both
+    already in the registry), and exact because 3 channels mean only 8
+    coalitions.
+
+    Scale shape: one pass reduces the event stream to a per-user
+    (touched-set, converted) row, a second to the 8-row coalition
+    table; the Shapley formula is a fixed literal-weight expression on
+    ONE pivoted row. Nothing after the two map-side-combined shuffles
+    depends on data scale.
+    """
+    ev = t(spark, sf, "events")
+    ft = (
+        ev.filter(F.col("event_type").isin("view", "click", "signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    touched = (
+        ev.filter(
+            F.col("event_type").isin("view", "click", "signup", "purchase")
+        )
+        .join(ft, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("t0"))
+            & (F.col("ts") < F.col("t0") + F.expr("INTERVAL 3 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("int")
+            .alias("has_v"),
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("int")
+            .alias("has_c"),
+            F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+            .cast("int")
+            .alias("has_s"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("int")
+            .alias("converted"),
+        )
+    )
+    coal = touched.groupBy("has_v", "has_c", "has_s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("conv"),
+    )
+
+    def vcell(hv, hc, hs):
+        return F.coalesce(
+            F.max(
+                F.when(
+                    (F.col("has_v") == hv)
+                    & (F.col("has_c") == hc)
+                    & (F.col("has_s") == hs),
+                    F.col("conv").cast("double") / F.col("n"),
+                )
+            ),
+            F.lit(0.0),
+        )
+
+    v = coal.agg(
+        *[
+            vcell(a, b, cc).alias(f"v{a}{b}{cc}")
+            for a in (0, 1)
+            for b in (0, 1)
+            for cc in (0, 1)
+        ]
+    )
+    third, sixth = F.lit(1.0) / F.lit(3.0), F.lit(1.0) / F.lit(6.0)
+
+    def phi(on, off):
+        # pairs of (with-channel, without-channel) cell names by |S|
+        (a1, b1), (a2, b2), (a3, b3), (a4, b4) = on
+        return (
+            third * (F.col(a1) - F.col(b1))
+            + sixth * (F.col(a2) - F.col(b2))
+            + sixth * (F.col(a3) - F.col(b3))
+            + third * (F.col(a4) - F.col(b4))
+        )
+
+    rows = [
+        ("view", [("v100", "v000"), ("v110", "v010"), ("v101", "v001"), ("v111", "v011")]),
+        ("click", [("v010", "v000"), ("v110", "v100"), ("v011", "v001"), ("v111", "v101")]),
+        ("signup", [("v001", "v000"), ("v101", "v100"), ("v011", "v010"), ("v111", "v110")]),
+    ]
+    out = None
+    for name, pairs in rows:
+        r = v.select(
+            F.lit(name).alias("channel"),
+            F.round(phi(pairs, None), 6).alias("shapley"),
+        )
+        out = r if out is None else out.unionAll(r)
+    return out

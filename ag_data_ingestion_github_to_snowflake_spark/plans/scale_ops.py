@@ -684,3 +684,111 @@ def skyline_price_date_orders(spark: SparkSession, sf: str) -> DataFrame:
             F.col("o_orderdate").alias("orderdate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-size estimation from per-key histograms (planner diagnostics)
+# ---------------------------------------------------------------------------
+@register(
+    "join_size_estimate",
+    # Exact per-key counts on each side; predicted pairs = sum of
+    # count products over shared keys — all integer-exact (DECIMAL(38)
+    # accumulators), no join of fact rows anywhere.
+    oracle="""
+    WITH oc AS (
+      SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1
+    ),
+    cc AS (
+      SELECT c_custkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+      FROM customer GROUP BY 1
+    ),
+    fk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_shared_keys,
+             CAST(CAST(SUM(oc.c * cc.c) AS DECIMAL(38,0)) AS BIGINT)
+               AS predicted_pairs,
+             CAST(MAX(oc.c * cc.c) AS BIGINT) AS max_key_pairs
+      FROM oc JOIN cc ON cc.k = oc.k
+    ),
+    ue AS (
+      SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    sj AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_shared_keys,
+             CAST(CAST(SUM(c * c) AS DECIMAL(38,0)) AS BIGINT)
+               AS predicted_pairs,
+             CAST(MAX(c * c) AS BIGINT) AS max_key_pairs
+      FROM ue
+    )
+    SELECT 'orders~customer' AS join_name, n_shared_keys, predicted_pairs,
+           max_key_pairs,
+           ROUND(CAST(max_key_pairs AS DOUBLE) / predicted_pairs, 6)
+             AS top_key_share
+    FROM fk
+    UNION ALL
+    SELECT 'events~events(user_id)', n_shared_keys, predicted_pairs,
+           max_key_pairs,
+           ROUND(CAST(max_key_pairs AS DOUBLE) / predicted_pairs, 6)
+    FROM sj
+    """,
+    survey_ids=("B16", "B10", "B43"),
+    description="Predict equi-join output sizes from per-key histograms without running the joins",
+)
+def join_size_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """What the optimizer estimates, done exactly: the output size of
+    an equi-join is sum over shared keys of the count product, so two
+    per-key histograms predict it WITHOUT materializing a single
+    joined row — the pre-flight check a 100 TB pipeline runs before an
+    expensive join, and the skew diagnostic (top_key_share) that says
+    whether AQE skew-split or salting will be needed.
+
+    Scale shape: one map-side-combined count per side, one key-bounded
+    histogram join (never fact x fact), integer-exact products summed
+    in DECIMAL(38). The events self-join estimate needs no join at
+    all — it is sum of squared per-user counts.
+    """
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    ev = t(spark, sf, "events")
+    oc = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("co")
+    )
+    cc = c.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cc")
+    )
+    fk = oc.join(cc, "k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shared_keys"),
+        F.sum((F.col("co") * F.col("cc")).cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("predicted_pairs"),
+        F.max(F.col("co") * F.col("cc")).cast("bigint").alias("max_key_pairs"),
+    )
+    ue = ev.groupBy(F.col("user_id").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    sj = ue.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shared_keys"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("predicted_pairs"),
+        F.max(F.col("c") * F.col("c")).cast("bigint").alias("max_key_pairs"),
+    )
+    share = F.round(
+        F.col("max_key_pairs").cast("double") / F.col("predicted_pairs"), 6
+    ).alias("top_key_share")
+    return fk.select(
+        F.lit("orders~customer").alias("join_name"),
+        "n_shared_keys",
+        "predicted_pairs",
+        "max_key_pairs",
+        share,
+    ).unionAll(
+        sj.select(
+            F.lit("events~events(user_id)").alias("join_name"),
+            "n_shared_keys",
+            "predicted_pairs",
+            "max_key_pairs",
+            share,
+        )
+    )
