@@ -2163,3 +2163,147 @@ def ngram_novelty_docs(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth: V(n) ~ K * n^beta
+# ---------------------------------------------------------------------------
+@register(
+    "heaps_law_fit",
+    # Each word contributes one row at its FIRST document (min doc_id);
+    # checkpoint vocab sizes are exact cumulative integer counts over
+    # the 10-row checkpoint table; the log-log OLS runs on 10 points
+    # with the cross-point sums folded in checkpoint order.
+    oracle="""
+    WITH mx AS (SELECT MAX(doc_id) AS mdoc FROM documents),
+    firstdoc AS (
+      SELECT tk AS token, MIN(doc_id) AS fdoc
+      FROM (SELECT doc_id, UNNEST(string_split_regex(text, '\\s+')) AS tk
+            FROM documents)
+      WHERE tk <> ''
+      GROUP BY 1
+    ),
+    toks AS (
+      SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x <> '')) AS BIGINT) AS ntok
+      FROM documents
+    ),
+    cp AS (
+      SELECT k,
+             CAST((SELECT SUM(ntok) FROM toks, mx
+                   WHERE doc_id <= (k * (mdoc + 1)) / 10 - 1) AS BIGINT)
+               AS n_tokens,
+             CAST((SELECT COUNT(*) FROM firstdoc, mx
+                   WHERE fdoc <= (k * (mdoc + 1)) / 10 - 1) AS BIGINT)
+               AS vocab
+      FROM range(1, 11) r(k)
+    ),
+    pts AS (
+      SELECT k, n_tokens, vocab,
+             ln(CAST(n_tokens AS DOUBLE)) AS x, ln(CAST(vocab AS DOUBLE)) AS y
+      FROM cp
+    ),
+    fit AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             list_reduce(list(x ORDER BY k), (a, b) -> a + b) AS sx,
+             list_reduce(list(y ORDER BY k), (a, b) -> a + b) AS sy,
+             list_reduce(list(x * x ORDER BY k), (a, b) -> a + b) AS sxx,
+             list_reduce(list(x * y ORDER BY k), (a, b) -> a + b) AS sxy
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS k_checkpoints,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS heaps_beta,
+           ROUND(exp(sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx / n), 4)
+             AS heaps_k
+    FROM fit
+    """,
+    survey_ids=("B56", "B16", "B43"),
+    description="Heaps'-law exponent: log-log OLS of vocabulary size vs corpus tokens at 10 checkpoints",
+)
+def heaps_law_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary growth law for corpus planning: V(n) = K * n^beta
+    (Heaps/Herdan). beta near 1 means the corpus keeps minting new
+    vocabulary (OCR noise, IDs, near-random text); beta ~ 0.4-0.6 is
+    healthy natural language — a one-number corpus-quality signal that
+    also predicts tokenizer/embedding table growth.
+
+    Scale shape: vocabulary sizes at 10 corpus prefixes come from ONE
+    first-occurrence reduce (min doc_id per word — the same shuffle
+    class as the vocab/TF-IDF family) bucketed into checkpoints;
+    token totals from one map-side count. The log-log OLS runs on a
+    10-row table with checkpoint-ordered folds. Nothing downstream of
+    the two reduces depends on corpus size.
+    """
+    docs = t(spark, sf, "documents")
+    mdoc = docs.agg(F.max("doc_id").alias("mdoc"))
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", r"\s+"), lambda x: x != "")
+        ).cast("bigint").alias("ntok"),
+    )
+    firstdoc = (
+        docs.select(
+            "doc_id",
+            F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+            .alias("token"),
+        )
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("fdoc"))
+    )
+    ks = spark.range(1, 11).select(F.col("id").alias("k"))
+    cuts = F.broadcast(
+        ks.join(F.broadcast(mdoc)).select(
+            "k", ((F.col("k") * (F.col("mdoc") + 1)) / 10 - 1).cast("bigint").alias("cut")
+        )
+    )
+    # one row per (checkpoint, doc/word at or before the cut), reduced
+    # map-side: counts are monotone cumulative by construction
+    tok_cp = (
+        toks.join(cuts, toks["doc_id"] <= cuts["cut"])
+        .groupBy("k")
+        .agg(F.sum("ntok").cast("bigint").alias("n_tokens"))
+    )
+    voc_cp = (
+        firstdoc.join(cuts, firstdoc["fdoc"] <= cuts["cut"])
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vocab"))
+    )
+    pts = tok_cp.join(voc_cp, "k").select(
+        "k",
+        F.log(F.col("n_tokens").cast("double")).alias("x"),
+        F.log(F.col("vocab").cast("double")).alias("y"),
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("k", "x"))),
+            F.lit(0.0),
+            lambda a, e: a + e["x"],
+        ).alias("sx"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("k", "y"))),
+            F.lit(0.0),
+            lambda a, e: a + e["y"],
+        ).alias("sy"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("k", F.col("x") * F.col("x")))),
+            F.lit(0.0),
+            lambda a, e: a + e["col2"],
+        ).alias("sxx"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("k", (F.col("x") * F.col("y")).alias("xy")))),
+            F.lit(0.0),
+            lambda a, e: a + e["xy"],
+        ).alias("sxy"),
+    )
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return fit.select(
+        F.col("n").cast("bigint").alias("k_checkpoints"),
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(
+            F.exp(F.col("sy") / F.col("n") - beta * F.col("sx") / F.col("n")), 4
+        ).alias("heaps_k"),
+    )

@@ -230,6 +230,11 @@ ALLOWED_FLAGS = {
     # scan as similarity_topk_cosine (5 query vectors cross-attached,
     # corpus streams map-side).
     ("hybrid_rank_fusion", "BroadcastNestedLoopJoin"),
+    # Heaps'-law checkpointing joins the scan against the broadcast
+    # 10-row checkpoint-cut table under a <= predicate (bounded 10x
+    # fan-out by construction, then map-side combined) plus the 1-row
+    # max-doc attach — both invariant-size broadcast sides.
+    ("heaps_law_fit", "BroadcastNestedLoopJoin"),
 }
 
 # Queries whose build() executes side work and returns a materialized
