@@ -1732,3 +1732,67 @@ def shapley_channel_attribution(spark: SparkSession, sf: str) -> DataFrame:
         )
         out = r if out is None else out.unionAll(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# DAU/MAU stickiness via exact trailing-30-day rolling distinct
+# ---------------------------------------------------------------------------
+@register(
+    "dau_mau_stickiness",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+    ),
+    mau AS (
+      SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS mau
+      FROM days d
+      JOIN ud u ON u.day BETWEEN d.day - 29 AND d.day
+      GROUP BY d.day
+    )
+    SELECT CAST(d.day AS TIMESTAMP) AS day, a.dau, m.mau,
+           ROUND(CAST(a.dau AS DOUBLE) / m.mau, 6) AS stickiness
+    FROM days d JOIN dau a ON a.day = d.day JOIN mau m ON m.day = d.day
+    """,
+    survey_ids=("B20", "B31", "B16"),
+    description="DAU/MAU stickiness per day (exact trailing-30d distinct via contribution explode)",
+)
+def dau_mau_stickiness(spark: SparkSession, sf: str) -> DataFrame:
+    """The product-health ratio: daily actives over trailing-30-day
+    actives — exact, not HLL-approximated. The MAU denominator is the
+    rolling_distinct_users_7d machinery at window 30: dedup to
+    (user, day), CONTRIBUTION-explode each activity onto the 30
+    window-days it supports (bounded 30x fan-out of already-deduped
+    pairs), dedup (user, window-day), count per day, and keep only
+    observed days. All shuffles key on user-bearing pairs; the window
+    length, not the event volume, is the fan-out.
+    """
+    ev = t(spark, sf, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    ud = ud.persist()
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 29))
+        ).alias("day"),
+    ).distinct()
+    mau = (
+        contrib.join(F.broadcast(days), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("mau"))
+    )
+    return (
+        dau.join(mau, "day")
+        .select(
+            F.col("day").cast("timestamp_ntz").alias("day"),
+            "dau",
+            "mau",
+            F.round(F.col("dau").cast("double") / F.col("mau"), 6)
+            .alias("stickiness"),
+        )
+    )

@@ -2307,3 +2307,125 @@ def heaps_law_fit(spark: SparkSession, sf: str) -> DataFrame:
             F.exp(F.col("sy") / F.col("n") - beta * F.col("sx") / F.col("n")), 4
         ).alias("heaps_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf's-law rank-frequency fit over the top of the vocabulary
+# ---------------------------------------------------------------------------
+@register(
+    "zipf_law_fit",
+    # Term frequencies are exact integer counts; ranks carry a
+    # (count DESC, term) total order; the log-log OLS over the top-500
+    # runs with rank-ordered folds so cross-engine addition order is
+    # pinned. Heaps' law (heaps_law_fit) is the vocabulary-GROWTH
+    # sibling; this is the frequency-DECAY one.
+    oracle="""
+    WITH tf AS (
+      SELECT tk AS term, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT UNNEST(string_split_regex(text, '\\s+')) AS tk
+            FROM documents)
+      WHERE tk <> ''
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT term, freq,
+             CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS BIGINT)
+               AS rnk
+      FROM tf
+    ),
+    top AS (
+      SELECT rnk, ln(CAST(rnk AS DOUBLE)) AS x,
+             ln(CAST(freq AS DOUBLE)) AS y
+      FROM ranked WHERE rnk <= 500
+    ),
+    fit AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             list_reduce(list(x ORDER BY rnk), (a, b) -> a + b) AS sx,
+             list_reduce(list(y ORDER BY rnk), (a, b) -> a + b) AS sy,
+             list_reduce(list(x * x ORDER BY rnk), (a, b) -> a + b) AS sxx,
+             list_reduce(list(x * y ORDER BY rnk), (a, b) -> a + b) AS sxy
+      FROM top
+    )
+    SELECT CAST(n AS BIGINT) AS k_terms,
+           ROUND(-(n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             AS zipf_exponent,
+           ROUND(exp(sy / n + ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                              * (-(sx / n))), 2) AS zipf_c
+    FROM fit
+    """,
+    survey_ids=("B56", "B24", "B43"),
+    description="Zipf exponent: log-log OLS of frequency vs rank over the top-500 terms",
+)
+def zipf_law_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank-frequency decay law: freq(r) ~ C * r^(-s). Natural language
+    sits near s=1; s far below means flattened frequencies (templated/
+    synthetic text), far above means a few tokens dominating
+    (boilerplate) — with heaps_law_fit, the two one-number
+    distributional fingerprints a corpus audit reports.
+
+    Scale shape: one map-side-combined term count (the vocab-family
+    shuffle), a top-500 cut with a full (freq DESC, term) total order
+    — TakeOrdered-class, never a global sort of the vocabulary — and
+    the log-log OLS folds rank-ordered over 500 rows. Nothing after
+    the count depends on corpus size.
+    """
+    docs = t(spark, sf, "documents")
+    tf = (
+        docs.select(
+            F.explode(
+                F.filter(F.split("text", r"\s+"), lambda x: x != "")
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    top = (
+        tf.orderBy(F.desc("freq"), "term")
+        .limit(500)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("freq"), "term"))
+            .cast("bigint")
+            .alias("rnk"),
+            F.log(F.col("freq").cast("double")).alias("y"),
+        )
+        .withColumn("x", F.log(F.col("rnk").cast("double")))
+    )
+    fit = top.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("rnk", F.col("x").alias("v")))),
+            F.lit(0.0),
+            lambda a, e: a + e["v"],
+        ).alias("sx"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("rnk", F.col("y").alias("v")))),
+            F.lit(0.0),
+            lambda a, e: a + e["v"],
+        ).alias("sy"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("rnk", (F.col("x") * F.col("x")).alias("v")))
+            ),
+            F.lit(0.0),
+            lambda a, e: a + e["v"],
+        ).alias("sxx"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("rnk", (F.col("x") * F.col("y")).alias("v")))
+            ),
+            F.lit(0.0),
+            lambda a, e: a + e["v"],
+        ).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return fit.select(
+        F.col("n").cast("bigint").alias("k_terms"),
+        F.round(-slope, 6).alias("zipf_exponent"),
+        F.round(
+            F.exp(F.col("sy") / F.col("n") + slope * (-(F.col("sx") / F.col("n")))),
+            2,
+        ).alias("zipf_c"),
+    )
