@@ -1972,9 +1972,9 @@ def contrastive_negative_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS nnz,
-           list_sort(list(idx)) AS indices,
-           list_transform(
-             list_sort(list([idx, cnt])), p -> p[2]) AS values
+           array_to_string(list_sort(list(idx)), ',') AS indices,
+           array_to_string(list_transform(
+             list_sort(list([idx, cnt])), p -> p[2]), ',') AS values
     FROM counts
     GROUP BY doc_id
     """,
@@ -1993,7 +1993,9 @@ def feature_hashing_vectorize(spark: SparkSession, sf: str) -> DataFrame:
     collect_list — all keys high-cardinality. The md5-derived bucket
     makes the vectors engine-replayable (the sampled SET contract
     again); sparse layout is (sorted indices, aligned counts), the
-    standard CSR row form.
+    standard CSR row form, serialized as comma-joined strings so the
+    row is flat-canonical for any downstream hasher (the arrays
+    themselves are one split() away).
     """
     docs = t(spark, sf, "documents").filter(F.col("doc_id") < 200)
     toks = docs.select(
@@ -2010,10 +2012,17 @@ def feature_hashing_vectorize(spark: SparkSession, sf: str) -> DataFrame:
     )
     return counts.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("nnz"),
-        F.sort_array(F.collect_list("idx")).alias("indices"),
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(idx)), x -> CAST(x AS STRING))"),
+            ",",
+        ).alias("indices"),
         # 0-based subscript (DuckDB's oracle twin is 1-based p[2])
-        F.expr(
-            "transform(array_sort(collect_list(array(idx, cnt))), p -> p[1])"
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(array(idx, cnt))),"
+                " p -> CAST(p[1] AS STRING))"
+            ),
+            ",",
         ).alias("values"),
     )
 
@@ -2254,7 +2263,14 @@ def heaps_law_fit(spark: SparkSession, sf: str) -> DataFrame:
     ks = spark.range(1, 11).select(F.col("id").alias("k"))
     cuts = F.broadcast(
         ks.join(F.broadcast(mdoc)).select(
-            "k", ((F.col("k") * (F.col("mdoc") + 1)) / 10 - 1).cast("bigint").alias("cut")
+            # floor() before the bigint cast: a negative fractional cut
+            # (corpus with <10 docs) must round toward -inf, matching the
+            # oracle's direct `doc_id <= -0.x` comparison — a bare cast
+            # truncates toward zero and would wrongly include doc_id 0.
+            "k",
+            F.floor((F.col("k") * (F.col("mdoc") + 1)) / 10 - 1)
+            .cast("bigint")
+            .alias("cut"),
         )
     )
     # one row per (checkpoint, doc/word at or before the cut), reduced

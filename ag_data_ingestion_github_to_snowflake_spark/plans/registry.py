@@ -74,69 +74,84 @@ def register(
 # cumulative ledger (CORRECTNESS_r*.json) must cover every SURVEY.md
 # §2 operator id carried by the registry.
 #
-# ROTATION (round 10): r9 went 50/50 full-pass, leaving exactly the 34
-# r9-addition names never driver-checked. This window clears ALL of
-# them (cumulative ledger hits 286/286 driver-checked on a green run),
-# then refreshes the 7 TPC-H-gap analogs deferred from the r9 draw
-# (last driver check r4), then the 9 stalest r5-cohort names. All 50
-# slots are oracle-bearing (INTENDED_ROWS_ONLY is empty). Local parity
+# ROTATION (round 11, VERDICT r10 items 1-2): consolidation round — no
+# registry growth; the window drains the never-checked backlog. Slots:
+# (a) `feature_hashing_vectorize`, the single r10 driver-red (its CSR
+# ARRAY output crashed the driver's canonicalizer; now emitted as
+# comma-joined strings both engine- and oracle-side — the re-check
+# confirms the fix); (b) `similarity_lsh_topk`, whose rows-only→oracle
+# flip (r9) has never had a driver hash check (last driver runs r1/r7
+# predate the flip); (c) 48 of the 55 never-checked r10 additions. The
+# 7 that don't fit — each with a same-family sibling IN the window
+# (streaming_cep_funnel shares its oracle with cep_funnel_first_match;
+# zipf/burstiness ride with heaps_law_fit; join_size_estimate with
+# range_partition_balance; hilbert_vs_morton with the spatial family;
+# double_ewma with the time-series four; theil_sen with mann_kendall)
+# — are pinned as the r12 head (COVERAGE.md). All 50 slots are
+# oracle-bearing (INTENDED_ROWS_ONLY is empty). Local parity
 # (tests/test_oracle_parity.py) covers the rotated-out tail with the
 # identical compare.
 _PRIORITY: tuple[str, ...] = (
-    # -- the 34 r9 additions, never driver-checked (COVERAGE.md pin) --
-    "bitmap_distinct_users_by_type",
-    "bootstrap_ci_order_total",
-    "cdc_apply_changelog",
-    "contrastive_negative_sample",
-    "cusum_changepoint_daily",
-    "exact_auc_quality_english",
+    # -- fix confirmations (the only two non-first-timer slots) --
     "feature_hashing_vectorize",
-    "hll_overlap_users",
-    "inverted_index_and_query",
-    "join_fanout_audit",
-    "k_anonymity_audit",
-    "ks_two_sample_value",
-    "last_touch_attribution",
-    "mann_whitney_value_clicks",
-    "matryoshka_truncation_recall",
-    "mix_shift_decomposition",
-    "multi_touch_attribution",
-    "ohlc_resample_events",
-    "ordered_funnel_3step",
-    "parquet_bloom_pointlookup",
-    "partition_evolution_union",
-    "quantile_transform_by_type",
-    "randomized_response_debias",
-    "retractable_rollup_maintenance",
-    "rfm_segmentation_users",
-    "rolling_distinct_users_7d",
-    "seasonal_baseline_anomalies",
-    "small_file_compaction",
-    "spatial_grid_neighbors",
-    "split_conformal_ols",
-    "streaming_dlq_ingest",
-    "streaming_drift_monitor",
-    "table_checksum_orders",
-    "twap_daily_value",
-    # -- the 7 TPC-H-gap analogs deferred from r9 (last checked r4) --
-    "profit_by_nation_year",
-    "nation_volume_flows",
-    "market_share_by_year",
-    "customer_order_distribution",
-    "top_supplier_revenue",
-    "small_quantity_revenue",
-    "waiting_suppliers",
-    # -- stalest r5-cohort re-greens (last driver check r5) --
-    "bucketed_join_colocated",
-    "html_text_extract",
-    "html_link_graph",
-    "pagerank_link_graph",
-    "arrow_ipc_roundtrip",
-    "warc_extract_records",
-    "audio_tags",
-    "video_container_meta",
-    "audio_container_meta",
+    "similarity_lsh_topk",
+    # -- 48 of the 55 r10 additions, never driver-checked --
+    "anova_oneway_f",
+    "asof_join_nearest",
+    "calibration_ece_bins",
+    "capm_beta_by_type",
+    "cep_funnel_first_match",
+    "cluster_topic_terms",
+    "clustering_coefficient_nodes",
+    "cohort_ltv_curve",
+    "containment_join_docs",
+    "cramers_v_pairs",
+    "dau_mau_stickiness",
+    "decision_stump_split",
+    "deletion_vector_scan",
+    "diff_in_diff_promo",
+    "domain_mixture_reweight",
+    "dp_laplace_counts",
+    "empirical_bayes_shrinkage",
+    "expanding_holdout_backtest",
+    "fdr_bh_segment_tests",
+    "graph_degree_assortativity",
+    "heaps_law_fit",
+    "hybrid_rank_fusion",
+    "jaccard_link_prediction",
+    "kaplan_meier_survival",
+    "knn_label_majority",
+    "linear_interp_gapfill",
+    "longest_daily_streak_users",
+    "mann_kendall_trend",
+    "max_drawdown_daily",
+    "mutual_info_lang_source",
+    "naive_bayes_lang_confusion",
+    "ngram_novelty_docs",
+    "pointintime_scd2_join",
+    "propensity_stratified_att",
+    "psi_population_stability",
+    "quantile_regression_grid",
+    "range_partition_balance",
+    "record_linkage_fs",
+    "seasonal_trend_decompose",
+    "shapley_channel_attribution",
+    "skyline_price_date_orders",
+    "spearman_corr_qty_price",
+    "sprt_sequential_ab",
+    "streaming_scd2_upsert",
+    "target_encoding_kfold",
+    "vwap_cumulative_daily",
+    "weighted_reservoir_topk",
+    "welch_ttest_value_clicks",
 )
+
+# Pinned r12 head: the 7 never-checked names the r11 window couldn't
+# absorb (each covered this round by a same-family in-window sibling
+# plus local parity): streaming_cep_funnel, zipf_law_fit,
+# burstiness_interarrival, join_size_estimate,
+# hilbert_vs_morton_locality, double_ewma_forecast,
+# theil_sen_slope_sampled.
 
 
 def all_specs() -> dict[str, QuerySpec]:

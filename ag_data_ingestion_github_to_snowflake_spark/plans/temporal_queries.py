@@ -1199,8 +1199,15 @@ def max_drawdown_daily(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "capm_beta_by_type",
     # Five cross-moments of the (type-daily, market-daily) pairs are
-    # exact decimal sums (daily values re-cast to DECIMAL(19,6) so both
-    # engines multiply in int128; products are DECIMAL(38,12)); beta/alpha/r are assembled in scalar double math
+    # exact decimal sums. Both engines store the daily totals at the
+    # SAME precision, DECIMAL(18,6), so overflow headroom is identical
+    # (both saturate at a 10^12 daily total — ~10^10 events/day at the
+    # fixture's value range; far past any realistic SF). Products stay
+    # exact at scale 12 in both: Spark multiplies (18,6)x(18,6) ->
+    # (37,12); DuckDB would multiply DECIMAL(18)s in int64 and
+    # overflow-check, so the oracle widens ONE factor to DECIMAL(19,6)
+    # at multiply time to route through hugeint — a lossless cast, not
+    # extra headroom. beta/alpha/r are assembled in scalar double math
     # over those exact inputs and rounded — the stats_corr convention.
     oracle="""
     WITH daily AS (
@@ -1210,19 +1217,19 @@ def max_drawdown_daily(spark: SparkSession, sf: str) -> DataFrame:
       FROM events GROUP BY 1, 2
     ),
     market AS (
-      SELECT day, CAST(SUM(v) AS DECIMAL(19,6)) AS m FROM daily GROUP BY 1
+      SELECT day, CAST(SUM(v) AS DECIMAL(18,6)) AS m FROM daily GROUP BY 1
     ),
     dn AS (
-      SELECT event_type, day, CAST(v AS DECIMAL(19,6)) AS v FROM daily
+      SELECT event_type, day, CAST(v AS DECIMAL(18,6)) AS v FROM daily
     ),
     mom AS (
       SELECT d.event_type,
              CAST(COUNT(*) AS DOUBLE) AS n,
              CAST(SUM(mk.m) AS DOUBLE) AS sx,
              CAST(SUM(d.v) AS DOUBLE) AS sy,
-             CAST(SUM(mk.m * mk.m) AS DOUBLE) AS sxx,
-             CAST(SUM(d.v * d.v) AS DOUBLE) AS syy,
-             CAST(SUM(mk.m * d.v) AS DOUBLE) AS sxy
+             CAST(SUM(CAST(mk.m AS DECIMAL(19,6)) * mk.m) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(d.v AS DECIMAL(19,6)) * d.v) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(mk.m AS DECIMAL(19,6)) * d.v) AS DOUBLE) AS sxy
       FROM dn d JOIN market mk ON d.day = mk.day
       GROUP BY 1
     )

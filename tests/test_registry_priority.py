@@ -86,33 +86,18 @@ def test_window_plus_ledger_cover_every_survey_id():
     )
 
 
-# r10 window: ledger-completion round (VERDICT r9 item 1). The head-34
-# are the r9 additions that have never been driver-checked — first-time
-# evidence, not re-checks; a green run brings the cumulative ledger to
-# 286/286. The remaining 16 slots are intended re-checks: the 7
-# TPC-H-gap analogs deferred from the r9 draw (last checked r4) plus
-# the 9 stalest r5-cohort names.
+# r11 window: backlog-drain round (VERDICT r10 items 1-2). 48 slots are
+# first-time evidence (never-checked r10 additions); the only intended
+# re-checks are the two fix confirmations: `feature_hashing_vectorize`
+# (r10 driver-red on output representation, now string-serialized CSR)
+# and `similarity_lsh_topk` (first driver check since its rows-only →
+# oracle flip in r9).
 INTENDED_RECHECKS: set[str] = {
-    "profit_by_nation_year",
-    "nation_volume_flows",
-    "market_share_by_year",
-    "customer_order_distribution",
-    "top_supplier_revenue",
-    "small_quantity_revenue",
-    "waiting_suppliers",
-    "bucketed_join_colocated",
-    "html_text_extract",
-    "html_link_graph",
-    "pagerank_link_graph",
-    "arrow_ipc_roundtrip",
-    "warc_extract_records",
-    "audio_tags",
-    "video_container_meta",
-    "audio_container_meta",
+    "feature_hashing_vectorize",
+    "similarity_lsh_topk",
 }
 
-# r10 window: every slot is oracle-bearing — all 34 first-timers carry
-# oracles and all 16 re-checks were oracle-green in their last check.
+# r11 window: every slot is oracle-bearing.
 INTENDED_ROWS_ONLY: set[str] = set()
 
 
