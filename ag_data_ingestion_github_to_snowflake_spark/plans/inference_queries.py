@@ -205,13 +205,19 @@ def spearman_corr_qty_price(spark: SparkSession, sf: str) -> DataFrame:
     l_extendedprice — the monotone-dependence measure Pearson's r
     misses (stats_corr_quantity_price covers the linear case).
 
-    NO global rank window over the fact table: each column reduces to
-    its distinct-value table (quantity: 50 rows; price: one row per
-    distinct cent value), midranks attach via the two-level bucket
-    scan, and the rank maps join back (quantity map broadcast, price
-    map shuffled on the join key). Doubled midranks keep all five
-    sufficient sums integer-exact; Spark accumulates them as
-    DECIMAL(38,0) so the identical plan holds at ~1000x this corpus.
+    NO global rank window over the fact table, and (r11 rewrite, was
+    alpha +1.06 at 100x) NO full-fact shuffle either: the old plan
+    shuffled every fact row to join the price rank map. The cross
+    moment decomposes by price — sxy = SUM_price y2 * (SUM of x2 over
+    that price's rows) — so the fact table is consumed by ONE
+    map-side-combined groupBy(price) that carries (count, sum x2,
+    sum x2^2) after a broadcast join of the 50-row quantity rank map.
+    Everything downstream (the price midrank scan, the rank-map join,
+    the final reduce) runs on the distinct-price table; shuffle bytes
+    scale with distinct prices, not rows. Doubled midranks keep all
+    five sufficient sums integer-exact; the per-price partials
+    accumulate as DECIMAL(38,0) so the identical plan holds at ~1000x
+    this corpus (sum x2*y2 <= 4n^3 stays under 1e38 past 10^12 rows).
     """
     li = t(spark, sf, "lineitem").select("l_quantity", "l_extendedprice")
     # 50 distinct quantities: the cumulative window runs on 50 rows.
@@ -219,25 +225,35 @@ def spearman_corr_qty_price(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
     mx = _midrank2(rx, "value", width=5.0).withColumnRenamed("m2", "x2")
-    ry = li.groupBy(F.col("l_extendedprice").alias("value")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
-    )
-    my = _midrank2(ry, "value", width=2000.0).withColumnRenamed("m2", "y2")
-    joined = (
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # The ONLY pass over the fact table: broadcast the quantity rank
+    # map on, then reduce to the per-price sufficient partials with
+    # map-side combine. x2 is exact on every row, so sum/sum-of-square
+    # partials are exact integers in decimal(38,0).
+    per_price = (
         li.join(F.broadcast(mx.select("value", "x2")),
                 li.l_quantity == mx.value)
-        .drop("value", "n")
-        .join(my.select("value", "y2"), li.l_extendedprice == my.value)
-        .select("x2", "y2")
+        .groupBy(F.col("l_extendedprice").alias("value"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(dec(F.col("x2"))).alias("sx2"),
+            F.sum(dec(F.col("x2") * F.col("x2"))).alias("sx2sq"),
+        )
     )
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    my = _midrank2(per_price.select("value", "n"), "value", width=2000.0)
+    joined = per_price.join(
+        my.select("value", F.col("m2").alias("y2")), "value"
+    )
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
     s = joined.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(dec(F.col("x2"))).cast("double").alias("sx"),
-        F.sum(dec(F.col("y2"))).cast("double").alias("sy"),
-        F.sum(dec(F.col("x2") * F.col("x2"))).cast("double").alias("sxx"),
-        F.sum(dec(F.col("y2") * F.col("y2"))).cast("double").alias("syy"),
-        F.sum(dec(F.col("x2") * F.col("y2"))).cast("double").alias("sxy"),
+        F.sum(F.col("n")).cast("double").alias("n"),
+        F.sum(F.col("sx2")).cast("double").alias("sx"),
+        F.sum(d19(F.col("n")) * d19(F.col("y2"))).cast("double").alias("sy"),
+        F.sum(F.col("sx2sq")).cast("double").alias("sxx"),
+        F.sum(d19(F.col("n")) * d19(F.col("y2")) * d19(F.col("y2")))
+        .cast("double")
+        .alias("syy"),
+        F.sum(F.col("sx2") * d19(F.col("y2"))).cast("double").alias("sxy"),
     )
     n = F.col("n")
     rho = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (

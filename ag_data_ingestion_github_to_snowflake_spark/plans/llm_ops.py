@@ -2125,11 +2125,16 @@ def ngram_novelty_docs(spark: SparkSession, sf: str) -> DataFrame:
     means boilerplate/near-dup mass (the per-doc aggregate view of
     what span_dedup_corpus removes span-by-span).
 
-    Scale shape: one narrow map-side explode of trigrams (transform
-    over the token array — no UDF), ONE shuffle for document
-    frequencies, and one doc-keyed reduce back. Nothing joins grams
-    to grams, so cost is linear in corpus size; the gram dictionary
-    shuffle is the same scale class as the TF-IDF/vocab family.
+    Scale shape (r11 rewrite, was alpha +1.20 at 100x): the old plan
+    joined the full gram stream back to the gram-frequency table — a
+    second gram-keyed shuffle of the whole stream. The join is GONE:
+    a gram with document frequency 1 has exactly one (doc, gram) row,
+    so min(doc_id) carried THROUGH the frequency aggregation already
+    names the one document a novel gram belongs to. n_novel is then a
+    doc-keyed count of the d=1 slice, and n_grams never shuffles at
+    all — it's size(array_distinct(trigrams)) computed map-side per
+    document. One gram-keyed map-combined shuffle + two doc-cardinality
+    exchanges; nothing re-shuffles the gram stream.
     """
     docs = t(spark, sf, "documents").filter(
         F.length(F.trim(F.col("text"))) > 0
@@ -2137,37 +2142,41 @@ def ngram_novelty_docs(spark: SparkSession, sf: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("l")
     ).filter(F.size("l") >= 3)
-    grams = toks.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("l") - 2),
-                    lambda g: F.concat_ws(
-                        " ",
-                        F.element_at(F.col("l"), g),
-                        F.element_at(F.col("l"), g + 1),
-                        F.element_at(F.col("l"), g + 2),
-                    ),
-                )
-            )
-        ).alias("gram"),
+    tri = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("l") - 2),
+            lambda g: F.concat_ws(
+                " ",
+                F.element_at(F.col("l"), g),
+                F.element_at(F.col("l"), g + 1),
+                F.element_at(F.col("l"), g + 2),
+            ),
+        )
     )
-    grams = grams.persist()
-    df_ = grams.groupBy("gram").agg(
-        F.count(F.lit(1)).cast("bigint").alias("d")
+    # map-side only: distinct-trigram count per doc, no explode dup
+    per_doc = toks.select(
+        "doc_id", F.size(tri).cast("bigint").alias("n_grams")
+    )
+    grams = toks.select("doc_id", F.explode(tri).alias("gram"))
+    novel_owner = (
+        grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("d"),
+            F.min("doc_id").alias("owner"),
+        )
+        .filter(F.col("d") == 1)
+        .groupBy(F.col("owner").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
     )
     return (
-        grams.join(df_, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-            F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_novel"),
+        per_doc.join(novel_owner, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("bigint").alias("n_novel"),
             F.round(
-                F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).cast("double")
-                / F.count(F.lit(1)),
+                F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+                / F.col("n_grams"),
                 6,
             ).alias("novelty"),
         )
