@@ -2217,9 +2217,12 @@ def ngram_novelty_docs(spark: SparkSession, sf: str) -> DataFrame:
       FROM range(1, 11) r(k)
     ),
     pts AS (
+      -- checkpoints before the first document (negative cut on a
+      -- sub-10-doc corpus) have vocab 0: the Spark side's inner joins
+      -- drop them naturally; drop them here too instead of ln(0).
       SELECT k, n_tokens, vocab,
              ln(CAST(n_tokens AS DOUBLE)) AS x, ln(CAST(vocab AS DOUBLE)) AS y
-      FROM cp
+      FROM cp WHERE vocab > 0
     ),
     fit AS (
       SELECT CAST(COUNT(*) AS DOUBLE) AS n,

@@ -30,7 +30,14 @@ def con():
 @pytest.mark.parametrize("name", sorted(SPECS))
 def test_oracle_parity(spark, con, name):
     spec = SPECS[name]
-    result = compare(name, spec.build(spark, SF_DIR), con, spec.oracle)
+    try:
+        result = compare(name, spec.build(spark, SF_DIR), con, spec.oracle)
+    finally:
+        # ADVICE r10: some plans persist() intermediates that only the
+        # executing session can release — drop them between the 331
+        # parameterized cases so cached blocks don't pile up across the
+        # suite session.
+        spark.catalog.clearCache()
     assert result.match, f"{name}: {result.detail}"
 
 

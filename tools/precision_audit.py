@@ -107,6 +107,7 @@ def main() -> None:
             out[name] = audit_one(spark, con, name, specs[name])
         except Exception as e:  # noqa: BLE001 — record, keep sweeping
             out[name] = {"status": "error", "detail": str(e)[:150]}
+        spark.catalog.clearCache()  # drop persist() residue between queries
         tag = out[name]["status"]
         if tag != "bit_exact":
             print(f"{name:40s} {out[name]}")

@@ -74,7 +74,9 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             out[name] = {"error": str(e)[:200]}
             print(f"{name:36s} ERROR {str(e)[:120]}")
+            spark.catalog.clearCache()
             continue
+        spark.catalog.clearCache()  # drop persist() residue between queries
         alpha = math.log10(times["t_big"] / times["t_small"])
         out[name] = {**times, "alpha": round(alpha, 3)}
         # A deliberately-naive carrier records which rewrite is the
