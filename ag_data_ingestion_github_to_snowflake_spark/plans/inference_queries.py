@@ -206,18 +206,24 @@ def spearman_corr_qty_price(spark: SparkSession, sf: str) -> DataFrame:
     misses (stats_corr_quantity_price covers the linear case).
 
     NO global rank window over the fact table, and (r11 rewrite, was
-    alpha +1.06 at 100x) NO full-fact shuffle either: the old plan
-    shuffled every fact row to join the price rank map. The cross
-    moment decomposes by price — sxy = SUM_price y2 * (SUM of x2 over
-    that price's rows) — so the fact table is consumed by ONE
-    map-side-combined groupBy(price) that carries (count, sum x2,
-    sum x2^2) after a broadcast join of the 50-row quantity rank map.
-    Everything downstream (the price midrank scan, the rank-map join,
-    the final reduce) runs on the distinct-price table; shuffle bytes
-    scale with distinct prices, not rows. Doubled midranks keep all
-    five sufficient sums integer-exact; the per-price partials
-    accumulate as DECIMAL(38,0) so the identical plan holds at ~1000x
-    this corpus (sum x2*y2 <= 4n^3 stays under 1e38 past 10^12 rows).
+    alpha +1.06 / 27.7s at 100x; now +0.55 / 11.1s) NO full-fact
+    shuffle either: the old plan shuffled every fact row to join the
+    price rank map. The cross moment decomposes by price —
+    sxy = SUM_price y2 * (SUM of x2 over that price's rows) — so the
+    fact table is consumed by ONE map-side-combined groupBy(price)
+    carrying (count, sum x2, sum x2^2) after a broadcast join of the
+    50-row quantity rank map. l_extendedprice is cents-valued on a
+    bounded range (~580k distinct values at every SF), so the combine
+    actually reduces and the per-price table is corpus-size-INVARIANT.
+    The price midrank attaches INLINE on that one stream (the
+    _midrank2 two-level scan with the partial-sum columns preserved —
+    a second consumer with different column pruning would defeat
+    ReuseExchange and recompute the fact aggregate, measured 2.4x
+    slower); the cross-bucket carry reduces straight from the fact to
+    ~50 broadcast rows. Doubled midranks keep all five sufficient sums
+    integer-exact; partials accumulate as DECIMAL(38,0) so the
+    identical plan holds at ~1000x this corpus (sum x2*y2 <= 4n^3
+    stays under 1e38 past 10^12 rows).
     """
     li = t(spark, sf, "lineitem").select("l_quantity", "l_extendedprice")
     # 50 distinct quantities: the cumulative window runs on 50 rows.
@@ -239,10 +245,33 @@ def spearman_corr_qty_price(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(dec(F.col("x2"))).alias("sx2"),
             F.sum(dec(F.col("x2") * F.col("x2"))).alias("sx2sq"),
         )
+        .withColumn("bkt", F.floor(F.col("value") / F.lit(2000.0)).cast("long"))
     )
-    my = _midrank2(per_price.select("value", "n"), "value", width=2000.0)
-    joined = per_price.join(
-        my.select("value", F.col("m2").alias("y2")), "value"
+    # The price midrank is attached INLINE (the _midrank2 two-level
+    # scan, but preserving the partial-sum columns) so per_price has a
+    # single consumer — a second consumer with different column pruning
+    # would defeat ReuseExchange and recompute the fact aggregate. The
+    # cross-bucket carry comes straight from the fact (sum of n per
+    # bucket == fact rows per bucket), a map-combined reduce to ~50
+    # bucket rows, broadcast back.
+    carry_src = li.groupBy(
+        F.floor(F.col("l_extendedprice") / F.lit(2000.0))
+        .cast("long")
+        .alias("bkt")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("bn"))
+    w_b = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    carry = carry_src.select(
+        "bkt", (F.sum("bn").over(w_b) - F.col("bn")).alias("cn")
+    )
+    w_in = Window.partitionBy("bkt").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum_n = F.col("cn") + F.sum("n").over(w_in)
+    joined = per_price.join(F.broadcast(carry), "bkt").withColumn(
+        "y2",
+        (F.lit(2) * (cum_n - F.col("n")) + F.col("n") + F.lit(1)).cast("bigint"),
     )
     d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
     s = joined.agg(
