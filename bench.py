@@ -202,6 +202,13 @@ def main() -> None:
         best = None
         reps = 3 if name in UDF_HEAVY else 2
         for rep in range(reps):
+            # clear BETWEEN reps too, not just between queries: plans
+            # that persist() intermediates would otherwise hit rep 1's
+            # cache via CacheManager plan-matching on rep 2, so min-of-N
+            # would time a zero-build-cost run that no real execution
+            # sees (caught r11: a persisted plan's min-of-2 read 0.63s
+            # vs 2.3s honest).
+            spark.catalog.clearCache()
             start = time.perf_counter()
             try:
                 df = specs[name].build(spark, sf_dir)  # build inside the clock:
@@ -243,7 +250,8 @@ def main() -> None:
         "methodology": (
             "single_shot"
             if single_shot
-            else "min_of_2_headline_and_expensive;min_of_3_udf_heavy"
+            else "min_of_2_headline_and_expensive;min_of_3_udf_heavy;"
+            "cache_cleared_between_reps"
         ),
         "calibration_sec": calibration,
         "calibration_io_sec": calibration_io,

@@ -65,6 +65,9 @@ def main() -> None:
             for sf_dir, key in ((SF_SMALL, "t_small"), (SF_BIG, "t_big")):
                 best = math.inf
                 for _ in range(reps):
+                    # between-rep clear: persisted intermediates would
+                    # otherwise make rep 2 a zero-build-cost cache read
+                    spark.catalog.clearCache()
                     t0 = time.perf_counter()
                     specs[name].build(spark, sf_dir).write.format("noop").mode(
                         "overwrite"
