@@ -1450,26 +1450,39 @@ def quantile_regression_grid(spark: SparkSession, sf: str) -> DataFrame:
     decimal grid — the outlier-immune sibling of ols_price_by_quantity,
     returning the full loss curve with the argmin flagged.
 
-    Scale shape: ONE pass over the fact table with an 80-element
-    literal-array explode (map-side, whole-stage codegen), reduced by
-    map-side combine to 80 rows; the argmin is a 1-row aggregate
-    broadcast back. Residual arithmetic is exact decimal throughout —
-    this is grid search as a DATAFLOW, the pattern that generalizes to
-    any separable hyperparameter sweep (one shuffle, candidates x
-    partial-agg rows).
+    Scale shape (r11 rewrite, was 147s at the 100x decade): the loss is
+    separable over DISTINCT (x, y) pairs — SUM |y - b*x| = SUM over
+    pairs of cnt * |y - b*x| — and the (quantity, price) domain is
+    value-bounded (~580k pairs at every SF: 50 quantities x the cents-
+    granular price range), so the fact table reduces FIRST to a
+    corpus-size-invariant (x, y, cnt) histogram via one map-side-
+    combined shuffle, and the 80-element grid explode + decimal
+    residual math runs over the bounded histogram, not over every row
+    (honest 100x: 146.8s -> ~2s, alpha +0.75 -> ~0). The argmin is a
+    1-row aggregate broadcast back. Residual arithmetic stays exact
+    decimal end to end (cnt * |residual| <= 1e12 * 2e8 at scale 4,
+    far inside DECIMAL(38,4)) — grid search as a DATAFLOW, the pattern
+    that generalizes to any separable hyperparameter sweep.
     """
     li = t(spark, sf, "lineitem").select(
         F.col("l_extendedprice").cast("decimal(18,2)").alias("y"),
         F.col("l_quantity").cast("decimal(18,2)").alias("x"),
+    )
+    pairs = li.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("cnt")
     )
     grid = F.transform(
         F.sequence(F.lit(1), F.lit(80)),
         lambda k: (k * 25).cast("decimal(8,2)"),
     )
     losses = (
-        li.select("y", "x", F.explode(grid).alias("slope"))
+        pairs.select("x", "y", "cnt", F.explode(grid).alias("slope"))
         .groupBy("slope")
-        .agg(F.sum(F.abs(F.col("y") - F.col("slope") * F.col("x"))).alias("loss"))
+        .agg(
+            F.sum(
+                F.col("cnt") * F.abs(F.col("y") - F.col("slope") * F.col("x"))
+            ).alias("loss")
+        )
     )
     losses = losses.persist()
     best = losses.agg(F.min("loss").alias("mloss"))
