@@ -180,3 +180,41 @@ def test_window_topk_uses_group_limit(spark):
         df = all_specs()[name].build(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "WindowGroupLimit" in plan, f"{name} lost the group-limit plan"
+
+
+def test_lad_grid_scans_fact_once_and_prereduces(spark):
+    """r11: quantile_regression_grid must reduce the fact to the
+    (x, y, cnt) histogram BEFORE the 80-way grid explode (histogram
+    groupBy below the explode in the plan), and scan lineitem once."""
+    df = all_specs()["quantile_regression_grid"].build(spark, SF)
+    plan = plan_of(df)
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    # the explode (Generate) must consume the aggregated histogram,
+    # i.e. appear above a HashAggregate, not directly above the scan
+    gen_pos = plan.index("Generate")
+    assert "HashAggregate" in plan[:gen_pos] or plan.index("HashAggregate") < gen_pos
+
+
+def test_ngram_novelty_no_gram_rejoin(spark):
+    """r11: novelty attribution rides min(doc_id) through the gram
+    frequency aggregate — the gram stream must never re-join itself
+    (no join keyed on the gram column; the only join is doc-keyed)."""
+    df = all_specs()["ngram_novelty_docs"].build(spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    joins = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln]
+    assert all("gram" not in ln for ln in joins), joins
+
+
+def test_spearman_single_fact_aggregate(spark):
+    """r11: the spearman fact table feeds exactly ONE wide aggregate
+    (per-price partials); the price midrank attaches inline, so no
+    second fact-scale exchange and no fact re-join on price."""
+    df = all_specs()["spearman_corr_qty_price"].build(spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    # lineitem is scanned for: quantity histogram, per-price partials,
+    # bucket carry, and the quantity-histogram's bucket carry — all
+    # map-side-reduced. More scans than this means a consumer split
+    # defeated ReuseExchange on the heavy aggregate again.
+    assert plan.count("Location: InMemoryFileIndex") <= 4
