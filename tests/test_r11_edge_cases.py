@@ -54,3 +54,78 @@ def test_heaps_law_fit_tiny_corpus_excludes_doc0_at_negative_cut(spark, tmp_path
     row = all_specs()["heaps_law_fit"].build(spark, str(tmp_path)).collect()[0]
     # 8 checkpoints contribute (k=3..10); k=1,2 are pre-corpus.
     assert row["k_checkpoints"] == 8
+
+
+def test_ngram_novelty_matches_pandas(spark):
+    """Third implementation (no shared SQL/DataFrame shape): recompute
+    per-doc trigram novelty with plain Python sets over the fixture and
+    compare every row — catches a bug shared by the Spark plan and the
+    DuckDB oracle formulation."""
+    import re as _re
+
+    from ag_data_ingestion_github_to_snowflake_spark.plans.registry import (
+        all_specs as _specs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    per_doc: dict[int, set[str]] = {}
+    for r in docs:
+        toks = [w for w in _re.split(r"\s+", r["text"].strip()) if w]
+        if len(toks) < 3:
+            continue
+        per_doc[r["doc_id"]] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+    from collections import Counter
+
+    df = Counter(g for grams in per_doc.values() for g in grams)
+    expected = {
+        d: (
+            len(grams),
+            sum(1 for g in grams if df[g] == 1),
+        )
+        for d, grams in per_doc.items()
+    }
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"])
+        for r in _specs()["ngram_novelty_docs"].build(spark, sf).collect()
+    }
+    assert got == expected
+
+
+def test_feature_hashing_matches_hashlib(spark):
+    """Third implementation: recompute the 1024-bucket hashing-trick
+    vectors with Python hashlib over the fixture and compare the CSR
+    string rows cell-for-cell."""
+    import hashlib
+    import re as _re
+    from collections import Counter
+
+    from ag_data_ingestion_github_to_snowflake_spark.plans.registry import (
+        all_specs as _specs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    ).where("doc_id < 200").collect()
+    expected = {}
+    for r in docs:
+        counts = Counter(
+            int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 1024
+            for tok in _re.split(r"\s+", r["text"])
+        )
+        idx = sorted(counts)
+        expected[r["doc_id"]] = (
+            len(idx),
+            ",".join(str(i) for i in idx),
+            ",".join(str(counts[i]) for i in idx),
+        )
+    got = {
+        r["doc_id"]: (r["nnz"], r["indices"], r["values"])
+        for r in _specs()["feature_hashing_vectorize"].build(spark, sf).collect()
+    }
+    assert got == expected
