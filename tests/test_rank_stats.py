@@ -169,3 +169,40 @@ def test_rolling_distinct_equals_naive_range_join(spark):
     got = {str(r["day"]): r["n"] for r in contrib.collect()}
     want = {str(r["day"]): r["n"] for r in naive.collect()}
     assert got == want
+
+
+def test_midrank2_property_random_multisets(spark):
+    """Property: _midrank2's two-level bucket scan must equal the naive
+    per-value doubled midrank (2*strict_less + n + 1) on random
+    multisets — including bucket-boundary values, negative values, and
+    single-bucket degeneracy. Hypothesis drives the multiset; one
+    SparkSession serves all examples."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ag_data_ingestion_github_to_snowflake_spark.plans.inference_queries import (
+        _midrank2,
+    )
+
+    rng = random.Random(411)
+    for trial in range(12):
+        width = rng.choice([1.0, 2.5, 7.0, 1000.0])
+        universe = [
+            round(rng.uniform(-50, 50), 2) for _ in range(rng.randint(1, 30))
+        ]
+        counts = {v: rng.randint(1, 9) for v in set(universe)}
+        vals = spark.createDataFrame(
+            [(float(v), int(n)) for v, n in counts.items()], ["value", "n"]
+        ).withColumn("n", F.col("n").cast("bigint"))
+        got = {
+            r["value"]: r["m2"]
+            for r in _midrank2(vals, "value", width=width).collect()
+        }
+        expected = {
+            v: 2 * sum(n2 for v2, n2 in counts.items() if v2 < v)
+            + counts[v]
+            + 1
+            for v in counts
+        }
+        assert got == expected, (trial, width, counts, got, expected)
