@@ -119,6 +119,25 @@ def main() -> int:
     print(f"current:  {args.current}  total={cur.get('value')}s ({len(cq)} queries)")
     print(f"shared queries: {len(shared)}; new: {len(set(cq) - set(bq))}; "
           f"dropped: {len(set(bq) - set(cq))}")
+    # Calibration-lane attribution (VERDICT r10 item 3): when every
+    # query moved together, the lane that moved WITH them names the
+    # drift axis — cpu (frequency/thermal), io (fixture page cache),
+    # arrow (Python-worker/Arrow lane), shuffle (disk/spill/co-tenant).
+    lanes = [
+        ("cpu", "calibration_sec"),
+        ("io", "calibration_io_sec"),
+        ("arrow", "calibration_arrow_sec"),
+        ("shuffle", "calibration_shuffle_sec"),
+    ]
+    lane_bits = []
+    for tag, key in lanes:
+        b, c = base.get(key), cur.get(key)
+        if b and c:
+            lane_bits.append(f"{tag} {b:.3f}->{c:.3f} ({c / b:.2f}x)")
+        elif c:
+            lane_bits.append(f"{tag} n/a->{c:.3f}")
+    if lane_bits:
+        print("calibration lanes: " + "; ".join(lane_bits))
     if regressed:
         print(f"\nREGRESSIONS (> {args.max_ratio}x):")
         for name, b, c, ratio in sorted(regressed, key=lambda r: -r[3]):
