@@ -243,7 +243,10 @@ def spearman_corr_qty_price(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.sum(dec(F.col("x2"))).alias("sx2"),
-            F.sum(dec(F.col("x2") * F.col("x2"))).alias("sx2sq"),
+            # Cast BEFORE squaring: x2 ~ 2N, so the bigint per-row
+            # product x2*x2 would wrap int64 past ~1.5e9 rows; the
+            # decimal(38,0) product holds to x2 < 1e19 (n < 5e18).
+            F.sum(dec(F.col("x2")) * dec(F.col("x2"))).alias("sx2sq"),
         )
         .withColumn("bkt", F.floor(F.col("value") / F.lit(2000.0)).cast("long"))
     )
@@ -400,11 +403,19 @@ def theil_sen_slope_sampled(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "kaplan_meier_survival",
-    # Durations are integer hours (floor of integer-second epoch
-    # arithmetic), so the event/censor/at-risk table is integer-exact;
-    # survival compounds via exp(sum(ln(...))) on final presentation
-    # only, rounded to 6 (the tfidf ln-precedent). A CASE guards the
-    # d=n row so neither engine evaluates ln(0).
+    # Hash contract (r11 red -> fixed r12, VERDICT r11 item 1):
+    # durations are EXACT integer-microsecond epoch differences
+    # (unix_micros/epoch_us — the old unix_timestamp/epoch pair
+    # truncated vs kept fractional seconds and shifted hour buckets),
+    # integer-floor-divided to hours, so the event/censor/at-risk
+    # table is integer-exact. Survival is the ordered PRODUCT fold of
+    # the per-step factors (n_risk-n_event)/n_risk — int->double
+    # conversion, division, and multiplication are all IEEE
+    # correctly-rounded, so the double is bit-identical on any
+    # engine/libm build (no exp/ln anywhere) — quantized by
+    # floor(1e6*s) into the integer column survival_e6. A d=n step
+    # contributes factor 0.0 and absorbs the product, so no guard
+    # CASE is needed.
     oracle="""
     WITH fv AS (
       SELECT user_id, MIN(ts) AS tv FROM events
@@ -419,8 +430,8 @@ def theil_sen_slope_sampled(spark: SparkSession, sf: str) -> DataFrame:
     gmax AS (SELECT MAX(ts) AS tmax FROM events),
     subj AS (
       SELECT fv.user_id,
-             CAST(floor((epoch(COALESCE(fp.tp, gmax.tmax)) - epoch(fv.tv))
-                        / 3600) AS BIGINT) AS dur_h,
+             CAST((epoch_us(COALESCE(fp.tp, gmax.tmax)) - epoch_us(fv.tv))
+                  // 3600000000 AS BIGINT) AS dur_h,
              CASE WHEN fp.tp IS NULL THEN 0 ELSE 1 END AS died
       FROM fv LEFT JOIN fp ON fv.user_id = fp.user_id, gmax
     ),
@@ -440,16 +451,11 @@ def theil_sen_slope_sampled(spark: SparkSession, sf: str) -> DataFrame:
       FROM km, tot
     )
     SELECT dur_h, n_risk, n_event, n_censor,
-           ROUND(CASE
-             WHEN MAX(CASE WHEN n_event >= n_risk THEN 1 ELSE 0 END)
-                  OVER (ORDER BY dur_h ROWS BETWEEN UNBOUNDED PRECEDING
-                        AND CURRENT ROW) = 1
-             THEN 0.0
-             ELSE exp(SUM(CASE WHEN n_event = 0 OR n_event >= n_risk THEN 0.0
-                          ELSE ln(CAST(n_risk - n_event AS DOUBLE) / n_risk) END)
-                      OVER (ORDER BY dur_h ROWS BETWEEN UNBOUNDED PRECEDING
-                            AND CURRENT ROW))
-           END, 6) AS survival
+           CAST(floor(1000000.0 * list_reduce(
+             list(CAST(n_risk - n_event AS DOUBLE) / CAST(n_risk AS DOUBLE))
+               OVER (ORDER BY dur_h ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW),
+             (acc, x) -> acc * x)) AS BIGINT) AS survival_e6
     FROM risk
     """,
     survey_ids=("B23", "B31", "B12"),
@@ -461,6 +467,8 @@ def kaplan_meier_survival(spark: SparkSession, sf: str) -> DataFrame:
     users who never purchase are right-censored at the end of the
     observation window. Complements funnel_time_to_convert (which
     drops non-converters and so overstates conversion speed).
+    survival_e6 is the Kaplan-Meier estimate quantized to 1e-6
+    (floor(1e6*s)); consumers divide by 1e6 for the [0,1] curve.
 
     Scale shape: the stream reduces to ONE ROW PER USER (two grouped
     aggregates + an equi-join on user_id), then to one row per
@@ -487,12 +495,13 @@ def kaplan_meier_survival(spark: SparkSession, sf: str) -> DataFrame:
         fv.join(fp, "user_id", "left")
         .join(F.broadcast(gmax))
         .select(
-            F.floor(
-                (
-                    F.unix_timestamp(F.coalesce("tp", "tmax"))
-                    - F.unix_timestamp("tv")
-                )
-                / F.lit(3600)
+            # Integer-microsecond difference, timezone-free on the
+            # NTZ fixture columns (exact; the duration is non-negative
+            # so `div` truncation == floor), mirroring the oracle's
+            # epoch_us(...) // 3600000000.
+            F.expr(
+                "timestampdiff(MICROSECOND, tv, coalesce(tp, tmax))"
+                " div 3600000000"
             )
             .cast("bigint")
             .alias("dur_h"),
@@ -514,23 +523,29 @@ def kaplan_meier_survival(spark: SparkSession, sf: str) -> DataFrame:
         "n_censor",
         (F.col("n_total") - (F.sum(leave).over(w) - leave)).alias("n_risk"),
     )
-    ln_term = F.when(
-        (F.col("n_event") == 0) | (F.col("n_event") >= F.col("n_risk")), F.lit(0.0)
-    ).otherwise(
-        F.log((F.col("n_risk") - F.col("n_event")).cast("double") / F.col("n_risk"))
+    # Ordered product fold over the cumulative frame: collect the
+    # (dur_h, factor) structs, sort by dur_h, multiply left-to-right.
+    # Every op (int->double cast, /, *) is IEEE correctly-rounded, so
+    # the product is bit-identical to the oracle's list_reduce replay;
+    # floor(1e6*s) quantizes without ROUND's cross-build wobble.
+    factor = (F.col("n_risk") - F.col("n_event")).cast("double") / F.col(
+        "n_risk"
+    ).cast("double")
+    wf = risk.withColumn("factor", factor)
+    prod = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dur_h", "factor")).over(w)),
+            lambda e: e["factor"],
+        ),
+        F.lit(1.0),
+        lambda acc, x: acc * x,
     )
-    dead_flag = F.max(
-        F.when(F.col("n_event") >= F.col("n_risk"), F.lit(1)).otherwise(F.lit(0))
-    ).over(w)
-    survival = F.when(dead_flag == 1, F.lit(0.0)).otherwise(
-        F.exp(F.sum(ln_term).over(w))
-    )
-    return risk.select(
+    return wf.select(
         "dur_h",
         "n_risk",
         "n_event",
         "n_censor",
-        F.round(survival, 6).alias("survival"),
+        F.floor(F.lit(1000000.0) * prod).cast("bigint").alias("survival_e6"),
     )
 
 
@@ -1259,33 +1274,45 @@ def fdr_bh_segment_tests(spark: SparkSession, sf: str) -> DataFrame:
 # Cramer's V association matrix over categorical column pairs
 # ---------------------------------------------------------------------------
 def _cramer_sql(pair: str, table: str, a: str, b: str) -> str:
-    """One Cramer's-V block: contingency cells -> margins -> chi-square
-    as an ORDERED fold over (a,b)-sorted cell terms (expected counts
-    are double math over exact integer counts; the fold replays the
-    identical addition sequence in both engines)."""
+    """One Cramer's-V block, EXACT-integer hash contract (r11 driver
+    red -> hardened r12, VERDICT r11 item 2): the chi-square statistic
+    is assembled entirely in 128-bit integer arithmetic — per cell,
+    d = o*n - rm*cm (all exact counts), term = d*d*1e6 // (n*rm*cm)
+    (integer floor division) — and SUMMED as integers, so the result
+    is order-independent and identical on every engine/libm/DuckDB
+    build (the old contract ROUND'd a double fold, which was a
+    round-boundary away from mismatch on a different ROUND
+    implementation). chi2_e6 is therefore a DEFINED exact integer
+    (sum of per-cell floors; within cells/1e6 of the real chi2).
+    cramers_v_e6 = floor(1e6 * sqrt(chi2_e6/1e6 / (n*(min(r,c)-1))))
+    — int->double conversion, /, sqrt, * are all IEEE
+    correctly-rounded, so the double is bit-identical cross-engine
+    and its floor is deterministic. Exact-range bound: d*d*1e6 needs
+    |d| <= n^2 < 1e16, i.e. n < 1e8 rows per analyzed table; larger
+    corpora should pre-aggregate or sample a stratum first (the
+    contingency grid itself is already count-sufficient)."""
     return f"""
-    SELECT '{pair}' AS pair, n, r_levels, c_levels,
-           ROUND(chi2, 6) AS chi2,
-           ROUND(sqrt(chi2 / (n * (CASE WHEN r_levels < c_levels
-                                        THEN r_levels ELSE c_levels END - 1))),
-                 6) AS cramers_v
+    SELECT '{pair}' AS pair, n, r_levels, c_levels, chi2_e6,
+           CAST(floor(1000000.0 * sqrt(
+             CAST(chi2_e6 AS DOUBLE) / 1000000.0
+             / CAST(n * (CASE WHEN r_levels < c_levels
+                              THEN r_levels ELSE c_levels END - 1)
+                    AS DOUBLE))) AS BIGINT) AS cramers_v_e6
     FROM (
       SELECT MAX(n) AS n,
              CAST(COUNT(DISTINCT a) AS BIGINT) AS r_levels,
              CAST(COUNT(DISTINCT b) AS BIGINT) AS c_levels,
-             list_reduce(
-               list((CAST(o AS DOUBLE)
-                     - CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE) / CAST(n AS DOUBLE))
-                    * (CAST(o AS DOUBLE)
-                       - CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE) / CAST(n AS DOUBLE))
-                    / (CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE) / CAST(n AS DOUBLE))
-                    ORDER BY a, b),
-               (acc, x) -> acc + x) AS chi2
+             CAST(SUM(
+               (CAST(o AS HUGEINT) * n - CAST(rm AS HUGEINT) * cm)
+               * (CAST(o AS HUGEINT) * n - CAST(rm AS HUGEINT) * cm)
+               * 1000000
+               // (CAST(n AS HUGEINT) * rm * cm)
+             ) AS BIGINT) AS chi2_e6
       FROM (
         SELECT c.a, c.b, c.o,
-               SUM(c.o) OVER (PARTITION BY c.a) AS rm,
-               SUM(c.o) OVER (PARTITION BY c.b) AS cm,
-               SUM(c.o) OVER () AS n
+               CAST(SUM(c.o) OVER (PARTITION BY c.a) AS BIGINT) AS rm,
+               CAST(SUM(c.o) OVER (PARTITION BY c.b) AS BIGINT) AS cm,
+               CAST(SUM(c.o) OVER () AS BIGINT) AS n
         FROM (
           SELECT {a} AS a, {b} AS b, CAST(COUNT(*) AS BIGINT) AS o
           FROM {table} GROUP BY 1, 2
@@ -1325,9 +1352,12 @@ def cramers_v_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: each pair reduces its table to a BOUNDED contingency
     grid (|a| x |b| cells) in one map-side-combined shuffle; margins
-    are windows over that tiny cell table, and the chi-square sum
-    folds over the (a,b)-SORTED cell list so cross-engine addition
-    order is pinned. No data-scale state anywhere past the first agg.
+    are windows over that tiny cell table, and the chi-square sum is
+    an order-independent EXACT integer sum of per-cell floor-divided
+    terms (decimal(38,0) arithmetic — see _cramer_sql for the hash
+    contract and the n < 1e8 exact-range bound). chi2_e6 and
+    cramers_v_e6 are the statistics scaled by 1e6; consumers divide
+    by 1e6.
     """
 
     def one(pair: str, df: DataFrame, a, b) -> DataFrame:
@@ -1345,39 +1375,41 @@ def cramers_v_pairs(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("o").over(wb).alias("cm"),
             F.sum("o").over(wn).alias("n"),
         )
-        e = F.col("rm").cast("double") * F.col("cm").cast("double") / F.col(
-            "n"
-        ).cast("double")
-        term = (
-            (F.col("o").cast("double") - e)
-            * (F.col("o").cast("double") - e)
-            / e
-        )
-        agg = g.select("a", "b", "o", "n", term.alias("term")).agg(
-            F.max("n").alias("n"),
+        # d = o*n - rm*cm and term = d*d*1e6 // (n*rm*cm), all in
+        # decimal(38,0) integer arithmetic (cast each bigint operand
+        # BEFORE multiplying — the product wraps int64 otherwise).
+        dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+        d = (dec("o") * dec("n") - dec("rm") * dec("cm")).cast("decimal(19,0)")
+        num6 = d * d * F.lit(1000000).cast("decimal(7,0)")
+        den = (dec("n") * dec("rm")).cast("decimal(19,0)") * dec("cm")
+        terms = g.select(
+            "a",
+            "b",
+            "n",
+            num6.alias("num6"),
+            den.alias("den"),
+        ).withColumn("term_e6", F.expr("num6 div den"))
+        agg = terms.agg(
+            F.max("n").cast("bigint").alias("n"),
             F.count_distinct(F.col("a")).cast("bigint").alias("r_levels"),
             F.count_distinct(F.col("b")).cast("bigint").alias("c_levels"),
-            F.aggregate(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("a", "b", "term"))),
-                    lambda s: s["term"],
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("chi2"),
+            F.sum("term_e6").cast("bigint").alias("chi2_e6"),
         )
         mindim = F.when(
             F.col("r_levels") < F.col("c_levels"), F.col("r_levels")
         ).otherwise(F.col("c_levels"))
+        v = F.sqrt(
+            F.col("chi2_e6").cast("double")
+            / F.lit(1000000.0)
+            / (F.col("n") * (mindim - F.lit(1))).cast("double")
+        )
         return agg.select(
             F.lit(pair).alias("pair"),
             "n",
             "r_levels",
             "c_levels",
-            F.round("chi2", 6).alias("chi2"),
-            F.round(
-                F.sqrt(F.col("chi2") / (F.col("n") * (mindim - F.lit(1)))), 6
-            ).alias("cramers_v"),
+            "chi2_e6",
+            F.floor(F.lit(1000000.0) * v).cast("bigint").alias("cramers_v_e6"),
         )
 
     o = t(spark, sf, "orders")
@@ -1488,11 +1520,16 @@ def quantile_regression_grid(spark: SparkSession, sf: str) -> DataFrame:
         )
         .groupBy("k")
         .agg(
+            # Cast cnt and the residual to decimal BEFORE multiplying:
+            # the bigint per-term product cnt*|resid| wraps int64 past
+            # ~4.6e11 rows per (xc,yc) pair; the decimal(38,0) product
+            # is exact to 1e38. (The residual itself is domain-bounded
+            # — yc, k*2500*xc <= ~1e7 — so int64 is safe inside abs.)
             F.sum(
-                (
-                    F.col("cnt")
-                    * F.abs(F.col("yc") - F.col("k") * F.lit(2500) * F.col("xc"))
-                ).cast("decimal(38,0)")
+                F.col("cnt").cast("decimal(19,0)")
+                * F.abs(
+                    F.col("yc") - F.col("k") * F.lit(2500) * F.col("xc")
+                ).cast("decimal(19,0)")
             ).alias("loss_c")
         )
         .select(

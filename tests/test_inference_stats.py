@@ -83,8 +83,9 @@ def test_kaplan_meier_matches_reference(spark):
             tp, died = gmax, 0
         else:
             tp, died = purch.min(), 1
-        # floor-second epoch arithmetic, like the query
-        dur = (int(tp.timestamp()) - int(tv.timestamp())) // 3600
+        # exact integer-microsecond arithmetic, like the query
+        # (pandas .value is ns; fixture timestamps are whole micros)
+        dur = (tp.value // 1000 - tv.value // 1000) // 3_600_000_000
         subj.append((dur, died))
     subj.sort()
     from collections import Counter
@@ -108,7 +109,13 @@ def test_kaplan_meier_matches_reference(spark):
     for r in rows:
         n_r, d, c, s = ref[r["dur_h"]]
         assert (r["n_risk"], r["n_event"], r["n_censor"]) == (n_r, d, c)
-        assert abs(r["survival"] - s) < 1e-5, (r["dur_h"], r["survival"], s)
+        # survival_e6 = floor(1e6 * s): up to 1e-6 quantization plus
+        # float product jitter vs the reference's own float product
+        assert abs(r["survival_e6"] / 1e6 - s) < 2e-6, (
+            r["dur_h"],
+            r["survival_e6"],
+            s,
+        )
 
 
 def test_mann_kendall_matches_reference(spark):

@@ -189,10 +189,13 @@ def test_lad_grid_scans_fact_once_and_prereduces(spark):
     df = all_specs()["quantile_regression_grid"].build(spark, SF)
     plan = plan_of(df)
     assert plan.count("Location: InMemoryFileIndex") == 1
-    # the explode (Generate) must consume the aggregated histogram,
-    # i.e. appear above a HashAggregate, not directly above the scan
+    # the explode (Generate) must consume the aggregated histogram:
+    # formatted explain prints root-first, so the histogram aggregate
+    # (Generate's INPUT) must appear after Generate in the text. (A
+    # root-side check would be vacuous — the downstream per-slope
+    # HashAggregate always precedes Generate in print order.)
     gen_pos = plan.index("Generate")
-    assert "HashAggregate" in plan[:gen_pos] or plan.index("HashAggregate") < gen_pos
+    assert "HashAggregate" in plan[gen_pos:], "explode consumes raw scan, not histogram"
 
 
 def test_ngram_novelty_no_gram_rejoin(spark):

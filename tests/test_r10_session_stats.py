@@ -148,8 +148,10 @@ def test_cramers_v_matches_numpy(spark):
         for r in all_specs()["cramers_v_pairs"].build(spark, SF).collect()
     }
     r = rows["orders:priority~status"]
-    assert abs(r["chi2"] - chi2) < 1e-4
-    assert abs(r["cramers_v"] - v) < 1e-6
+    # chi2_e6 sums per-cell floors (error <= n_cells/1e6); v_e6 is
+    # floor(1e6 * v) so up to 1e-6 quantization on top of float jitter
+    assert abs(r["chi2_e6"] / 1e6 - chi2) < 1e-4
+    assert abs(r["cramers_v_e6"] / 1e6 - v) < 2e-6
 
 
 def test_decision_stump_matches_bruteforce(spark):
