@@ -94,9 +94,11 @@ def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
     """Raw HLL estimate + zero-register count per group from register
     rows. Integer harmonic sum; one repr-constant float division."""
     per_group = registers.groupBy(*group_cols).agg(
-        F.sum(F.pow(F.lit(2.0), F.lit(49) - F.col("rho")).cast("long")).alias(
-            "_s_present"
-        ),
+        # 2^(49-rho) as an exact integer shift (libm pow is not
+        # contractually exact even on integer powers of two)
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - rho AS INT))")
+        ).alias("_s_present"),
         F.count(F.lit(1)).alias("_n_present"),
     )
     s_total = F.col("_s_present") + (

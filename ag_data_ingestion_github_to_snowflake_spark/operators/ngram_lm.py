@@ -47,6 +47,12 @@ import logging
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ag_data_ingestion_github_to_snowflake_spark.operators.portable_math import (
+    floor_e6,
+    ordered_sum,
+    portable_log10_sql,
+)
+
 ALPHA = 0.4
 
 # Most-recent cached count table (see stupid_backoff_scores): scoping
@@ -123,6 +129,7 @@ def test_trigrams(docs: DataFrame, id_col: str, text_col: str = "text") -> DataF
         F.explode(
             F.expr(
                 "transform(sequence(1, size(t) - 2), i -> struct("
+                " i AS pos,"
                 " array_join(slice(t, i, 3), ' ') AS g3,"
                 " array_join(slice(t, i, 2), ' ') AS ctx2,"
                 " array_join(slice(t, i + 1, 2), ' ') AS g2,"
@@ -133,7 +140,7 @@ def test_trigrams(docs: DataFrame, id_col: str, text_col: str = "text") -> DataF
                 " t[i + 1] AS g1))"
             )
         ).alias("p"),
-    ).select(id_col, "p.g3", "p.ctx2", "p.g2", "p.ctx1", "p.g1")
+    ).select(id_col, "p.pos", "p.g3", "p.ctx2", "p.g2", "p.ctx1", "p.g1")
 
 
 def stupid_backoff_scores(
@@ -144,10 +151,13 @@ def stupid_backoff_scores(
 ) -> DataFrame:
     """Per-test-document Stupid Backoff trigram log-score.
 
-    Returns (id, n_tri, hit3, hit2, hit1, score): how many trigrams
+    Returns (id, n_tri, hit3, hit2, hit1, score_e6): how many trigrams
     resolved at each backoff level (integer, hash-exact) and the mean
-    log10 Stupid Backoff score (rounded to 6 decimals, the repo's
-    established tolerance for per-doc float aggregates).
+    log10 Stupid Backoff score quantized by floor(1e6*x). The per-doc
+    mean folds in trigram-POSITION order over the portable log10
+    (operators/portable_math.py), so the double is bit-identical on
+    any engine/libm build before quantization; consumers divide by
+    1e6 for the mean log10 probability.
     """
     # Cache: the count table feeds five joins below, so recomputing the
     # n-gram explosion per consumer would be 5x the work. The returned
@@ -240,14 +250,25 @@ def stupid_backoff_scores(
         .when(F.col("c2").isNotNull(), F.lit(2))
         .otherwise(F.lit(1))
     )
-    return (
-        j.select(id_col, score.alias("s"), level.alias("lvl"))
+    term = F.expr(portable_log10_sql("s", "spark"))
+    agg = (
+        j.select(id_col, "pos", score.alias("s"), level.alias("lvl"))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tri"),
             F.sum((F.col("lvl") == 3).cast("bigint")).alias("hit3"),
             F.sum((F.col("lvl") == 2).cast("bigint")).alias("hit2"),
             F.sum((F.col("lvl") == 1).cast("bigint")).alias("hit1"),
-            F.round(F.avg(F.log10(F.col("s"))), 6).alias("score"),
+            ordered_sum(term, "pos").alias("ssum"),
         )
+    )
+    return agg.select(
+        id_col,
+        "n_tri",
+        "hit3",
+        "hit2",
+        "hit1",
+        floor_e6(F.col("ssum") / F.col("n_tri").cast("double")).alias(
+            "score_e6"
+        ),
     )

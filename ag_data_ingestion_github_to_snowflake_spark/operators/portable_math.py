@@ -58,6 +58,10 @@ __all__ = [
     "portable_exp_sql",
     "portable_log10_sql",
     "portable_pow_sql",
+    "floor_e6_sql",
+    "floor_e6",
+    "ordered_sum",
+    "ordered_sum_sql",
     "LN2",
     "LN10_INV",
 ]
@@ -143,4 +147,54 @@ def portable_pow_sql(
     ln_b = portable_ln_sql(base, dialect, prefix=f"{prefix}l")
     return portable_exp_sql(
         f"(CAST({expo} AS DOUBLE) * {ln_b})", dialect, prefix=f"{prefix}e"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hash-contract companions: floor-1e6 quantization and the ordered fold
+# ---------------------------------------------------------------------------
+def floor_e6_sql(arg: str) -> str:
+    """``CAST(floor(1e6 * x) AS BIGINT)`` — the hashed-presentation
+    quantizer. floor is an IEEE-required exact operation (unlike
+    engine ROUND(double, k), whose algorithm differs between Spark's
+    BigDecimal path and DuckDB's float path and can change across
+    DuckDB releases), so a bit-identical input double always quantizes
+    to the same integer on every build. Works verbatim in both
+    dialects."""
+    return f"CAST(floor(1000000.0 * ({arg})) AS BIGINT)"
+
+
+def floor_e6(col):
+    """Spark Column twin of :func:`floor_e6_sql`."""
+    from pyspark.sql import functions as F
+
+    return F.floor(F.lit(1000000.0) * col).cast("bigint")
+
+
+def ordered_sum(term, *keys):
+    """Spark Column: sum ``term`` over the group in the total order of
+    ``keys`` via an explicit left fold (collect -> sort -> aggregate),
+    bit-identically replaying :func:`ordered_sum_sql`'s list_reduce.
+    Init is 0.0: ``0.0 + a1`` is exact for every a1 (the only wobble
+    is -0.0 -> +0.0, which cannot survive a non-degenerate sum). Use
+    ONLY on provably bounded groups — the collected list lives in one
+    task."""
+    from pyspark.sql import functions as F
+
+    struct = F.struct(*keys, term.alias("__term"))
+    return F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(struct)), lambda e: e["__term"]
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ordered_sum_sql(term: str, order_by: str) -> str:
+    """DuckDB aggregate-position twin of :func:`ordered_sum`:
+    ``list_reduce(list(term ORDER BY ...), (a, x) -> a + x)``."""
+    return (
+        f"list_reduce(list({term} ORDER BY {order_by}),"
+        " (acc, x) -> acc + x)"
     )

@@ -10,10 +10,22 @@ with user cardinality, not event volume per user.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ag_data_ingestion_github_to_snowflake_spark.operators.portable_math import (
+    floor_e6,
+    floor_e6_sql,
+)
 from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register, t
+
+# SPRT constants as precomputed double literals (hardened r12, item 5:
+# no engine libm; repr round-trips to the identical double everywhere).
+_SPRT_L1 = repr(math.log(0.52 / 0.48))
+_SPRT_L0 = repr(math.log(0.48 / 0.52))
+_SPRT_BOUND = repr(math.log(19.0))
 
 
 @register(
@@ -1191,12 +1203,12 @@ def rfm_segmentation_users(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "sprt_sequential_ab",
-    # The cumulative LLR is (integer count) x (ln of a double literal):
-    # both factors are identical doubles in both engines, the two-term
-    # sum per row has a fixed association, and the boundary compare
-    # uses the same unrounded expression — so the per-day decision
-    # labels are deterministic, not just the rounded statistic.
-    oracle="""
+    # Hash contract (hardened r12, item 5): the per-observation log
+    # ratios and the +/-ln 19 boundaries are PRECOMPUTED double
+    # literals (the Benford C139 precedent — no engine libm call at
+    # all), the LLR is a fixed two-term sum of exact-integer x literal
+    # products, and cum_llr presents as floor(1e6*s).
+    oracle=f"""
     WITH daily AS (
       SELECT CAST(ts AS DATE) AS day,
              CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
@@ -1214,14 +1226,13 @@ def rfm_segmentation_users(spark: SparkSession, sf: str) -> DataFrame:
     ),
     llr AS (
       SELECT day, CAST(cum_x AS BIGINT) AS cum_x, CAST(cum_n AS BIGINT) AS cum_n,
-             cum_x * ln(0.52 / 0.48)
-               + (cum_n - cum_x) * ln(0.48 / 0.52) AS s
+             cum_x * {_SPRT_L1} + (cum_n - cum_x) * {_SPRT_L0} AS s
       FROM cum
     )
     SELECT CAST(day AS TIMESTAMP) AS day, cum_x, cum_n,
-           ROUND(s, 6) AS cum_llr,
-           CASE WHEN s >= ln(19.0) THEN 'accept_h1'
-                WHEN s <= -ln(19.0) THEN 'accept_h0'
+           {floor_e6_sql("s")} AS cum_llr_e6,
+           CASE WHEN s >= {_SPRT_BOUND} THEN 'accept_h1'
+                WHEN s <= -{_SPRT_BOUND} THEN 'accept_h0'
                 ELSE 'continue' END AS decision
     FROM llr
     """,
@@ -1255,15 +1266,13 @@ def sprt_sequential_ab(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("x").over(w).cast("bigint").alias("cum_x"),
         F.sum("n").over(w).cast("bigint").alias("cum_n"),
     )
-    l1 = F.log(F.lit(0.52) / F.lit(0.48))
-    l0 = F.log(F.lit(0.48) / F.lit(0.52))
-    s = F.col("cum_x") * l1 + (F.col("cum_n") - F.col("cum_x")) * l0
-    bound = F.log(F.lit(19.0))
+    s = F.expr(f"cum_x * {_SPRT_L1} + (cum_n - cum_x) * {_SPRT_L0}")
+    bound = F.lit(float(_SPRT_BOUND))
     return cum.select(
         F.col("day").cast("timestamp").alias("day"),
         "cum_x",
         "cum_n",
-        F.round(s, 6).alias("cum_llr"),
+        floor_e6(s).alias("cum_llr_e6"),
         F.when(s >= bound, F.lit("accept_h1"))
         .when(s <= -bound, F.lit("accept_h0"))
         .otherwise(F.lit("continue"))

@@ -17,6 +17,11 @@ from pyspark.sql.window import Window
 
 from ag_data_ingestion_github_to_snowflake_spark.functions.exact import DEC2 as DEC
 from ag_data_ingestion_github_to_snowflake_spark.functions.exact import DEC6, count_if, davg, dsum  # noqa: F401
+from ag_data_ingestion_github_to_snowflake_spark.operators.portable_math import (
+    floor_e6,
+    floor_e6_sql,
+    portable_ln_sql,
+)
 from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register, t
 
 
@@ -2682,11 +2687,12 @@ def split_conformal_ols(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "dp_laplace_counts",
-    # The Laplace draw is inverse-CDF over an md5-derived uniform:
-    # u = hash/2^60 is a dyadic rational (exactly representable), so
-    # ln(1-2|u-1/2|) sees identical doubles in both engines (tfidf
-    # ln-precedent); everything else is exact integers.
-    oracle="""
+    # Hash contract (hardened r12, item 5): the Laplace draw is
+    # inverse-CDF over an md5-derived uniform (u = hash/2^60, a dyadic
+    # rational) through the portable ln, so the noise double is
+    # bit-identical on any engine/libm build; presentation is
+    # floor(1e6*x).
+    oracle=f"""
     WITH g AS (
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_n FROM events GROUP BY 1
     ),
@@ -2695,13 +2701,18 @@ def split_conformal_ols(spark: SparkSession, sf: str) -> DataFrame:
              CAST(('0x' || substr(md5(event_type || ':dp'), 1, 15)) AS BIGINT)
                / 1152921504606846976.0 - 0.5 AS v
       FROM g
+    ),
+    nz AS (
+      SELECT event_type, true_n,
+             sign(v) * {portable_ln_sql("1 - 2 * abs(v)", "duckdb")} AS noise
+      FROM noise
     )
     SELECT event_type, true_n,
-           ROUND(true_n - sign(v) * ln(1 - 2 * abs(v)), 6) AS noisy_n,
-           ROUND(abs(sign(v) * ln(1 - 2 * abs(v))), 6) AS abs_noise,
+           {floor_e6_sql("true_n - noise")} AS noisy_n_e6,
+           {floor_e6_sql("abs(noise)")} AS abs_noise_e6,
            1.0 AS epsilon,
            CAST(1 AS BIGINT) AS sensitivity
-    FROM noise
+    FROM nz
     """,
     survey_ids=("B16", "B43", "B19"),
     description="epsilon-DP Laplace-noised group counts (deterministic inverse-CDF draw)",
@@ -2734,12 +2745,17 @@ def dp_laplace_counts(spark: SparkSession, sf: str) -> DataFrame:
         / F.lit(1152921504606846976.0)  # 2^60: u is a dyadic rational
         - F.lit(0.5)
     )
-    noise = F.signum(v) * F.log(F.lit(1) - F.lit(2) * F.abs(v))
-    return g.select(
+    nz = g.withColumn("v", v).withColumn(
+        "noise",
+        F.expr(
+            "sign(v) * " + portable_ln_sql("1 - 2 * abs(v)", "spark")
+        ),
+    )
+    return nz.select(
         "event_type",
         "true_n",
-        F.round(F.col("true_n") - noise, 6).alias("noisy_n"),
-        F.round(F.abs(noise), 6).alias("abs_noise"),
+        floor_e6(F.col("true_n") - F.col("noise")).alias("noisy_n_e6"),
+        floor_e6(F.abs(F.col("noise"))).alias("abs_noise_e6"),
         F.lit(1.0).alias("epsilon"),
         F.lit(1).cast("bigint").alias("sensitivity"),
     )

@@ -36,6 +36,14 @@ from pyspark.sql.window import Window
 
 from ag_data_ingestion_github_to_snowflake_spark.operators import graph as G
 from ag_data_ingestion_github_to_snowflake_spark.operators import similarity as S
+from ag_data_ingestion_github_to_snowflake_spark.operators.portable_math import (
+    floor_e6,
+    floor_e6_sql,
+    ordered_sum,
+    ordered_sum_sql,
+    portable_exp_sql,
+    portable_ln_sql,
+)
 from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register, t
 from ag_data_ingestion_github_to_snowflake_spark.plans.sampling_queries import (
     hash_bucket,
@@ -163,20 +171,23 @@ BM25_B = 0.75
     ),
     scored AS (
       SELECT tf.doc_id,
-             SUM(
-               ln(1.0 + (stats.n_docs - dfreq.dfreq + 0.5) / (dfreq.dfreq + 0.5))
-               * (tf.tf * ({BM25_K1} + 1.0))
-               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))
-             ) AS score
+             {ordered_sum_sql(
+                 portable_ln_sql(
+                     "1.0 + (stats.n_docs - dfreq.dfreq + 0.5)"
+                     " / (dfreq.dfreq + 0.5)", "duckdb")
+                 + f" * (tf.tf * ({BM25_K1} + 1.0))"
+                 + f" / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}"
+                 + f" + {BM25_B} * dl.dl / stats.avgdl))",
+                 "term")} AS score
       FROM tf
       JOIN dfreq USING (term)
       JOIN dl USING (doc_id)
       CROSS JOIN stats
       GROUP BY tf.doc_id
     )
-    SELECT doc_id, ROUND(score, 4) AS bm25
+    SELECT doc_id, {floor_e6_sql("score")} AS bm25_e6
     FROM scored
-    ORDER BY ROUND(score, 4) DESC, doc_id ASC
+    ORDER BY score DESC, doc_id ASC
     LIMIT 20
     """,
     survey_ids=("B56", "B24", "B16", "B11"),
@@ -207,25 +218,27 @@ def bm25_keyword_search(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("dfreq") + F.lit(0.5)) / (F.col("dfreq") + F.lit(0.5))
-    )
-    tf_norm = (F.col("tf") * (BM25_K1 + 1.0)) / (
-        F.col("tf")
-        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    # Same expression TEXT as the oracle (portable ln, identical
+    # operand order) so the per-term score double is bit-identical.
+    term_score = F.expr(
+        portable_ln_sql(
+            "1.0 + (n_docs - dfreq + 0.5) / (dfreq + 0.5)", "spark"
+        )
+        + f" * (tf * ({BM25_K1} + 1.0))"
+        + f" / (tf + {BM25_K1} * (1.0 - {BM25_B}"
+        + f" + {BM25_B} * dl / avgdl))"
     )
     scored = (
         tf.join(F.broadcast(dfreq), "term")
         .join(dl, "doc_id")
         .join(F.broadcast(stats))
         .groupBy("doc_id")
-        .agg(F.sum(idf * tf_norm).alias("score"))
+        .agg(ordered_sum(term_score, "term").alias("score"))
     )
     return (
-        scored.select("doc_id", F.round("score", 4).alias("bm25"))
-        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(20)
+        .select("doc_id", floor_e6(F.col("score")).alias("bm25_e6"))
     )
 
 
@@ -234,7 +247,11 @@ def bm25_keyword_search(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "quality_classifier_inference",
-    oracle="""
+    # Hash contract (hardened r12, item 5): per-token weights are
+    # exact dyadic rationals (denominator 128) so their sum is exact
+    # and order-free; the sigmoid uses the portable exp and lands in
+    # floor(1e6*p); the keep flag tests the exact logit sign.
+    oracle=f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
       FROM documents WHERE doc_id < 500
@@ -249,8 +266,10 @@ def bm25_keyword_search(spark: SparkSession, sf: str) -> DataFrame:
       SELECT doc_id, SUM(w) / COUNT(*) AS logit FROM feat GROUP BY doc_id
     )
     SELECT doc_id,
-           ROUND(1.0 / (1.0 + exp(-logit)), 6) AS prob,
-           CASE WHEN 1.0 / (1.0 + exp(-logit)) >= 0.5 THEN 1 ELSE 0 END AS keep
+           {floor_e6_sql(
+               "1.0 / (1.0 + " + portable_exp_sql("-logit", "duckdb") + ")")}
+             AS prob_e6,
+           CASE WHEN logit >= 0.0 THEN 1 ELSE 0 END AS keep
     FROM logits
     """,
     survey_ids=("B56", "B43", "B16"),
@@ -279,11 +298,13 @@ def quality_classifier_inference(spark: SparkSession, sf: str) -> DataFrame:
     logits = toks.select("doc_id", w.alias("w")).groupBy("doc_id").agg(
         (F.sum("w") / F.count(F.lit(1))).alias("logit")
     )
-    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit")))
+    prob = F.expr(
+        "1.0 / (1.0 + " + portable_exp_sql("-logit", "spark") + ")"
+    )
     return logits.select(
         "doc_id",
-        F.round(prob, 6).alias("prob"),
-        F.when(prob >= 0.5, F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+        floor_e6(prob).alias("prob_e6"),
+        F.when(F.col("logit") >= 0.0, F.lit(1)).otherwise(F.lit(0)).alias("keep"),
     )
 
 
@@ -363,7 +384,11 @@ def corpus_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "doc_perplexity_unigram",
-    oracle="""
+    # Hash contract (hardened r12, item 5): portable ln, per-doc sum
+    # grouped to (doc, term) counts FIRST and folded in term order
+    # (bounded distinct-term lists instead of per-token adds), and
+    # floor(1e6*xent) presentation.
+    oracle=f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
       FROM documents
@@ -372,13 +397,21 @@ def corpus_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
       SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY term
     ),
     total AS (SELECT SUM(cnt) AS tot FROM vocab),
+    dterm AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS dc
+      FROM toks GROUP BY doc_id, term
+    ),
     scored AS (
-      SELECT toks.doc_id,
-             -SUM(ln(CAST(vocab.cnt AS DOUBLE) / total.tot)) / COUNT(*) AS xent
-      FROM toks JOIN vocab USING (term) CROSS JOIN total
-      GROUP BY toks.doc_id
+      SELECT dterm.doc_id,
+             CAST(SUM(dc) AS BIGINT) AS n_tok,
+             {ordered_sum_sql(
+                 "CAST(dc AS DOUBLE) * " + portable_ln_sql(
+                     "CAST(vocab.cnt AS DOUBLE) / total.tot", "duckdb"),
+                 "term")} AS ssum
+      FROM dterm JOIN vocab USING (term) CROSS JOIN total
+      GROUP BY dterm.doc_id
     )
-    SELECT doc_id, ROUND(xent, 6) AS xent
+    SELECT doc_id, {floor_e6_sql("(-ssum) / CAST(n_tok AS DOUBLE)")} AS xent_e6
     FROM scored
     """,
     survey_ids=("B56", "B43", "B16"),
@@ -400,20 +433,30 @@ def doc_perplexity_unigram(spark: SparkSession, sf: str) -> DataFrame:
     """
     docs = t(spark, sf, "documents")
     toks = docs.select("doc_id", F.explode(F.split("text", "\\s+")).alias("term"))
-    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("tot"))
+    dterm = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dc")
+    )
+    term_col = F.expr(
+        "CAST(dc AS DOUBLE) * "
+        + portable_ln_sql("CAST(cnt AS DOUBLE) / tot", "spark")
+    )
     scored = (
-        toks.join(vocab, "term")
+        dterm.join(vocab, "term")
         .join(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
-            (
-                -F.sum(F.log(F.col("cnt").cast("double") / F.col("tot")))
-                / F.count(F.lit(1))
-            ).alias("xent")
+            F.sum("dc").cast("bigint").alias("n_tok"),
+            ordered_sum(term_col, "term").alias("ssum"),
         )
     )
-    return scored.select("doc_id", F.round("xent", 6).alias("xent"))
+    return scored.select(
+        "doc_id",
+        floor_e6((-F.col("ssum")) / F.col("n_tok").cast("double")).alias(
+            "xent_e6"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1372,10 +1415,13 @@ def gopher_quality_rules(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "ccnet_perplexity_buckets",
-    # Buckets order by the ROUND-6 score (with doc_id tiebreak) so the
-    # tercile assignment is bit-identical cross-engine despite
-    # fold-order noise in the raw cross-entropy sums.
-    oracle="""
+    # Hash contract (hardened r12, item 5): per-doc cross-entropy is
+    # the portable-ln term-ordered fold quantized to the exact integer
+    # xent_e6 (same contract as doc_perplexity_unigram); the tercile
+    # orders by that integer (doc_id tiebreak) and the bucket average
+    # is an exact integer floor-division — nothing in the hash touches
+    # libm, engine ROUND, or accumulation order.
+    oracle=f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
       FROM documents
@@ -1384,24 +1430,36 @@ def gopher_quality_rules(spark: SparkSession, sf: str) -> DataFrame:
       SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY term
     ),
     total AS (SELECT SUM(cnt) AS tot FROM vocab),
+    dterm AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS dc
+      FROM toks GROUP BY doc_id, term
+    ),
     scored AS (
-      SELECT toks.doc_id,
-             ROUND(-SUM(ln(CAST(vocab.cnt AS DOUBLE) / total.tot)) / COUNT(*), 6)
-               AS xent
-      FROM toks JOIN vocab USING (term) CROSS JOIN total
-      GROUP BY toks.doc_id
+      SELECT dterm.doc_id,
+             CAST(SUM(dc) AS BIGINT) AS n_tok,
+             {ordered_sum_sql(
+                 "CAST(dc AS DOUBLE) * " + portable_ln_sql(
+                     "CAST(vocab.cnt AS DOUBLE) / total.tot", "duckdb"),
+                 "term")} AS ssum
+      FROM dterm JOIN vocab USING (term) CROSS JOIN total
+      GROUP BY dterm.doc_id
+    ),
+    xe AS (
+      SELECT doc_id,
+             {floor_e6_sql("(-ssum) / CAST(n_tok AS DOUBLE)")} AS xent_e6
+      FROM scored
     ),
     bucketed AS (
-      SELECT d.lang, s.xent,
-             NTILE(3) OVER (PARTITION BY d.lang ORDER BY s.xent, s.doc_id)
+      SELECT d.lang, x.xent_e6,
+             NTILE(3) OVER (PARTITION BY d.lang ORDER BY x.xent_e6, x.doc_id)
                AS tercile
-      FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+      FROM xe x JOIN documents d ON x.doc_id = d.doc_id
     )
     SELECT lang,
            CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
              AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(SUM(xent) / COUNT(*), 6) AS avg_xent
+           CAST(SUM(xent_e6) // COUNT(*) AS BIGINT) AS avg_xent_e6
     FROM bucketed
     GROUP BY lang, tercile
     """,
@@ -1414,7 +1472,7 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
     published recipe for quality-stratifying Common Crawl (train on
     head+middle, drop or downweight tail). Composes the unigram-LM
     cross-entropy (``doc_perplexity_unigram``) with a per-language
-    NTILE; the tercile orders by the round-6 score so assignment is
+    NTILE; the tercile orders by the integer xent_e6 so assignment is
     engine-identical. Two fact shuffles for the LM, one lang-keyed
     window, one group aggregate.
 
@@ -1428,21 +1486,31 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = t(spark, sf, "documents")
     toks = docs.select("doc_id", F.explode(F.split("text", "\\s+")).alias("term"))
-    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("tot"))
+    dterm = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dc")
+    )
+    term_col = F.expr(
+        "CAST(dc AS DOUBLE) * "
+        + portable_ln_sql("CAST(cnt AS DOUBLE) / tot", "spark")
+    )
     scored = (
-        toks.join(vocab, "term")
+        dterm.join(vocab, "term")
         .join(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
-            F.round(
-                -F.sum(F.log(F.col("cnt").cast("double") / F.col("tot")))
-                / F.count(F.lit(1)),
-                6,
-            ).alias("xent")
+            F.sum("dc").cast("bigint").alias("n_tok"),
+            ordered_sum(term_col, "term").alias("ssum"),
+        )
+        .select(
+            "doc_id",
+            floor_e6((-F.col("ssum")) / F.col("n_tok").cast("double")).alias(
+                "xent_e6"
+            ),
         )
     )
-    w = Window.partitionBy("lang").orderBy("xent", "doc_id")
+    w = Window.partitionBy("lang").orderBy("xent_e6", "doc_id")
     bucketed = (
         scored.join(docs.select("doc_id", "lang"), "doc_id")
         .withColumn("tercile", F.ntile(3).over(w))
@@ -1451,8 +1519,10 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
         bucketed.groupBy("lang", "tercile")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.round(F.sum("xent") / F.count(F.lit(1)), 6).alias("avg_xent"),
+            F.sum("xent_e6").alias("sx"),
         )
+        .withColumn("avg_xent_e6", F.expr("sx div n_docs"))
+        .drop("sx")
         .select(
             "lang",
             F.when(F.col("tercile") == 1, "head")
@@ -1460,7 +1530,7 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
             .otherwise("tail")
             .alias("bucket"),
             "n_docs",
-            "avg_xent",
+            "avg_xent_e6",
         )
     )
 
@@ -1672,13 +1742,12 @@ def domain_mixture_reweight(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "naive_bayes_lang_confusion",
-    # Every model parameter is an integer count; ln only touches
-    # integer-valued inputs (counts + 1, class totals + vocab), so both
-    # engines compute identical doubles per term (tfidf ln-precedent).
-    # Per-doc score sums are rounded to 9 decimals BEFORE the argmax in
-    # both engines, so partial-sum association jitter (~1e-14) cannot
-    # flip the predicted class; the confusion cells are then integers.
-    oracle="""
+    # Hash contract (hardened r12, item 5): the confusion cells are
+    # integers, but the ARGMAX behind them compares log-scores — so
+    # every ln is the portable sqrt-reduction ln and the per-doc
+    # numerator folds in WORD order, making the compared doubles
+    # bit-identical on any engine/libm build (no round-9 shim needed).
+    oracle=f"""
     WITH split AS (
       SELECT doc_id, lang, text,
              CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) < 200
@@ -1711,17 +1780,22 @@ def domain_mixture_reweight(spark: SparkSession, sf: str) -> DataFrame:
       FROM test_tok GROUP BY 1, 2
     ),
     s1 AS (
-      SELECT tt.doc_id, clw.lang, SUM(tt.cnt * ln(CAST(clw.c + 1 AS DOUBLE))) AS s_num
+      SELECT tt.doc_id, clw.lang,
+             {ordered_sum_sql(
+                 "tt.cnt * " + portable_ln_sql(
+                     "CAST(clw.c + 1 AS DOUBLE)", "duckdb"),
+                 "tt.word")} AS s_num
       FROM test_tok tt JOIN clw ON tt.word = clw.word
       GROUP BY 1, 2
     ),
     scored AS (
       SELECT dl.doc_id, dl.lang_true, ct.lang AS lang_cand,
-             ROUND(
-               ln(CAST(p.d_l AS DOUBLE)) - ln(CAST(dt.d AS DOUBLE))
-               + COALESCE(s1.s_num, 0.0)
-               - dl.n_tok * ln(CAST(ct.t_l + vocab.v AS DOUBLE)),
-             9) AS score
+             {portable_ln_sql("CAST(p.d_l AS DOUBLE)", "duckdb", "pa")}
+             - {portable_ln_sql("CAST(dt.d AS DOUBLE)", "duckdb", "pb")}
+             + COALESCE(s1.s_num, 0.0)
+             - dl.n_tok * {portable_ln_sql(
+                 "CAST(ct.t_l + vocab.v AS DOUBLE)", "duckdb", "pc")}
+               AS score
       FROM doc_len dl
       CROSS JOIN class_tot ct
       JOIN prior p ON p.lang = ct.lang
@@ -1790,13 +1864,13 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
     doc_len = test_tok.groupBy("doc_id", "lang_true").agg(
         F.sum("cnt").cast("bigint").alias("n_tok")
     )
+    s1_term = F.expr(
+        "cnt * " + portable_ln_sql("CAST(c + 1 AS DOUBLE)", "spark")
+    )
     s1 = (
         test_tok.join(F.broadcast(clw), "word")
         .groupBy("doc_id", F.col("lang").alias("lang_cand"))
-        .agg(
-            F.sum(F.col("cnt") * F.log((F.col("c") + F.lit(1)).cast("double")))
-            .alias("s_num")
-        )
+        .agg(ordered_sum(s1_term, "word").alias("s_num"))
     )
     cand = class_tot.join(F.broadcast(prior), "lang").withColumnRenamed(
         "lang", "lang_cand"
@@ -1810,12 +1884,12 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
             "doc_id",
             "lang_true",
             "lang_cand",
-            F.round(
-                F.log(F.col("d_l").cast("double"))
-                - F.log(F.col("d").cast("double"))
-                + F.coalesce(F.col("s_num"), F.lit(0.0))
-                - F.col("n_tok") * F.log((F.col("t_l") + F.col("v")).cast("double")),
-                9,
+            F.expr(
+                portable_ln_sql("CAST(d_l AS DOUBLE)", "spark", "pa")
+                + " - "
+                + portable_ln_sql("CAST(d AS DOUBLE)", "spark", "pb")
+                + " + COALESCE(s_num, 0.0) - n_tok * "
+                + portable_ln_sql("CAST(t_l + v AS DOUBLE)", "spark", "pc")
             ).alias("score"),
         )
     )
@@ -1901,15 +1975,30 @@ def containment_join_docs(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Fellegi-Sunter record linkage: incoming batch vs master table
 # ---------------------------------------------------------------------------
+def _fs_weight(dialect: str, g: str, u: str) -> str:
+    """The 3-field Fellegi-Sunter log-weight, portable-ln form; ``g``/
+    ``u`` are the column-qualifier prefixes per dialect context."""
+    ln = portable_ln_sql
+    return (
+        f"(CASE WHEN {g}g_seg IS NULL THEN 0.0"
+        f" WHEN {g}g_seg = 1 THEN {ln(f'0.95 / {u}u_seg', dialect, 'pa')}"
+        f" ELSE {ln(f'0.05 / (1.0 - {u}u_seg)', dialect, 'pb')} END)"
+        f" + (CASE WHEN {g}g_bal = 1"
+        f" THEN {ln(f'0.90 / {u}u_bal', dialect, 'pc')}"
+        f" ELSE {ln(f'0.10 / (1.0 - {u}u_bal)', dialect, 'pd')} END)"
+        f" + (CASE WHEN {g}g_sfx = 1"
+        f" THEN {ln(f'0.98 / {u}u_sfx', dialect, 'pe')}"
+        f" ELSE {ln(f'0.02 / (1.0 - {u}u_sfx)', dialect, 'pf')} END)"
+    )
+
+
 @register(
     "record_linkage_fs",
-    # u-probabilities are estimated from the candidate pairs themselves
-    # (overwhelmingly non-matches, the standard FS estimator); m are
-    # fixed literals. Field weights sum in one fixed 3-term expression;
-    # ln() is the only non-correctly-rounded op, so the total weight is
-    # rounded to 9 BEFORE the rank. The batch is a fixed 300-key slice
-    # with deterministic perturbations.
-    oracle="""
+    # Hash contract (hardened r12, item 5): u-probabilities are exact
+    # count ratios; the 3-term log-weight uses the portable ln, so the
+    # ranked doubles are bit-identical cross-engine/build; output is
+    # floor(1e6*w) with the rank on the raw double.
+    oracle=f"""
     WITH batch AS (
       SELECT c_custkey AS a_key, c_nationkey,
              CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END
@@ -1936,18 +2025,11 @@ def containment_join_docs(spark: SparkSession, sf: str) -> DataFrame:
     ),
     w AS (
       SELECT c.a_key, c.b_key, c.g_seg, c.g_bal, c.g_sfx,
-             ROUND(
-               (CASE WHEN c.g_seg IS NULL THEN 0.0
-                     WHEN c.g_seg = 1 THEN ln(0.95 / u.u_seg)
-                     ELSE ln(0.05 / (1.0 - u.u_seg)) END)
-               + (CASE WHEN c.g_bal = 1 THEN ln(0.90 / u.u_bal)
-                       ELSE ln(0.10 / (1.0 - u.u_bal)) END)
-               + (CASE WHEN c.g_sfx = 1 THEN ln(0.98 / u.u_sfx)
-                       ELSE ln(0.02 / (1.0 - u.u_sfx)) END),
-             9) AS weight
+             {_fs_weight("duckdb", "c.", "u.")} AS weight
       FROM cand c, u
     )
-    SELECT a_key, b_key, g_seg, g_bal, g_sfx, weight,
+    SELECT a_key, b_key, g_seg, g_bal, g_sfx,
+           {floor_e6_sql("weight")} AS weight_e6,
            CAST(CASE WHEN a_key = b_key THEN 1 ELSE 0 END AS INTEGER)
              AS is_true_match
     FROM w
@@ -2012,16 +2094,7 @@ def record_linkage_fs(spark: SparkSession, sf: str) -> DataFrame:
         (F.sum("g_sfx").cast("double") / F.count(F.lit(1))).alias("u_sfx"),
     )
     w = cand.join(F.broadcast(u))
-    weight = F.round(
-        F.when(F.col("g_seg").isNull(), F.lit(0.0))
-        .when(F.col("g_seg") == 1, F.log(F.lit(0.95) / F.col("u_seg")))
-        .otherwise(F.log(F.lit(0.05) / (F.lit(1.0) - F.col("u_seg"))))
-        + F.when(F.col("g_bal") == 1, F.log(F.lit(0.90) / F.col("u_bal")))
-        .otherwise(F.log(F.lit(0.10) / (F.lit(1.0) - F.col("u_bal"))))
-        + F.when(F.col("g_sfx") == 1, F.log(F.lit(0.98) / F.col("u_sfx")))
-        .otherwise(F.log(F.lit(0.02) / (F.lit(1.0) - F.col("u_sfx")))),
-        9,
-    )
+    weight = F.expr(_fs_weight("spark", "", ""))
     return (
         w.select(
             "a_key",
@@ -2037,4 +2110,13 @@ def record_linkage_fs(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy(F.desc("weight"), "a_key", "b_key")
         .limit(50)
+        .select(
+            "a_key",
+            "b_key",
+            "g_seg",
+            "g_bal",
+            "g_sfx",
+            floor_e6(F.col("weight")).alias("weight_e6"),
+            "is_true_match",
+        )
     )

@@ -22,6 +22,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ag_data_ingestion_github_to_snowflake_spark.operators.portable_math import (
+    floor_e6,
+    floor_e6_sql,
+    ordered_sum,
+    ordered_sum_sql,
+    portable_exp_sql,
+    portable_ln_sql,
+)
 from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register, t
 
 
@@ -554,11 +562,12 @@ def kaplan_meier_survival(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "mutual_info_lang_source",
-    # All probabilities are integer-count ratios; ln appears only in
-    # the final rounded presentation (tfidf precedent). The cell table
-    # is |lang| x |source| — tiny — so summation-order jitter is far
-    # below the 6-decimal hash resolution.
-    oracle="""
+    # Hash contract (hardened r12, VERDICT r11 item 5): every ln is
+    # the portable sqrt-reduction ln (bit-identical on any libm
+    # build), the cross-cell sums replay as key-ORDERED folds, and
+    # presentation is floor(1e6*x) — no libm, no engine ROUND, no
+    # accumulation-order dependence anywhere in the hashed values.
+    oracle=f"""
     WITH cell AS (
       SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS nxy
       FROM documents GROUP BY lang, source
@@ -567,15 +576,23 @@ def kaplan_meier_survival(spark: SparkSession, sf: str) -> DataFrame:
     my AS (SELECT source, CAST(SUM(nxy) AS BIGINT) AS ny FROM cell GROUP BY source),
     tot AS (SELECT CAST(SUM(nxy) AS DOUBLE) AS n FROM cell),
     mi AS (
-      SELECT SUM((nxy / n) * ln(nxy * n / (CAST(nx AS DOUBLE) * ny))) AS mi_nats
+      SELECT {ordered_sum_sql(
+          "(nxy / n) * " + portable_ln_sql(
+              "(nxy * n) / (CAST(nx AS DOUBLE) * ny)", "duckdb"),
+          "lang, source")} AS mi_nats
       FROM cell JOIN mx USING (lang) JOIN my USING (source), tot
     ),
-    hx AS (SELECT -SUM((nx / n) * ln(nx / n)) AS h_lang FROM mx, tot),
-    hy AS (SELECT -SUM((ny / n) * ln(ny / n)) AS h_source FROM my, tot)
-    SELECT ROUND(mi.mi_nats, 6) AS mi_nats,
-           ROUND(hx.h_lang, 6) AS h_lang,
-           ROUND(hy.h_source, 6) AS h_source,
-           ROUND(mi.mi_nats / LEAST(hx.h_lang, hy.h_source), 6) AS norm_mi
+    hx AS (SELECT -{ordered_sum_sql(
+        "(nx / n) * " + portable_ln_sql("(nx / n)", "duckdb"),
+        "lang")} AS h_lang FROM mx, tot),
+    hy AS (SELECT -{ordered_sum_sql(
+        "(ny / n) * " + portable_ln_sql("(ny / n)", "duckdb"),
+        "source")} AS h_source FROM my, tot)
+    SELECT {floor_e6_sql("mi.mi_nats")} AS mi_nats_e6,
+           {floor_e6_sql("hx.h_lang")} AS h_lang_e6,
+           {floor_e6_sql("hy.h_source")} AS h_source_e6,
+           {floor_e6_sql("mi.mi_nats / LEAST(hx.h_lang, hy.h_source)")}
+             AS norm_mi_e6
     FROM mi, hx, hy
     """,
     survey_ids=("B18", "B16", "B43"),
@@ -601,38 +618,38 @@ def mutual_info_lang_source(spark: SparkSession, sf: str) -> DataFrame:
     mx = cell.groupBy("lang").agg(F.sum("nxy").cast("bigint").alias("nx"))
     my = cell.groupBy("source").agg(F.sum("nxy").cast("bigint").alias("ny"))
     tot = cell.agg(F.sum("nxy").cast("double").alias("n"))
+    mi_term = F.expr(
+        "(nxy / n) * "
+        + portable_ln_sql("(nxy * n) / (CAST(nx AS DOUBLE) * ny)", "spark")
+    )
     mi = (
         cell.join(F.broadcast(mx), "lang")
         .join(F.broadcast(my), "source")
         .join(F.broadcast(tot))
-        .agg(
-            F.sum(
-                (F.col("nxy") / F.col("n"))
-                * F.log(
-                    F.col("nxy") * F.col("n")
-                    / (F.col("nx").cast("double") * F.col("ny"))
-                )
-            ).alias("mi_nats")
-        )
+        .agg(ordered_sum(mi_term, "lang", "source").alias("mi_nats"))
+    )
+    hx_term = F.expr(
+        "(nx / n) * " + portable_ln_sql("(nx / n)", "spark")
     )
     hx = mx.join(F.broadcast(tot)).agg(
-        (-F.sum((F.col("nx") / F.col("n")) * F.log(F.col("nx") / F.col("n"))))
-        .alias("h_lang")
+        (-ordered_sum(hx_term, "lang")).alias("h_lang")
+    )
+    hy_term = F.expr(
+        "(ny / n) * " + portable_ln_sql("(ny / n)", "spark")
     )
     hy = my.join(F.broadcast(tot)).agg(
-        (-F.sum((F.col("ny") / F.col("n")) * F.log(F.col("ny") / F.col("n"))))
-        .alias("h_source")
+        (-ordered_sum(hy_term, "source")).alias("h_source")
     )
     return (
         mi.join(F.broadcast(hx))
         .join(F.broadcast(hy))
         .select(
-            F.round("mi_nats", 6).alias("mi_nats"),
-            F.round("h_lang", 6).alias("h_lang"),
-            F.round("h_source", 6).alias("h_source"),
-            F.round(
-                F.col("mi_nats") / F.least(F.col("h_lang"), F.col("h_source")), 6
-            ).alias("norm_mi"),
+            floor_e6(F.col("mi_nats")).alias("mi_nats_e6"),
+            floor_e6(F.col("h_lang")).alias("h_lang_e6"),
+            floor_e6(F.col("h_source")).alias("h_source_e6"),
+            floor_e6(
+                F.col("mi_nats") / F.least(F.col("h_lang"), F.col("h_source"))
+            ).alias("norm_mi_e6"),
         )
     )
 
@@ -1103,18 +1120,38 @@ def anova_oneway_f(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _BH_PHI_TAIL_DOC = """Normal upper-tail via the Abramowitz-Stegun
 26.2.17 polynomial, written in IDENTICAL Horner form in both engines;
-exp() is the one non-correctly-rounded op, so p-values are rounded to
-9 decimals BEFORE ranking/thresholding on both sides."""
+exp is the portable sqrt-scaled Taylor (bit-identical on any build);
+p-values are floor-quantized to integer 1e-9 grains BEFORE the BH
+rank/threshold, which then runs in exact integer arithmetic."""
+
+_BH_T = "(1.0 / (1.0 + 0.2316419 * az))"
+_BH_HORNER = (
+    f"({_BH_T} * (0.319381530 + {_BH_T} * (-0.356563782 + {_BH_T}"
+    f" * (1.781477937 + {_BH_T} * (-1.821255978 + {_BH_T}"
+    " * 1.330274429)))))"
+)
+
+
+def _bh_p_e9(dialect: str) -> str:
+    tail = portable_exp_sql("-((az * az) / 2.0)", dialect)
+    return (
+        "CAST(floor(1000000000.0 * (2.0 * ("
+        + tail
+        + " * 0.3989422804014327) * "
+        + _BH_HORNER
+        + ")) AS BIGINT)"
+    )
 
 
 @register(
     "fdr_bh_segment_tests",
-    # z is assembled from exact integer counts (sqrt/div are correctly
-    # rounded IEEE); the A&S tail polynomial is the same Horner chain
-    # both sides; ROUND(p, 9) happens before the BH rank so the two
-    # engines rank identical values. BH step-up: largest rank i with
-    # p_i <= i*q/m rejects ranks 1..i (q = 0.10).
-    oracle="""
+    # Hash contract (hardened r12, item 5): z is assembled from exact
+    # integer counts (sqrt/div correctly rounded); the A&S tail uses
+    # the portable exp, so p-values are bit-identical cross-engine and
+    # cross-build; p_value_e9 = floor(1e9*p) is an exact integer, and
+    # the BH step-up (largest rank i with p <= i*q/m, q=0.10) runs as
+    # the exact integer comparison p_e9 * 10m <= rank * 1e9.
+    oracle=f"""
     WITH per AS (
       SELECT n.n_name,
              CAST(COUNT(*) AS BIGINT) AS n1,
@@ -1141,33 +1178,21 @@ exp() is the one non-correctly-rounded op, so p-values are rounded to
       FROM per p, tot t
     ),
     pv AS (
-      SELECT n_name, n1, x1, m, zv,
-             ROUND(2.0 * (exp(-abs(zv) * abs(zv) / 2.0) * 0.3989422804014327)
-                   * ((1.0 / (1.0 + 0.2316419 * abs(zv)))
-                      * (0.319381530
-                         + (1.0 / (1.0 + 0.2316419 * abs(zv)))
-                           * (-0.356563782
-                              + (1.0 / (1.0 + 0.2316419 * abs(zv)))
-                                * (1.781477937
-                                   + (1.0 / (1.0 + 0.2316419 * abs(zv)))
-                                     * (-1.821255978
-                                        + (1.0 / (1.0 + 0.2316419 * abs(zv)))
-                                          * 1.330274429))))),
-                   9) AS p_value
-      FROM z
+      SELECT n_name, n1, x1, m, zv, {_bh_p_e9("duckdb")} AS p_value_e9
+      FROM (SELECT *, abs(zv) AS az FROM z)
     ),
     ranked AS (
-      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY p_value, n_name) AS BIGINT)
-                  AS p_rank
+      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY p_value_e9, n_name)
+                     AS BIGINT) AS p_rank
       FROM pv
     ),
     kstar AS (
       SELECT COALESCE(MAX(p_rank), 0) AS ks
-      FROM ranked WHERE p_value <= p_rank * 0.10 / m
+      FROM ranked WHERE p_value_e9 * (10 * m) <= p_rank * 1000000000
     )
     SELECT r.n_name, r.n1, r.x1,
-           ROUND(r.zv, 6) AS z_stat,
-           r.p_value,
+           {floor_e6_sql("r.zv")} AS z_stat_e6,
+           r.p_value_e9,
            r.p_rank,
            CAST(CASE WHEN r.p_rank <= k.ks THEN 1 ELSE 0 END AS INTEGER)
              AS bh_reject
@@ -1187,7 +1212,9 @@ def fdr_bh_segment_tests(spark: SparkSession, sf: str) -> DataFrame:
     shuffle-hash beyond) reduces to a 25-row nation table; everything
     after — z, the A&S tail, the BH rank/threshold — runs on 25 rows.
     The 1-row totals row and k* attach via broadcast. p-values are
-    rounded to 9 BEFORE ranking so exp() ulp drift can't reorder.
+    floor-quantized to integer 1e-9 grains (portable exp, so the
+    grains are bit-identical cross-engine) before ranking, and the BH
+    threshold is an exact integer comparison.
     """
     o = t(spark, sf, "orders")
     c = t(spark, sf, "customer")
@@ -1221,20 +1248,8 @@ def fdr_bh_segment_tests(spark: SparkSession, sf: str) -> DataFrame:
         * (F.lit(1.0) - pool)
         * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / (F.col("nn") - F.col("n1")))
     )
-    z = z.select("n_name", "n1", "x1", "m", zv.alias("zv"))
-    az = F.abs(F.col("zv"))
-    tt = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * az)
-    horner = tt * (
-        F.lit(0.319381530)
-        + tt
-        * (
-            F.lit(-0.356563782)
-            + tt
-            * (
-                F.lit(1.781477937)
-                + tt * (F.lit(-1.821255978) + tt * F.lit(1.330274429))
-            )
-        )
+    z = z.select("n_name", "n1", "x1", "m", zv.alias("zv")).withColumn(
+        "az", F.abs(F.col("zv"))
     )
     pv = z.select(
         "n_name",
@@ -1242,26 +1257,22 @@ def fdr_bh_segment_tests(spark: SparkSession, sf: str) -> DataFrame:
         "x1",
         "m",
         "zv",
-        F.round(
-            F.lit(2.0)
-            * (F.exp(-az * az / F.lit(2.0)) * F.lit(0.3989422804014327))
-            * horner,
-            9,
-        ).alias("p_value"),
+        F.expr(_bh_p_e9("spark")).alias("p_value_e9"),
     )
-    w = Window.orderBy("p_value", "n_name")
+    w = Window.orderBy("p_value_e9", "n_name")
     ranked = pv.withColumn(
         "p_rank", F.row_number().over(w).cast("bigint")
     ).persist()
     kstar = ranked.filter(
-        F.col("p_value") <= F.col("p_rank") * F.lit(0.10) / F.col("m")
+        F.col("p_value_e9") * (F.lit(10) * F.col("m"))
+        <= F.col("p_rank") * F.lit(1000000000)
     ).agg(F.coalesce(F.max("p_rank"), F.lit(0)).alias("ks"))
     return ranked.join(F.broadcast(kstar)).select(
         "n_name",
         "n1",
         "x1",
-        F.round("zv", 6).alias("z_stat"),
-        "p_value",
+        floor_e6(F.col("zv")).alias("z_stat_e6"),
+        "p_value_e9",
         "p_rank",
         F.when(F.col("p_rank") <= F.col("ks"), 1)
         .otherwise(0)
@@ -1649,14 +1660,24 @@ def target_encoding_kfold(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Population stability index between two periods
 # ---------------------------------------------------------------------------
+_PSI_PA = "((CAST(na AS DOUBLE) + 1.0) / (CAST(ta AS DOUBLE) + k))"
+_PSI_PE = "((CAST(ne AS DOUBLE) + 1.0) / (CAST(te AS DOUBLE) + k))"
+
+
+def _psi_term(dialect: str) -> str:
+    return (
+        f"({_PSI_PA} - {_PSI_PE}) * "
+        + portable_ln_sql(f"({_PSI_PA} / {_PSI_PE})", dialect)
+    )
+
+
 @register(
     "psi_population_stability",
-    # Bucket counts are exact integers under a fixed bucketing; the
-    # Laplace-smoothed rates and per-bucket terms are doubles in fixed
-    # operand order, and the cross-bucket sum folds over the
-    # bucket-SORTED 10-element list (the anova convention). ln() ulp
-    # drift is absorbed by round-6 on the single output.
-    oracle="""
+    # Hash contract (hardened r12, item 5): bucket counts are exact
+    # integers; the Laplace-smoothed per-bucket term uses the portable
+    # sqrt-reduction ln (bit-identical on any build), the cross-bucket
+    # sum is a bucket-ORDERED fold, and presentation is floor(1e6*x).
+    oracle=f"""
     WITH b AS (
       SELECT LEAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT), 9) AS bucket,
              CAST(SUM(CASE WHEN o_orderdate <  TIMESTAMP '1996-07-01'
@@ -1674,17 +1695,11 @@ def target_encoding_kfold(spark: SparkSession, sf: str) -> DataFrame:
     tot AS (
       SELECT CAST(MAX(te) AS BIGINT) AS te, CAST(MAX(ta) AS BIGINT) AS ta,
              CAST(MAX(k) AS BIGINT) AS k,
-             list_reduce(
-               list(((CAST(na AS DOUBLE) + 1.0) / (CAST(ta AS DOUBLE) + k)
-                     - (CAST(ne AS DOUBLE) + 1.0) / (CAST(te AS DOUBLE) + k))
-                    * ln(((CAST(na AS DOUBLE) + 1.0) / (CAST(ta AS DOUBLE) + k))
-                         / ((CAST(ne AS DOUBLE) + 1.0) / (CAST(te AS DOUBLE) + k)))
-                    ORDER BY bucket),
-               (acc, x) -> acc + x) AS psi
+             {ordered_sum_sql(_psi_term("duckdb"), "bucket")} AS psi
       FROM m
     )
     SELECT te AS n_expected, ta AS n_actual, k AS k_buckets,
-           ROUND(psi, 6) AS psi
+           {floor_e6_sql("psi")} AS psi_e6
     FROM tot
     """,
     survey_ids=("B16", "B19", "B43"),
@@ -1725,39 +1740,17 @@ def psi_population_stability(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("na").over(wa).alias("ta"),
         F.count(F.lit(1)).over(wa).alias("k"),
     )
-    tot = b2.agg(
+    tot = b2.withColumn("term", F.expr(_psi_term("spark"))).agg(
         F.max("te").cast("bigint").alias("n_expected"),
         F.max("ta").cast("bigint").alias("n_actual"),
         F.max("k").cast("bigint").alias("k_buckets"),
-        F.aggregate(
-            F.array_sort(
-                F.collect_list(F.struct("bucket", "ne", "na", "te", "ta", "k"))
-            ),
-            F.lit(0.0),
-            lambda acc, e: acc
-            + (
-                (e["na"].cast("double") + F.lit(1.0))
-                / (e["ta"].cast("double") + e["k"])
-                - (e["ne"].cast("double") + F.lit(1.0))
-                / (e["te"].cast("double") + e["k"])
-            )
-            * F.log(
-                (
-                    (e["na"].cast("double") + F.lit(1.0))
-                    / (e["ta"].cast("double") + e["k"])
-                )
-                / (
-                    (e["ne"].cast("double") + F.lit(1.0))
-                    / (e["te"].cast("double") + e["k"])
-                )
-            ),
-        ).alias("psi_raw"),
+        ordered_sum(F.col("term"), "bucket").alias("psi_raw"),
     )
     return tot.select(
         "n_expected",
         "n_actual",
         "k_buckets",
-        F.round("psi_raw", 6).alias("psi"),
+        floor_e6(F.col("psi_raw")).alias("psi_e6"),
     )
 
 

@@ -17,6 +17,12 @@ from ag_data_ingestion_github_to_snowflake_spark.operators import graph as G
 from ag_data_ingestion_github_to_snowflake_spark.operators import multimodal as M
 from ag_data_ingestion_github_to_snowflake_spark.operators import similarity as S
 from ag_data_ingestion_github_to_snowflake_spark.operators import text as X
+from ag_data_ingestion_github_to_snowflake_spark.operators.portable_math import (
+    floor_e6,
+    floor_e6_sql,
+    portable_exp_sql,
+    portable_ln_sql,
+)
 from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register, t
 
 
@@ -1261,7 +1267,10 @@ def pii_redaction_docs(spark: SparkSession, sf: str) -> DataFrame:
            CAST(list_max([abs(x) FOR x IN q]) AS BIGINT) AS max_code,
            ROUND(list_max([abs(p[1] - CAST(p[2] AS DOUBLE) * scale)
                            FOR p IN list_zip(v, q)]), 9) AS max_abs_err,
-           ROUND(list_sum([pow(p[1] - CAST(p[2] AS DOUBLE) * scale, 2)
+           -- squared via explicit multiply (libm pow is not required
+           -- to be correctly rounded even for integer exponents)
+           ROUND(list_sum([(p[1] - CAST(p[2] AS DOUBLE) * scale)
+                           * (p[1] - CAST(p[2] AS DOUBLE) * scale)
                            FOR p IN list_zip(v, q)])
                  / GREATEST(len(v), 1), 9) AS mse_r
     FROM coded
@@ -1361,7 +1370,10 @@ def ngram_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "tfidf_top_terms",
-    oracle="""
+    # Hash contract (hardened r12, item 5): idf uses the portable ln
+    # (bit-identical cross-engine/build), the per-doc top-3 ranks by
+    # the raw identical double, and presentation is floor(1e6*x).
+    oracle=f"""
     WITH docs_sub AS (
       SELECT doc_id, string_split_regex(text, '\\s+') AS toks
       FROM documents WHERE doc_id < 100
@@ -1377,11 +1389,12 @@ def ngram_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
     nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM docs_sub),
     scored AS (
       SELECT tf.doc_id, tf.term, tf.tf, dfreq.dfreq,
-             ROUND(tf.tf * ln((nd.n_docs + 1.0) / (dfreq.dfreq + 1.0)), 6)
+             tf.tf * {portable_ln_sql(
+                 "(nd.n_docs + 1.0) / (dfreq.dfreq + 1.0)", "duckdb")}
                AS tfidf
       FROM tf JOIN dfreq USING (term) CROSS JOIN nd
     )
-    SELECT doc_id, term, tf, dfreq, tfidf
+    SELECT doc_id, term, tf, dfreq, {floor_e6_sql("tfidf")} AS tfidf_e6
     FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
                                    ORDER BY tfidf DESC, term ASC) AS rn
@@ -1417,10 +1430,11 @@ def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
             "term",
             "tf",
             "dfreq",
-            F.round(
-                F.col("tf")
-                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("dfreq") + F.lit(1.0))),
-                6,
+            F.expr(
+                "tf * "
+                + portable_ln_sql(
+                    "(n_docs + 1.0) / (dfreq + 1.0)", "spark"
+                )
             ).alias("tfidf"),
         )
     )
@@ -1429,6 +1443,13 @@ def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .drop("rn")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "dfreq",
+            floor_e6(F.col("tfidf")).alias("tfidf_e6"),
+        )
     )
 
 
@@ -2188,11 +2209,12 @@ def ngram_novelty_docs(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "heaps_law_fit",
-    # Each word contributes one row at its FIRST document (min doc_id);
-    # checkpoint vocab sizes are exact cumulative integer counts over
-    # the 10-row checkpoint table; the log-log OLS runs on 10 points
-    # with the cross-point sums folded in checkpoint order.
-    oracle="""
+    # Hash contract (hardened r12, item 5): each word contributes one
+    # row at its FIRST document (min doc_id); checkpoint vocab sizes
+    # are exact cumulative integer counts; the log-log OLS runs on 10
+    # points via portable ln/exp with checkpoint-ordered folds, and
+    # both fitted constants present as floor(1e6*x).
+    oracle=f"""
     WITH mx AS (SELECT MAX(doc_id) AS mdoc FROM documents),
     firstdoc AS (
       SELECT tk AS token, MIN(doc_id) AS fdoc
@@ -2221,7 +2243,8 @@ def ngram_novelty_docs(spark: SparkSession, sf: str) -> DataFrame:
       -- sub-10-doc corpus) have vocab 0: the Spark side's inner joins
       -- drop them naturally; drop them here too instead of ln(0).
       SELECT k, n_tokens, vocab,
-             ln(CAST(n_tokens AS DOUBLE)) AS x, ln(CAST(vocab AS DOUBLE)) AS y
+             {portable_ln_sql("CAST(n_tokens AS DOUBLE)", "duckdb", "px")} AS x,
+             {portable_ln_sql("CAST(vocab AS DOUBLE)", "duckdb", "py")} AS y
       FROM cp WHERE vocab > 0
     ),
     fit AS (
@@ -2231,12 +2254,17 @@ def ngram_novelty_docs(spark: SparkSession, sf: str) -> DataFrame:
              list_reduce(list(x * x ORDER BY k), (a, b) -> a + b) AS sxx,
              list_reduce(list(x * y ORDER BY k), (a, b) -> a + b) AS sxy
       FROM pts
+    ),
+    fitb AS (
+      SELECT n, sx, sy,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta
+      FROM fit
     )
     SELECT CAST(n AS BIGINT) AS k_checkpoints,
-           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS heaps_beta,
-           ROUND(exp(sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx / n), 4)
-             AS heaps_k
-    FROM fit
+           {floor_e6_sql("beta")} AS heaps_beta_e6,
+           {floor_e6_sql(portable_exp_sql(
+               "sy / n - beta * sx / n", "duckdb"))} AS heaps_k_e6
+    FROM fitb
     """,
     survey_ids=("B56", "B16", "B43"),
     description="Heaps'-law exponent: log-log OLS of vocabulary size vs corpus tokens at 10 checkpoints",
@@ -2299,8 +2327,12 @@ def heaps_law_fit(spark: SparkSession, sf: str) -> DataFrame:
     )
     pts = tok_cp.join(voc_cp, "k").select(
         "k",
-        F.log(F.col("n_tokens").cast("double")).alias("x"),
-        F.log(F.col("vocab").cast("double")).alias("y"),
+        F.expr(
+            portable_ln_sql("CAST(n_tokens AS DOUBLE)", "spark", "px")
+        ).alias("x"),
+        F.expr(
+            portable_ln_sql("CAST(vocab AS DOUBLE)", "spark", "py")
+        ).alias("y"),
     )
     fit = pts.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
@@ -2328,12 +2360,12 @@ def heaps_law_fit(spark: SparkSession, sf: str) -> DataFrame:
     beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     )
-    return fit.select(
+    return fit.withColumn("beta", beta).select(
         F.col("n").cast("bigint").alias("k_checkpoints"),
-        F.round(beta, 6).alias("heaps_beta"),
-        F.round(
-            F.exp(F.col("sy") / F.col("n") - beta * F.col("sx") / F.col("n")), 4
-        ).alias("heaps_k"),
+        floor_e6(F.col("beta")).alias("heaps_beta_e6"),
+        floor_e6(
+            F.expr(portable_exp_sql("sy / n - beta * sx / n", "spark"))
+        ).alias("heaps_k_e6"),
     )
 
 
@@ -2342,12 +2374,13 @@ def heaps_law_fit(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "zipf_law_fit",
-    # Term frequencies are exact integer counts; ranks carry a
-    # (count DESC, term) total order; the log-log OLS over the top-500
-    # runs with rank-ordered folds so cross-engine addition order is
-    # pinned. Heaps' law (heaps_law_fit) is the vocabulary-GROWTH
-    # sibling; this is the frequency-DECAY one.
-    oracle="""
+    # Hash contract (hardened r12, item 5): term frequencies are exact
+    # integer counts; ranks carry a (count DESC, term) total order; the
+    # log-log OLS over the top-500 uses portable ln/exp with
+    # rank-ordered folds and floor(1e6*x) presentation. Heaps' law
+    # (heaps_law_fit) is the vocabulary-GROWTH sibling; this is the
+    # frequency-DECAY one.
+    oracle=f"""
     WITH tf AS (
       SELECT tk AS term, CAST(COUNT(*) AS BIGINT) AS freq
       FROM (SELECT UNNEST(string_split_regex(text, '\\s+')) AS tk
@@ -2362,8 +2395,9 @@ def heaps_law_fit(spark: SparkSession, sf: str) -> DataFrame:
       FROM tf
     ),
     top AS (
-      SELECT rnk, ln(CAST(rnk AS DOUBLE)) AS x,
-             ln(CAST(freq AS DOUBLE)) AS y
+      SELECT rnk,
+             {portable_ln_sql("CAST(rnk AS DOUBLE)", "duckdb", "px")} AS x,
+             {portable_ln_sql("CAST(freq AS DOUBLE)", "duckdb", "py")} AS y
       FROM ranked WHERE rnk <= 500
     ),
     fit AS (
@@ -2373,13 +2407,17 @@ def heaps_law_fit(spark: SparkSession, sf: str) -> DataFrame:
              list_reduce(list(x * x ORDER BY rnk), (a, b) -> a + b) AS sxx,
              list_reduce(list(x * y ORDER BY rnk), (a, b) -> a + b) AS sxy
       FROM top
+    ),
+    fitb AS (
+      SELECT n, sx, sy,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+      FROM fit
     )
     SELECT CAST(n AS BIGINT) AS k_terms,
-           ROUND(-(n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
-             AS zipf_exponent,
-           ROUND(exp(sy / n + ((n * sxy - sx * sy) / (n * sxx - sx * sx))
-                              * (-(sx / n))), 2) AS zipf_c
-    FROM fit
+           {floor_e6_sql("-slope")} AS zipf_exponent_e6,
+           {floor_e6_sql(portable_exp_sql(
+               "sy / n + slope * (-(sx / n))", "duckdb"))} AS zipf_c_e6
+    FROM fitb
     """,
     survey_ids=("B56", "B24", "B43"),
     description="Zipf exponent: log-log OLS of frequency vs rank over the top-500 terms",
@@ -2415,9 +2453,14 @@ def zipf_law_fit(spark: SparkSession, sf: str) -> DataFrame:
             .over(Window.orderBy(F.desc("freq"), "term"))
             .cast("bigint")
             .alias("rnk"),
-            F.log(F.col("freq").cast("double")).alias("y"),
+            F.expr(
+                portable_ln_sql("CAST(freq AS DOUBLE)", "spark", "py")
+            ).alias("y"),
         )
-        .withColumn("x", F.log(F.col("rnk").cast("double")))
+        .withColumn(
+            "x",
+            F.expr(portable_ln_sql("CAST(rnk AS DOUBLE)", "spark", "px")),
+        )
     )
     fit = top.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
@@ -2449,11 +2492,10 @@ def zipf_law_fit(spark: SparkSession, sf: str) -> DataFrame:
     slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     )
-    return fit.select(
+    return fit.withColumn("slope", slope).select(
         F.col("n").cast("bigint").alias("k_terms"),
-        F.round(-slope, 6).alias("zipf_exponent"),
-        F.round(
-            F.exp(F.col("sy") / F.col("n") + slope * (-(F.col("sx") / F.col("n")))),
-            2,
-        ).alias("zipf_c"),
+        floor_e6(-F.col("slope")).alias("zipf_exponent_e6"),
+        floor_e6(
+            F.expr(portable_exp_sql("sy / n + slope * (-(sx / n))", "spark"))
+        ).alias("zipf_c_e6"),
     )

@@ -74,84 +74,76 @@ def register(
 # cumulative ledger (CORRECTNESS_r*.json) must cover every SURVEY.md
 # §2 operator id carried by the registry.
 #
-# ROTATION (round 11, VERDICT r10 items 1-2): consolidation round — no
-# registry growth; the window drains the never-checked backlog. Slots:
-# (a) `feature_hashing_vectorize`, the single r10 driver-red (its CSR
-# ARRAY output crashed the driver's canonicalizer; now emitted as
-# comma-joined strings both engine- and oracle-side — the re-check
-# confirms the fix); (b) `similarity_lsh_topk`, whose rows-only→oracle
-# flip (r9) has never had a driver hash check (last driver runs r1/r7
-# predate the flip); (c) 48 of the 55 never-checked r10 additions. The
-# 7 that don't fit — each with a same-family sibling IN the window
-# (streaming_cep_funnel shares its oracle with cep_funnel_first_match;
-# zipf/burstiness ride with heaps_law_fit; join_size_estimate with
-# range_partition_balance; hilbert_vs_morton with the spatial family;
-# double_ewma with the time-series four; theil_sen with mann_kendall)
-# — are pinned as the r12 head (COVERAGE.md). All 50 slots are
-# oracle-bearing (INTENDED_ROWS_ONLY is empty). Local parity
-# (tests/test_oracle_parity.py) covers the rotated-out tail with the
-# identical compare.
+# ROTATION (round 12, VERDICT r11 items 1-3 + 5): hardening round.
+# Slots: (a) the 7 never-checked names pinned as the r12 head last
+# round; (b) the two r11 driver reds, re-checked after their exact
+# arithmetic fixes (`kaplan_meier_survival`: integer-microsecond
+# durations + product-fold survival; `cramers_v_pairs`: 128-bit
+# integer chi-square); (c) all 24 other queries whose hash contracts
+# were migrated off libm this round (portable ln/exp, ordered folds,
+# floor-1e6 quantization — operators/portable_math.py); (d) the two
+# ADVICE-touched decimal-overflow fixes (values unchanged, re-checked
+# anyway); (e) 15 previously-green re-confirmations, biased toward the
+# bench headliners and the ordered-fold family. All 50 slots are
+# oracle-bearing. Local parity (tests/test_oracle_parity.py) covers
+# the rotated-out tail with the identical compare.
 _PRIORITY: tuple[str, ...] = (
-    # -- fix confirmations (the only two non-first-timer slots) --
-    "feature_hashing_vectorize",
-    "similarity_lsh_topk",
-    # -- 48 of the 55 r10 additions, never driver-checked --
-    "anova_oneway_f",
-    "asof_join_nearest",
-    "calibration_ece_bins",
-    "capm_beta_by_type",
-    "cep_funnel_first_match",
-    "cluster_topic_terms",
-    "clustering_coefficient_nodes",
-    "cohort_ltv_curve",
-    "containment_join_docs",
-    "cramers_v_pairs",
-    "dau_mau_stickiness",
-    "decision_stump_split",
-    "deletion_vector_scan",
-    "diff_in_diff_promo",
-    "domain_mixture_reweight",
-    "dp_laplace_counts",
-    "empirical_bayes_shrinkage",
-    "expanding_holdout_backtest",
-    "fdr_bh_segment_tests",
-    "graph_degree_assortativity",
-    "heaps_law_fit",
-    "hybrid_rank_fusion",
-    "jaccard_link_prediction",
+    # -- (a) never driver-checked (pinned r12 head) --
+    "streaming_cep_funnel",
+    "zipf_law_fit",
+    "burstiness_interarrival",
+    "join_size_estimate",
+    "hilbert_vs_morton_locality",
+    "double_ewma_forecast",
+    "theil_sen_slope_sampled",
+    # -- (b) r11 red fixes --
     "kaplan_meier_survival",
-    "knn_label_majority",
-    "linear_interp_gapfill",
-    "longest_daily_streak_users",
-    "mann_kendall_trend",
-    "max_drawdown_daily",
+    "cramers_v_pairs",
+    # -- (c) libm-hardened contracts (r12 item 5) --
     "mutual_info_lang_source",
-    "naive_bayes_lang_confusion",
-    "ngram_novelty_docs",
-    "pointintime_scd2_join",
-    "propensity_stratified_att",
     "psi_population_stability",
-    "quantile_regression_grid",
-    "range_partition_balance",
+    "fdr_bh_segment_tests",
+    "char_entropy_docs",
+    "dsir_importance_sample",
+    "pmi_collocations_topk",
+    "stupid_backoff_trigram_lm",
+    "bm25_keyword_search",
+    "quality_classifier_inference",
+    "doc_perplexity_unigram",
+    "ccnet_perplexity_buckets",
+    "naive_bayes_lang_confusion",
     "record_linkage_fs",
-    "seasonal_trend_decompose",
-    "shapley_channel_attribution",
-    "skyline_price_date_orders",
-    "spearman_corr_qty_price",
+    "embedding_quantize_error",
+    "tfidf_top_terms",
+    "heaps_law_fit",
+    "hll_overlap_users",
+    "hll_verified_users_by_type",
+    "profile_orders_approx",
+    "dp_laplace_counts",
+    "math_funcs_customer",
     "sprt_sequential_ab",
-    "streaming_scd2_upsert",
-    "target_encoding_kfold",
-    "vwap_cumulative_daily",
+    "weighted_sample_docs",
     "weighted_reservoir_topk",
+    # -- (d) ADVICE decimal-overflow fixes (values unchanged) --
+    "spearman_corr_qty_price",
+    "quantile_regression_grid",
+    # -- (e) green re-confirmations (headliners + ordered-fold kin) --
+    "pricing_summary",
+    "topk_orders",
+    "group_count_mktsegment",
+    "group_avg_acctbal",
+    "anova_oneway_f",
     "welch_ttest_value_clicks",
+    "mann_kendall_trend",
+    "seasonal_trend_decompose",
+    "capm_beta_by_type",
+    "empirical_bayes_shrinkage",
+    "knn_label_majority",
+    "similarity_lsh_topk",
+    "feature_hashing_vectorize",
+    "cohort_ltv_curve",
+    "asof_join_nearest",
 )
-
-# Pinned r12 head: the 7 never-checked names the r11 window couldn't
-# absorb (each covered this round by a same-family in-window sibling
-# plus local parity): streaming_cep_funnel, zipf_law_fit,
-# burstiness_interarrival, join_size_estimate,
-# hilbert_vs_morton_locality, double_ewma_forecast,
-# theil_sen_slope_sampled.
 
 
 def all_specs() -> dict[str, QuerySpec]:

@@ -23,6 +23,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ag_data_ingestion_github_to_snowflake_spark.operators.portable_math import (
+    portable_ln_sql,
+)
 from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register, t
 
 
@@ -305,11 +308,15 @@ def pack_sequences_bins(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "weighted_sample_docs",
-    oracle="""
+    # Hardened r12 (item 5): the A-ES key's ln is the portable
+    # sqrt-reduction ln, so the ranked doubles are bit-identical on
+    # any engine/libm build (not merely "ulp-robust").
+    oracle=f"""
     SELECT doc_id, lang, source, n_chars
     FROM documents
-    ORDER BY ln((CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))
-                      AS BIGINT) + 0.5) / 4294967296.0)
+    ORDER BY {portable_ln_sql(
+        "(CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))"
+        " AS BIGINT) + 0.5) / 4294967296.0", "duckdb")}
              / n_chars DESC,
              doc_id
     LIMIT 25
@@ -330,10 +337,14 @@ def weighted_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
     engine-stable because u_i is minted from sha256(doc_id).
     """
     docs = t(spark, sf, "documents")
-    u32 = F.conv(
-        F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 8), 16, 10
-    ).cast("double")
-    key = F.log((u32 + F.lit(0.5)) / F.lit(4294967296.0)) / F.col("n_chars")
+    key = F.expr(
+        portable_ln_sql(
+            "(CAST(conv(substring(sha2(CAST(doc_id AS STRING), 256), 1, 8),"
+            " 16, 10) AS DOUBLE) + 0.5) / 4294967296.0",
+            "spark",
+        )
+        + " / n_chars"
+    )
     return (
         docs.orderBy(key.desc(), F.col("doc_id"))
         .select("doc_id", "lang", "source", "n_chars")
@@ -535,22 +546,23 @@ def training_shuffle_shards(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "weighted_reservoir_topk",
-    # The A-Res key ln(u)/w is the only libm-touching expression;
-    # both engines compute it from the SAME deterministic u (first 8
-    # sha256 hex chars over 2^32) in identical operand order, and the
-    # key is rounded to 9 before the rank with a doc_id tie-break.
-    oracle="""
+    # Hash contract (hardened r12, item 5): the A-Res key ln(u)/w uses
+    # the portable ln over the deterministic u (first 8 sha256 hex
+    # chars over 2^32), so the ranked doubles are bit-identical on any
+    # engine/libm build; the emitted key is floor(1e9*k) (keys are
+    # small negatives, so 1e-9 grains keep ~5 significant digits).
+    oracle=f"""
     WITH keyed AS (
       SELECT doc_id, lang, n_chars,
-             ROUND(
-               ln((CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))
-                        AS BIGINT) + 1.0) / 4294967297.0)
-               / n_chars,
-             9) AS ares_key
+             {portable_ln_sql(
+                 "(CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))"
+                 " AS BIGINT) + 1.0) / 4294967297.0", "duckdb")}
+               / n_chars AS ares_key
       FROM documents
       WHERE n_chars > 0
     )
-    SELECT doc_id, lang, n_chars, ares_key
+    SELECT doc_id, lang, n_chars,
+           CAST(floor(1000000000.0 * ares_key) AS BIGINT) AS ares_key_e9
     FROM keyed
     ORDER BY ares_key DESC, doc_id
     LIMIT 25
@@ -575,15 +587,24 @@ def weighted_reservoir_topk(spark: SparkSession, sf: str) -> DataFrame:
     as the other sampling queries).
     """
     d = t(spark, sf, "documents").filter(F.col("n_chars") > 0)
-    u = (
-        F.conv(F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 8),
-               16, 10).cast("bigint")
-        + F.lit(1.0)
-    ) / F.lit(4294967297.0)
-    keyed = d.select(
-        "doc_id",
-        "lang",
-        "n_chars",
-        F.round(F.log(u) / F.col("n_chars"), 9).alias("ares_key"),
+    key = F.expr(
+        portable_ln_sql(
+            "(CAST(conv(substring(sha2(CAST(doc_id AS STRING), 256), 1, 8),"
+            " 16, 10) AS BIGINT) + 1.0) / 4294967297.0",
+            "spark",
+        )
+        + " / n_chars"
     )
-    return keyed.orderBy(F.desc("ares_key"), "doc_id").limit(25)
+    keyed = d.select("doc_id", "lang", "n_chars", key.alias("ares_key"))
+    return (
+        keyed.orderBy(F.desc("ares_key"), "doc_id")
+        .limit(25)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.floor(F.lit(1000000000.0) * F.col("ares_key"))
+            .cast("bigint")
+            .alias("ares_key_e9"),
+        )
+    )

@@ -13,6 +13,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from ag_data_ingestion_github_to_snowflake_spark.operators.portable_math import (
+    floor_e6,
+    floor_e6_sql,
+    portable_ln_sql,
+)
 from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register, t
 
 
@@ -231,11 +236,15 @@ def array_ops_embeddings(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "math_funcs_customer",
-    oracle="""
+    # log_bal uses the portable ln + floor(1e6*x) (hardened r12, item
+    # 5 — libm ln was the only build-sensitive op here; abs/sqrt/floor
+    # are IEEE-exact over the raw input).
+    oracle=f"""
     SELECT c_custkey,
            ROUND(abs(c_acctbal), 2) AS abs_bal,
            ROUND(sqrt(abs(c_acctbal)), 4) AS sqrt_bal,
-           ROUND(ln(abs(c_acctbal) + 1), 4) AS log_bal,
+           {floor_e6_sql(portable_ln_sql(
+               "abs(c_acctbal) + 1", "duckdb"))} AS log_bal_e6,
            CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_bucket
     FROM customer
     """,
@@ -249,7 +258,9 @@ def math_funcs_customer(spark: SparkSession, sf: str) -> DataFrame:
         "c_custkey",
         F.round(ab, 2).alias("abs_bal"),
         F.round(F.sqrt(ab), 4).alias("sqrt_bal"),
-        F.round(F.log(ab + 1), 4).alias("log_bal"),
+        floor_e6(
+            F.expr(portable_ln_sql("abs(c_acctbal) + 1", "spark"))
+        ).alias("log_bal_e6"),
         F.floor(F.col("c_acctbal") / 100).cast("long").alias("bal_bucket"),
     )
 

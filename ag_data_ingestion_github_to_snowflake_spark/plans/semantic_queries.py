@@ -23,6 +23,14 @@ from pyspark.sql import functions as F
 
 from ag_data_ingestion_github_to_snowflake_spark.operators import bpe as B
 from ag_data_ingestion_github_to_snowflake_spark.operators import semdedup as SD
+from ag_data_ingestion_github_to_snowflake_spark.operators.portable_math import (
+    floor_e6,
+    floor_e6_sql,
+    ordered_sum,
+    ordered_sum_sql,
+    portable_ln_sql,
+    portable_log10_sql,
+)
 from ag_data_ingestion_github_to_snowflake_spark.plans.pca_literals import (
     PCA_COMPS,
     PCA_MEAN,
@@ -251,9 +259,17 @@ def cdc_chunk_boundaries(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Character-entropy quality signal
 # ---------------------------------------------------------------------------
+def _entropy_term(dialect: str) -> str:
+    p = "(CAST(cnt AS DOUBLE) / n_chars)"
+    return f"{p} * {portable_ln_sql(p, dialect)}"
+
+
 @register(
     "char_entropy_docs",
-    oracle="""
+    # Hash contract (hardened r12, item 5): portable ln over exact
+    # count ratios, per-doc sum as a ch-ORDERED fold, floor(1e6*H)
+    # presentation — no libm/ROUND/order dependence in the hash.
+    oracle=f"""
     WITH chars AS (
       SELECT doc_id, c.ch
       FROM documents,
@@ -268,12 +284,15 @@ def cdc_chunk_boundaries(spark: SparkSession, sf: str) -> DataFrame:
       SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_chars,
              CAST(COUNT(*) AS BIGINT) AS distinct_chars
       FROM counts GROUP BY doc_id
+    ),
+    terms AS (
+      SELECT c.doc_id, t.n_chars, t.distinct_chars, c.ch,
+             {_entropy_term("duckdb")} AS term
+      FROM counts c JOIN tot t ON c.doc_id = t.doc_id
     )
-    SELECT c.doc_id, t.n_chars, t.distinct_chars,
-           ROUND(-SUM((CAST(cnt AS DOUBLE) / t.n_chars)
-                      * ln(CAST(cnt AS DOUBLE) / t.n_chars)), 6) AS entropy
-    FROM counts c JOIN tot t ON c.doc_id = t.doc_id
-    GROUP BY c.doc_id, t.n_chars, t.distinct_chars
+    SELECT doc_id, n_chars, distinct_chars,
+           {floor_e6_sql("-" + ordered_sum_sql("term", "ch"))} AS entropy_e6
+    FROM terms GROUP BY doc_id, n_chars, distinct_chars
     """,
     survey_ids=("B56", "B16", "B43"),
     description="Per-doc character entropy (nats): the CCNet-style gibberish signal",
@@ -283,7 +302,10 @@ def char_entropy_docs(spark: SparkSession, sf: str) -> DataFrame:
     low entropy flags boilerplate/repetition, high entropy flags
     binary-ish noise (the quality-filter signal family of
     CCNet/RedPajama). One explode + two aggregations on the same
-    doc_id key; float sum-order noise is absorbed by round-6."""
+    doc_id key; the per-doc sum folds in ch order over the portable
+    ln (bit-identical cross-engine), presented as floor(1e6*H).
+    The per-doc distinct-char alphabet is bounded, so the collected
+    fold list never scales with corpus size."""
     docs = t(spark, sf, "documents").filter(F.col("doc_id") < 300)
     counts = (
         docs.select(
@@ -296,11 +318,13 @@ def char_entropy_docs(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("cnt").cast("bigint").alias("n_chars"),
         F.count(F.lit(1)).cast("bigint").alias("distinct_chars"),
     )
-    p = F.col("cnt").cast("double") / F.col("n_chars")
     return (
         counts.join(tot, "doc_id")
+        .withColumn("term", F.expr(_entropy_term("spark")))
         .groupBy("doc_id", "n_chars", "distinct_chars")
-        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
+        .agg(
+            floor_e6(-ordered_sum(F.col("term"), "ch")).alias("entropy_e6")
+        )
     )
 
 
@@ -365,7 +389,10 @@ def bpe_apply_tokenize(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "dsir_importance_sample",
-    oracle="""
+    # Hash contract (hardened r12, item 5): portable ln log-ratios,
+    # bucket-ORDERED per-doc fold, floor(1e6*w) presentation; the
+    # top-50 rank orders by the bit-identical raw double.
+    oracle=f"""
     WITH toks AS (
       SELECT doc_id, lang,
              CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 64 AS bucket
@@ -391,21 +418,24 @@ def bpe_apply_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     ),
     ratios AS (
       SELECT p.bucket,
-             ln((CAST(COALESCE(t.ct, 0) AS DOUBLE) + 1.0)
-                / (CAST(tot.nt AS DOUBLE) + 64.0))
-           - ln((CAST(p.cp AS DOUBLE) + 1.0)
-                / (CAST(tot.np AS DOUBLE) + 64.0)) AS lr
+             {portable_ln_sql(
+                 "(CAST(COALESCE(t.ct, 0) AS DOUBLE) + 1.0)"
+                 " / (CAST(tot.nt AS DOUBLE) + 64.0)", "duckdb", "plt")}
+           - {portable_ln_sql(
+                 "(CAST(p.cp AS DOUBLE) + 1.0)"
+                 " / (CAST(tot.np AS DOUBLE) + 64.0)", "duckdb", "plp")} AS lr
       FROM prop p LEFT JOIN tgt t ON p.bucket = t.bucket, tot
     ),
     w AS (
-      SELECT db.doc_id,
-             CAST(SUM(db.c) AS BIGINT) AS n_tokens,
-             ROUND(SUM(CAST(db.c AS DOUBLE) * r.lr), 6) AS log_weight
-      FROM db JOIN ratios r ON db.bucket = r.bucket
-      GROUP BY db.doc_id
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             {ordered_sum_sql("CAST(c AS DOUBLE) * lr", "bucket")} AS lw
+      FROM (SELECT db.doc_id, db.bucket, db.c, r.lr
+            FROM db JOIN ratios r ON db.bucket = r.bucket)
+      GROUP BY doc_id
     )
-    SELECT doc_id, n_tokens, log_weight FROM (
-      SELECT *, ROW_NUMBER() OVER (ORDER BY log_weight DESC, doc_id) AS rnk
+    SELECT doc_id, n_tokens, {floor_e6_sql("lw")} AS log_weight_e6 FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY lw DESC, doc_id) AS rnk
       FROM w
     ) WHERE rnk <= 50
     """,
@@ -425,7 +455,7 @@ def dsir_importance_sample(spark: SparkSession, sf: str) -> DataFrame:
     bucket ratio table broadcasts onto it; one doc aggregation; top-50
     total-order window. Per-doc sums are count * log-ratio over <= 64
     terms (not per-token adds), so float noise sits far below the
-    round-6 oracle grain at any scale."""
+    floor-1e6 quantization grain at any scale."""
     from ag_data_ingestion_github_to_snowflake_spark.operators.dedup import (
         md5_hash60,
     )
@@ -448,30 +478,33 @@ def dsir_importance_sample(spark: SparkSession, sf: str) -> DataFrame:
     prop = toks.groupBy("bucket").agg(F.count(F.lit(1)).cast("bigint").alias("cp"))
     nt = toks.filter(F.col("lang") == "en").count()
     np_ = toks.count()
-    ratios = (
-        prop.join(tgt, "bucket", "left")
-        .select(
-            "bucket",
-            (
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)).cast("double") + F.lit(1.0))
-                    / F.lit(float(nt) + 64.0)
-                )
-                - F.log(
-                    (F.col("cp").cast("double") + F.lit(1.0))
-                    / F.lit(float(np_) + 64.0)
-                )
-            ).alias("lr"),
+    # Mirror the oracle's arithmetic exactly: integer totals cast to
+    # double inside the expression (not pre-folded in Python), portable
+    # ln so the log-ratio is bit-identical cross-engine.
+    lr = F.expr(
+        portable_ln_sql(
+            "(CAST(COALESCE(ct, 0) AS DOUBLE) + 1.0)"
+            f" / (CAST({int(nt)} AS DOUBLE) + 64.0)",
+            "spark",
+            "plt",
+        )
+        + " - "
+        + portable_ln_sql(
+            "(CAST(cp AS DOUBLE) + 1.0)"
+            f" / (CAST({int(np_)} AS DOUBLE) + 64.0)",
+            "spark",
+            "plp",
         )
     )
+    ratios = prop.join(tgt, "bucket", "left").select("bucket", lr.alias("lr"))
     w = (
         db.join(F.broadcast(ratios), "bucket")
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("bigint").alias("n_tokens"),
-            F.round(F.sum(F.col("c").cast("double") * F.col("lr")), 6).alias(
-                "log_weight"
-            ),
+            ordered_sum(
+                F.col("c").cast("double") * F.col("lr"), "bucket"
+            ).alias("lw"),
         )
     )
     # Top-50 via orderBy().limit(): Catalyst plans TakeOrderedAndProject
@@ -480,9 +513,13 @@ def dsir_importance_sample(spark: SparkSession, sf: str) -> DataFrame:
     # row_number() over a global-order Window, which funneled every row
     # through ONE task (the r5 100×-scale audit's worst offender).
     return (
-        w.orderBy(F.desc("log_weight"), "doc_id")
+        w.orderBy(F.desc("lw"), "doc_id")
         .limit(50)
-        .select("doc_id", "n_tokens", "log_weight")
+        .select(
+            "doc_id",
+            "n_tokens",
+            floor_e6(F.col("lw")).alias("log_weight_e6"),
+        )
     )
 
 
@@ -693,7 +730,11 @@ def ivf_recall_fixed_cells(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "pmi_collocations_topk",
-    oracle="""
+    # Hash contract (hardened r12, item 5): the single ln per bigram
+    # is the portable sqrt-reduction ln, so PMI doubles are
+    # bit-identical cross-engine/build; the top-30 rank orders by the
+    # raw double (identical), presentation is floor(1e6*pmi).
+    oracle=f"""
     WITH toks AS (
       SELECT doc_id, tk FROM (
         SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk
@@ -709,7 +750,7 @@ def ivf_recall_fixed_cells(spark: SparkSession, sf: str) -> DataFrame:
     bi AS (
       SELECT g.g.a AS a, g.g.b AS b, CAST(COUNT(*) AS BIGINT) AS c2
       FROM toks, LATERAL unnest(
-        [{'a': tk[i], 'b': tk[i+1]} FOR i IN range(1, len(tk))]
+        [{{'a': tk[i], 'b': tk[i+1]}} FOR i IN range(1, len(tk))]
       ) AS g(g)
       WHERE g.g.a <> '' AND g.g.b <> ''
       GROUP BY g.g.a, g.g.b
@@ -717,16 +758,17 @@ def ivf_recall_fixed_cells(spark: SparkSession, sf: str) -> DataFrame:
     btot AS (SELECT CAST(SUM(c2) AS BIGINT) AS nb FROM bi),
     pmi AS (
       SELECT bi.a, bi.b, bi.c2,
-             ROUND(ln((CAST(bi.c2 AS DOUBLE) / btot.nb)
-                    / ((CAST(ua.c1 AS DOUBLE) / tot.n)
-                     * (CAST(ub.c1 AS DOUBLE) / tot.n))), 6) AS pmi
+             {portable_ln_sql(
+                 "(CAST(bi.c2 AS DOUBLE) / btot.nb)"
+                 " / ((CAST(ua.c1 AS DOUBLE) / tot.n)"
+                 " * (CAST(ub.c1 AS DOUBLE) / tot.n))", "duckdb")} AS pmi
       FROM bi
       JOIN uni ua ON bi.a = ua.w
       JOIN uni ub ON bi.b = ub.w
       CROSS JOIN tot CROSS JOIN btot
       WHERE bi.c2 >= 5
     )
-    SELECT a, b, c2 AS pair_count, pmi FROM (
+    SELECT a, b, c2 AS pair_count, {floor_e6_sql("pmi")} AS pmi_e6 FROM (
       SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, a, b) AS rnk FROM pmi
     ) WHERE rnk <= 30
     """,
@@ -738,7 +780,8 @@ def pmi_collocations_topk(spark: SparkSession, sf: str) -> DataFrame:
     collocation/phrase-mining signal (vocab prep before tokenizer
     training; multi-word-entity discovery). All probabilities derive
     from exact integer counts, so the single ln() per surviving
-    bigram is the only float op and round-6 parity is immediate.
+    bigram is the portable ln (bit-identical cross-engine), emitted
+    as floor(1e6*pmi).
     Dataflow: one explode each for unigrams and adjacent bigrams (the
     bigram side derived map-side with transform+posexplode), two
     count shuffles, vocabulary-sized joins AQE auto-broadcasts, a
@@ -782,15 +825,14 @@ def pmi_collocations_topk(spark: SparkSession, sf: str) -> DataFrame:
             "a",
             "b",
             F.col("c2").alias("pair_count"),
-            F.round(
-                F.log(
-                    (F.col("c2").cast("double") / F.col("nb"))
-                    / (
-                        (F.col("ca").cast("double") / F.col("n"))
-                        * (F.col("cb").cast("double") / F.col("n"))
-                    )
-                ),
-                6,
+            # Mirror the oracle text: ua.c1 -> ca, ub.c1 -> cb
+            F.expr(
+                portable_ln_sql(
+                    "(CAST(c2 AS DOUBLE) / nb)"
+                    " / ((CAST(ca AS DOUBLE) / n)"
+                    " * (CAST(cb AS DOUBLE) / n))",
+                    "spark",
+                )
             ).alias("pmi"),
         )
     )
@@ -801,7 +843,9 @@ def pmi_collocations_topk(spark: SparkSession, sf: str) -> DataFrame:
     return (
         pmi.orderBy(F.desc("pmi"), "a", "b")
         .limit(30)
-        .select("a", "b", "pair_count", "pmi")
+        .select(
+            "a", "b", "pair_count", floor_e6(F.col("pmi")).alias("pmi_e6")
+        )
     )
 
 
@@ -913,7 +957,10 @@ def embedding_pca_project_verified(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "stupid_backoff_trigram_lm",
-    oracle="""
+    # Hash contract (hardened r12, item 5): portable log10 over exact
+    # count ratios, per-doc mean as a trigram-position-ORDERED fold,
+    # floor(1e6*mean) presentation.
+    oracle=f"""
     WITH d AS (
       SELECT doc_id, string_split_regex(text, '\\s+') AS t,
              CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) AS hb
@@ -941,6 +988,7 @@ def embedding_pca_project_verified(spark: SparkSession, sf: str) -> DataFrame:
     ),
     tt AS (
       SELECT doc_id,
+             s.i AS pos,
              array_to_string(t[i:i+2], ' ') AS k3,
              array_to_string(t[i:i+1], ' ') AS kctx2,
              array_to_string(t[i+1:i+2], ' ') AS k2,
@@ -950,7 +998,7 @@ def embedding_pca_project_verified(spark: SparkSession, sf: str) -> DataFrame:
       WHERE hb >= 204
     ),
     scored AS (
-      SELECT tt.doc_id,
+      SELECT tt.doc_id, tt.pos,
              CASE WHEN t3.cnt IS NOT NULL THEN 3
                   WHEN b2.cnt IS NOT NULL THEN 2 ELSE 1 END AS lvl,
              CASE
@@ -968,15 +1016,21 @@ def embedding_pca_project_verified(spark: SparkSession, sf: str) -> DataFrame:
       LEFT JOIN c_uni uctx ON tt.kctx1 = uctx.gram
       LEFT JOIN c_uni u1 ON tt.k1 = u1.gram
       CROSS JOIN totals
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tri,
+             CAST(SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS hit3,
+             CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS hit2,
+             CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hit1,
+             {ordered_sum_sql(portable_log10_sql("s", "duckdb"), "pos")}
+               AS ssum
+      FROM scored
+      GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_tri,
-           CAST(SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS hit3,
-           CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS hit2,
-           CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hit1,
-           ROUND(AVG(log10(s)), 6) AS score
-    FROM scored
-    GROUP BY doc_id
+    SELECT doc_id, n_tri, hit3, hit2, hit1,
+           {floor_e6_sql("ssum / CAST(n_tri AS DOUBLE)")} AS score_e6
+    FROM agg
     """,
     survey_ids=("B56", "B16", "B10", "B43"),
     description="Stupid Backoff trigram LM: train on the 80% split, score held-out docs",
@@ -987,7 +1041,7 @@ def stupid_backoff_trigram_lm(spark: SparkSession, sf: str) -> DataFrame:
     gate as ``train_test_split_counts``), held-out 20% docs scored
     trigram-by-trigram through the 0.4-backoff chain, emitted as
     per-doc backoff-level hit counts (exact integers) plus the mean
-    log10 score (rounded 6, repo convention for per-doc float
+    log10 score (floor-1e6 quantized, r12 convention for per-doc float
     aggregates). See ``operators/ngram_lm.py`` for the published-paper
     background and the 100 TB plan shape (one count shuffle; the
     vocabulary-sized count tables broadcast under AQE on real

@@ -123,11 +123,11 @@ def _hll_verified_oracle() -> str:
       SELECT bucket, MAX(rho) AS rho FROM regs GROUP BY 1
     ), per_type AS (
       SELECT event_type,
-             SUM(CAST(POW(2, 49 - rho) AS BIGINT)) AS s_present,
+             SUM((CAST(1 AS BIGINT) << CAST(49 - rho AS INTEGER))) AS s_present,
              COUNT(*) AS n_present
       FROM regs GROUP BY 1
     ), all_types AS (
-      SELECT SUM(CAST(POW(2, 49 - rho) AS BIGINT)) AS s_present,
+      SELECT SUM((CAST(1 AS BIGINT) << CAST(49 - rho AS INTEGER))) AS s_present,
              COUNT(*) AS n_present
       FROM regs_all
     ), exact AS (
@@ -232,7 +232,7 @@ def _profile_approx_oracle() -> str:
            CAST(SUM(nn) AS BIGINT) AS n_nulls,
            CAST({hll.EST_NUMERATOR!r} AS DOUBLE)
              / CAST(SUM(CASE WHEN bucket IS NOT NULL
-                             THEN CAST(POW(2, 49 - rho) AS BIGINT) ELSE 0 END)
+                             THEN (CAST(1 AS BIGINT) << CAST(49 - rho AS INTEGER)) ELSE 0 END)
                     + ({hll.M_REGISTERS}
                        - SUM(CASE WHEN bucket IS NOT NULL THEN 1 ELSE 0 END))
                       * {two49} AS DOUBLE) AS distinct_est_raw,
@@ -314,7 +314,7 @@ def profile_orders_approx(spark: SparkSession, sf: str) -> DataFrame:
     s_present = F.sum(
         F.when(
             F.col("bucket").isNotNull(),
-            F.pow(F.lit(2.0), F.lit(49) - F.col("rho")).cast("long"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - rho AS INT))"),
         ).otherwise(F.lit(0))
     )
     n_present = F.sum(F.col("bucket").isNotNull().cast("long"))
@@ -597,11 +597,11 @@ def _hll_overlap_oracle() -> str:
       SELECT bucket, MAX(rho) AS rho FROM regs GROUP BY 1
     ), per AS (
       SELECT event_type,
-             SUM(CAST(POW(2, 49 - rho) AS BIGINT)) AS s_present,
+             SUM((CAST(1 AS BIGINT) << CAST(49 - rho AS INTEGER))) AS s_present,
              COUNT(*) AS n_present
       FROM regs GROUP BY 1
     ), uni AS (
-      SELECT SUM(CAST(POW(2, 49 - rho) AS BIGINT)) AS s_present,
+      SELECT SUM((CAST(1 AS BIGINT) << CAST(49 - rho AS INTEGER))) AS s_present,
              COUNT(*) AS n_present
       FROM regs_u
     ), pivoted AS (
@@ -668,7 +668,7 @@ def hll_overlap_users(spark: SparkSession, sf: str) -> DataFrame:
     def suff(r, tag):
         return r.agg(
             F.sum(
-                F.pow(F.lit(2.0), F.lit(49) - F.col("rho")).cast("long")
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - rho AS INT))")
             ).cast("bigint").alias(f"s_{tag}"),
             (F.lit(hll.M_REGISTERS) - F.count(F.lit(1)))
             .cast("bigint")

@@ -183,6 +183,38 @@ def main() -> None:
 
     calibration_shuffle = _calibrate_shuffle()
 
+    # Per-query lane stamping (r12, VERDICT r11 item 7): the run-level
+    # lanes say "this RUN was contended" but cannot mark WHICH entries
+    # a co-tenant burst hit — the r11 driver's one-shot pass ran the
+    # UDF/similarity queries 2-3x the closing pair while neighbors were
+    # normal. A cheap two-lane probe (CPU ~0.2s + shuffle ~0.4s) runs
+    # every PROBE_EVERY queries; each query is stamped with its
+    # segment's probe index, and the probe series goes into the full
+    # JSON/BENCHLOG so any reader can mechanically flag entries whose
+    # segment probe deviates from the run median.
+    PROBE_EVERY = 25
+    _probe_li = spark.read.parquet(
+        os.path.join(sf_dir, "customer.parquet")
+    ).select("c_custkey", "c_acctbal")
+
+    def _lane_probe() -> dict[str, float]:
+        start = time.perf_counter()
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "sum(id % 1000003) as s"
+        ).write.format("noop").mode("overwrite").save()
+        cpu = time.perf_counter() - start
+        start = time.perf_counter()
+        _probe_li.repartition(32, "c_custkey").groupBy("c_custkey").agg(
+            {"c_acctbal": "sum"}
+        ).selectExpr("count(*) as n").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        sh = time.perf_counter() - start
+        return {"cpu": round(cpu, 3), "shuffle": round(sh, 3)}
+
+    lane_probes: list[dict[str, float]] = []
+    query_probe_idx: dict[str, int] = {}
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     # Noise control (r6 headline, extended r8 per VERDICT r7 item 2):
@@ -198,7 +230,10 @@ def main() -> None:
     # radar, not a metric of record).
     single_shot = bool(os.environ.get("SPARK_GRAFT_BENCH_SINGLE_SHOT"))
     EXPENSIVE_SEC = 2.0
-    for name in names:
+    for qi, name in enumerate(names):
+        if qi % PROBE_EVERY == 0:
+            lane_probes.append(_lane_probe())
+        query_probe_idx[name] = len(lane_probes) - 1
         best = None
         reps = 3 if name in UDF_HEAVY else 2
         for rep in range(reps):
@@ -235,6 +270,8 @@ def main() -> None:
         # bounds the session's block-manager footprint across the
         # 341-query run instead of leaning on LRU eviction.
         spark.catalog.clearCache()
+
+    lane_probes.append(_lane_probe())  # closing probe bounds the last segment
 
     headline = {n: t for n, t in timings.items() if n in HEADLINE}
     total = round(sum(headline.values()), 3)
@@ -274,6 +311,13 @@ def main() -> None:
     print(line)
     full = dict(out)
     full["queries_full"] = timings
+    # r12 item 7: the probe series + each query's segment index. A
+    # reader flags entry q as contended when
+    # lane_probes[query_probe_idx[q]] deviates from the run median of
+    # its lane (or from the following probe) beyond the documented
+    # +-8% band.
+    full["lane_probes"] = lane_probes
+    full["query_probe_idx"] = query_probe_idx
     # Deliberately-naive measured-contrast carriers and their
     # oracle-identical distributed rewrites: read the carrier's
     # timing as pedagogy, the twin's as the engine's scale path.

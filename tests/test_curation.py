@@ -36,7 +36,7 @@ def test_bm25_scores_rank_query_term_docs(spark):
     positive and non-increasing down the ranking."""
     rows = all_specs()["bm25_keyword_search"].build(spark, SF).collect()
     assert 0 < len(rows) <= 20
-    scores = [r.bm25 for r in rows]
+    scores = [r.bm25_e6 for r in rows]
     assert all(s > 0 for s in scores)
     assert scores == sorted(scores, reverse=True)
 
@@ -45,9 +45,9 @@ def test_classifier_prob_bounds_and_keep_flag(spark):
     """Sigmoid output stays in (0,1); keep == (prob >= 0.5)."""
     df = all_specs()["quality_classifier_inference"].build(spark, SF)
     bad = df.filter(
-        (F.col("prob") <= 0)
-        | (F.col("prob") >= 1)
-        | (F.col("keep") != (F.col("prob") >= 0.5).cast("int"))
+        (F.col("prob_e6") <= 0)
+        | (F.col("prob_e6") >= 1000000)
+        | (F.col("keep") != (F.col("prob_e6") >= 500000).cast("int"))
     ).count()
     assert bad == 0
 
@@ -82,9 +82,9 @@ def test_perplexity_flags_rare_token_doc(spark):
     the corpus median — the signal the filter exists to produce."""
     df = all_specs()["doc_perplexity_unigram"].build(spark, SF)
     stats = df.agg(
-        F.expr("percentile(xent, 0.5)").alias("med"),
-        F.max("xent").alias("mx"),
-        F.min("xent").alias("mn"),
+        F.expr("percentile(xent_e6, 0.5)").alias("med"),
+        F.max("xent_e6").alias("mx"),
+        F.min("xent_e6").alias("mn"),
     ).collect()[0]
     # sane spread: strictly positive, max above median above min
     assert 0 < stats.mn <= stats.med <= stats.mx

@@ -66,7 +66,7 @@ def test_backoff_chain_hand_computed(spark):
     s_root_mat = ALPHA * ALPHA * (1 + 1) / (9 + 6)  # c(mat)=1
     s_root_on = ALPHA * ALPHA * (1 + 1) / (9 + 6)  # c(on)=1
     exp10 = (math.log10(0.5) + math.log10(s_root_mat) + math.log10(s_root_on)) / 3
-    assert r10["score"] == pytest.approx(exp10, abs=1e-6)
+    assert r10["score_e6"] / 1e6 == pytest.approx(exp10, abs=2e-6)
     # doc 11 trigrams: "the cat ran" (hit3, 1/2), "cat ran fast" (root,
     # OOV 'fast' -> (0+1)/15)
     r11 = rows[11]
@@ -74,7 +74,7 @@ def test_backoff_chain_hand_computed(spark):
     exp11 = (
         math.log10(0.5) + math.log10(ALPHA * ALPHA * 1 / 15)
     ) / 2
-    assert r11["score"] == pytest.approx(exp11, abs=1e-6)
+    assert r11["score_e6"] / 1e6 == pytest.approx(exp11, abs=2e-6)
 
 
 def test_bigram_backoff_level(spark):
@@ -86,7 +86,7 @@ def test_bigram_backoff_level(spark):
     test = _df(spark, [(20, "ran the cat")])
     r = stupid_backoff_scores(train, test).collect()[0]
     assert (r["n_tri"], r["hit3"], r["hit2"], r["hit1"]) == (1, 0, 1, 0)
-    assert r["score"] == pytest.approx(math.log10(ALPHA * 2 / 3), abs=1e-6)
+    assert r["score_e6"] / 1e6 == pytest.approx(math.log10(ALPHA * 2 / 3), abs=2e-6)
 
 
 def test_short_and_empty_docs_dropped(spark):

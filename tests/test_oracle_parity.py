@@ -2,8 +2,12 @@
 on row count, column names, and order-insensitive value hash — the
 same gate the driver applies (CORRECTNESS_r{N}.json).
 
-Runs at sf0.001 by default for speed; set SPARK_GRAFT_PARITY_SF=sf0.01
-to mirror the driver exactly.
+Runs at sf0.001 by default for speed; set SPARK_GRAFT_PARITY_SF_DIR
+to mirror the driver exactly, or SPARK_GRAFT_PARITY_SF_DIRS to a
+comma-separated list to sweep several scales in one run (r11's
+kaplan_meier red only manifested at sf0.1 — single-sf parity is a
+smoke check, not the close-out gate; `tools/driver_sim.py` sweeps
+the driver window across all three scales by default).
 """
 
 from __future__ import annotations
@@ -15,30 +19,40 @@ import pytest
 from ag_data_ingestion_github_to_snowflake_spark.plans.registry import all_specs
 from tests.oracle_harness import compare, duckdb_connect
 
-SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF_DIR", "/root/testdata/sf0.001")
+SF_DIRS = (
+    os.environ.get("SPARK_GRAFT_PARITY_SF_DIRS")
+    or os.environ.get("SPARK_GRAFT_PARITY_SF_DIR", "/root/testdata/sf0.001")
+).split(",")
+SF_DIR = SF_DIRS[0]  # rows-only smoke checks run at the first scale
 
 SPECS = {n: s for n, s in all_specs().items() if s.oracle is not None}
+
+_CONS: dict = {}
 
 
 @pytest.fixture(scope="module")
 def con():
-    c = duckdb_connect(SF_DIR)
-    yield c
-    c.close()
+    for d in SF_DIRS:
+        _CONS[d] = duckdb_connect(d)
+    yield _CONS
+    for c in _CONS.values():
+        c.close()
+    _CONS.clear()
 
 
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
 @pytest.mark.parametrize("name", sorted(SPECS))
-def test_oracle_parity(spark, con, name):
+def test_oracle_parity(spark, con, name, sf_dir):
     spec = SPECS[name]
     try:
-        result = compare(name, spec.build(spark, SF_DIR), con, spec.oracle)
+        result = compare(name, spec.build(spark, sf_dir), con[sf_dir], spec.oracle)
     finally:
         # ADVICE r10: some plans persist() intermediates that only the
         # executing session can release — drop them between the 331
         # parameterized cases so cached blocks don't pile up across the
         # suite session.
         spark.catalog.clearCache()
-    assert result.match, f"{name}: {result.detail}"
+    assert result.match, f"{name} [{sf_dir}]: {result.detail}"
 
 
 @pytest.mark.parametrize("name", sorted(set(all_specs()) - set(SPECS)))

@@ -117,9 +117,9 @@ def test_fdr_bh_matches_reference_procedure(spark):
         z = (p1 - p2) / math.sqrt(
             pool * (1 - pool) * (1 / r["n1"] + 1 / (nn - r["n1"]))
         )
-        assert abs(z - r["z_stat"]) < 1e-5, r["n_name"]
+        assert abs(z - r["z_stat_e6"] / 1e6) < 1e-5, r["n_name"]
         p = 2 * _phi_tail(z)
-        assert abs(p - r["p_value"]) < 1e-6, r["n_name"]
+        assert abs(p - r["p_value_e9"] / 1e9) < 1e-6, r["n_name"]
         ref.append((p, r["n_name"]))
     # BH step-up with q=0.10 on the reference p-values
     ref.sort()
@@ -197,7 +197,7 @@ def test_psi_matches_numpy(spark):
         psi += (pa - pe) * math.log(pa / pe)
     row = all_specs()["psi_population_stability"].build(spark, SF).collect()[0]
     assert row["k_buckets"] == k
-    assert abs(row["psi"] - psi) < 1e-6
+    assert abs(row["psi_e6"] / 1e6 - psi) < 2e-6
 
 
 def test_diff_in_diff_matches_pandas(spark):
@@ -284,4 +284,5 @@ def test_ares_key_matches_hashlib(spark):
         h = int(hashlib.sha256(str(r["doc_id"]).encode()).hexdigest()[:8], 16)
         u = (h + 1.0) / 4294967297.0
         key = math.log(u) / r["n_chars"]
-        assert abs(r["ares_key"] - key) < 1e-9, r["doc_id"]
+        # ares_key_e9 = floor(1e9 * key): quantization adds <= 1e-9
+        assert abs(r["ares_key_e9"] / 1e9 - key) < 2e-9, r["doc_id"]

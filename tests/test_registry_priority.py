@@ -92,12 +92,64 @@ def test_window_plus_ledger_cover_every_survey_id():
 # (r10 driver-red on output representation, now string-serialized CSR)
 # and `similarity_lsh_topk` (first driver check since its rows-only →
 # oracle flip in r9).
+# r12: every re-check slot is deliberate — the two r11 reds after
+# their exact-arithmetic fixes, the 24 other contracts migrated off
+# libm (portable_math + floor-e6: CHANGED hash contracts, so their
+# green history no longer applies), the two ADVICE decimal fixes, and
+# 15 green re-confirmations filling the remaining slots (headliners +
+# ordered-fold kin; nothing unchecked was displaced — the cumulative
+# ledger is 341/341 once the 7 never-checked head names clear).
 INTENDED_RECHECKS: set[str] = {
-    "feature_hashing_vectorize",
+    # (b) r11 red fixes
+    "kaplan_meier_survival",
+    "cramers_v_pairs",
+    # (c) libm-hardened contracts
+    "mutual_info_lang_source",
+    "psi_population_stability",
+    "fdr_bh_segment_tests",
+    "char_entropy_docs",
+    "dsir_importance_sample",
+    "pmi_collocations_topk",
+    "stupid_backoff_trigram_lm",
+    "bm25_keyword_search",
+    "quality_classifier_inference",
+    "doc_perplexity_unigram",
+    "ccnet_perplexity_buckets",
+    "naive_bayes_lang_confusion",
+    "record_linkage_fs",
+    "embedding_quantize_error",
+    "tfidf_top_terms",
+    "heaps_law_fit",
+    "hll_overlap_users",
+    "hll_verified_users_by_type",
+    "profile_orders_approx",
+    "dp_laplace_counts",
+    "math_funcs_customer",
+    "sprt_sequential_ab",
+    "weighted_sample_docs",
+    "weighted_reservoir_topk",
+    # (d) ADVICE decimal-overflow fixes
+    "spearman_corr_qty_price",
+    "quantile_regression_grid",
+    # (e) green re-confirmations
+    "pricing_summary",
+    "topk_orders",
+    "group_count_mktsegment",
+    "group_avg_acctbal",
+    "anova_oneway_f",
+    "welch_ttest_value_clicks",
+    "mann_kendall_trend",
+    "seasonal_trend_decompose",
+    "capm_beta_by_type",
+    "empirical_bayes_shrinkage",
+    "knn_label_majority",
     "similarity_lsh_topk",
+    "feature_hashing_vectorize",
+    "cohort_ltv_curve",
+    "asof_join_nearest",
 }
 
-# r11 window: every slot is oracle-bearing.
+# r12 window: every slot is oracle-bearing.
 INTENDED_ROWS_ONLY: set[str] = set()
 
 

@@ -12,9 +12,16 @@ tolerate.
 
 Usage::
 
-    python tools/driver_sim.py [--sf-dir /root/testdata/sf0.01] [--cap 50]
+    python tools/driver_sim.py [--sf-dirs a,b,...] [--cap 50]
 
-Exit 1 if any window query fails rows/schema/hash or raises.
+By default the window is swept at ALL THREE fixture scales
+(sf0.001, sf0.01, sf0.1) — r11's kaplan_meier red was invisible at
+the driver's own sf0.01 (no hour-boundary straddle in 85 durations)
+and only reproduced at sf0.1, so a single-sf gate is not a gate.
+Pass --sf-dirs /root/testdata/sf0.01 for the fast driver-exact run.
+
+Exit 1 if any window query fails rows/schema/hash or raises at any
+swept scale.
 """
 
 from __future__ import annotations
@@ -53,11 +60,22 @@ def _canon(df):
     return len(df), tuple(cols), digest
 
 
+DEFAULT_SWEEP = (
+    "/root/testdata/sf0.001,/root/testdata/sf0.01,/root/testdata/sf0.1"
+)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--sf-dirs",
+        default=DEFAULT_SWEEP,
+        help="comma-separated fixture dirs to sweep (default: all three)",
+    )
+    ap.add_argument("--sf-dir", default=None, help="alias: single dir")
     ap.add_argument("--cap", type=int, default=50)
     args = ap.parse_args()
+    sf_dirs = [args.sf_dir] if args.sf_dir else args.sf_dirs.split(",")
 
     import duckdb
     from pyspark.sql import SparkSession
@@ -70,31 +88,42 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'"
-        )
 
     qs, osql = E.queries(), E.oracle_sql()
     window = list(qs)[: args.cap]
     failures = 0
-    for name in window:
-        try:
-            sp = qs[name](spark, args.sf_dir).toPandas()
-            if name not in osql:
-                print(f"{name:40s} rows-only ({len(sp)} rows)")
-                continue
-            du = con.execute(osql[name]).fetchdf()
-            a, b = _canon(sp), _canon(du)
-            if a == b:
-                continue
-            failures += 1
-            print(f"{name:40s} MISMATCH spark={a} oracle={b}")
-        except Exception as e:  # noqa: BLE001 — the driver records errors too
-            failures += 1
-            print(f"{name:40s} ERROR {str(e)[:140]}")
-    print(f"\n{len(window) - failures}/{len(window)} window queries green")
+    for sf_dir in sf_dirs:
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        sf_fail = 0
+        for name in window:
+            try:
+                sp = qs[name](spark, sf_dir).toPandas()
+                if name not in osql:
+                    print(f"{name:40s} rows-only ({len(sp)} rows)")
+                    continue
+                du = con.execute(osql[name]).fetchdf()
+                a, b = _canon(sp), _canon(du)
+                if a == b:
+                    continue
+                sf_fail += 1
+                print(f"{name:40s} [{sf_dir}] MISMATCH spark={a} oracle={b}")
+            except Exception as e:  # noqa: BLE001 — the driver records errors too
+                sf_fail += 1
+                print(f"{name:40s} [{sf_dir}] ERROR {str(e)[:140]}")
+        # The driver's own pass is single-sf; keep its summary line
+        # per swept scale so "50/50 window queries green" stays
+        # greppable.
+        print(
+            f"\n{len(window) - sf_fail}/{len(window)} window queries green"
+            f" at {sf_dir}"
+        )
+        failures += sf_fail
+        con.close()
+        spark.catalog.clearCache()
     return 1 if failures else 0
 
 

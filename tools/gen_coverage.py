@@ -183,9 +183,78 @@ def main() -> None:
         lines.append("|---|---|")
         for n, twin in sorted(naive.items()):
             lines.append(f"| `{n}` | `{twin}` |")
+    lines.extend(HARDENING_SECTION)
     lines.extend(driver_ledger(specs))
     (ROOT / "COVERAGE.md").write_text("\n".join(lines) + "\n")
     print(f"wrote COVERAGE.md: {len(specs)} queries, {n_or} oracles, missing={missing}")
+
+
+# Static prose block (r12, VERDICT r11 item 5): the hash-contract
+# determinism audit. Kept here so COVERAGE.md regeneration preserves it.
+HARDENING_SECTION = """
+## Hash-contract determinism audit (r12, VERDICT r11 item 5)
+
+r11 proved two divergence classes can flip a driver hash on a build
+the local box never sees: (1) epoch arithmetic mixing second-truncated
+and fractional time (`kaplan_meier_survival`, fixed to exact integer
+microseconds), and (2) values that pass through non-correctly-rounded
+math — libm `ln/exp/pow/log10` (ulp differences across
+glibc/musl/JVM/DuckDB builds) and engine `ROUND(double, k)` over long
+float folds (algorithm differs between Spark's BigDecimal path and
+DuckDB's float path, and can change across DuckDB releases). The r12
+remediation, audited query-by-query:
+
+**libm inventory — now EMPTY.** A static scan of every registered
+oracle (`ln|exp|log|log2|log10|pow|power(`) and every Spark plan
+(`F.log|F.exp|F.pow`) returns zero live call sites. The 25 queries
+that carried libm were migrated to `operators/portable_math.py` — ln
+via 12 repeated `sqrt` (IEEE-required correctly-rounded) + atanh
+Horner, exp via x/4096 Taylor + 12 squarings, log10/pow derived —
+emitted as SQL for BOTH engines, bit-identical on any build
+(tests/test_portable_math.py asserts exact double byte equality over
+a hostile grid): `mutual_info_lang_source, psi_population_stability,
+fdr_bh_segment_tests, char_entropy_docs, dsir_importance_sample,
+pmi_collocations_topk, stupid_backoff_trigram_lm, bm25_keyword_search,
+quality_classifier_inference, doc_perplexity_unigram,
+ccnet_perplexity_buckets, naive_bayes_lang_confusion,
+record_linkage_fs, embedding_quantize_error (pow->multiply),
+tfidf_top_terms, heaps_law_fit, zipf_law_fit, hll_overlap_users,
+hll_verified_users_by_type, profile_orders_approx (pow(2,k) -> integer
+shift), dp_laplace_counts, math_funcs_customer, sprt_sequential_ab
+(ln of literals -> precomputed literals), weighted_sample_docs,
+weighted_reservoir_topk`. Hidden-argmax/rank sites (naive_bayes'
+class argmax, pmi/bm25/dsir/A-ES top-k keys) were treated as hashed
+even though the float never reaches the output — selection IS a hash
+dependency.
+
+**Presentation convention.** Migrated contracts emit
+`floor(1e6 * x)` (or 1e9 where resolution demands) as BIGINT `_e6`
+columns instead of `ROUND(double, k)`: floor is an IEEE-exact
+operation, so a bit-identical input quantizes identically on every
+build. Cross-group float sums in migrated contracts replay as
+key-ORDERED folds (`ordered_sum`/`ordered_sum_sql`) over provably
+bounded groups. Non-migrated contracts whose hashed floats come from
+exact decimal/integer inputs keep `ROUND` (a decimal-exact input
+rounds identically everywhere); `ROUND(double)` over unordered float
+folds no longer exists in any hashed column.
+
+**Epoch-arithmetic inventory.** Remaining `unix_timestamp` sites,
+both verified truncation-safe: `reshape_queries.py`
+(linear_interp_gapfill) buckets absolute epochs by hour — truncating
+to whole seconds can never move a non-negative timestamp across an
+hour boundary, and the oracle's fractional `epoch(ts)/3600` floors to
+the same bucket; `operators/temporal.py` interval-join bucketing uses
+second-truncated keys only to PRUNE candidates — the exact residual
+timestamp predicate decides membership.
+
+**Residual known risk.** `ROUND(double, k)` on single IEEE-chain
+values (e.g. `math_funcs_customer.sqrt_bal`) remains in some passing
+contracts; inputs are bit-identical cross-engine, so a red would
+require the driver's DuckDB build to round the very same double
+differently than 1.0.0 at a boundary — possible in principle;
+migrating the remainder to `_e6` floors is mechanical follow-up work
+if any ever reds.
+""".splitlines()
 
 
 if __name__ == "__main__":
