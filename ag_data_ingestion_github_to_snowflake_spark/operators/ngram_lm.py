@@ -48,8 +48,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ag_data_ingestion_github_to_snowflake_spark.operators.portable_math import (
-    floor_e6,
-    ordered_sum,
     portable_log10_sql,
 )
 
@@ -129,7 +127,6 @@ def test_trigrams(docs: DataFrame, id_col: str, text_col: str = "text") -> DataF
         F.explode(
             F.expr(
                 "transform(sequence(1, size(t) - 2), i -> struct("
-                " i AS pos,"
                 " array_join(slice(t, i, 3), ' ') AS g3,"
                 " array_join(slice(t, i, 2), ' ') AS ctx2,"
                 " array_join(slice(t, i + 1, 2), ' ') AS g2,"
@@ -140,7 +137,7 @@ def test_trigrams(docs: DataFrame, id_col: str, text_col: str = "text") -> DataF
                 " t[i + 1] AS g1))"
             )
         ).alias("p"),
-    ).select(id_col, "p.pos", "p.g3", "p.ctx2", "p.g2", "p.ctx1", "p.g1")
+    ).select(id_col, "p.g3", "p.ctx2", "p.g2", "p.ctx1", "p.g1")
 
 
 def stupid_backoff_scores(
@@ -153,11 +150,14 @@ def stupid_backoff_scores(
 
     Returns (id, n_tri, hit3, hit2, hit1, score_e6): how many trigrams
     resolved at each backoff level (integer, hash-exact) and the mean
-    log10 Stupid Backoff score quantized by floor(1e6*x). The per-doc
-    mean folds in trigram-POSITION order over the portable log10
-    (operators/portable_math.py), so the double is bit-identical on
-    any engine/libm build before quantization; consumers divide by
-    1e6 for the mean log10 probability.
+    log10 Stupid Backoff score quantized by floor(1e6*x). Each
+    trigram's log10 score is computed with the portable log10
+    (operators/portable_math.py — bit-identical on any engine/libm
+    build) and quantized PER ROW to the exact integer floor(1e9*x),
+    so the per-doc sum is an order-free BIGINT sum (no collect/fold
+    state) and the mean is one correctly-rounded double division +
+    floor. Consumers divide score_e6 by 1e6 for the mean log10
+    probability.
     """
     # Cache: the count table feeds five joins below, so recomputing the
     # n-gram explosion per consumer would be 5x the work. The returned
@@ -250,16 +250,20 @@ def stupid_backoff_scores(
         .when(F.col("c2").isNotNull(), F.lit(2))
         .otherwise(F.lit(1))
     )
-    term = F.expr(portable_log10_sql("s", "spark"))
+    term_q = F.expr(
+        "CAST(floor(1000000000.0 * "
+        + portable_log10_sql("s", "spark")
+        + ") AS BIGINT)"
+    )
     agg = (
-        j.select(id_col, "pos", score.alias("s"), level.alias("lvl"))
+        j.select(id_col, score.alias("s"), level.alias("lvl"))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tri"),
             F.sum((F.col("lvl") == 3).cast("bigint")).alias("hit3"),
             F.sum((F.col("lvl") == 2).cast("bigint")).alias("hit2"),
             F.sum((F.col("lvl") == 1).cast("bigint")).alias("hit1"),
-            ordered_sum(term, "pos").alias("ssum"),
+            F.sum(term_q).cast("bigint").alias("ssum_e9"),
         )
     )
     return agg.select(
@@ -268,7 +272,11 @@ def stupid_backoff_scores(
         "hit3",
         "hit2",
         "hit1",
-        floor_e6(F.col("ssum") / F.col("n_tri").cast("double")).alias(
-            "score_e6"
-        ),
+        # double division of exact integers + floor: deterministic on
+        # any build (integer `div` would differ between engines on
+        # negative sums — Spark truncates, DuckDB floors).
+        F.expr(
+            "CAST(floor(CAST(ssum_e9 AS DOUBLE) / n_tri / 1000.0)"
+            " AS BIGINT)"
+        ).alias("score_e6"),
     )

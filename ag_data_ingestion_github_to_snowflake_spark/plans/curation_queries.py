@@ -384,10 +384,13 @@ def corpus_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "doc_perplexity_unigram",
-    # Hash contract (hardened r12, item 5): portable ln, per-doc sum
-    # grouped to (doc, term) counts FIRST and folded in term order
-    # (bounded distinct-term lists instead of per-token adds), and
-    # floor(1e6*xent) presentation.
+    # Hash contract (hardened r12, item 5; re-shaped same round after
+    # the 100x sweep showed the first ordered-fold form 5x slower):
+    # the per-term -ln p is computed ONCE on the vocabulary table with
+    # the portable ln and quantized to the exact integer
+    # floor(1e9 * ln p); per-doc sums are then order-free BIGINT sums
+    # — bit-deterministic with zero collect/fold cost, and the plan
+    # keeps the original single join + one per-doc aggregate shape.
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
@@ -397,21 +400,23 @@ def corpus_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
       SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY term
     ),
     total AS (SELECT SUM(cnt) AS tot FROM vocab),
-    dterm AS (
-      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS dc
-      FROM toks GROUP BY doc_id, term
+    vterm AS (
+      SELECT term,
+             CAST(floor(1000000000.0 * {portable_ln_sql(
+                 "CAST(cnt AS DOUBLE) / total.tot", "duckdb")})
+               AS BIGINT) AS lnq
+      FROM vocab, total
     ),
     scored AS (
-      SELECT dterm.doc_id,
-             CAST(SUM(dc) AS BIGINT) AS n_tok,
-             {ordered_sum_sql(
-                 "CAST(dc AS DOUBLE) * " + portable_ln_sql(
-                     "CAST(vocab.cnt AS DOUBLE) / total.tot", "duckdb"),
-                 "term")} AS ssum
-      FROM dterm JOIN vocab USING (term) CROSS JOIN total
-      GROUP BY dterm.doc_id
+      SELECT toks.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tok,
+             CAST(SUM(lnq) AS BIGINT) AS ssum_e9
+      FROM toks JOIN vterm USING (term)
+      GROUP BY toks.doc_id
     )
-    SELECT doc_id, {floor_e6_sql("(-ssum) / CAST(n_tok AS DOUBLE)")} AS xent_e6
+    SELECT doc_id,
+           CAST(floor(CAST(-ssum_e9 AS DOUBLE) / n_tok / 1000.0) AS BIGINT)
+             AS xent_e6
     FROM scored
     """,
     survey_ids=("B56", "B43", "B16"),
@@ -435,27 +440,31 @@ def doc_perplexity_unigram(spark: SparkSession, sf: str) -> DataFrame:
     toks = docs.select("doc_id", F.explode(F.split("text", "\\s+")).alias("term"))
     vocab = toks.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("tot"))
-    dterm = toks.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("dc")
-    )
-    term_col = F.expr(
-        "CAST(dc AS DOUBLE) * "
-        + portable_ln_sql("CAST(cnt AS DOUBLE) / tot", "spark")
+    vterm = (
+        vocab.join(F.broadcast(total))
+        .select(
+            "term",
+            F.expr(
+                "CAST(floor(1000000000.0 * "
+                + portable_ln_sql("CAST(cnt AS DOUBLE) / tot", "spark")
+                + ") AS BIGINT)"
+            ).alias("lnq"),
+        )
     )
     scored = (
-        dterm.join(vocab, "term")
-        .join(F.broadcast(total))
+        toks.join(vterm, "term")
         .groupBy("doc_id")
         .agg(
-            F.sum("dc").cast("bigint").alias("n_tok"),
-            ordered_sum(term_col, "term").alias("ssum"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.sum("lnq").cast("bigint").alias("ssum_e9"),
         )
     )
     return scored.select(
         "doc_id",
-        floor_e6((-F.col("ssum")) / F.col("n_tok").cast("double")).alias(
-            "xent_e6"
-        ),
+        F.expr(
+            "CAST(floor(CAST(-ssum_e9 AS DOUBLE) / n_tok / 1000.0)"
+            " AS BIGINT)"
+        ).alias("xent_e6"),
     )
 
 
@@ -1415,10 +1424,11 @@ def gopher_quality_rules(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "ccnet_perplexity_buckets",
-    # Hash contract (hardened r12, item 5): per-doc cross-entropy is
-    # the portable-ln term-ordered fold quantized to the exact integer
-    # xent_e6 (same contract as doc_perplexity_unigram); the tercile
-    # orders by that integer (doc_id tiebreak) and the bucket average
+    # Hash contract (hardened r12, item 5; re-shaped same round after
+    # the 100x sweep — see doc_perplexity_unigram): per-term -ln p is
+    # quantized to integer 1e-9 grains ON THE VOCABULARY (portable
+    # ln), per-doc sums are order-free BIGINT sums, the tercile orders
+    # by the integer xent_e6 (doc_id tiebreak), and the bucket average
     # is an exact integer floor-division — nothing in the hash touches
     # libm, engine ROUND, or accumulation order.
     oracle=f"""
@@ -1430,23 +1440,24 @@ def gopher_quality_rules(spark: SparkSession, sf: str) -> DataFrame:
       SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY term
     ),
     total AS (SELECT SUM(cnt) AS tot FROM vocab),
-    dterm AS (
-      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS dc
-      FROM toks GROUP BY doc_id, term
+    vterm AS (
+      SELECT term,
+             CAST(floor(1000000000.0 * {portable_ln_sql(
+                 "CAST(cnt AS DOUBLE) / total.tot", "duckdb")})
+               AS BIGINT) AS lnq
+      FROM vocab, total
     ),
     scored AS (
-      SELECT dterm.doc_id,
-             CAST(SUM(dc) AS BIGINT) AS n_tok,
-             {ordered_sum_sql(
-                 "CAST(dc AS DOUBLE) * " + portable_ln_sql(
-                     "CAST(vocab.cnt AS DOUBLE) / total.tot", "duckdb"),
-                 "term")} AS ssum
-      FROM dterm JOIN vocab USING (term) CROSS JOIN total
-      GROUP BY dterm.doc_id
+      SELECT toks.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tok,
+             CAST(SUM(lnq) AS BIGINT) AS ssum_e9
+      FROM toks JOIN vterm USING (term)
+      GROUP BY toks.doc_id
     ),
     xe AS (
       SELECT doc_id,
-             {floor_e6_sql("(-ssum) / CAST(n_tok AS DOUBLE)")} AS xent_e6
+             CAST(floor(CAST(-ssum_e9 AS DOUBLE) / n_tok / 1000.0) AS BIGINT)
+               AS xent_e6
       FROM scored
     ),
     bucketed AS (
@@ -1488,26 +1499,30 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
     toks = docs.select("doc_id", F.explode(F.split("text", "\\s+")).alias("term"))
     vocab = toks.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("tot"))
-    dterm = toks.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("dc")
-    )
-    term_col = F.expr(
-        "CAST(dc AS DOUBLE) * "
-        + portable_ln_sql("CAST(cnt AS DOUBLE) / tot", "spark")
+    vterm = (
+        vocab.join(F.broadcast(total))
+        .select(
+            "term",
+            F.expr(
+                "CAST(floor(1000000000.0 * "
+                + portable_ln_sql("CAST(cnt AS DOUBLE) / tot", "spark")
+                + ") AS BIGINT)"
+            ).alias("lnq"),
+        )
     )
     scored = (
-        dterm.join(vocab, "term")
-        .join(F.broadcast(total))
+        toks.join(vterm, "term")
         .groupBy("doc_id")
         .agg(
-            F.sum("dc").cast("bigint").alias("n_tok"),
-            ordered_sum(term_col, "term").alias("ssum"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.sum("lnq").cast("bigint").alias("ssum_e9"),
         )
         .select(
             "doc_id",
-            floor_e6((-F.col("ssum")) / F.col("n_tok").cast("double")).alias(
-                "xent_e6"
-            ),
+            F.expr(
+                "CAST(floor(CAST(-ssum_e9 AS DOUBLE) / n_tok / 1000.0)"
+                " AS BIGINT)"
+            ).alias("xent_e6"),
         )
     )
     w = Window.partitionBy("lang").orderBy("xent_e6", "doc_id")
@@ -1781,10 +1796,9 @@ def domain_mixture_reweight(spark: SparkSession, sf: str) -> DataFrame:
     ),
     s1 AS (
       SELECT tt.doc_id, clw.lang,
-             {ordered_sum_sql(
-                 "tt.cnt * " + portable_ln_sql(
-                     "CAST(clw.c + 1 AS DOUBLE)", "duckdb"),
-                 "tt.word")} AS s_num
+             CAST(SUM(CAST(floor(1000000000.0 * (tt.cnt * {portable_ln_sql(
+                 "CAST(clw.c + 1 AS DOUBLE)", "duckdb")}))
+               AS BIGINT)) AS BIGINT) AS s_num_e9
       FROM test_tok tt JOIN clw ON tt.word = clw.word
       GROUP BY 1, 2
     ),
@@ -1792,7 +1806,7 @@ def domain_mixture_reweight(spark: SparkSession, sf: str) -> DataFrame:
       SELECT dl.doc_id, dl.lang_true, ct.lang AS lang_cand,
              {portable_ln_sql("CAST(p.d_l AS DOUBLE)", "duckdb", "pa")}
              - {portable_ln_sql("CAST(dt.d AS DOUBLE)", "duckdb", "pb")}
-             + COALESCE(s1.s_num, 0.0)
+             + CAST(COALESCE(s1.s_num_e9, 0) AS DOUBLE) / 1000000000.0
              - dl.n_tok * {portable_ln_sql(
                  "CAST(ct.t_l + vocab.v AS DOUBLE)", "duckdb", "pc")}
                AS score
@@ -1865,12 +1879,14 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("cnt").cast("bigint").alias("n_tok")
     )
     s1_term = F.expr(
-        "cnt * " + portable_ln_sql("CAST(c + 1 AS DOUBLE)", "spark")
+        "CAST(floor(1000000000.0 * (cnt * "
+        + portable_ln_sql("CAST(c + 1 AS DOUBLE)", "spark")
+        + ")) AS BIGINT)"
     )
     s1 = (
         test_tok.join(F.broadcast(clw), "word")
         .groupBy("doc_id", F.col("lang").alias("lang_cand"))
-        .agg(ordered_sum(s1_term, "word").alias("s_num"))
+        .agg(F.sum(s1_term).cast("bigint").alias("s_num_e9"))
     )
     cand = class_tot.join(F.broadcast(prior), "lang").withColumnRenamed(
         "lang", "lang_cand"
@@ -1888,7 +1904,8 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
                 portable_ln_sql("CAST(d_l AS DOUBLE)", "spark", "pa")
                 + " - "
                 + portable_ln_sql("CAST(d AS DOUBLE)", "spark", "pb")
-                + " + COALESCE(s_num, 0.0) - n_tok * "
+                + " + CAST(COALESCE(s_num_e9, 0) AS DOUBLE) / 1000000000.0"
+                + " - n_tok * "
                 + portable_ln_sql("CAST(t_l + v AS DOUBLE)", "spark", "pc")
             ).alias("score"),
         )

@@ -988,7 +988,6 @@ def embedding_pca_project_verified(spark: SparkSession, sf: str) -> DataFrame:
     ),
     tt AS (
       SELECT doc_id,
-             s.i AS pos,
              array_to_string(t[i:i+2], ' ') AS k3,
              array_to_string(t[i:i+1], ' ') AS kctx2,
              array_to_string(t[i+1:i+2], ' ') AS k2,
@@ -998,7 +997,7 @@ def embedding_pca_project_verified(spark: SparkSession, sf: str) -> DataFrame:
       WHERE hb >= 204
     ),
     scored AS (
-      SELECT tt.doc_id, tt.pos,
+      SELECT tt.doc_id,
              CASE WHEN t3.cnt IS NOT NULL THEN 3
                   WHEN b2.cnt IS NOT NULL THEN 2 ELSE 1 END AS lvl,
              CASE
@@ -1023,13 +1022,15 @@ def embedding_pca_project_verified(spark: SparkSession, sf: str) -> DataFrame:
              CAST(SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS hit3,
              CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS hit2,
              CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hit1,
-             {ordered_sum_sql(portable_log10_sql("s", "duckdb"), "pos")}
-               AS ssum
+             CAST(SUM(CAST(floor(1000000000.0 *
+                 {portable_log10_sql("s", "duckdb")}) AS BIGINT))
+               AS BIGINT) AS ssum_e9
       FROM scored
       GROUP BY doc_id
     )
     SELECT doc_id, n_tri, hit3, hit2, hit1,
-           {floor_e6_sql("ssum / CAST(n_tri AS DOUBLE)")} AS score_e6
+           CAST(floor(CAST(ssum_e9 AS DOUBLE) / n_tri / 1000.0) AS BIGINT)
+             AS score_e6
     FROM agg
     """,
     survey_ids=("B56", "B16", "B10", "B43"),

@@ -247,6 +247,15 @@ the same bucket; `operators/temporal.py` interval-join bucketing uses
 second-truncated keys only to PRUNE candidates — the exact residual
 timestamp predicate decides membership.
 
+**Why no multi-DuckDB-version sweep (VERDICT item 4's "ideally").**
+The container has exactly one DuckDB wheel (1.0.0) and installs are
+prohibited, so the cross-build failure mode cannot be exercised
+locally. The remediation is therefore STRUCTURAL — no hashed value
+passes through any operation a different build may compute
+differently — and guarded by `tests/test_contract_determinism.py`
+(static scan: no libm in any oracle or plan module, no ROUND over a
+fold), so the property holds for new queries too.
+
 **Residual known risk.** `ROUND(double, k)` on single IEEE-chain
 values (e.g. `math_funcs_customer.sqrt_bal`) remains in some passing
 contracts; inputs are bit-identical cross-engine, so a red would
