@@ -2137,3 +2137,210 @@ def record_linkage_fs(spark: SparkSession, sf: str) -> DataFrame:
             "is_true_match",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fightin' Words: informative-Dirichlet log-odds corpus contrast
+# (Monroe, Colaresi & Quinn 2008, Political Analysis 16(4))
+# ---------------------------------------------------------------------------
+_FW_ALPHA0 = "500.0"  # total Dirichlet prior mass, spread per pooled freq
+
+
+def _fw_z(dialect: str) -> str:
+    """z-scored log-odds-ratio with informative Dirichlet prior, the
+    Monroe et al. estimator, in shared portable-ln text. All inputs
+    (y1, y2, n1, n2) are exact integer counts in scope."""
+    ln = portable_ln_sql
+    aw = f"({_FW_ALPHA0} * (CAST(y1 + y2 AS DOUBLE) / (n1 + n2)))"
+    d1 = ln(
+        f"(CAST(y1 AS DOUBLE) + {aw})"
+        f" / ((CAST(n1 AS DOUBLE) + {_FW_ALPHA0})"
+        f" - (CAST(y1 AS DOUBLE) + {aw}))",
+        dialect,
+        "pfa",
+    )
+    d2 = ln(
+        f"(CAST(y2 AS DOUBLE) + {aw})"
+        f" / ((CAST(n2 AS DOUBLE) + {_FW_ALPHA0})"
+        f" - (CAST(y2 AS DOUBLE) + {aw}))",
+        dialect,
+        "pfb",
+    )
+    var = (
+        f"(1.0 / (CAST(y1 AS DOUBLE) + {aw})"
+        f" + 1.0 / (CAST(y2 AS DOUBLE) + {aw}))"
+    )
+    return f"(({d1} - {d2}) / sqrt({var}))"
+
+
+@register(
+    "fightin_words_contrast",
+    # Hash contract (born hardened, r12 convention): exact integer
+    # counts, portable ln (bit-identical on any build), rank on the
+    # raw identical double, floor(1e6*z) presentation.
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT tok AS term,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS y1,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+               AS y2
+      FROM toks WHERE tok <> ''
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(y1) AS BIGINT) AS n1, CAST(SUM(y2) AS BIGINT) AS n2
+      FROM tf
+    ),
+    sc AS (
+      SELECT term, y1, y2, {_fw_z("duckdb")} AS z
+      FROM tf, tot
+      WHERE y1 + y2 >= 20
+    )
+    SELECT term, y1, y2, {floor_e6_sql("z")} AS z_e6
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY z DESC, term) AS rnk FROM sc
+    ) WHERE rnk <= 25
+    """,
+    survey_ids=("B56", "B16", "B43"),
+    description="Fightin' Words: Dirichlet-prior log-odds terms most distinctive of the English slice",
+)
+def fightin_words_contrast(spark: SparkSession, sf: str) -> DataFrame:
+    """Which terms are most DISTINCTIVE of the English sub-corpus?
+    The Monroe-Colaresi-Quinn "Fightin' Words" estimator: log-odds
+    ratio of per-term rates between two sub-corpora under an
+    informative Dirichlet prior (alpha_w proportional to the pooled
+    frequency, total mass 500), z-scored by the delta-method variance
+    1/(y1+a) + 1/(y2+a). The standard corpus-contrast tool for
+    curation audits (what does slice A over-represent?) — raw
+    log-odds overweights rare terms; the prior + z-score fix exactly
+    that.
+
+    Scale shape: ONE vocabulary-sized conditional-count shuffle
+    (map-side combined), a 1-row totals broadcast, map-side z over
+    vocabulary rows, TakeOrdered top-25. Nothing past the first
+    reduce scales with the corpus. Cites no reference file — this is
+    part of the mandated LLM-curation extension surface.
+    """
+    docs = t(spark, sf, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy(F.col("tok").alias("term")).agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y1"),
+        F.sum(F.when(F.col("lang") == "en", 0).otherwise(1))
+        .cast("bigint")
+        .alias("y2"),
+    )
+    tot = tf.agg(
+        F.sum("y1").cast("bigint").alias("n1"),
+        F.sum("y2").cast("bigint").alias("n2"),
+    )
+    sc = (
+        tf.filter(F.col("y1") + F.col("y2") >= 20)
+        .join(F.broadcast(tot))
+        .withColumn("z", F.expr(_fw_z("spark")))
+    )
+    return (
+        sc.orderBy(F.desc("z"), "term")
+        .limit(25)
+        .select("term", "y1", "y2", floor_e6(F.col("z")).alias("z_e6"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source KL divergence from the corpus unigram distribution
+# ---------------------------------------------------------------------------
+@register(
+    "kl_divergence_sources",
+    # Hash contract (born hardened, r12 convention): per-term KL
+    # contributions (p ln(p/q), exact-count ratios through the
+    # portable ln) quantize to integer 1e-9 grains on the
+    # vocabulary-sized (source, term) table, so the per-source sum is
+    # an order-free BIGINT sum; division/floor to the 1e-6 grain is
+    # correctly rounded double math on identical inputs.
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    ft AS (SELECT source, tok AS term FROM toks WHERE tok <> ''),
+    q AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS cq FROM ft GROUP BY term
+    ),
+    qn AS (SELECT CAST(SUM(cq) AS BIGINT) AS nq FROM q),
+    p AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cp
+      FROM ft GROUP BY source, term
+    ),
+    pn AS (
+      SELECT source, CAST(SUM(cp) AS BIGINT) AS np FROM p GROUP BY source
+    ),
+    terms AS (
+      SELECT p.source,
+             CAST(floor(1000000000.0 *
+               ((CAST(cp AS DOUBLE) / np) * {portable_ln_sql(
+                   "(CAST(cp AS DOUBLE) / np) / (CAST(cq AS DOUBLE) / nq)",
+                   "duckdb")})) AS BIGINT) AS tq
+      FROM p JOIN q USING (term) JOIN pn ON p.source = pn.source, qn
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(floor(CAST(SUM(tq) AS DOUBLE) / 1000.0) AS BIGINT) AS kl_e6
+    FROM terms
+    GROUP BY source
+    """,
+    survey_ids=("B56", "B16", "B43"),
+    description="KL divergence of each source's unigram distribution from the corpus",
+)
+def kl_divergence_sources(spark: SparkSession, sf: str) -> DataFrame:
+    """How far does each source's language drift from the corpus
+    average? Plug-in KL divergence D(P_source || P_corpus) over the
+    source's observed vocabulary (q > 0 wherever p > 0 because the
+    corpus pools every source, so no smoothing is needed on the
+    support) — the mixture-monitoring companion of
+    domain_mixture_reweight: reweighting changes HOW MUCH of each
+    source is sampled, this measures how DIFFERENT each source reads.
+
+    Scale shape: one (source, term) count shuffle and one term count
+    shuffle (both vocabulary-sized after map-side combine), a
+    vocabulary equi-join, per-term integer quantization, one tiny
+    per-source sum. Order-free integer arithmetic end to end past the
+    portable ln.
+    """
+    docs = t(spark, sf, "documents")
+    ft = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    q = ft.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("cq"))
+    qn = q.agg(F.sum("cq").cast("bigint").alias("nq"))
+    p = ft.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cp")
+    )
+    pn = p.groupBy("source").agg(F.sum("cp").cast("bigint").alias("np"))
+    tq = F.expr(
+        "CAST(floor(1000000000.0 * ((CAST(cp AS DOUBLE) / np) * "
+        + portable_ln_sql(
+            "(CAST(cp AS DOUBLE) / np) / (CAST(cq AS DOUBLE) / nq)", "spark"
+        )
+        + ")) AS BIGINT)"
+    )
+    terms = (
+        p.join(q, "term")
+        .join(pn, "source")
+        .join(F.broadcast(qn))
+        .select("source", tq.alias("tq"))
+    )
+    return terms.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.expr("CAST(floor(CAST(SUM(tq) AS DOUBLE) / 1000.0) AS BIGINT)")
+        .alias("kl_e6"),
+    )

@@ -58,6 +58,13 @@ ALLOWED_FLAGS = {
     # Mixture reweighting attaches the 1-row (total, n_sources)
     # aggregate to the |sources|-row table — one broadcast row.
     ("domain_mixture_reweight", "BroadcastNestedLoopJoin"),
+    # Fightin' Words attaches the 1-row (n1, n2) totals aggregate to
+    # the vocabulary-sized term table — one broadcast row, invariant
+    # in the corpus size.
+    ("fightin_words_contrast", "BroadcastNestedLoopJoin"),
+    # KL divergence attaches the 1-row corpus-token-total aggregate to
+    # the (source, term) table — one broadcast row.
+    ("kl_divergence_sources", "BroadcastNestedLoopJoin"),
     # NB scoring cross-attaches the |langs|-row class table (candidate
     # fan-out is the model's class count, a bounded constant) plus
     # 1-row vocab/doc-total aggregates — all broadcast and invariant
