@@ -231,9 +231,17 @@ def stupid_backoff_scores(
         )
         .join(F.broadcast(totals))
     )
-    s1 = (F.coalesce(F.col("c1"), F.lit(0)).cast("double") + F.lit(1.0)) / (
-        F.col("n_tokens") + F.col("v_size")
-    )
+    # Root score ASSOCIATION must mirror the oracle text exactly —
+    # `0.4 * 0.4 * (c+1) / (n+v)` is left-associative, i.e.
+    # ((0.4*0.4)*(c+1)) / (n+v). The previous form multiplied
+    # alpha^2 by an ALREADY-DIVIDED ratio, a 1-ulp difference on ~1/3
+    # of inputs that the per-row floor(1e9*log10(s)) contract no
+    # longer absorbs (r12 code review finding; the r11-red class).
+    s1 = (
+        F.lit(ALPHA)
+        * F.lit(ALPHA)
+        * (F.coalesce(F.col("c1"), F.lit(0)).cast("double") + F.lit(1.0))
+    ) / (F.col("n_tokens") + F.col("v_size"))
     score = (
         F.when(
             F.col("c3").isNotNull(),
@@ -243,7 +251,7 @@ def stupid_backoff_scores(
             F.col("c2").isNotNull(),
             F.lit(ALPHA) * F.col("c2").cast("double") / F.col("c_ctx1").cast("double"),
         )
-        .otherwise(F.lit(ALPHA) * F.lit(ALPHA) * s1)
+        .otherwise(s1)
     )
     level = (
         F.when(F.col("c3").isNotNull(), F.lit(3))

@@ -60,16 +60,15 @@ __all__ = [
     "portable_pow_sql",
     "floor_e6_sql",
     "floor_e6",
+    "floor_e9_sql",
     "ordered_sum",
     "ordered_sum_sql",
-    "LN2",
     "LN10_INV",
 ]
 
 # Literal doubles: repr() is the shortest round-tripping decimal, and
 # decimal->double parsing is correctly rounded in both engines, so
 # these literals denote the same bit pattern everywhere.
-LN2 = repr(math.log(2.0))
 LN10_INV = repr(1.0 / math.log(10.0))
 
 _K = 12          # sqrt reductions: 2**12 = 4096
@@ -171,6 +170,14 @@ def floor_e6(col):
     return F.floor(F.lit(1000000.0) * col).cast("bigint")
 
 
+def floor_e9_sql(arg: str) -> str:
+    """``CAST(floor(1e9 * x) AS BIGINT)`` — the per-TERM quantizer for
+    order-free integer sums (quantize each portable-ln/exp term to an
+    exact 1e-9 grain, then plain BIGINT SUM instead of an ordered
+    fold). Works verbatim in both dialects."""
+    return f"CAST(floor(1000000000.0 * ({arg})) AS BIGINT)"
+
+
 def ordered_sum(term, *keys):
     """Spark Column: sum ``term`` over the group in the total order of
     ``keys`` via an explicit left fold (collect -> sort -> aggregate),
@@ -178,7 +185,13 @@ def ordered_sum(term, *keys):
     Init is 0.0: ``0.0 + a1`` is exact for every a1 (the only wobble
     is -0.0 -> +0.0, which cannot survive a non-degenerate sum). Use
     ONLY on provably bounded groups — the collected list lives in one
-    task."""
+    task.
+
+    PRECONDITION: ``term`` must be non-NULL on every row. Spark's
+    collect_list silently DROPS NULLs while DuckDB's list() keeps
+    them and folds the whole sum to NULL — a NULL term diverges the
+    twins instead of erroring. Guard joins feeding a fold with
+    COALESCE (the naive-bayes pattern) or an explicit filter."""
     from pyspark.sql import functions as F
 
     struct = F.struct(*keys, term.alias("__term"))

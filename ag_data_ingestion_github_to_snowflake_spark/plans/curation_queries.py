@@ -382,17 +382,17 @@ def corpus_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Unigram-LM cross-entropy (perplexity-proxy quality signal)
 # ---------------------------------------------------------------------------
-@register(
-    "doc_perplexity_unigram",
-    # Hash contract (hardened r12, item 5; re-shaped same round after
-    # the 100x sweep showed the first ordered-fold form 5x slower):
-    # the per-term -ln p is computed ONCE on the vocabulary table with
-    # the portable ln and quantized to the exact integer
-    # floor(1e9 * ln p); per-doc sums are then order-free BIGINT sums
-    # — bit-deterministic with zero collect/fold cost, and the plan
-    # keeps the original single join + one per-doc aggregate shape.
-    oracle=f"""
-    WITH toks AS (
+# Shared between doc_perplexity_unigram and ccnet_perplexity_buckets
+# (which buckets the same per-doc statistic): hash contract (hardened
+# r12, item 5; re-shaped same round after the 100x sweep showed the
+# first ordered-fold form 5x slower) — the per-term -ln p is computed
+# ONCE on the vocabulary table with the portable ln and quantized to
+# the exact integer floor(1e9 * ln p); per-doc sums are then
+# order-free BIGINT sums — bit-deterministic with zero collect/fold
+# cost, and the plan keeps the single join + one per-doc aggregate
+# shape. Extracted (r12 code review) so the next contract migration
+# edits ONE fragment, not two per dialect.
+_XENT_CTES = f"""toks AS (
       SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
       FROM documents
     ),
@@ -413,11 +413,55 @@ def corpus_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
              CAST(SUM(lnq) AS BIGINT) AS ssum_e9
       FROM toks JOIN vterm USING (term)
       GROUP BY toks.doc_id
+    ),
+    xe AS (
+      SELECT doc_id,
+             CAST(floor(CAST(-ssum_e9 AS DOUBLE) / n_tok / 1000.0) AS BIGINT)
+               AS xent_e6
+      FROM scored
+    )"""
+
+
+def _xent_per_doc(docs: DataFrame) -> DataFrame:
+    """Spark twin of the ``_XENT_CTES`` fragment: (doc_id, xent_e6)."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", "\\s+")).alias("term")
     )
-    SELECT doc_id,
-           CAST(floor(CAST(-ssum_e9 AS DOUBLE) / n_tok / 1000.0) AS BIGINT)
-             AS xent_e6
-    FROM scored
+    vocab = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    total = vocab.agg(F.sum("cnt").alias("tot"))
+    vterm = vocab.join(F.broadcast(total)).select(
+        "term",
+        F.expr(
+            "CAST(floor(1000000000.0 * "
+            + portable_ln_sql("CAST(cnt AS DOUBLE) / tot", "spark")
+            + ") AS BIGINT)"
+        ).alias("lnq"),
+    )
+    scored = (
+        toks.join(vterm, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.sum("lnq").cast("bigint").alias("ssum_e9"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.expr(
+            "CAST(floor(CAST(-ssum_e9 AS DOUBLE) / n_tok / 1000.0)"
+            " AS BIGINT)"
+        ).alias("xent_e6"),
+    )
+
+
+@register(
+    "doc_perplexity_unigram",
+    # See _XENT_CTES for the shared hash contract.
+    oracle=f"""
+    WITH {_XENT_CTES}
+    SELECT doc_id, xent_e6 FROM xe
     """,
     survey_ids=("B56", "B43", "B16"),
     description="Unigram-LM cross-entropy per doc: the perplexity-proxy quality filter",
@@ -436,36 +480,7 @@ def doc_perplexity_unigram(spark: SparkSession, sf: str) -> DataFrame:
     corpus scale — and the total-token count is a 1-row broadcast.
     Exactly two fact-sized shuffles at 100 TB.
     """
-    docs = t(spark, sf, "documents")
-    toks = docs.select("doc_id", F.explode(F.split("text", "\\s+")).alias("term"))
-    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    total = vocab.agg(F.sum("cnt").alias("tot"))
-    vterm = (
-        vocab.join(F.broadcast(total))
-        .select(
-            "term",
-            F.expr(
-                "CAST(floor(1000000000.0 * "
-                + portable_ln_sql("CAST(cnt AS DOUBLE) / tot", "spark")
-                + ") AS BIGINT)"
-            ).alias("lnq"),
-        )
-    )
-    scored = (
-        toks.join(vterm, "term")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
-            F.sum("lnq").cast("bigint").alias("ssum_e9"),
-        )
-    )
-    return scored.select(
-        "doc_id",
-        F.expr(
-            "CAST(floor(CAST(-ssum_e9 AS DOUBLE) / n_tok / 1000.0)"
-            " AS BIGINT)"
-        ).alias("xent_e6"),
-    )
+    return _xent_per_doc(t(spark, sf, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -1424,42 +1439,13 @@ def gopher_quality_rules(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "ccnet_perplexity_buckets",
-    # Hash contract (hardened r12, item 5; re-shaped same round after
-    # the 100x sweep — see doc_perplexity_unigram): per-term -ln p is
-    # quantized to integer 1e-9 grains ON THE VOCABULARY (portable
-    # ln), per-doc sums are order-free BIGINT sums, the tercile orders
-    # by the integer xent_e6 (doc_id tiebreak), and the bucket average
-    # is an exact integer floor-division — nothing in the hash touches
-    # libm, engine ROUND, or accumulation order.
+    # Per-doc xent_e6 comes from the shared _XENT_CTES fragment (the
+    # doc_perplexity_unigram contract); the tercile orders by that
+    # integer (doc_id tiebreak) and the bucket average is an exact
+    # integer floor-division — nothing in the hash touches libm,
+    # engine ROUND, or accumulation order.
     oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
-      FROM documents
-    ),
-    vocab AS (
-      SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY term
-    ),
-    total AS (SELECT SUM(cnt) AS tot FROM vocab),
-    vterm AS (
-      SELECT term,
-             CAST(floor(1000000000.0 * {portable_ln_sql(
-                 "CAST(cnt AS DOUBLE) / total.tot", "duckdb")})
-               AS BIGINT) AS lnq
-      FROM vocab, total
-    ),
-    scored AS (
-      SELECT toks.doc_id,
-             CAST(COUNT(*) AS BIGINT) AS n_tok,
-             CAST(SUM(lnq) AS BIGINT) AS ssum_e9
-      FROM toks JOIN vterm USING (term)
-      GROUP BY toks.doc_id
-    ),
-    xe AS (
-      SELECT doc_id,
-             CAST(floor(CAST(-ssum_e9 AS DOUBLE) / n_tok / 1000.0) AS BIGINT)
-               AS xent_e6
-      FROM scored
-    ),
+    WITH {_XENT_CTES},
     bucketed AS (
       SELECT d.lang, x.xent_e6,
              NTILE(3) OVER (PARTITION BY d.lang ORDER BY x.xent_e6, x.doc_id)
@@ -1496,35 +1482,7 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = t(spark, sf, "documents")
-    toks = docs.select("doc_id", F.explode(F.split("text", "\\s+")).alias("term"))
-    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    total = vocab.agg(F.sum("cnt").alias("tot"))
-    vterm = (
-        vocab.join(F.broadcast(total))
-        .select(
-            "term",
-            F.expr(
-                "CAST(floor(1000000000.0 * "
-                + portable_ln_sql("CAST(cnt AS DOUBLE) / tot", "spark")
-                + ") AS BIGINT)"
-            ).alias("lnq"),
-        )
-    )
-    scored = (
-        toks.join(vterm, "term")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
-            F.sum("lnq").cast("bigint").alias("ssum_e9"),
-        )
-        .select(
-            "doc_id",
-            F.expr(
-                "CAST(floor(CAST(-ssum_e9 AS DOUBLE) / n_tok / 1000.0)"
-                " AS BIGINT)"
-            ).alias("xent_e6"),
-        )
-    )
+    scored = _xent_per_doc(docs)
     w = Window.partitionBy("lang").orderBy("xent_e6", "doc_id")
     bucketed = (
         scored.join(docs.select("doc_id", "lang"), "doc_id")
@@ -2343,4 +2301,120 @@ def kl_divergence_sources(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_terms"),
         F.expr("CAST(floor(CAST(SUM(tq) AS DOUBLE) / 1000.0) AS BIGINT)")
         .alias("kl_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Platt scaling by exact grid search (classifier-score calibration)
+# ---------------------------------------------------------------------------
+_PLATT_S = (
+    "((CAST(ka AS DOUBLE) * 0.005) * (xb * 10 + 5)"
+    " + CAST(kb AS DOUBLE) * 0.5)"
+)
+
+
+def _platt_term(dialect: str) -> str:
+    """Per-(cell, bucket) log-loss contribution as an EXACT integer:
+    counts x floor(1e9 * ln(1+exp(±s))) with the portable exp/ln, so
+    cross-bucket sums are order-free BIGINT sums and the argmin is an
+    exact integer comparison."""
+    lpos = portable_ln_sql(
+        "1.0 + " + portable_exp_sql(f"-({_PLATT_S})", dialect, "pep"),
+        dialect,
+        "plp",
+    )
+    lneg = portable_ln_sql(
+        "1.0 + " + portable_exp_sql(f"({_PLATT_S})", dialect, "pen"),
+        dialect,
+        "plq",
+    )
+    return (
+        f"n_pos * CAST(floor(1000000000.0 * {lpos}) AS BIGINT)"
+        f" + n_neg * CAST(floor(1000000000.0 * {lneg}) AS BIGINT)"
+    )
+
+
+@register(
+    "platt_scaling_grid",
+    # Hash contract (born hardened, r12 convention): the entire fit is
+    # exact integer arithmetic past the portable exp/ln — bucket
+    # counts are exact, per-cell losses are order-free BIGINT sums of
+    # per-term 1e-9 grains, and the (a, b) argmin is an integer
+    # comparison with an (ka, kb) tiebreak. No ROUND, no libm, no
+    # accumulation-order dependence anywhere.
+    oracle=f"""
+    WITH counts AS (
+      SELECT CAST(floor(value / 10) AS BIGINT) AS xb,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_pos,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_neg
+      FROM events GROUP BY 1
+    ),
+    cells AS (
+      SELECT xb, n_pos, n_neg, ka.ka, kb.kb
+      FROM counts,
+           LATERAL (SELECT unnest(generate_series(-4, 4)) AS ka) ka,
+           LATERAL (SELECT unnest(generate_series(-6, 6)) AS kb) kb
+    ),
+    losses AS (
+      SELECT ka, kb, CAST(SUM({_platt_term("duckdb")}) AS BIGINT) AS loss_e9
+      FROM cells GROUP BY ka, kb
+    )
+    SELECT CAST(ka AS BIGINT) AS ka, CAST(kb AS BIGINT) AS kb, loss_e9
+    FROM losses
+    ORDER BY loss_e9, ka, kb
+    LIMIT 5
+    """,
+    survey_ids=("B56", "B19", "B43"),
+    description="Platt sigmoid calibration: exact-integer log-loss grid, top-5 (a,b) cells",
+)
+def platt_scaling_grid(spark: SparkSession, sf: str) -> DataFrame:
+    """Calibrate a raw score into a probability with Platt scaling
+    (sigmoid(a*x+b)), fit by exact grid search over 9x13 (a, b)
+    candidates (a = 0.005*ka, b = 0.5*kb) minimizing binomial
+    log-loss of 'this event is a purchase' given the event value —
+    the post-hoc calibration step every quality-classifier pipeline
+    runs before thresholding scores into keep/drop decisions
+    (quality_classifier_inference emits the scores; this fits the
+    probability map; calibration_ece_bins audits it).
+
+    Scale shape (the quantile_regression_grid recipe): the stream
+    reduces to a BOUNDED (score-bucket, label) count histogram in one
+    map-side-combined shuffle; the 117-cell grid fans out from that
+    tiny table map-side (explode of two literal sequences — no join);
+    per-cell losses are integer sums over <=50 buckets; the argmin is
+    a 117-row TakeOrdered. Nothing past the first reduce scales with
+    the data.
+    """
+    ev = t(spark, sf, "events")
+    counts = ev.groupBy(
+        F.floor(F.col("value") / 10).cast("bigint").alias("xb")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("event_type") == "purchase", 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_neg"),
+    )
+    cells = counts.select(
+        "xb",
+        "n_pos",
+        "n_neg",
+        F.explode(F.sequence(F.lit(-4), F.lit(4))).alias("ka"),
+    ).select("*", F.explode(F.sequence(F.lit(-6), F.lit(6))).alias("kb"))
+    losses = (
+        cells.withColumn("t", F.expr(_platt_term("spark")))
+        .groupBy("ka", "kb")
+        .agg(F.sum("t").cast("bigint").alias("loss_e9"))
+    )
+    return (
+        losses.orderBy("loss_e9", "ka", "kb")
+        .limit(5)
+        .select(
+            F.col("ka").cast("bigint").alias("ka"),
+            F.col("kb").cast("bigint").alias("kb"),
+            "loss_e9",
+        )
     )

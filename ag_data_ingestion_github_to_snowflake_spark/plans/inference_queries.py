@@ -1298,10 +1298,14 @@ def _cramer_sql(pair: str, table: str, a: str, b: str) -> str:
     cramers_v_e6 = floor(1e6 * sqrt(chi2_e6/1e6 / (n*(min(r,c)-1))))
     — int->double conversion, /, sqrt, * are all IEEE
     correctly-rounded, so the double is bit-identical cross-engine
-    and its floor is deterministic. Exact-range bound: d*d*1e6 needs
-    |d| <= n^2 < 1e16, i.e. n < 1e8 rows per analyzed table; larger
-    corpora should pre-aggregate or sample a stratum first (the
-    contingency grid itself is already count-sufficient)."""
+    and its floor is deterministic. Exact-range bound: the BINDING
+    limit is Spark's decimal(38,0) cap on d*d*1e6 — |d| <= 3.1e15,
+    i.e. n < 5.6e7 rows per analyzed table (DuckDB's HUGEINT reaches
+    ~1.3e16 and then ERRORS, whereas Spark past its cap NULLs the
+    term and SUM silently drops it, so outside the bound the engines
+    fail differently — stay inside it); larger corpora should
+    pre-aggregate or sample a stratum first (the contingency grid
+    itself is already count-sufficient)."""
     return f"""
     SELECT '{pair}' AS pair, n, r_levels, c_levels, chi2_e6,
            CAST(floor(1000000.0 * sqrt(

@@ -99,3 +99,41 @@ def test_kl_divergence_matches_reference(spark, docs):
         # KL can be slightly negative for tiny sources — sanity-bound
         # it instead of asserting sign
         assert r["kl_e6"] / 1e6 > -0.5
+
+
+def test_platt_grid_matches_reference(spark):
+    """Recompute the exact-integer grid loss in pure Python (same
+    quantization contract) and independently verify the winning cell
+    also minimizes the UNQUANTIZED log-loss over the grid."""
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    xb = (ev["value"] // 10).astype(int)
+    pos = (ev["event_type"] == "purchase").astype(int)
+    hist = (
+        pd.DataFrame({"xb": xb, "pos": pos})
+        .groupby("xb")["pos"]
+        .agg(["sum", "count"])
+    )
+
+    def loss(ka: int, kb: int) -> float:
+        tot = 0.0
+        for b, row in hist.iterrows():
+            s = (ka * 0.005) * (b * 10 + 5) + kb * 0.5
+            n_pos, n = int(row["sum"]), int(row["count"])
+            tot += n_pos * math.log(1 + math.exp(-s))
+            tot += (n - n_pos) * math.log(1 + math.exp(s))
+        return tot
+
+    rows = all_specs()["platt_scaling_grid"].build(spark, SF).collect()
+    assert len(rows) == 5
+    got = [(r["ka"], r["kb"], r["loss_e9"]) for r in rows]
+    # engine losses in ascending order
+    assert [g[2] for g in got] == sorted(g[2] for g in got)
+    # engine loss ~= reference loss (1e-9-grain floors over <=50
+    # buckets per cell; portable exp/ln within 1e-11)
+    for ka, kb, le9 in got:
+        assert abs(le9 / 1e9 - loss(ka, kb)) < 1e-5, (ka, kb)
+    # the top cell is the true grid argmin of the unquantized loss
+    ref_best = min(
+        ((loss(a, b), a, b) for a in range(-4, 5) for b in range(-6, 7))
+    )
+    assert (got[0][0], got[0][1]) == (ref_best[1], ref_best[2])
