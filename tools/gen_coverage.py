@@ -238,6 +238,19 @@ exact decimal/integer inputs keep `ROUND` (a decimal-exact input
 rounds identically everywhere); `ROUND(double)` over unordered float
 folds no longer exists in any hashed column.
 
+**Association parity (r12 self-review catch).** Correctly-rounded ops
+are only bit-identical cross-engine when both sides evaluate the SAME
+op sequence: `a*b*(c/d)` and `(a*b*c)/d` differ by an ulp on ~1/3 of
+inputs. The stupid-backoff root score had exactly this divergence
+(Spark multiplied alpha^2 by an already-divided ratio; the oracle
+divides last), which the old ROUND(AVG(...),6) contract absorbed but
+the per-row 1e-9 quantization would not — found by an adversarial
+code review of the round's diff and fixed by mirroring the oracle's
+left-associative text. Convention going forward: when a hashed (or
+rank-deciding) float is built on both sides, emit the arithmetic from
+ONE shared Python string (the `_fw_z`/`_platt_term`/`_psi_term`
+pattern) instead of hand-translating Column algebra.
+
 **Epoch-arithmetic inventory.** Remaining `unix_timestamp` sites,
 both verified truncation-safe: `reshape_queries.py`
 (linear_interp_gapfill) buckets absolute epochs by hour — truncating
