@@ -2418,3 +2418,257 @@ def platt_scaling_grid(spark: SparkSession, sf: str) -> DataFrame:
             "loss_e9",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram entropy rate: how much does one word of context buy?
+# ---------------------------------------------------------------------------
+@register(
+    "entropy_rate_bigram",
+    # Hash contract (born hardened, r12 convention): all probabilities
+    # are exact bigram/context count ratios through the portable ln,
+    # quantized per bigram type to integer 1e-9 grains, so the two
+    # entropy sums are order-free BIGINT sums; the final division and
+    # floor are correctly rounded double ops on identical inputs.
+    oracle=f"""
+    WITH d AS (
+      SELECT string_split_regex(lower(text), '\\s+') AS tk FROM documents
+    ),
+    bi AS (
+      SELECT tk[i] AS w1, tk[i+1] AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM d, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i) s
+      WHERE tk[i] <> '' AND tk[i+1] <> ''
+      GROUP BY 1, 2
+    ),
+    ctx AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bi GROUP BY w1
+    ),
+    tot AS (SELECT CAST(SUM(c12) AS BIGINT) AS n FROM bi),
+    tgt AS (
+      SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM bi GROUP BY w2
+    ),
+    cond AS (
+      SELECT CAST(SUM(CAST(floor(1000000000.0 *
+               ((CAST(c12 AS DOUBLE) / n) * {portable_ln_sql(
+                   "CAST(c12 AS DOUBLE) / c1", "duckdb")})) AS BIGINT))
+             AS BIGINT) AS hc_e9,
+             CAST(COUNT(*) AS BIGINT) AS n_bigram_types
+      FROM bi JOIN ctx USING (w1), tot
+    ),
+    marg AS (
+      SELECT CAST(SUM(CAST(floor(1000000000.0 *
+               ((CAST(c2 AS DOUBLE) / n) * {portable_ln_sql(
+                   "CAST(c2 AS DOUBLE) / n", "duckdb", "pm")})) AS BIGINT))
+             AS BIGINT) AS hm_e9
+      FROM tgt, tot
+    )
+    SELECT tot.n AS n_bigrams,
+           cond.n_bigram_types,
+           CAST(floor(CAST(-hc_e9 AS DOUBLE) / 1000.0) AS BIGINT)
+             AS h_cond_e6,
+           CAST(floor(CAST(-hm_e9 AS DOUBLE) / 1000.0) AS BIGINT)
+             AS h_marg_e6
+    FROM cond, marg, tot
+    """,
+    survey_ids=("B56", "B16", "B43"),
+    description="Bigram entropy rate H(w2|w1) vs marginal H(w2): the context-information audit",
+)
+def entropy_rate_bigram(spark: SparkSession, sf: str) -> DataFrame:
+    """The corpus's bigram entropy rate H(w2|w1) = -sum p(w1,w2)
+    ln p(w2|w1), next to the context-free marginal H(w2): their gap is
+    the mutual information one word of context buys — near zero flags
+    shuffled/templated text, a large gap is real language structure.
+    The distributional sibling of char_entropy_docs (per-doc,
+    characters) at the corpus level (tokens, with context).
+
+    Scale shape: one bigram-count shuffle (map-side combined,
+    vocabulary-of-bigrams-sized output); context and target margins
+    re-aggregate FROM the bigram table (never a second corpus pass);
+    the 1-row total broadcasts; per-type contributions quantize to
+    integer 1e-9 grains so both entropy sums are order-free BIGINT
+    sums over the type table.
+    """
+    docs = t(spark, sf, "documents")
+    bi = (
+        docs.select(F.split(F.lower(F.col("text")), r"\s+").alias("tk"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1),"
+                    " i -> struct(tk[i - 1] AS w1, tk[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .filter((F.col("p.w1") != "") & (F.col("p.w2") != ""))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    )
+    bi = bi.persist()
+    ctx = bi.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    tgt = bi.groupBy("w2").agg(F.sum("c12").cast("bigint").alias("c2"))
+    tot = bi.agg(F.sum("c12").cast("bigint").alias("n"))
+    cond = (
+        bi.join(ctx, "w1")
+        .join(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(floor(1000000000.0 * ((CAST(c12 AS DOUBLE) / n) * "
+                    + portable_ln_sql("CAST(c12 AS DOUBLE) / c1", "spark")
+                    + ")) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("hc_e9"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bigram_types"),
+        )
+    )
+    marg = (
+        tgt.join(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(floor(1000000000.0 * ((CAST(c2 AS DOUBLE) / n) * "
+                    + portable_ln_sql(
+                        "CAST(c2 AS DOUBLE) / n", "spark", "pm"
+                    )
+                    + ")) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("hm_e9")
+        )
+    )
+    return (
+        cond.join(F.broadcast(marg))
+        .join(F.broadcast(tot))
+        .select(
+            F.col("n").alias("n_bigrams"),
+            "n_bigram_types",
+            F.expr("CAST(floor(CAST(-hc_e9 AS DOUBLE) / 1000.0) AS BIGINT)")
+            .alias("h_cond_e6"),
+            F.expr("CAST(floor(CAST(-hm_e9 AS DOUBLE) / 1000.0) AS BIGINT)")
+            .alias("h_marg_e6"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence: each language vs the English slice
+# ---------------------------------------------------------------------------
+def _js_term(dialect: str) -> str:
+    """Per-term JS contribution 0.5*p*ln(p/m) + 0.5*q*ln(q/m) with
+    m = (p+q)/2, zero-guarded per side, in shared portable-ln text.
+    Scope columns: ce/cl (nullable counts), ne/nl (totals)."""
+    ln = portable_ln_sql
+    p = "(CAST(COALESCE(ce, 0) AS DOUBLE) / ne)"
+    q = "(CAST(COALESCE(cl, 0) AS DOUBLE) / nl)"
+    m = f"(0.5 * ({p} + {q}))"
+    return (
+        f"(CASE WHEN COALESCE(ce, 0) > 0"
+        f" THEN 0.5 * {p} * {ln(f'{p} / {m}', dialect, 'pja')}"
+        f" ELSE 0.0 END)"
+        f" + (CASE WHEN COALESCE(cl, 0) > 0"
+        f" THEN 0.5 * {q} * {ln(f'{q} / {m}', dialect, 'pjb')}"
+        f" ELSE 0.0 END)"
+    )
+
+
+@register(
+    "js_divergence_lang_pairs",
+    # Hash contract (born hardened, r12 convention): exact counts,
+    # portable ln, per-term integer 1e-9 quantization, order-free
+    # BIGINT sums. JS is symmetric and bounded by ln 2, so js_e6 lands
+    # in [0, 693147] — a calibrated cross-language distance.
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    cnt AS (
+      SELECT lang, tok AS term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks WHERE tok <> '' GROUP BY 1, 2
+    ),
+    en AS (SELECT term, c AS ce FROM cnt WHERE lang = 'en'),
+    ent AS (SELECT CAST(SUM(ce) AS BIGINT) AS ne FROM en),
+    oth AS (SELECT lang, term, c AS cl FROM cnt WHERE lang <> 'en'),
+    otot AS (
+      SELECT lang, CAST(SUM(cl) AS BIGINT) AS nl FROM oth GROUP BY lang
+    ),
+    langs AS (SELECT DISTINCT lang FROM oth),
+    enx AS (SELECT langs.lang, en.term, en.ce FROM langs CROSS JOIN en),
+    grid AS (
+      SELECT COALESCE(enx.lang, oth.lang) AS lang,
+             COALESCE(enx.term, oth.term) AS term,
+             enx.ce, oth.cl
+      FROM enx FULL OUTER JOIN oth
+        ON enx.lang = oth.lang AND enx.term = oth.term
+    ),
+    terms AS (
+      SELECT g.lang,
+             CAST(floor(1000000000.0 * ({_js_term("duckdb")})) AS BIGINT)
+               AS tq
+      FROM grid g JOIN otot ON g.lang = otot.lang, ent
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_union_terms,
+           CAST(floor(CAST(SUM(tq) AS DOUBLE) / 1000.0) AS BIGINT) AS js_e6
+    FROM terms
+    GROUP BY lang
+    """,
+    survey_ids=("B56", "B12", "B43"),
+    description="Jensen-Shannon divergence of each language's unigram distribution vs English",
+)
+def js_divergence_lang_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric, bounded (ln 2) distributional distance between each
+    language's unigram distribution and the English slice — the
+    calibrated companion of kl_divergence_sources (KL is asymmetric
+    and unbounded; JS is the metric-like one used to order corpus
+    slices by drift, e.g. picking transfer-learning sources).
+
+    Scale shape: one (lang, term) count shuffle (vocabulary-sized
+    after map-side combine); the union support per pair comes from a
+    |langs| x |en-vocab| fan-out FULL OUTER joined to the other-lang
+    counts — every table past the first reduce is vocabulary-bounded;
+    per-term contributions quantize to integer 1e-9 grains so
+    per-language sums are order-free BIGINT sums.
+    """
+    docs = t(spark, sf, "documents")
+    cnt = (
+        docs.select(
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cnt = cnt.persist()
+    en = cnt.filter(F.col("lang") == "en").select(
+        "term", F.col("c").alias("ce")
+    )
+    ent = en.agg(F.sum("ce").cast("bigint").alias("ne"))
+    oth = cnt.filter(F.col("lang") != "en").select(
+        "lang", "term", F.col("c").alias("cl")
+    )
+    otot = oth.groupBy("lang").agg(F.sum("cl").cast("bigint").alias("nl"))
+    langs = oth.select("lang").distinct()
+    enx = langs.crossJoin(en)
+    grid = enx.join(oth, ["lang", "term"], "full_outer")
+    terms = (
+        grid.join(otot, "lang")
+        .join(F.broadcast(ent))
+        .select(
+            "lang",
+            F.expr(
+                "CAST(floor(1000000000.0 * ("
+                + _js_term("spark")
+                + ")) AS BIGINT)"
+            ).alias("tq"),
+        )
+    )
+    return terms.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_union_terms"),
+        F.expr("CAST(floor(CAST(SUM(tq) AS DOUBLE) / 1000.0) AS BIGINT)")
+        .alias("js_e6"),
+    )

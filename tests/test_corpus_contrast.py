@@ -137,3 +137,61 @@ def test_platt_grid_matches_reference(spark):
         ((loss(a, b), a, b) for a in range(-4, 5) for b in range(-6, 7))
     )
     assert (got[0][0], got[0][1]) == (ref_best[1], ref_best[2])
+
+
+def test_entropy_rate_matches_reference(spark, docs):
+    big: Counter = Counter()
+    for _, row in docs.iterrows():
+        tk = _tokens(row["text"])
+        big.update(zip(tk, tk[1:]))
+    n = sum(big.values())
+    ctx: Counter = Counter()
+    tgt: Counter = Counter()
+    for (w1, w2), c in big.items():
+        ctx[w1] += c
+        tgt[w2] += c
+    h_cond = -sum(
+        (c / n) * math.log(c / ctx[w1]) for (w1, _), c in big.items()
+    )
+    h_marg = -sum((c / n) * math.log(c / n) for c in tgt.values())
+    row = all_specs()["entropy_rate_bigram"].build(spark, SF).collect()[0]
+    assert row["n_bigrams"] == n
+    assert row["n_bigram_types"] == len(big)
+    tol = 2e-6 + len(big) / 1e9
+    assert abs(row["h_cond_e6"] / 1e6 - h_cond) < tol
+    assert abs(row["h_marg_e6"] / 1e6 - h_marg) < tol
+    # context can only reduce entropy (information-theoretic law);
+    # quantization is far below the gap on natural-ish text
+    assert row["h_cond_e6"] <= row["h_marg_e6"]
+
+
+def test_js_divergence_matches_reference(spark, docs):
+    cnt: dict[str, Counter] = defaultdict(Counter)
+    for _, row in docs.iterrows():
+        cnt[row["lang"]].update(_tokens(row["text"]))
+    en = cnt["en"]
+    ne = sum(en.values())
+    rows = {
+        r["lang"]: r
+        for r in all_specs()["js_divergence_lang_pairs"].build(spark, SF).collect()
+    }
+    assert set(rows) == set(cnt) - {"en"}
+    for lang, cl in cnt.items():
+        if lang == "en":
+            continue
+        nl = sum(cl.values())
+        union = set(en) | set(cl)
+        js = 0.0
+        for w in union:
+            p = en.get(w, 0) / ne
+            q = cl.get(w, 0) / nl
+            m = 0.5 * (p + q)
+            if p > 0:
+                js += 0.5 * p * math.log(p / m)
+            if q > 0:
+                js += 0.5 * q * math.log(q / m)
+        r = rows[lang]
+        assert r["n_union_terms"] == len(union), lang
+        assert abs(r["js_e6"] / 1e6 - js) < 2e-6 + len(union) / 1e9, lang
+        # JS is bounded by ln 2 and non-negative
+        assert -1 <= r["js_e6"] <= 693148

@@ -65,6 +65,14 @@ ALLOWED_FLAGS = {
     # KL divergence attaches the 1-row corpus-token-total aggregate to
     # the (source, term) table — one broadcast row.
     ("kl_divergence_sources", "BroadcastNestedLoopJoin"),
+    # Entropy rate attaches the 1-row bigram-total aggregate to the
+    # bigram-type and target-margin tables — one broadcast row.
+    ("entropy_rate_bigram", "BroadcastNestedLoopJoin"),
+    # JS divergence cross-fans the |langs|-row language list over the
+    # English vocabulary (bounded: class-count x vocab, the
+    # naive-bayes candidate-fan-out shape) and attaches the 1-row
+    # English-total aggregate — both sides bounded broadcasts.
+    ("js_divergence_lang_pairs", "BroadcastNestedLoopJoin"),
     # NB scoring cross-attaches the |langs|-row class table (candidate
     # fan-out is the model's class count, a bounded constant) plus
     # 1-row vocab/doc-total aggregates — all broadcast and invariant
