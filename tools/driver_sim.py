@@ -82,9 +82,18 @@ def main() -> int:
 
     import __spark_entry__ as E
 
+    # Parallelism is itself a determinism axis: a contract that leans
+    # on partial-aggregation order would pass at one partition count
+    # and fail at another. SPARK_GRAFT_SIM_MASTER/_PARTITIONS let the
+    # gate re-run under a deliberately different layout (e.g.
+    # local[3] / 7 partitions) to shake that class out.
+    import os
+
+    master = os.environ.get("SPARK_GRAFT_SIM_MASTER", "local[8]")
+    parts = os.environ.get("SPARK_GRAFT_SIM_PARTITIONS", "8")
     spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
+        SparkSession.builder.master(master)
+        .config("spark.sql.shuffle.partitions", parts)
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
