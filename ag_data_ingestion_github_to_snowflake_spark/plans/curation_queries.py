@@ -2672,3 +2672,103 @@ def js_divergence_lang_pairs(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("CAST(floor(CAST(SUM(tq) AS DOUBLE) / 1000.0) AS BIGINT)")
         .alias("js_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dictionary-encoding audit: storage planning for low-cardinality columns
+# ---------------------------------------------------------------------------
+def _dict_audit_sql(label: str, table: str, col: str) -> str:
+    """One column's dictionary-encoding estimate, all exact integers:
+    plain bytes = total string bytes; dict bytes = distinct-value
+    bytes + n * ceil(log2(d)) bits packed to bytes (ceil(log2 d) via
+    the bit-length of d-1 — no floating log anywhere)."""
+    return f"""
+    SELECT '{label}' AS column_name,
+           n_rows, n_distinct, plain_bytes,
+           dict_bytes + CAST((n_rows * bits + 7) // 8 AS BIGINT)
+             AS dict_est_bytes
+    FROM (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+             CAST(SUM(strlen({col})) AS BIGINT) AS plain_bytes,
+             (SELECT CAST(SUM(strlen(v)) AS BIGINT)
+              FROM (SELECT DISTINCT {col} AS v FROM {table}))
+               AS dict_bytes,
+             CASE WHEN COUNT(DISTINCT {col}) <= 1 THEN CAST(1 AS BIGINT)
+                  ELSE CAST(length(bin(CAST(COUNT(DISTINCT {col}) - 1
+                                            AS BIGINT))) AS BIGINT)
+             END AS bits
+      FROM {table}
+    )
+    """
+
+
+@register(
+    "dictionary_encoding_audit",
+    # Exact-integer contract end to end: counts, byte totals, and the
+    # code bit-width ceil(log2 d) derived from the BINARY STRING
+    # length of d-1 — no floating point anywhere, so the hash is
+    # trivially build-invariant.
+    oracle=" UNION ALL ".join(
+        [
+            _dict_audit_sql("orders.o_orderpriority", "orders", "o_orderpriority"),
+            _dict_audit_sql("orders.o_orderstatus", "orders", "o_orderstatus"),
+            _dict_audit_sql("customer.c_mktsegment", "customer", "c_mktsegment"),
+            _dict_audit_sql("documents.lang", "documents", "lang"),
+            _dict_audit_sql("documents.source", "documents", "source"),
+        ]
+    ),
+    survey_ids=("B16", "B20", "B36"),
+    description="Dictionary-encoding benefit estimate for five low-cardinality string columns",
+)
+def dictionary_encoding_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Storage planning at 100 TB: for each low-cardinality string
+    column, the exact bytes it occupies plain vs a dictionary estimate
+    (distinct-value bytes + n rows x ceil(log2 d) bits, bit-packed) —
+    the audit that decides which columns to dictionary-encode /
+    Z-order before the big rewrite. Pure integer counting: one
+    map-side-combined aggregate plus a distinct-value byte total per
+    column; nothing floats.
+
+    Scale shape: per column, a global aggregate with a distinct-count
+    (Spark plans the standard two-phase partial distinct) and a
+    distinct-value reduce whose output is dictionary-sized. The five
+    audited columns union to a 5-row result.
+    """
+
+    def one(label: str, df: DataFrame, col: str) -> DataFrame:
+        base = df.select(F.col(col).alias("v"))
+        agg = base.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("v").cast("bigint").alias("n_distinct"),
+            F.sum(F.length("v")).cast("bigint").alias("plain_bytes"),
+        )
+        dictb = (
+            base.distinct()
+            .agg(F.sum(F.length("v")).cast("bigint").alias("dict_bytes"))
+        )
+        joined = agg.join(F.broadcast(dictb)).withColumn(
+            "bits",
+            F.when(F.col("n_distinct") <= 1, F.lit(1).cast("bigint"))
+            .otherwise(F.length(F.bin(F.col("n_distinct") - 1)).cast("bigint")),
+        )
+        return joined.select(
+            F.lit(label).alias("column_name"),
+            "n_rows",
+            "n_distinct",
+            "plain_bytes",
+            F.expr(
+                "dict_bytes + CAST((n_rows * bits + 7) div 8 AS BIGINT)"
+            ).alias("dict_est_bytes"),
+        )
+
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    d = t(spark, sf, "documents")
+    return (
+        one("orders.o_orderpriority", o, "o_orderpriority")
+        .unionAll(one("orders.o_orderstatus", o, "o_orderstatus"))
+        .unionAll(one("customer.c_mktsegment", c, "c_mktsegment"))
+        .unionAll(one("documents.lang", d, "lang"))
+        .unionAll(one("documents.source", d, "source"))
+    )

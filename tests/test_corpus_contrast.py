@@ -195,3 +195,25 @@ def test_js_divergence_matches_reference(spark, docs):
         assert abs(r["js_e6"] / 1e6 - js) < 2e-6 + len(union) / 1e9, lang
         # JS is bounded by ln 2 and non-negative
         assert -1 <= r["js_e6"] <= 693148
+
+
+def test_dictionary_audit_matches_reference(spark, docs):
+    rows = {
+        r["column_name"]: r
+        for r in all_specs()["dictionary_encoding_audit"].build(spark, SF).collect()
+    }
+    assert len(rows) == 5
+    vals = docs["lang"]
+    r = rows["documents.lang"]
+    assert r["n_rows"] == len(vals)
+    assert r["n_distinct"] == vals.nunique()
+    assert r["plain_bytes"] == int(vals.str.len().sum())
+    d = vals.nunique()
+    bits = max(1, (d - 1).bit_length())
+    expected_dict = int(
+        sum(len(v) for v in vals.unique())
+        + (len(vals) * bits + 7) // 8
+    )
+    assert r["dict_est_bytes"] == expected_dict
+    # a 5-ish-value column must compress massively
+    assert r["dict_est_bytes"] < r["plain_bytes"]

@@ -68,6 +68,10 @@ ALLOWED_FLAGS = {
     # Entropy rate attaches the 1-row bigram-total aggregate to the
     # bigram-type and target-margin tables — one broadcast row.
     ("entropy_rate_bigram", "BroadcastNestedLoopJoin"),
+    # The dictionary audit attaches each column's 1-row
+    # distinct-value byte total to its 1-row count aggregate — one
+    # broadcast row per audited column.
+    ("dictionary_encoding_audit", "BroadcastNestedLoopJoin"),
     # JS divergence cross-fans the |langs|-row language list over the
     # English vocabulary (bounded: class-count x vocab, the
     # naive-bayes candidate-fan-out shape) and attaches the 1-row
