@@ -160,10 +160,14 @@ def welch_ttest_value_clicks(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "spearman_corr_qty_price",
     # Doubled midranks (m2 = 2*midrank) are INTEGERS, so every sum
-    # below is integer-exact (bounded by ~9e17 at sf0.1, well inside
-    # BIGINT; the Spark side sums DECIMAL(38,0) so the same plan
-    # survives corpora ~1000x larger). The rho expression is then
-    # identical double arithmetic over identical exact inputs.
+    # below is integer-exact. The per-row products are formed in
+    # HUGEINT (int128) — casting each operand BEFORE the multiply —
+    # because the raw BIGINT product x2*x2 would wrap int64 past
+    # x2 ~ 3e9 (n ~ 1.5e9 rows); with int128 per-term math the
+    # identical contract holds to x2 < 1e19 (n < 5e18), matching the
+    # Spark side's DECIMAL(38,0)-before-multiply (ADVICE r12 fix).
+    # The rho expression is then identical double arithmetic over
+    # identical exact inputs.
     oracle="""
     WITH rx AS (
       SELECT l_quantity AS v, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1
@@ -193,9 +197,12 @@ def welch_ttest_value_clicks(spark: SparkSession, sf: str) -> DataFrame:
       SELECT CAST(COUNT(*) AS DOUBLE) AS n,
              CAST(CAST(SUM(x2) AS DECIMAL(38,0)) AS DOUBLE) AS sx,
              CAST(CAST(SUM(y2) AS DECIMAL(38,0)) AS DOUBLE) AS sy,
-             CAST(CAST(SUM(x2 * x2) AS DECIMAL(38,0)) AS DOUBLE) AS sxx,
-             CAST(CAST(SUM(y2 * y2) AS DECIMAL(38,0)) AS DOUBLE) AS syy,
-             CAST(CAST(SUM(x2 * y2) AS DECIMAL(38,0)) AS DOUBLE) AS sxy
+             CAST(SUM(CAST(x2 AS HUGEINT) * CAST(x2 AS HUGEINT))
+                  AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y2 AS HUGEINT) * CAST(y2 AS HUGEINT))
+                  AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x2 AS HUGEINT) * CAST(y2 AS HUGEINT))
+                  AS DOUBLE) AS sxy
       FROM joined
     )
     SELECT CAST(n AS BIGINT) AS n_rows,
@@ -411,19 +418,28 @@ def theil_sen_slope_sampled(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "kaplan_meier_survival",
-    # Hash contract (r11 red -> fixed r12, VERDICT r11 item 1):
+    # Hash contract (r11/r12 red -> re-shaped r13, VERDICT r12 item 1):
     # durations are EXACT integer-microsecond epoch differences
-    # (unix_micros/epoch_us — the old unix_timestamp/epoch pair
-    # truncated vs kept fractional seconds and shifted hour buckets),
     # integer-floor-divided to hours, so the event/censor/at-risk
-    # table is integer-exact. Survival is the ordered PRODUCT fold of
-    # the per-step factors (n_risk-n_event)/n_risk — int->double
-    # conversion, division, and multiplication are all IEEE
-    # correctly-rounded, so the double is bit-identical on any
-    # engine/libm build (no exp/ln anywhere) — quantized by
-    # floor(1e6*s) into the integer column survival_e6. A d=n step
-    # contributes factor 0.0 and absorbs the product, so no guard
-    # CASE is needed.
+    # table is integer-exact. Survival is a PURE-BIGINT per-step
+    # quantization recurrence — s_0 = 10^6;
+    # s_i = (s_{i-1} * (n_risk_i - n_event_i)) div n_risk_i —
+    # no float anywhere in the hashed column, so no decimal-boundary
+    # value (0.8, 0.5, ...) can flip under a 1-ulp accumulation
+    # difference the way the r12 double-product provably did
+    # (11/85 sf0.01 rows flipped floor(1e6*s) under fold reorder).
+    # Step order is pinned on BOTH sides by spec-guaranteed
+    # constructs: Spark array_sort over (dur_h,...) structs; DuckDB
+    # in-aggregate `list(... ORDER BY dur_h)` (never the windowed
+    # `list(...) OVER`, whose frame-assembly order is
+    # implementation-defined — the r12 red's root cause). The oracle
+    # packs each step as n_risk*1e9 + n_event so the seed-prepended
+    # list folds BIGINT->BIGINT in two-arg list_reduce; per-row
+    # prefixes come from list_slice on row_number, no correlated
+    # lambda. A d=n step multiplies by 0 and absorbs the recurrence,
+    # so no guard CASE is needed; headroom: acc<=1e6 and
+    # n_risk<1e9 keep every product under 1e15, and the pack under
+    # 9.2e18, inside BIGINT.
     oracle="""
     WITH fv AS (
       SELECT user_id, MIN(ts) AS tv FROM events
@@ -457,14 +473,22 @@ def theil_sen_slope_sampled(spark: SparkSession, sf: str) -> DataFrame:
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 - (n_event + n_censor)) AS n_risk
       FROM km, tot
+    ),
+    ranked AS (
+      SELECT risk.*, row_number() OVER (ORDER BY dur_h) AS rn FROM risk
+    ),
+    ord AS (
+      SELECT list(CAST(n_risk * 1000000000 + n_event AS BIGINT)
+                  ORDER BY dur_h) AS steps
+      FROM risk
     )
-    SELECT dur_h, n_risk, n_event, n_censor,
-           CAST(floor(1000000.0 * list_reduce(
-             list(CAST(n_risk - n_event AS DOUBLE) / CAST(n_risk AS DOUBLE))
-               OVER (ORDER BY dur_h ROWS BETWEEN UNBOUNDED PRECEDING
-                     AND CURRENT ROW),
-             (acc, x) -> acc * x)) AS BIGINT) AS survival_e6
-    FROM risk
+    SELECT r.dur_h, r.n_risk, r.n_event, r.n_censor,
+           list_reduce(
+             list_prepend(CAST(1000000 AS BIGINT), o.steps[1:r.rn]),
+             (acc, x) -> (acc * ((x // 1000000000) - (x % 1000000000)))
+                         // (x // 1000000000)
+           ) AS survival_e6
+    FROM ranked r, ord o
     """,
     survey_ids=("B23", "B31", "B12"),
     description="Kaplan-Meier survival curve: first view to first purchase, right-censored",
@@ -475,8 +499,13 @@ def kaplan_meier_survival(spark: SparkSession, sf: str) -> DataFrame:
     users who never purchase are right-censored at the end of the
     observation window. Complements funnel_time_to_convert (which
     drops non-converters and so overstates conversion speed).
-    survival_e6 is the Kaplan-Meier estimate quantized to 1e-6
-    (floor(1e6*s)); consumers divide by 1e6 for the [0,1] curve.
+    survival_e6 is the Kaplan-Meier estimate held at 1e-6 resolution
+    by a per-step BIGINT quantization recurrence
+    (s_i = s_{i-1}*(n_risk-n_event) div n_risk, s_0 = 10^6): each
+    step floors once, so the drift from the real-valued KM product is
+    under (#steps)*1e-6 absolute — negligible for a curve estimate —
+    and the hashed column never touches a float. Consumers divide by
+    1e6 for the [0,1] curve.
 
     Scale shape: the stream reduces to ONE ROW PER USER (two grouped
     aggregates + an equi-join on user_id), then to one row per
@@ -531,29 +560,29 @@ def kaplan_meier_survival(spark: SparkSession, sf: str) -> DataFrame:
         "n_censor",
         (F.col("n_total") - (F.sum(leave).over(w) - leave)).alias("n_risk"),
     )
-    # Ordered product fold over the cumulative frame: collect the
-    # (dur_h, factor) structs, sort by dur_h, multiply left-to-right.
-    # Every op (int->double cast, /, *) is IEEE correctly-rounded, so
-    # the product is bit-identical to the oracle's list_reduce replay;
-    # floor(1e6*s) quantizes without ROUND's cross-build wobble.
-    factor = (F.col("n_risk") - F.col("n_event")).cast("double") / F.col(
-        "n_risk"
-    ).cast("double")
-    wf = risk.withColumn("factor", factor)
-    prod = F.aggregate(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dur_h", "factor")).over(w)),
-            lambda e: e["factor"],
+    # Pure-BIGINT recurrence over the cumulative frame: collect the
+    # (dur_h, n_event, n_risk) structs, array_sort pins ascending
+    # dur_h (first struct field, distinct per row), then fold
+    # s <- (s * (n_risk - n_event)) div n_risk from s = 10^6.
+    # Integer-only: no value can sit within an ulp of a floor
+    # boundary because there is no float to floor (the r11/r12
+    # double-product red's mechanism, VERDICT r12 item 1).
+    wf = risk.withColumn(
+        "__km_steps",
+        F.array_sort(
+            F.collect_list(F.struct("dur_h", "n_event", "n_risk")).over(w)
         ),
-        F.lit(1.0),
-        lambda acc, x: acc * x,
+    )
+    surv = F.expr(
+        "aggregate(__km_steps, CAST(1000000 AS BIGINT),"
+        " (acc, e) -> (acc * (e.n_risk - e.n_event)) div e.n_risk)"
     )
     return wf.select(
         "dur_h",
         "n_risk",
         "n_event",
         "n_censor",
-        F.floor(F.lit(1000000.0) * prod).cast("bigint").alias("survival_e6"),
+        surv.alias("survival_e6"),
     )
 
 
@@ -1512,12 +1541,14 @@ def quantile_regression_grid(spark: SparkSession, sf: str) -> DataFrame:
     y, x, and the grid slopes are all cents-exact, so
     |y - b*x| dollars = |yc - bc*xc| cents / 100 with every operand a
     BIGINT that whole-stage codegen compiles to primitive ops instead
-    of Decimal128 calls (2.6x on the fixed cost). Only the final sum
-    crosses back into DECIMAL(38,0) (per-term cnt*|res| <= 9e18 needs
-    a single (x,y) pair to carry ~1e12 rows before bigint could
-    overflow — at that point the sum's int128 accumulator is already
-    holding it); the division by 100 is exact decimal, so the double
-    output is bit-identical to the oracle's decimal loss.
+    of Decimal128 calls (2.6x on the fixed cost). Only the per-term
+    product crosses back into decimal — cnt and |res| are each cast
+    to DECIMAL(19,0) BEFORE the multiply (ADVICE r12 fix), so the
+    product is exact DECIMAL(38,0) with true headroom to
+    cnt*|res| < 1e38; the int64 bound applies only to the residual
+    itself, which is domain-bounded (|yc - k*2500*xc| <= ~2e8 cents),
+    never to the product. The division by 100 is exact decimal, so
+    the double output is bit-identical to the oracle's decimal loss.
     """
     li = t(spark, sf, "lineitem").select(
         (F.col("l_extendedprice").cast("decimal(18,2)") * 100)

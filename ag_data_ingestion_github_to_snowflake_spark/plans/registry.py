@@ -74,75 +74,77 @@ def register(
 # cumulative ledger (CORRECTNESS_r*.json) must cover every SURVEY.md
 # §2 operator id carried by the registry.
 #
-# ROTATION (round 12, VERDICT r11 items 1-3 + 5): hardening round.
-# Slots: (a) the 7 never-checked names pinned as the r12 head last
-# round; (b) the two r11 driver reds, re-checked after their exact
-# arithmetic fixes (`kaplan_meier_survival`: integer-microsecond
-# durations + product-fold survival; `cramers_v_pairs`: 128-bit
-# integer chi-square); (c) all 24 other queries whose hash contracts
-# were migrated off libm this round (portable ln/exp, ordered folds,
-# floor-1e6 quantization — operators/portable_math.py); (d) the two
-# ADVICE-touched decimal-overflow fixes (values unchanged, re-checked
-# anyway); (e) 15 previously-green re-confirmations, biased toward the
-# bench headliners and the ordered-fold family. All 50 slots are
-# oracle-bearing. Local parity (tests/test_oracle_parity.py) covers
-# the rotated-out tail with the identical compare.
+# ROTATION (round 13, VERDICT r12 items 1 + 3): close the ledger.
+# Slots: (a) the 6 never-driver-checked names (the r12-born corpus
+# stats + dictionary_encoding_audit); (b) kaplan_meier_survival after
+# its re-shape to the pure-BIGINT per-step quantization recurrence
+# (two rounds red on the float product fold); (c) the two contracts
+# whose oracle SQL text changed this round (spearman's
+# HUGEINT-before-multiply; values unchanged); (d) 41 stalest greens —
+# every name last checked r05/r06 — so the oldest driver evidence in
+# the cumulative ledger advances. All 50 slots are oracle-bearing.
+# Local parity (tests/test_oracle_parity.py) covers the rotated-out
+# tail with the identical compare.
 _PRIORITY: tuple[str, ...] = (
-    # -- (a) never driver-checked (pinned r12 head) --
-    "streaming_cep_funnel",
-    "zipf_law_fit",
-    "burstiness_interarrival",
-    "join_size_estimate",
-    "hilbert_vs_morton_locality",
-    "double_ewma_forecast",
-    "theil_sen_slope_sampled",
-    # -- (b) r11 red fixes --
+    # -- (a) never driver-checked (pinned r13 head, VERDICT r12 item 3) --
+    "fightin_words_contrast",
+    "kl_divergence_sources",
+    "platt_scaling_grid",
+    "entropy_rate_bigram",
+    "js_divergence_lang_pairs",
+    "dictionary_encoding_audit",
+    # -- (b) r12 red, re-shaped to the pure-BIGINT quantization
+    #    recurrence (VERDICT r12 item 1) --
     "kaplan_meier_survival",
-    "cramers_v_pairs",
-    # -- (c) libm-hardened contracts (r12 item 5) --
-    "mutual_info_lang_source",
-    "psi_population_stability",
-    "fdr_bh_segment_tests",
-    "char_entropy_docs",
-    "dsir_importance_sample",
-    "pmi_collocations_topk",
-    "stupid_backoff_trigram_lm",
-    "bm25_keyword_search",
-    "quality_classifier_inference",
-    "doc_perplexity_unigram",
-    "ccnet_perplexity_buckets",
-    "naive_bayes_lang_confusion",
-    "record_linkage_fs",
-    "embedding_quantize_error",
-    "tfidf_top_terms",
-    "heaps_law_fit",
-    "hll_overlap_users",
-    "hll_verified_users_by_type",
-    "profile_orders_approx",
-    "dp_laplace_counts",
-    "math_funcs_customer",
-    "sprt_sequential_ab",
-    "weighted_sample_docs",
-    "weighted_reservoir_topk",
-    # -- (d) ADVICE decimal-overflow fixes (values unchanged) --
+    # -- (c) oracle text touched this round (values unchanged:
+    #    HUGEINT-before-multiply in spearman's oracle; re-check
+    #    anyway since the SQL string changed) --
     "spearman_corr_qty_price",
     "quantile_regression_grid",
-    # -- (e) green re-confirmations (headliners + ordered-fold kin) --
-    "pricing_summary",
-    "topk_orders",
-    "group_count_mktsegment",
-    "group_avg_acctbal",
-    "anova_oneway_f",
-    "welch_ttest_value_clicks",
-    "mann_kendall_trend",
-    "seasonal_trend_decompose",
-    "capm_beta_by_type",
-    "empirical_bayes_shrinkage",
-    "knn_label_majority",
-    "similarity_lsh_topk",
-    "feature_hashing_vectorize",
-    "cohort_ltv_curve",
-    "asof_join_nearest",
+    # -- (d) stalest greens: last driver-checked r05/r06; the window
+    #    re-confirms the oldest evidence first so every query's
+    #    latest-green age stays bounded --
+    "ab_test_two_proportion_z",
+    "argmax_order_per_segment",
+    "arrow_normalize_embeddings",
+    "assign_sequence_ids",
+    "concurrent_intervals_distributed",
+    "concurrent_intervals_sweep",
+    "decile_lift_acctbal",
+    "dedup_minhash_verified",
+    "ewma_events_daily",
+    "fk_integrity_audit",
+    "forecast_revenue_change",
+    "funnel_time_to_convert",
+    "gini_revenue_concentration",
+    "incremental_dedup_new_batch",
+    "join_full_outer_daily_activity",
+    "join_null_safe_priority",
+    "mixture_sample_counts",
+    "mmr_rerank_topk",
+    "orc_sink_roundtrip",
+    "passage_dedup_chunks",
+    "pipe_syntax_quality_funnel",
+    "provenance_dedup_priority",
+    "recursive_cte_chunk_threading",
+    "regr_trend_monthly_revenue",
+    "robust_outlier_trim",
+    "sample_documents_hash",
+    "scd2_event_type_intervals",
+    "session_event_type_pairs",
+    "similarity_ivf_topk",
+    "skew_diagnostic_orders",
+    "split_leakage_audit",
+    "string_agg_nations_by_region",
+    "theta_join_rank_rewrite",
+    "top_acctbal_supplier_per_nation",
+    "train_test_split_counts",
+    "try_funcs_orders",
+    "url_parse_components",
+    "zorder_morton_events",
+    "autocorrelation_lag1_distributed",
+    "approx_topk_event_types",
+    "array_hof_embeddings",
 )
 
 

@@ -96,25 +96,29 @@ def test_kaplan_meier_matches_reference(spark):
     n_risk = len(subj)
     surv = 1.0
     ref = {}
-    for dur in sorted(by_dur):
+    for step, dur in enumerate(sorted(by_dur), start=1):
         d = sum(by_dur[dur])
         if d > 0 and n_risk > d:
             surv *= (n_risk - d) / n_risk
         elif d >= n_risk and d > 0:
             surv = 0.0
-        ref[dur] = (n_risk, d, len(by_dur[dur]) - d, surv)
+        ref[dur] = (n_risk, d, len(by_dur[dur]) - d, surv, step)
         n_risk -= len(by_dur[dur])
     rows = all_specs()["kaplan_meier_survival"].build(spark, SF).collect()
     assert len(rows) == len(ref)
     for r in rows:
-        n_r, d, c, s = ref[r["dur_h"]]
+        n_r, d, c, s, step = ref[r["dur_h"]]
         assert (r["n_risk"], r["n_event"], r["n_censor"]) == (n_r, d, c)
-        # survival_e6 = floor(1e6 * s): up to 1e-6 quantization plus
-        # float product jitter vs the reference's own float product
-        assert abs(r["survival_e6"] / 1e6 - s) < 2e-6, (
+        # survival_e6 is the per-step BIGINT quantization recurrence
+        # (r13 contract): each step floors once at 1e-6 resolution, so
+        # the drift vs the real-valued float product is bounded by one
+        # quantum per step, monotone downward.
+        approx = r["survival_e6"] / 1e6
+        assert s - step * 1e-6 - 1e-9 <= approx <= s + 1e-9, (
             r["dur_h"],
             r["survival_e6"],
             s,
+            step,
         )
 
 

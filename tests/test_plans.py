@@ -189,13 +189,18 @@ def test_lad_grid_scans_fact_once_and_prereduces(spark):
     df = all_specs()["quantile_regression_grid"].build(spark, SF)
     plan = plan_of(df)
     assert plan.count("Location: InMemoryFileIndex") == 1
-    # the explode (Generate) must consume the aggregated histogram:
-    # formatted explain prints root-first, so the histogram aggregate
-    # (Generate's INPUT) must appear after Generate in the text. (A
-    # root-side check would be vacuous — the downstream per-slope
-    # HashAggregate always precedes Generate in print order.)
-    gen_pos = plan.index("Generate")
-    assert "HashAggregate" in plan[gen_pos:], "explode consumes raw scan, not histogram"
+    # The explode (Generate) must consume the aggregated histogram.
+    # Formatted explain prints the TREE root-first, then per-node
+    # detail blocks; search only the tree section — a whole-plan
+    # substring check is vacuous, because every node's detail block
+    # (including the downstream per-slope HashAggregate's) prints
+    # after any tree position (VERDICT r12 item 4).
+    tree = plan.split("\n\n")[0]
+    assert "Generate" in tree and "HashAggregate" in tree
+    gen_pos = tree.index("Generate")
+    assert "HashAggregate" in tree[gen_pos:], (
+        "explode consumes raw scan, not histogram"
+    )
 
 
 def test_ngram_novelty_no_gram_rejoin(spark):

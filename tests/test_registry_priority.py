@@ -92,64 +92,65 @@ def test_window_plus_ledger_cover_every_survey_id():
 # (r10 driver-red on output representation, now string-serialized CSR)
 # and `similarity_lsh_topk` (first driver check since its rows-only →
 # oracle flip in r9).
-# r12: every re-check slot is deliberate — the two r11 reds after
-# their exact-arithmetic fixes, the 24 other contracts migrated off
-# libm (portable_math + floor-e6: CHANGED hash contracts, so their
-# green history no longer applies), the two ADVICE decimal fixes, and
-# 15 green re-confirmations filling the remaining slots (headliners +
-# ordered-fold kin; nothing unchecked was displaced — the cumulative
-# ledger is 341/341 once the 7 never-checked head names clear).
+# r13: ledger-close round (VERDICT r12 items 1 + 3). The 6 head
+# slots are the last never-driver-checked names; kaplan_meier rides
+# after its contract re-shape; spearman/LAD re-check because the
+# oracle TEXT changed (values did not); the remaining 41 slots drain
+# the stalest greens (all last checked r05/r06), bounding the age of
+# every query's latest driver evidence.
 INTENDED_RECHECKS: set[str] = {
-    # (b) r11 red fixes
+    # (b) r12 red, re-shaped to the BIGINT quantization recurrence
     "kaplan_meier_survival",
-    "cramers_v_pairs",
-    # (c) libm-hardened contracts
-    "mutual_info_lang_source",
-    "psi_population_stability",
-    "fdr_bh_segment_tests",
-    "char_entropy_docs",
-    "dsir_importance_sample",
-    "pmi_collocations_topk",
-    "stupid_backoff_trigram_lm",
-    "bm25_keyword_search",
-    "quality_classifier_inference",
-    "doc_perplexity_unigram",
-    "ccnet_perplexity_buckets",
-    "naive_bayes_lang_confusion",
-    "record_linkage_fs",
-    "embedding_quantize_error",
-    "tfidf_top_terms",
-    "heaps_law_fit",
-    "hll_overlap_users",
-    "hll_verified_users_by_type",
-    "profile_orders_approx",
-    "dp_laplace_counts",
-    "math_funcs_customer",
-    "sprt_sequential_ab",
-    "weighted_sample_docs",
-    "weighted_reservoir_topk",
-    # (d) ADVICE decimal-overflow fixes
+    # (c) oracle SQL text changed this round (spearman HUGEINT
+    #     casts; LAD re-checked alongside as its window twin)
     "spearman_corr_qty_price",
     "quantile_regression_grid",
-    # (e) green re-confirmations
-    "pricing_summary",
-    "topk_orders",
-    "group_count_mktsegment",
-    "group_avg_acctbal",
-    "anova_oneway_f",
-    "welch_ttest_value_clicks",
-    "mann_kendall_trend",
-    "seasonal_trend_decompose",
-    "capm_beta_by_type",
-    "empirical_bayes_shrinkage",
-    "knn_label_majority",
-    "similarity_lsh_topk",
-    "feature_hashing_vectorize",
-    "cohort_ltv_curve",
-    "asof_join_nearest",
+    # (d) stalest-green rotation: every name last checked r05/r06,
+    #     so the oldest evidence in the cumulative ledger advances
+    "ab_test_two_proportion_z",
+    "argmax_order_per_segment",
+    "arrow_normalize_embeddings",
+    "assign_sequence_ids",
+    "concurrent_intervals_distributed",
+    "concurrent_intervals_sweep",
+    "decile_lift_acctbal",
+    "dedup_minhash_verified",
+    "ewma_events_daily",
+    "fk_integrity_audit",
+    "forecast_revenue_change",
+    "funnel_time_to_convert",
+    "gini_revenue_concentration",
+    "incremental_dedup_new_batch",
+    "join_full_outer_daily_activity",
+    "join_null_safe_priority",
+    "mixture_sample_counts",
+    "mmr_rerank_topk",
+    "orc_sink_roundtrip",
+    "passage_dedup_chunks",
+    "pipe_syntax_quality_funnel",
+    "provenance_dedup_priority",
+    "recursive_cte_chunk_threading",
+    "regr_trend_monthly_revenue",
+    "robust_outlier_trim",
+    "sample_documents_hash",
+    "scd2_event_type_intervals",
+    "session_event_type_pairs",
+    "similarity_ivf_topk",
+    "skew_diagnostic_orders",
+    "split_leakage_audit",
+    "string_agg_nations_by_region",
+    "theta_join_rank_rewrite",
+    "top_acctbal_supplier_per_nation",
+    "train_test_split_counts",
+    "try_funcs_orders",
+    "url_parse_components",
+    "zorder_morton_events",
+    "autocorrelation_lag1_distributed",
+    "approx_topk_event_types",
+    "array_hof_embeddings",
 }
 
-# r12 window: every slot is oracle-bearing.
+# r13 window: every slot is oracle-bearing.
 INTENDED_ROWS_ONLY: set[str] = set()
 
 
