@@ -154,6 +154,7 @@ def all_specs() -> dict[str, QuerySpec]:
     from ag_data_ingestion_github_to_snowflake_spark.plans import (  # noqa: F401
         behavior_queries,
         core_relational,
+        corpus_stats_queries,
         curation_queries,
         inference_queries,
         joins,

@@ -13,6 +13,7 @@ tolerate.
 Usage::
 
     python tools/driver_sim.py [--sf-dirs a,b,...] [--cap 50]
+        [--oracle-threads default,1,32]
 
 By default the window is swept at ALL THREE fixture scales
 (sf0.001, sf0.01, sf0.1) — r11's kaplan_meier red was invisible at
@@ -20,8 +21,19 @@ the driver's own sf0.01 (no hour-boundary straddle in 85 durations)
 and only reproduced at sf0.1, so a single-sf gate is not a gate.
 Pass --sf-dirs /root/testdata/sf0.01 for the fast driver-exact run.
 
+``--oracle-threads`` (r13, VERDICT r12 item 7) re-runs the ORACLE
+side under explicit DuckDB ``SET threads=N`` settings: parallel
+aggregate/window state assembly is a determinism axis on the oracle
+side exactly as Spark partitioning is on ours, and the r12
+``kaplan_meier`` red came from a driver DuckDB build assembling
+windowed-list state in a different order than the local
+single-config run. Only one DuckDB wheel ships in this environment,
+so thread-count (plus the fold-reversal property gate in
+tests/test_fold_order_invariance.py) is the available proxy for
+"any build". Default sweeps ``default,1,32``.
+
 Exit 1 if any window query fails rows/schema/hash or raises at any
-swept scale.
+swept scale under any oracle-threads setting.
 """
 
 from __future__ import annotations
@@ -74,8 +86,17 @@ def main() -> int:
     )
     ap.add_argument("--sf-dir", default=None, help="alias: single dir")
     ap.add_argument("--cap", type=int, default=50)
+    ap.add_argument(
+        "--oracle-threads",
+        default="default,1,32",
+        help=(
+            "comma list of DuckDB SET threads values for the oracle "
+            "side; 'default' leaves the connection untouched"
+        ),
+    )
     args = ap.parse_args()
     sf_dirs = [args.sf_dir] if args.sf_dir else args.sf_dirs.split(",")
+    thread_settings = [t.strip() for t in args.oracle_threads.split(",") if t.strip()]
 
     import duckdb
     from pyspark.sql import SparkSession
@@ -102,11 +123,16 @@ def main() -> int:
     window = list(qs)[: args.cap]
     failures = 0
     for sf_dir in sf_dirs:
-        con = duckdb.connect()
-        for t in TABLES:
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-            )
+        cons = []
+        for setting in thread_settings:
+            con = duckdb.connect()
+            if setting != "default":
+                con.execute(f"SET threads={int(setting)}")
+            for t in TABLES:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+                )
+            cons.append((setting, con))
         sf_fail = 0
         for name in window:
             try:
@@ -114,12 +140,18 @@ def main() -> int:
                 if name not in osql:
                     print(f"{name:40s} rows-only ({len(sp)} rows)")
                     continue
-                du = con.execute(osql[name]).fetchdf()
-                a, b = _canon(sp), _canon(du)
-                if a == b:
-                    continue
-                sf_fail += 1
-                print(f"{name:40s} [{sf_dir}] MISMATCH spark={a} oracle={b}")
+                a = _canon(sp)
+                bad = False
+                for setting, con in cons:
+                    du = con.execute(osql[name]).fetchdf()
+                    b = _canon(du)
+                    if a != b:
+                        bad = True
+                        print(
+                            f"{name:40s} [{sf_dir} threads={setting}]"
+                            f" MISMATCH spark={a} oracle={b}"
+                        )
+                sf_fail += bad
             except Exception as e:  # noqa: BLE001 — the driver records errors too
                 sf_fail += 1
                 print(f"{name:40s} [{sf_dir}] ERROR {str(e)[:140]}")
@@ -128,10 +160,11 @@ def main() -> int:
         # greppable.
         print(
             f"\n{len(window) - sf_fail}/{len(window)} window queries green"
-            f" at {sf_dir}"
+            f" at {sf_dir} (oracle threads: {','.join(thread_settings)})"
         )
         failures += sf_fail
-        con.close()
+        for _s, con in cons:
+            con.close()
         spark.catalog.clearCache()
     return 1 if failures else 0
 

@@ -89,6 +89,14 @@ ALLOWED_FLAGS = {
     # (from the LIMIT-1000 sample) over the scan — one broadcast row;
     # the balance ratio attaches a 1-row total the same way.
     ("range_partition_balance", "BroadcastNestedLoopJoin"),
+    # G2 keyness attaches the 1-row corpus-token-total aggregate to
+    # the vocabulary-sized cell table — one broadcast row (the
+    # fightin_words / kl_divergence shape).
+    ("g2_keyness_by_source", "BroadcastNestedLoopJoin"),
+    # Burrows' Delta cross-fans the |sources|-row totals over the
+    # LIMIT-30 most-frequent-word list — both sides bounded
+    # broadcasts (sources x 30 grid), invariant in the corpus size.
+    ("burrows_delta_sources", "BroadcastNestedLoopJoin"),
     # Brute-force top-k scores EVERY (query, candidate) pair by
     # definition; the query side is LIMITed to a small constant and
     # broadcast, so BNLJ here is a map-side loop over a tiny broadcast
