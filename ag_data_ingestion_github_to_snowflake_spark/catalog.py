@@ -33,6 +33,21 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Per-session plan cache for fixture scans (optimization r13, guide
+# §6/§1: metadata overhead). ``spark.read.parquet`` costs ~200 ms per
+# call on this box (py4j + driver-side footer/schema read + file
+# listing); a full bench issues >1000 of them for the same ten files.
+# Caching the analyzed DataFrame (keyed by resolved path + file mtime,
+# stored as an attribute ON the session so it dies with it) removes
+# that re-listing exactly like a metastore/table format does at 100 TB
+# (guide §6: "manifest metadata avoids directory listing"). This
+# caches a PLAN object only — execution still scans parquet at every
+# action (no .cache()/persist involved), so bench reps and the oracle
+# gate keep computing from the files; the mtime in the key invalidates
+# staleness for tools that regenerate fixtures in-place.
+_SCAN_CACHE_ATTR = "_ag_scan_plan_cache"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (lazy parquet scan).
 
@@ -42,7 +57,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     TIMESTAMP (the same truncation DuckDB applies casting ns->us), so
     Spark results hash-match the oracle.
     """
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = None
+    key = (os.path.abspath(path), mtime)
+    session_cache = getattr(spark, _SCAN_CACHE_ATTR, None)
+    if session_cache is None:
+        session_cache = {}
+        try:
+            setattr(spark, _SCAN_CACHE_ATTR, session_cache)
+        except AttributeError:  # exotic session proxy without __dict__
+            session_cache = None
+    if session_cache is not None and key in session_cache:
+        return session_cache[key]
+    df = spark.read.parquet(path)
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             # ns -> us truncation, then NTZ so pandas/Arrow sees naive
@@ -53,6 +83,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "ts",
                 F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
             )
+    if session_cache is not None:
+        session_cache[key] = df
     return df
 
 

@@ -180,6 +180,42 @@ def _staged_json_batches(base: str, sf: str, batches) -> str:
 STREAM_SHUFFLE_PARTITIONS = "8"
 
 
+def _adaptive_stream_partitions(spark: SparkSession, stage: str) -> str:
+    """Input-size-derived state-shuffle partition count for drains whose
+    per-row cost scales with the data (Python stateful kernels, dedup
+    probes): ``clamp(staged_rows / ROWS_PER_PART, 8, defaultParallelism)``.
+
+    Optimization r13 (guide §2: make partitioning scale-adaptive —
+    derive from input size — rather than a constant tuned for either
+    local mode or the cluster). The r8 retune pinned these drains to
+    core-count partitions because 8 partitions idled 3/4 of the box at
+    the 100x decade (31.6 -> 20.8 s), accepting a measured sf0.1
+    regression (1.11 -> 1.75 s: 100k events cannot amortize 32 state
+    stores x batches; cep_funnel measured 23-30 s at 32 parts vs
+    7-14 s at 8, interleaved A/B, r13). Deriving from staged row count
+    keeps BOTH measured optima: sf0.1 (100k rows) -> floor 8; the 100x
+    fixture (10-19M rows) -> core count, exactly the r8 pin. Results
+    are partition-invariant (driver_sim sweeps the parallelism axis).
+    ``SPARK_GRAFT_STREAM_ROWS_PER_PART`` (default 50k) is the
+    production knob: cluster deployments size it to per-core stateful
+    throughput so the clamp ceiling (total cores) engages at volume.
+    """
+    rows_per_part = int(os.environ.get("SPARK_GRAFT_STREAM_ROWS_PER_PART", "50000"))
+    n_rows = 0
+    try:
+        import pyarrow.parquet as pq
+
+        for part in sorted(os.listdir(stage)):
+            if part.endswith(".parquet") and not part.startswith("_"):
+                n_rows += pq.ParquetFile(os.path.join(stage, part)).metadata.num_rows
+    except Exception:
+        n_rows = 0
+    cores = spark.sparkContext.defaultParallelism
+    if n_rows <= 0:  # unknown layout: keep the r8 core-count pin
+        return str(cores)
+    return str(max(8, min(cores, (n_rows + rows_per_part - 1) // rows_per_part)))
+
+
 _ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
@@ -436,7 +472,7 @@ def streaming_dedup_events(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming dedup on event_id under a watermark: unique input
     passes through exactly once (duplicate handling proven in
     tests/test_streaming.py with a duplicated source)."""
-    sdf, _ = _staged_events_stream(spark, sf)
+    sdf, stage = _staged_events_stream(spark, sf)
     deduped = S.dedup_stream(sdf, ["event_id"], delay="40 days").select("event_id")
     # Knobs MEASURED at 100x (10M dedup states, single AvailableNow
     # commit; tools/sweep_dedup_drain.py, r8): heap/32-part 20.3 s,
@@ -450,17 +486,17 @@ def streaming_dedup_events(spark: SparkSession, sf: str) -> DataFrame:
     # instead of idling 3/4 of the box. A continuous production stream
     # (many commits, state turnover) would flip to rocksdb=True.
     #
-    # DELIBERATE small-scale trade (r8, both points measured): the
-    # 32-partition retune cut the 100x drain 31.6 -> 20.8 s (alpha
-    # +1.30 -> +1.08) but RAISED the sf0.1 bench time 1.11 -> 1.75 s —
-    # 100k events can't amortize 32 state-store inits. Do NOT "fix"
-    # the small-scale regression by lowering partitions; the 100 TB
-    # target pays for it 10x over.
+    # r8 measured the small-scale/100x partition trade both ways (32
+    # parts: 100x 31.6 -> 20.8 s but sf0.1 1.11 -> 1.75 s). r13 makes
+    # the count INPUT-DERIVED (_adaptive_stream_partitions): the 100x
+    # fixture still gets the measured core-count optimum, the sf0.1
+    # bench gets back its 8-partition floor — guide §2, partitioning
+    # derived from input size instead of a constant for either scale.
     return _drain(
         deduped,
         spark,
         "append",
-        shuffle_partitions=str(spark.sparkContext.defaultParallelism),
+        shuffle_partitions=_adaptive_stream_partitions(spark, stage),
     )
 
 
@@ -498,20 +534,23 @@ def streaming_stateful_totals(spark: SparkSession, sf: str) -> DataFrame:
         running_user_totals,
     )
 
-    sdf, _ = _staged_events_stream(spark, sf)
-    # Core-count partitions: the per-row cost here is the Python
-    # stateful kernel (Arrow + per-key calls), which scales with data —
-    # the fixture-sized default of 8 left 3/4 of a 32-core box idle and
-    # was the whole 100x gap (49 s -> measured in
-    # scale_curve_100x_all.json after this change). State itself is one
-    # tiny accumulator per user, so the store provider barely matters;
+    sdf, stage = _staged_events_stream(spark, sf)
+    # Per-row cost here is the Python stateful kernel (Arrow + per-key
+    # calls), which scales with data — the fixture-sized default of 8
+    # left 3/4 of a 32-core box idle and was the whole 100x gap (49 s
+    # -> scale_curve_100x_all.json after the r8 core-count retune).
+    # r13: partition count now derives from staged rows
+    # (_adaptive_stream_partitions) so the 100x decade keeps the
+    # core-count optimum while the sf0.1 bench stops paying 32 state
+    # stores x batches for 100k rows. State itself is one tiny
+    # accumulator per user, so the store provider barely matters;
     # RocksDB is still used as the production-shaped choice.
     updates = _drain(
         running_user_totals(sdf),
         spark,
         "update",
         rocksdb=True,
-        shuffle_partitions=str(spark.sparkContext.defaultParallelism),
+        shuffle_partitions=_adaptive_stream_partitions(spark, stage),
     )
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
@@ -573,7 +612,7 @@ def streaming_session_window_events(spark: SparkSession, sf: str) -> DataFrame:
     by key. Hash-matched against the gaps-and-islands SQL twin, so
     the ENGINE's session-merge state machine is oracle-checked (the
     batch twin ``sessionize_events_gaps`` checks only the semantics)."""
-    sdf, _ = _staged_events_stream_flushed(spark, sf, flush_delta="2 hours")
+    sdf, stage = _staged_events_stream_flushed(spark, sf, flush_delta="2 hours")
     agg = (
         S.with_watermark(sdf, "1 hour")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
@@ -602,12 +641,15 @@ def streaming_session_window_events(spark: SparkSession, sf: str) -> DataFrame:
     # multiplying the emission cost. A long-running production stream
     # (thousands of commits, state >> heap) would still choose
     # RocksDB — that trade is the commit count, not the operator.
+    # r13: partition count input-derived (_adaptive_stream_partitions)
+    # — the 100x decade keeps the measured core-count optimum above,
+    # sf0.1 returns to the 8-partition floor (guide §2).
     em = _drain(
         agg,
         spark,
         "append",
         rocksdb=False,
-        shuffle_partitions=str(spark.sparkContext.defaultParallelism),
+        shuffle_partitions=_adaptive_stream_partitions(spark, stage),
     )
     return em.filter(F.col("user_id") >= 0)
 
@@ -1281,11 +1323,16 @@ def streaming_cep_funnel(spark: SparkSession, sf: str) -> DataFrame:
         .parquet(stage)
     )
     matches = funnel_cep_matches(sdf, window_us=7 * 86400 * 1_000_000)
+    # r13: input-derived partitions (guide §2) — measured at sf0.1:
+    # 23-30 s at core-count parts vs 7-14 s at 8 (interleaved A/B, 3
+    # reps), because 4 micro-batches x 32 Python-stateful partitions
+    # cannot amortize on 100k rows; the 100x decade still derives the
+    # core count it was tuned to.
     drained = _drain(
         matches,
         spark,
         "append",
-        shuffle_partitions=str(spark.sparkContext.defaultParallelism),
+        shuffle_partitions=_adaptive_stream_partitions(spark, stage),
     )
     return drained.select(
         "user_id",
