@@ -88,6 +88,67 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# (path, mtime) -> number of independently-scannable parquet units
+# (row groups summed over part files). Pure footer metadata, tiny.
+_SCAN_UNITS_CACHE: dict[tuple[str, float | None], int] = {}
+
+
+def scan_units(sf_dir: str, name: str) -> int:
+    """How many parallel scan tasks the table's layout can yield: the
+    total parquet row-group count across part files. A single-row-group
+    file is unsplittable by Spark (a row group is read whole by one
+    task) no matter what ``maxPartitionBytes`` says."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = None
+    key = (os.path.abspath(path), mtime)
+    if key in _SCAN_UNITS_CACHE:
+        return _SCAN_UNITS_CACHE[key]
+    units = 0
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            for part in os.listdir(path):
+                if part.endswith(".parquet") and not part.startswith("_"):
+                    units += pq.ParquetFile(
+                        os.path.join(path, part)
+                    ).metadata.num_row_groups
+        else:
+            units = pq.ParquetFile(path).metadata.num_row_groups
+    except Exception:
+        units = 0
+    _SCAN_UNITS_CACHE[key] = units
+    return units
+
+
+def parallelize_cpu_scan(
+    df: DataFrame, spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    """Round-robin repartition a scan feeding CPU-heavy per-row work —
+    but ONLY when the source layout cannot parallelize the scan itself.
+
+    Optimization r13 (guide §2.5 "input skew: one huge unsplittable
+    file... repartition immediately after the read" and §1.2 step 1).
+    The fixtures are single-row-group parquet files, so scans get ONE
+    task regardless of size; any expression-heavy per-row operator
+    downstream (per-row md5 fan-outs, 64-dim array folds, tokenize +
+    hash pipelines) then runs single-threaded while 31 cores idle —
+    measured 10.4 s -> sub-second on the bootstrap fan-out. At real
+    scale tables have >= cores row groups, the condition is false and
+    NO extra exchange is added — the repartition is derived from input
+    layout, not pinned to local mode. Call it AFTER projecting to the
+    columns the heavy stage needs (guide §2.3: shuffle only the bytes
+    the work requires).
+    """
+    cores = spark.sparkContext.defaultParallelism
+    if scan_units(sf_dir, name) >= max(2, cores // 2):
+        return df
+    return df.repartition(cores)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every fixture table under ``sf_dir``."""
     return {name: load_table(spark, sf_dir, name) for name in TABLES}

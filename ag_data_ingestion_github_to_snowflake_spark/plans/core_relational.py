@@ -22,6 +22,7 @@ from ag_data_ingestion_github_to_snowflake_spark.operators.portable_math import 
     floor_e6_sql,
     portable_ln_sql,
 )
+from ag_data_ingestion_github_to_snowflake_spark.catalog import parallelize_cpu_scan
 from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register, t
 
 
@@ -1727,6 +1728,12 @@ def bootstrap_ci_order_total(spark: SparkSession, sf: str) -> DataFrame:
     floor at the cost of CI resolution.
     """
     o = t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    # r13: the md5 fan-out below is the cost (8 digests + 32 Poisson
+    # rows per order), and a single-row-group fixture scan runs it on
+    # ONE task (measured 10.4 s single-threaded at sf0.1).
+    # parallelize_cpu_scan adds a 16-byte/row round-robin exchange
+    # only when the layout under-splits; at scale it is a no-op.
+    o = parallelize_cpu_scan(o, spark, sf, "orders")
     # One digest serves replicates 4d..4d+3 via disjoint 7-hex
     # substrings, and the 8 digests per row are computed BEFORE the
     # 32x fan-out (nested transform: the outer lambda runs md5 once
