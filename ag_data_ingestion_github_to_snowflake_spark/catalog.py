@@ -143,6 +143,8 @@ def parallelize_cpu_scan(
     columns the heavy stage needs (guide §2.3: shuffle only the bytes
     the work requires).
     """
+    if os.environ.get("SPARK_GRAFT_SCAN_REPARTITION", "1") == "0":
+        return df  # ops kill-switch; also the A/B lever for tooling
     cores = spark.sparkContext.defaultParallelism
     if scan_units(sf_dir, name) >= max(2, cores // 2):
         return df

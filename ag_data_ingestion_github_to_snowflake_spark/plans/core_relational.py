@@ -577,6 +577,17 @@ def pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # B23 extension: correlation / covariance from exact decimal moments
 # ---------------------------------------------------------------------------
+def _moment_scan(spark: SparkSession, sf: str, *cols: str) -> DataFrame:
+    """lineitem pruned to the moment columns, repartitioned only when
+    the source layout cannot split the scan (r13, guide §2.5): the
+    exact-decimal moment sums are the cost of this query family and a
+    single-row-group fixture file runs the partial aggregate on ONE
+    task. No-op at production row-group counts."""
+    return parallelize_cpu_scan(
+        t(spark, sf, "lineitem").select(*cols), spark, sf, "lineitem"
+    )
+
+
 @register(
     "stats_corr_quantity_price",
     # Native corr()/covar_samp() accumulate doubles in aggregation
@@ -619,7 +630,7 @@ def stats_corr_quantity_price(spark: SparkSession, sf: str) -> DataFrame:
     x = F.col("l_quantity").cast(DEC)
     y = F.col("l_extendedprice").cast(DEC)
     m = (
-        t(spark, sf, "lineitem")
+        _moment_scan(spark, sf, "l_returnflag", "l_quantity", "l_extendedprice")
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).cast("double").alias("n"),
@@ -707,7 +718,9 @@ def corr_matrix_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     x = F.col("l_quantity").cast(DEC)
     y = F.col("l_extendedprice").cast(DEC)
     z = F.col("l_discount").cast(DEC)
-    m = t(spark, sf, "lineitem").agg(
+    m = _moment_scan(
+        spark, sf, "l_quantity", "l_extendedprice", "l_discount"
+    ).agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum(x).cast("double").alias("s1"),
         F.sum(y).cast("double").alias("s2"),
@@ -1290,7 +1303,7 @@ def ols_price_by_quantity(spark: SparkSession, sf: str) -> DataFrame:
     x = F.col("l_quantity").cast(DEC)
     y = F.col("l_extendedprice").cast(DEC)
     m = (
-        t(spark, sf, "lineitem")
+        _moment_scan(spark, sf, "l_returnflag", "l_quantity", "l_extendedprice")
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).cast("double").alias("n"),
@@ -1466,6 +1479,10 @@ def _ab_value_counts(spark: SparkSession, sf: str) -> DataFrame:
     two rank tests below share: one groupBy(value) with map-side
     combine reduces the event stream to its distinct-value table."""
     ev = t(spark, sf, "events").filter(F.col("event_type").isin("click", "view"))
+    # r13: measured parallelize_cpu_scan here (interleaved A/B x4):
+    # 0.43-0.65x on both consumers — a regression; the value-count
+    # partial aggregate is codegen-cheap and map-side combine already
+    # shrinks the shuffle. Deliberately left on the raw scan.
     return ev.groupBy("value").agg(
         F.sum((F.col("event_type") == "click").cast("long")).alias("n_a"),
         F.sum((F.col("event_type") == "view").cast("long")).alias("n_b"),

@@ -44,6 +44,7 @@ from ag_data_ingestion_github_to_snowflake_spark.operators.portable_math import 
     portable_exp_sql,
     portable_ln_sql,
 )
+from ag_data_ingestion_github_to_snowflake_spark.catalog import parallelize_cpu_scan
 from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register, t
 from ag_data_ingestion_github_to_snowflake_spark.plans.sampling_queries import (
     hash_bucket,
@@ -1263,6 +1264,10 @@ def ssjoin_prefix_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     docs = t(spark, sf, "documents").filter(hash_bucket(F.col("doc_id")) < 26)
+    # r13: tokenize + rank-sort + prefix extraction are per-row costs
+    # and the fixture scan is one task (wp_tail: 7 tasks, 2.5 s exec).
+    # Layout-derived repartition — no-op when the source splits.
+    docs = parallelize_cpu_scan(docs, spark, sf, "documents")
     # No orderBy: the compare gate is order-insensitive, and a global
     # sort here would range-SAMPLE its input — re-executing the whole
     # candidate+verify pipeline a second time (measured ~2x: 4.6 s ->

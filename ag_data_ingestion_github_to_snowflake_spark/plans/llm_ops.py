@@ -23,6 +23,7 @@ from ag_data_ingestion_github_to_snowflake_spark.operators.portable_math import 
     portable_exp_sql,
     portable_ln_sql,
 )
+from ag_data_ingestion_github_to_snowflake_spark.catalog import parallelize_cpu_scan
 from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register, t
 
 
@@ -184,7 +185,13 @@ def dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     half the per-token cost, same replayability and bit uniformity);
     voting and pigeonhole blocking are the standard operator machinery.
     """
-    sig = D.simhash(t(spark, sf, "documents"), hash_fn=D.md5_hash60)
+    # r13: per-token md5 + 60-bit voting is the cost and the fixture
+    # scan is one task (wp_tail: 4 tasks, 1.9 s exec) — layout-derived
+    # repartition, no-op when the source layout splits (guide §2.5).
+    docs = parallelize_cpu_scan(
+        t(spark, sf, "documents"), spark, sf, "documents"
+    )
+    sig = D.simhash(docs, hash_fn=D.md5_hash60)
     # No orderBy — same double-execution trap as dedup_minhash_pairs.
     return D.simhash_near_pairs(sig).withColumn(
         "hamming", F.col("hamming").cast("long")
@@ -396,6 +403,10 @@ def similarity_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     SQL replay.
     """
     emb = t(spark, sf, "embeddings")
+    # r13: measured parallelize_cpu_scan here (interleaved A/B x4):
+    # 0.38-0.99x — a REGRESSION; the bucket-group shuffle already
+    # parallelizes signature work, so the extra exchange only adds a
+    # stage. Deliberately left on the raw scan.
     return S.lsh_bucketed_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=5, exact_fold=True
     )
@@ -1559,11 +1570,15 @@ def similarity_ivf_quantized(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     emb = t(spark, sf, "embeddings")
+    # r13: int8 encode + asymmetric scoring folds per corpus row run
+    # on ONE task off a single-row-group scan — layout-derived
+    # repartition (wp_tail: 4 tasks, 3.1 s exec).
+    corpus = parallelize_cpu_scan(emb, spark, sf, "embeddings")
     cents = S.train_ivf_centroids(
         emb, n_cells=8, iters=2, sample_fraction=0.25, max_train=1024
     )
     return ivf_quantized_topk(
-        emb, emb.filter(F.col("vec_id") < 10), cents, k=5, nprobe=8
+        corpus, emb.filter(F.col("vec_id") < 10), cents, k=5, nprobe=8
     )
 
 

@@ -18,6 +18,7 @@ from ag_data_ingestion_github_to_snowflake_spark.operators.portable_math import 
     floor_e6_sql,
     portable_ln_sql,
 )
+from ag_data_ingestion_github_to_snowflake_spark.catalog import parallelize_cpu_scan
 from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register, t
 
 
@@ -862,6 +863,10 @@ def hilbert_vs_morton_locality(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     ev = t(spark, sf, "events").filter(F.dayofmonth("ts") <= 16)
+    # r13: measured parallelize_cpu_scan here (interleaved A/B x4):
+    # 0.57-0.75x — a regression; the date-part partial aggregate is
+    # codegen-cheap, so the extra exchange costs more than one-task
+    # scanning. Deliberately left on the raw scan.
     cells = ev.groupBy(
         (F.dayofmonth("ts") - 1).cast("int").alias("cx"),
         F.floor(F.hour("ts") * 2 / 3.0).cast("int").alias("cy"),

@@ -35,6 +35,7 @@ from ag_data_ingestion_github_to_snowflake_spark.plans.pca_literals import (
     PCA_COMPS,
     PCA_MEAN,
 )
+from ag_data_ingestion_github_to_snowflake_spark.catalog import parallelize_cpu_scan
 from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register, t
 
 _DIM = 64
@@ -80,6 +81,11 @@ def semdedup_embeddings(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+    # r13: the per-row centroid-dot folds and the within-cell pair
+    # cosines are the cost; a single-row-group fixture scan runs them
+    # on one task (wp_tail: 8 tasks, 4.6 s exec). Layout-derived
+    # repartition — no-op when the source splits (guide §2.5).
+    base = parallelize_cpu_scan(base, spark, sf, "embeddings")
     pert = base.select(
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.concat(
@@ -157,8 +163,12 @@ def similarity_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
     from ag_data_ingestion_github_to_snowflake_spark.operators import pq as PQ
 
     emb = t(spark, sf, "embeddings")
+    # r13: PQ encode is 4 codebooks x 8 cells x 16-dim folds PER ROW —
+    # parallelize the corpus side when the layout under-splits; the
+    # 10-row query side stays on the un-repartitioned scan.
+    corpus = parallelize_cpu_scan(emb, spark, sf, "embeddings")
     return PQ.pq_adc_topk(
-        emb, emb.filter(F.col("vec_id") < 10), _pq_books(), topk=5
+        corpus, emb.filter(F.col("vec_id") < 10), _pq_books(), topk=5
     )
 
 

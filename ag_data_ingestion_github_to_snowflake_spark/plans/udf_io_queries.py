@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from ag_data_ingestion_github_to_snowflake_spark.catalog import parallelize_cpu_scan
 from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register, t
 
 ZSCORE_SCHEMA = T.StructType(
@@ -282,8 +283,15 @@ def profile_orders_columns(spark: SparkSession, sf: str) -> DataFrame:
         profile_table,
     )
 
+    # r13: the 4-way distinct expansion makes the partial aggregate
+    # the cost, and a single-row-group scan runs it on one task
+    # (wp_tail: 3 tasks, 3.7 s exec). Column pruning drops below the
+    # round-robin exchange, so only the 4 profiled columns shuffle.
+    orders = parallelize_cpu_scan(
+        t(spark, sf, "orders"), spark, sf, "orders"
+    )
     return profile_table(
-        t(spark, sf, "orders"),
+        orders,
         ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
     )
 
