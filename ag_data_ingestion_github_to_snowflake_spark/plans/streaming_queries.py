@@ -180,7 +180,9 @@ def _staged_json_batches(base: str, sf: str, batches) -> str:
 STREAM_SHUFFLE_PARTITIONS = "8"
 
 
-def _adaptive_stream_partitions(spark: SparkSession, stage: str) -> str:
+def _adaptive_stream_partitions(
+    spark: SparkSession, stage: str, floor: int | None = None
+) -> str:
     """Input-size-derived state-shuffle partition count for drains whose
     per-row cost scales with the data (Python stateful kernels, dedup
     probes): ``clamp(staged_rows / ROWS_PER_PART, 8, defaultParallelism)``.
@@ -213,7 +215,20 @@ def _adaptive_stream_partitions(spark: SparkSession, stage: str) -> str:
     cores = spark.sparkContext.defaultParallelism
     if n_rows <= 0:  # unknown layout: keep the r8 core-count pin
         return str(cores)
-    return str(max(8, min(cores, (n_rows + rows_per_part - 1) // rows_per_part)))
+    # Floor 2, not 8 (r13): state-store COMMITS contend super-linearly
+    # in the partition count when state is small — measured on the
+    # drift drain (8 batches, 3.6k state rows): total commitMs 0.5-2 s
+    # at 1-2 partitions vs 8-58 s at 8 and 266 s at 16. The input-rows
+    # derivation still reaches core count at the 100x decade where the
+    # r8 sweep measured parallelism winning.
+    # Per-drain floor: JVM aggregation drains default to 2 (their
+    # fixture-scale cost IS the per-partition commit); Python-stateful
+    # kernels (applyInPandasWithState) pass floor=8 — their cost is
+    # per-row Python work, and the r8 sweep measured parallelism
+    # winning there even at 100k rows.
+    if floor is None:
+        floor = int(os.environ.get("SPARK_GRAFT_STREAM_PART_FLOOR", "2"))
+    return str(max(floor, min(cores, (n_rows + rows_per_part - 1) // rows_per_part)))
 
 
 _ROCKSDB_PROVIDER = (
@@ -290,6 +305,19 @@ def _drain(
     out = spark.table(name).localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
     shutil.rmtree(cp, ignore_errors=True)
+    # r13: unload this drain's state-store providers. Every drain uses
+    # a FRESH checkpoint, so a finished drain's providers are pure
+    # dead weight — yet they stay registered in the executor and their
+    # maintenance keeps running. Measured (6 sequential drains,
+    # parts=8): without unload, per-drain wall is erratic 5-37 s with
+    # state commitMs climbing to 84 s as providers pile up; with
+    # unload it settles at 4.4-8.7 s. Maintenance restarts lazily on
+    # the next streaming query, so this is safe between drains.
+    if os.environ.get("SPARK_GRAFT_STREAM_UNLOAD", "1") != "0":
+        try:
+            spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        except Exception:
+            pass  # py4j surface moved: stale providers cost time, not correctness
     return out
 
 
@@ -310,8 +338,15 @@ def _drain(
 def streaming_tumbling_events(spark: SparkSession, sf: str) -> DataFrame:
     """Tumbling-window agg executed via Structured Streaming
     (checkpointed micro-batches, AvailableNow drain)."""
-    sdf, _ = _staged_events_stream(spark, sf)
-    return _drain(S.tumbling_counts(sdf), spark, "complete")
+    sdf, stage = _staged_events_stream(spark, sf)
+    # r13: state partitions input-derived (floor 2) — see
+    # _adaptive_stream_partitions; commit contention measured.
+    return _drain(
+        S.tumbling_counts(sdf),
+        spark,
+        "complete",
+        shuffle_partitions=_adaptive_stream_partitions(spark, stage),
+    )
 
 
 @register(
@@ -339,12 +374,19 @@ def streaming_interval_join_events(spark: SparkSession, sf: str) -> DataFrame:
     purchases within 30 minutes — attribution, the canonical
     stream-stream workload. Both sides read the same staged file
     stream; watermark + time-range bound the join state."""
-    sdf, _ = _staged_events_stream(spark, sf)
+    sdf, stage = _staged_events_stream(spark, sf)
     joined = S.interval_join(
         sdf.filter(F.col("event_type") == "click"),
         sdf.filter(F.col("event_type") == "purchase"),
     )
-    return _drain(joined, spark, "append")
+    # r13: state partitions input-derived (floor 2); interval-join
+    # state IS input-bound, so the rows derivation is the right size.
+    return _drain(
+        joined,
+        spark,
+        "append",
+        shuffle_partitions=_adaptive_stream_partitions(spark, stage),
+    )
 
 
 @register(
@@ -550,7 +592,7 @@ def streaming_stateful_totals(spark: SparkSession, sf: str) -> DataFrame:
         spark,
         "update",
         rocksdb=True,
-        shuffle_partitions=_adaptive_stream_partitions(spark, stage),
+        shuffle_partitions=_adaptive_stream_partitions(spark, stage, floor=8),
     )
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
@@ -725,7 +767,14 @@ def streaming_multibatch_rollup(spark: SparkSession, sf: str) -> DataFrame:
             "total_value",
         )
     )
-    return _drain(agg, spark, "complete")
+    # r13: state partitions input-derived (floor 2) — commit
+    # contention; see _adaptive_stream_partitions.
+    return _drain(
+        agg,
+        spark,
+        "complete",
+        shuffle_partitions=_adaptive_stream_partitions(spark, stage),
+    )
 
 
 @register(
@@ -760,7 +809,7 @@ def streaming_enriched_rollup(spark: SparkSession, sf: str) -> DataFrame:
     broadcast dim (bounded), stream shuffles only for the stateful
     aggregation on (window, segment) — 5-ish segments x days of
     state, trivially bounded."""
-    sdf, _ = _staged_events_stream(spark, sf)
+    sdf, stage = _staged_events_stream(spark, sf)
     dim = t(spark, sf, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
@@ -786,7 +835,14 @@ def streaming_enriched_rollup(spark: SparkSession, sf: str) -> DataFrame:
             "total_value",
         )
     )
-    return _drain(agg, spark, "complete")
+    # r13: state partitions input-derived (floor 2) — commit
+    # contention; see _adaptive_stream_partitions.
+    return _drain(
+        agg,
+        spark,
+        "complete",
+        shuffle_partitions=_adaptive_stream_partitions(spark, stage),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -891,7 +947,12 @@ def streaming_drift_monitor(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .select(F.col("w.start").alias("h"), "event_type", "n")
     )
-    state = _drain(hourly, spark, "complete")
+    state = _drain(
+        hourly,
+        spark,
+        "complete",
+        shuffle_partitions=_adaptive_stream_partitions(spark, stage),
+    )
 
     # batch finish over the (tiny) state table: hour-midpoint split,
     # contingency chi-square — the drift_chi2_events algebra.
@@ -1332,7 +1393,7 @@ def streaming_cep_funnel(spark: SparkSession, sf: str) -> DataFrame:
         matches,
         spark,
         "append",
-        shuffle_partitions=_adaptive_stream_partitions(spark, stage),
+        shuffle_partitions=_adaptive_stream_partitions(spark, stage, floor=8),
     )
     return drained.select(
         "user_id",
