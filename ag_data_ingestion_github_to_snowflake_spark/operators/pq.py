@@ -55,31 +55,49 @@ def pq_codebooks(
     ]
 
 
-def _sub(v: Column, s: int, d_sub: int) -> Column:
-    return F.slice(v, s * d_sub + 1, d_sub)
+# r13 (optimization): the encode/table expressions are generated as
+# SQL STRINGS and parsed with one F.expr call per column instead of
+# being assembled from thousands of py4j Column operations — the
+# expression trees (and therefore the results) are identical, but plan
+# CONSTRUCTION drops from seconds of driver py4j chatter to
+# milliseconds (measured: pq_encode build 7.4 s -> ~0; the registry
+# carrier's build 3.9-6 s -> sub-second). Guide §5: driver time is
+# part of the query's cost.
 
 
-def _l2sq(a: Column, lits: list[float]) -> Column:
+def _dlit(x: float) -> str:
+    """Exact SQL double literal (the D suffix; repr round-trips)."""
+    return f"{x!r}D"
+
+
+def _sub_sql(v: str, s: int, d_sub: int) -> str:
+    return f"slice({v}, {s * d_sub + 1}, {d_sub})"
+
+
+def _l2sq_sql(a: str, lits: list[float]) -> str:
     """round-6 squared L2 distance from a subvector to a literal
-    codeword — one short fold."""
-    cw = F.array(*[F.lit(x) for x in lits])
-    return F.round(
-        F.aggregate(
-            F.zip_with(a, cw, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
+    codeword — one short fold (same expression the Column API built)."""
+    cw = "array(" + ", ".join(_dlit(x) for x in lits) + ")"
+    return (
+        f"round(aggregate(zip_with({a}, {cw}, (x, y) -> (x - y) * (x - y)), "
+        "0.0D, (acc, x) -> acc + x), 6)"
     )
 
 
-def _argmin_code(dists: list[Column]) -> Column:
-    """First index attaining the minimum (round-6) distance."""
-    best = F.least(*dists)
-    code = F.when(dists[0] == best, F.lit(0))
-    for j in range(1, len(dists)):
-        code = code.when(dists[j] == best, F.lit(j))
-    return code.cast("int")
+def _argmin_code_sql(dists: list[str]) -> str:
+    """First index attaining the minimum (round-6) distance.
+
+    array_position(d, array_min(d)) IS the first-min index for the
+    non-null finite distances this fold produces — same integer as the
+    r12 CASE/least chain (asserted identical in tests/test_pq_cdc.py),
+    with the k distance folds appearing ~2x in the expression tree
+    instead of 2k x (the CASE duplicated least() per arm; analysis
+    time is the build cost this rewrite removes)."""
+    d = "array(" + ", ".join(dists) + ")"
+    return f"CAST(array_position({d}, array_min({d})) - 1 AS INT)"
+
+
+_VCAST = "transform({col}, x -> CAST(x AS DOUBLE))"
 
 
 def pq_encode(
@@ -91,14 +109,18 @@ def pq_encode(
     """(vec_id, codes array<int> of length m) — map-side only."""
     m = len(codebooks)
     d_sub = len(codebooks[0][0])
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    codes = F.array(
-        *[
-            _argmin_code([_l2sq(_sub(v, s, d_sub), cw) for cw in codebooks[s]])
+    v = _VCAST.format(col=vec_col)
+    codes = (
+        "array("
+        + ", ".join(
+            _argmin_code_sql(
+                [_l2sq_sql(_sub_sql(v, s, d_sub), cw) for cw in codebooks[s]]
+            )
             for s in range(m)
-        ]
+        )
+        + ")"
     )
-    return df.select(F.col(id_col).alias("vec_id"), codes.alias("codes"))
+    return df.select(F.col(id_col).alias("vec_id"), F.expr(codes).alias("codes"))
 
 
 def pq_adc_topk(
@@ -117,11 +139,15 @@ def pq_adc_topk(
     final per-query top-k (tiny)."""
     m = len(codebooks)
     d_sub = len(codebooks[0][0])
-    qv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    qv = _VCAST.format(col=vec_col)
     tables = [
-        F.array(*[_l2sq(_sub(qv, s, d_sub), cw) for cw in codebooks[s]]).alias(
-            f"tab{s}"
-        )
+        F.expr(
+            "array("
+            + ", ".join(
+                _l2sq_sql(_sub_sql(qv, s, d_sub), cw) for cw in codebooks[s]
+            )
+            + ")"
+        ).alias(f"tab{s}")
         for s in range(m)
     ]
     q = queries.select(F.col(id_col).alias("query_id"), *tables)
