@@ -68,21 +68,34 @@ def fixed_unit_centroids(dim: int, n_cells: int, seed: int = 31) -> list[list[fl
     return cents
 
 
-def _cell_expr(vec: Column, cents: list[list[float]]) -> Column:
-    """Nearest-centroid id as a pure Column expression (no shuffle).
+def _cell_expr(vec_sql: str, cents: list[list[float]]) -> Column:
+    """Nearest-centroid id as a pure expression (no shuffle).
 
     Centroids are unit vectors, so argmax dot == argmax cosine. The
-    winner is the SMALLEST cell index attaining the (round-6) max dot —
-    an explicit first-max rule that a SQL CASE chain replays exactly.
+    winner is the SMALLEST cell index attaining the (round-6) max dot.
+    r13 (optimization): the n_cells dot folds are generated as ONE SQL
+    string (``vec_sql`` is the vector's SQL text) instead of py4j
+    Column assembly, and the first-max is
+    ``array_position(d, array_max(d)) - 1`` — the identical integer
+    for the non-null finite round-6 dots this fold produces, with each
+    fold appearing ~2x in the tree instead of the GREATEST/CASE
+    chain's ~2k x (same rewrite as operators/pq.py; the first-max rule
+    is pinned against a pure-Python reference in
+    tests/test_semdedup.py).
     """
-    dots = [
-        F.round(_dot(vec, F.array(*[F.lit(x) for x in c])), 6) for c in cents
-    ]
-    best = F.greatest(*dots)
-    cell = F.when(dots[0] == best, F.lit(0))
-    for j in range(1, len(cents)):
-        cell = cell.when(dots[j] == best, F.lit(j))
-    return cell.cast("int")
+    dots = []
+    for c in cents:
+        lit = "array(" + ", ".join(f"{x!r}D" for x in c) + ")"
+        dots.append(
+            f"round(aggregate(zip_with({vec_sql}, {lit}, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "0.0D, (acc, x) -> acc + x), 6)"
+        )
+    d = "array(" + ", ".join(dots) + ")"
+    return F.expr(f"CAST(array_position({d}, array_max({d})) - 1 AS INT)")
+
+
+_VCAST = "transform({col}, x -> CAST(x AS DOUBLE))"
 
 
 def assign_cells(
@@ -92,11 +105,11 @@ def assign_cells(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """(id, v double-array, cell) — map-side only."""
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    v_sql = _VCAST.format(col=vec_col)
     return df.select(
         F.col(id_col).alias("vec_id"),
-        v.alias("v"),
-        _cell_expr(v, cents).alias("cell"),
+        F.expr(v_sql).alias("v"),
+        _cell_expr(v_sql, cents).alias("cell"),
     )
 
 

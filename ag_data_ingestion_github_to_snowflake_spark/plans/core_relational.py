@@ -2666,40 +2666,62 @@ def split_conformal_ols(spark: SparkSession, sf: str) -> DataFrame:
     b_ = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     )
-    fit = m.select(b_.alias("b"), ((F.col("sy") - b_ * F.col("sx")) / F.col("n")).alias("a"))
+    # r13: the fit and the conformal quantile are 1-ROW values whose
+    # subtrees (full split scans + per-row sha256 bucketing) the r12
+    # plan re-executed once per consumer — fit fed two broadcasts plus
+    # a separate n_train re-count (4th full scan), and the q subtree
+    # ran for both the test pass and the output row. Collecting each
+    # once (bounded 1-row collects, the train_ivf_centroids/bpe
+    # convention) and re-injecting the doubles as literals cuts the
+    # query from ~6 split scans to 3 — one per split. Python floats
+    # round-trip py4j bit-exactly, so every downstream value is
+    # unchanged (parity-gated at 3 scales).
+    fit = m.select(
+        b_.alias("b"),
+        ((F.col("sy") - b_ * F.col("sx")) / F.col("n")).alias("a"),
+        F.col("n").cast("bigint").alias("n_train"),
+    ).collect()[0]
+    a_l, b_l, n_train = F.lit(fit["a"]), F.lit(fit["b"]), fit["n_train"]
     resid = lambda df: F.round(  # noqa: E731
-        F.abs(F.col("y") - (F.col("a") + F.col("b") * F.col("x"))), 6
+        F.abs(F.col("y") - (a_l + b_l * F.col("x"))), 6
     )
-    cal_r = cal.crossJoin(F.broadcast(fit)).select(resid(cal).alias("r"))
-    cal_n = cal_r.agg(F.count(F.lit(1)).cast("bigint").alias("n_cal"))
-    counts = cal_r.groupBy("r").agg(F.count(F.lit(1)).alias("cnt"))
+    counts = (
+        cal.select(resid(cal).alias("r"))
+        .groupBy("r")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     w = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranked = counts.select("r", F.sum("cnt").over(w).alias("cum"))
-    q = (
-        ranked.crossJoin(F.broadcast(cal_n))
-        .filter(F.col("cum") >= F.ceil(F.lit(0.9) * (F.col("n_cal") + F.lit(1))))
-        .agg(F.min("r").alias("q_hat"))
+    # n_cal rides the SAME pass as the cumulative (an unpartitioned
+    # total over the distinct-residual table) — the r12 plan re-scanned
+    # the calibration split for a separate count.
+    ranked = counts.select(
+        "r",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n_cal"),
     )
-    tested = (
-        test.crossJoin(F.broadcast(fit))
-        .crossJoin(F.broadcast(q))
+    qrow = (
+        ranked.filter(
+            F.col("cum") >= F.ceil(F.lit(0.9) * (F.col("n_cal") + F.lit(1)))
+        )
         .agg(
+            F.min("r").alias("q_hat"),
+            F.min("n_cal").cast("bigint").alias("n_cal"),
+        )
+        .collect()[0]
+    )
+    q_hat, n_cal = qrow["q_hat"], qrow["n_cal"]
+    return (
+        test.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_test"),
-            F.sum((resid(test) <= F.col("q_hat")).cast("bigint"))
+            F.sum((resid(test) <= F.lit(q_hat)).cast("bigint"))
             .cast("bigint")
             .alias("covered"),
         )
-    )
-    n_train = train.agg(F.count(F.lit(1)).cast("bigint").alias("n_train"))
-    return (
-        n_train.crossJoin(F.broadcast(cal_n))
-        .crossJoin(F.broadcast(tested))
-        .crossJoin(F.broadcast(q))
         .select(
-            "n_train",
-            "n_cal",
+            F.lit(n_train).cast("bigint").alias("n_train"),
+            F.lit(n_cal).cast("bigint").alias("n_cal"),
             "n_test",
-            F.round("q_hat", 6).alias("q_hat"),
+            F.round(F.lit(q_hat), 6).alias("q_hat"),
             (F.col("covered").cast("double") / F.col("n_test")).alias("coverage"),
         )
     )

@@ -429,8 +429,18 @@ def bucketed_join_colocated(spark: SparkSession, sf: str) -> DataFrame:
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     orders = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    src_mtime = max(
+        os.path.getmtime(os.path.join(sf, "lineitem.parquet")),
+        os.path.getmtime(os.path.join(sf, "orders.parquet")),
+    )
     bli, bord = bucketed_pair(
-        spark, li, "l_orderkey", orders, "o_orderkey", tag=f"join_{tag}"
+        spark,
+        li,
+        "l_orderkey",
+        orders,
+        "o_orderkey",
+        tag=f"join_{tag}",
+        src_mtime=src_mtime,
     )
     return (
         bli.join(bord, bli["l_orderkey"] == bord["o_orderkey"])

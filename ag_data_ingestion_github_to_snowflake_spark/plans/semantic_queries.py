@@ -648,14 +648,14 @@ def ivf_recall_fixed_cells(spark: SparkSession, sf: str) -> DataFrame:
     )
     assigned = SD.assign_cells(emb, cents)  # vec_id, v, cell
     # per-query cell scores -> top-2 probe cells
+    # r13: per-cell dot folds emitted as generated SQL (one F.expr per
+    # column) instead of py4j Column assembly — identical expressions,
+    # build-time only (the operators/pq.py rewrite, applied here).
     dots = [
-        F.round(
-            F.aggregate(
-                F.zip_with(F.col("v"), F.array(*[F.lit(x) for x in c]), lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
+        F.expr(
+            "round(aggregate(zip_with(v, array("
+            + ", ".join(f"{x!r}D" for x in c)
+            + "), (a, b) -> a * b), 0.0D, (acc, x) -> acc + x), 6)"
         ).alias(f"d{j}")
         for j, c in enumerate(cents)
     ]
@@ -949,16 +949,18 @@ def embedding_pca_project_verified(spark: SparkSession, sf: str) -> DataFrame:
     shuffle, no UDF; at 100 TB this is a projection-pushdown scan plus
     O(k * dim) arithmetic per vector."""
     emb = t(spark, sf, "embeddings")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # r13: axis folds emitted as generated SQL (identical expressions,
+    # build-time only — the operators/pq.py rewrite).
+    v = "transform(embedding, x -> CAST(x AS DOUBLE))"
     cols = []
     for j, row in enumerate(PCA_COMPS):
-        axis = F.array(*[F.lit(x) for x in row])
-        dot = F.aggregate(
-            F.zip_with(v, axis, lambda x, c: x * c),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        axis = "array(" + ", ".join(f"{x!r}D" for x in row) + ")"
+        cols.append(
+            F.expr(
+                f"round(aggregate(zip_with({v}, {axis}, (x, c) -> x * c), "
+                f"0.0D, (acc, x) -> acc + x) - {_PCA_K[j]!r}D, 6)"
+            ).alias(f"pc{j}")
         )
-        cols.append(F.round(dot - F.lit(_PCA_K[j]), 6).alias(f"pc{j}"))
     return emb.select("vec_id", *cols)
 
 

@@ -49,6 +49,46 @@ def write_bucketed(
     )
 
 
+def _ensure_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int,
+    path: str,
+    src_mtime: float | None,
+) -> DataFrame:
+    """Stage ``df`` as a bucketed external table, reusing an existing
+    layout when it is newer than ``src_mtime`` (r13: the pair staging
+    rewrote BOTH tables on every build — the one staging helper without
+    the repo's mtime-marker convention, ~3 s per bench line for a query
+    whose whole point is that the layout shuffle is paid ONCE). A fresh
+    session that finds a fresh layout re-registers the catalog entry
+    with CREATE TABLE ... CLUSTERED BY ... LOCATION — no data rewrite —
+    so the bucket metadata the planner needs survives session churn."""
+    marker = os.path.join(path, "_staged")
+    fresh = (
+        src_mtime is not None
+        and os.path.exists(marker)
+        and os.path.getmtime(marker) >= src_mtime
+    )
+    if not fresh:
+        write_bucketed(df, table, key, buckets, path)
+        with open(marker, "w") as f:
+            f.write("staged\n")
+        return spark.table(table)
+    if not spark.catalog.tableExists(table):
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        spark.sql(
+            f"CREATE TABLE {table} ({cols}) USING PARQUET "
+            f"CLUSTERED BY (`{key}`) SORTED BY (`{key}`) INTO {buckets} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+    return spark.table(table)
+
+
 def bucketed_pair(
     spark: SparkSession,
     left: DataFrame,
@@ -57,13 +97,20 @@ def bucketed_pair(
     right_key: str,
     tag: str,
     buckets: int = 8,
+    src_mtime: float | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Stage both sides as co-bucketed tables (same bucket count, join
     key as bucket key) and return the catalog-backed frames whose scans
     carry the bucket partitioning. ``tag`` namespaces the tables/paths
-    so different fixture scales never collide."""
+    so different fixture scales never collide. ``src_mtime`` (the max
+    mtime of the source files) enables layout reuse across builds —
+    omit it to force a rewrite every call."""
     base = os.path.join(tempfile.gettempdir(), f"ag_bucketed_{tag}")
     lt, rt = f"ag_bkt_left_{tag}", f"ag_bkt_right_{tag}"
-    write_bucketed(left, lt, left_key, buckets, os.path.join(base, lt))
-    write_bucketed(right, rt, right_key, buckets, os.path.join(base, rt))
-    return spark.table(lt), spark.table(rt)
+    bl = _ensure_bucketed(
+        spark, left, lt, left_key, buckets, os.path.join(base, lt), src_mtime
+    )
+    br = _ensure_bucketed(
+        spark, right, rt, right_key, buckets, os.path.join(base, rt), src_mtime
+    )
+    return bl, br
