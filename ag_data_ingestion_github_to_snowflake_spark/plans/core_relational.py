@@ -560,6 +560,19 @@ def pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     scale-safe aggregate shape. Decimal-exact sums for oracle parity.
     """
     li = t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp_ntz"))
+    # r13: same single-row-group bottleneck as the moment family — the
+    # five decimal partial sums ran on ONE scan task; prune to the five
+    # live columns, then layout-gated repartition (no-op when the
+    # source splits; guide §2.5).
+    li = parallelize_cpu_scan(
+        li.select(
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount",
+        ),
+        spark,
+        sf,
+        "lineitem",
+    )
     disc_price = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount")).cast(DEC)
     return (
         li.groupBy(
