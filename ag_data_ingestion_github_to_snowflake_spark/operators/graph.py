@@ -107,8 +107,15 @@ def _connected_components_impl(
     universe = sym.select(F.col("s").alias("node"))
     if nodes is not None:
         universe = universe.unionByName(nodes.select(F.col(node_col).alias("node")))
+    # r13: LAZY local checkpoints throughout the loop — the eager form
+    # paid a dedicated materialization job per round on top of the
+    # 1-row convergence probe; lazy marks the plan for truncation and
+    # lets the probe's own action materialize it (one job per round
+    # instead of two, same lineage truncation).
     labels = (
-        universe.distinct().withColumn("comp", F.col("node")).localCheckpoint()
+        universe.distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]  # bounded: 1 row
 
@@ -135,7 +142,7 @@ def _connected_components_impl(
                 "left",
             )
             .select("node", F.least("comp", "_cc").alias("comp"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # comp is elementwise non-increasing, so an unchanged sum is an
         # exact fixpoint, not a hash collision.
