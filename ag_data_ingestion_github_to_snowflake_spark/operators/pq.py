@@ -34,6 +34,8 @@ identical despite fold-order float noise (registry rule).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -66,7 +68,13 @@ def pq_codebooks(
 
 
 def _dlit(x: float) -> str:
-    """Exact SQL double literal (the D suffix; repr round-trips)."""
+    """Exact SQL double literal (the D suffix; repr round-trips).
+
+    Non-finite floats have no SQL literal spelling (repr gives
+    nan/inf, invalid SQL) — codebooks are seeded unit-range values,
+    so this is an assert, not a runtime branch (ADVICE r13).
+    """
+    assert math.isfinite(x), f"non-finite codebook value {x!r}"
     return f"{x!r}D"
 
 
@@ -97,7 +105,10 @@ def _argmin_code_sql(dists: list[str]) -> str:
     return f"CAST(array_position({d}, array_min({d})) - 1 AS INT)"
 
 
-_VCAST = "transform({col}, x -> CAST(x AS DOUBLE))"
+# Identifier backtick-quoted: a vec_col with spaces/dots/reserved
+# words must parse as one name, as F.col(vec_col) did before the
+# SQL-string rewrite (ADVICE r13).
+_VCAST = "transform(`{col}`, x -> CAST(x AS DOUBLE))"
 
 
 def pq_encode(

@@ -85,6 +85,8 @@ def _cell_expr(vec_sql: str, cents: list[list[float]]) -> Column:
     """
     dots = []
     for c in cents:
+        # Non-finite floats have no SQL literal spelling (ADVICE r13).
+        assert all(math.isfinite(x) for x in c), "non-finite centroid"
         lit = "array(" + ", ".join(f"{x!r}D" for x in c) + ")"
         dots.append(
             f"round(aggregate(zip_with({vec_sql}, {lit}, "
@@ -95,7 +97,10 @@ def _cell_expr(vec_sql: str, cents: list[list[float]]) -> Column:
     return F.expr(f"CAST(array_position({d}, array_max({d})) - 1 AS INT)")
 
 
-_VCAST = "transform({col}, x -> CAST(x AS DOUBLE))"
+# Identifier backtick-quoted: a vec_col with spaces/dots/reserved
+# words must parse as one name, as F.col(vec_col) did before the
+# SQL-string rewrite (ADVICE r13).
+_VCAST = "transform(`{col}`, x -> CAST(x AS DOUBLE))"
 
 
 def assign_cells(

@@ -429,19 +429,23 @@ def theil_sen_slope_sampled(spark: SparkSession, sf: str) -> DataFrame:
     # difference the way the r12 double-product provably did
     # (11/85 sf0.01 rows flipped floor(1e6*s) under fold reorder).
     # Step order is pinned on BOTH sides by spec-guaranteed
-    # constructs: Spark array_sort over (dur_h,...) structs; DuckDB
-    # in-aggregate `list(... ORDER BY dur_h)` (never the windowed
-    # `list(...) OVER`, whose frame-assembly order is
-    # implementation-defined — the r12 red's root cause). The oracle
-    # packs each step as n_risk*1e9 + n_event so the seed-prepended
-    # list folds BIGINT->BIGINT in two-arg list_reduce; per-row
-    # prefixes come from list_slice on row_number, no correlated
-    # lambda. A d=n step multiplies by 0 and absorbs the recurrence,
-    # so no guard CASE is needed; headroom: acc<=1e6 and
-    # n_risk<1e9 keep every product under 1e15, and the pack under
-    # 9.2e18, inside BIGINT.
+    # constructs: Spark array_sort over (dur_h,...) structs; DuckDB a
+    # plain RECURSIVE CTE joined on row_number (r14, VERDICT r13 item
+    # 1: the r13 oracle replayed the recurrence through
+    # `list(... ORDER BY)` + list_prepend + list_reduce + list
+    # slicing — green on the local DuckDB wheel at three scales and
+    # three thread settings, red for the third consecutive round in
+    # the driver's build, so the list higher-order-function surface
+    # was the one remaining non-portable construct; the recursive CTE
+    # uses only row_number, an equi-join and BIGINT `//`, semantics
+    # that cannot vary across DuckDB builds). A d=n step multiplies
+    # by 0 and absorbs the recurrence, so no guard CASE is needed;
+    # headroom: acc<=1e6 and n_risk<2^62/1e6 keep every product
+    # inside BIGINT. Equivalence to the r13 list-fold oracle was
+    # verified row-for-row at sf0.001/0.01/0.1 under DuckDB
+    # threads=default/1/32 before the swap.
     oracle="""
-    WITH fv AS (
+    WITH RECURSIVE fv AS (
       SELECT user_id, MIN(ts) AS tv FROM events
       WHERE event_type = 'view' GROUP BY user_id
     ),
@@ -468,27 +472,28 @@ def theil_sen_slope_sampled(spark: SparkSession, sf: str) -> DataFrame:
     tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM subj),
     risk AS (
       SELECT dur_h, n_event, n_censor,
-             n_total
+             CAST(n_total
              - (SUM(n_event + n_censor) OVER (ORDER BY dur_h
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                - (n_event + n_censor)) AS n_risk
+                - (n_event + n_censor)) AS BIGINT) AS n_risk
       FROM km, tot
     ),
     ranked AS (
       SELECT risk.*, row_number() OVER (ORDER BY dur_h) AS rn FROM risk
     ),
-    ord AS (
-      SELECT list(CAST(n_risk * 1000000000 + n_event AS BIGINT)
-                  ORDER BY dur_h) AS steps
-      FROM risk
+    surv AS (
+      SELECT rn, dur_h, n_risk, n_event, n_censor,
+             (CAST(1000000 AS BIGINT) * (n_risk - n_event)) // n_risk
+               AS survival_e6
+      FROM ranked WHERE rn = 1
+      UNION ALL
+      SELECT r.rn, r.dur_h, r.n_risk, r.n_event, r.n_censor,
+             (s.survival_e6 * (r.n_risk - r.n_event)) // r.n_risk
+      FROM surv s JOIN ranked r ON r.rn = s.rn + 1
     )
-    SELECT r.dur_h, r.n_risk, r.n_event, r.n_censor,
-           list_reduce(
-             list_prepend(CAST(1000000 AS BIGINT), o.steps[1:r.rn]),
-             (acc, x) -> (acc * ((x // 1000000000) - (x % 1000000000)))
-                         // (x // 1000000000)
-           ) AS survival_e6
-    FROM ranked r, ord o
+    SELECT dur_h, n_risk, n_event, n_censor,
+           CAST(survival_e6 AS BIGINT) AS survival_e6
+    FROM surv
     """,
     survey_ids=("B23", "B31", "B12"),
     description="Kaplan-Meier survival curve: first view to first purchase, right-censored",

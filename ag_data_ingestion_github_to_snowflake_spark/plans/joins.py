@@ -441,6 +441,7 @@ def bucketed_join_colocated(spark: SparkSession, sf: str) -> DataFrame:
         "o_orderkey",
         tag=f"join_{tag}",
         src_mtime=src_mtime,
+        src_id=os.path.abspath(sf),
     )
     return (
         bli.join(bord, bli["l_orderkey"] == bord["o_orderkey"])

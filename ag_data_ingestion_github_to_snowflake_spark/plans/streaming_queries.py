@@ -185,7 +185,11 @@ def _adaptive_stream_partitions(
 ) -> str:
     """Input-size-derived state-shuffle partition count for drains whose
     per-row cost scales with the data (Python stateful kernels, dedup
-    probes): ``clamp(staged_rows / ROWS_PER_PART, 8, defaultParallelism)``.
+    probes): ``clamp(staged_rows / ROWS_PER_PART, floor,
+    defaultParallelism)`` where ``floor`` defaults to 2 for JVM
+    aggregation drains and 8 for Python-stateful kernels (ADVICE r13:
+    the docstring used to claim a blanket floor of 8 — the code and
+    the inline measurements below are authoritative).
 
     Optimization r13 (guide §2: make partitioning scale-adaptive —
     derive from input size — rather than a constant tuned for either
@@ -213,8 +217,13 @@ def _adaptive_stream_partitions(
     except Exception:
         n_rows = 0
     cores = spark.sparkContext.defaultParallelism
-    if n_rows <= 0:  # unknown layout: keep the r8 core-count pin
-        return str(cores)
+    if n_rows <= 0:
+        # Unknown layout (pyarrow missing, unreadable stage dir): fall
+        # back to the fixture-sized default, NOT core count — the
+        # measurements below show core-count partitions regressing
+        # 2-4x when state is small, so the conservative failure mode
+        # is the small pin (ADVICE r13).
+        return STREAM_SHUFFLE_PARTITIONS
     # Floor 2, not 8 (r13): state-store COMMITS contend super-linearly
     # in the partition count when state is small — measured on the
     # drift drain (8 batches, 3.6k state rows): total commitMs 0.5-2 s
@@ -313,7 +322,18 @@ def _drain(
     # state commitMs climbing to 84 s as providers pile up; with
     # unload it settles at 4.4-8.7 s. Maintenance restarts lazily on
     # the next streaming query, so this is safe between drains.
-    if os.environ.get("SPARK_GRAFT_STREAM_UNLOAD", "1") != "0":
+    # SEQUENTIAL-DRAINS ASSUMPTION (ADVICE r13): StateStore.stop() is
+    # a private JVM API that unloads ALL loaded providers process-wide
+    # — a CONCURRENT streaming query in this session would have its
+    # providers yanked mid-run (forced checkpoint reloads; latency,
+    # not correctness). All registry drains run sequentially, and the
+    # guard below skips the unload whenever any streaming query is
+    # still active, so a concurrent caller degrades to the pre-r13
+    # behavior instead of being disturbed.
+    if (
+        os.environ.get("SPARK_GRAFT_STREAM_UNLOAD", "1") != "0"
+        and not spark.streams.active
+    ):
         try:
             spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
         except Exception:

@@ -57,6 +57,7 @@ def _ensure_bucketed(
     buckets: int,
     path: str,
     src_mtime: float | None,
+    fingerprint_extra: str = "",
 ) -> DataFrame:
     """Stage ``df`` as a bucketed external table, reusing an existing
     layout when it is newer than ``src_mtime`` (r13: the pair staging
@@ -65,17 +66,32 @@ def _ensure_bucketed(
     whose whole point is that the layout shuffle is paid ONCE). A fresh
     session that finds a fresh layout re-registers the catalog entry
     with CREATE TABLE ... CLUSTERED BY ... LOCATION — no data rewrite —
-    so the bucket metadata the planner needs survives session churn."""
+    so the bucket metadata the planner needs survives session churn.
+
+    Reuse additionally requires the marker's FINGERPRINT (source
+    identity + projected schema + bucket spec) to match (ADVICE r13,
+    medium): an mtime-only marker under a basename-tagged /tmp path
+    could silently serve stale parquet when two sf dirs share a
+    basename, or when the caller's projection changed in code — the
+    re-register branch would then declare the CURRENT schema over old
+    files and read missing columns as NULLs."""
     marker = os.path.join(path, "_staged")
+    fingerprint = (
+        f"{fingerprint_extra}|{df.schema.simpleString()}|{key}|{buckets}\n"
+    )
+    marker_fingerprint = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            marker_fingerprint = f.read()
     fresh = (
         src_mtime is not None
-        and os.path.exists(marker)
+        and marker_fingerprint == fingerprint
         and os.path.getmtime(marker) >= src_mtime
     )
     if not fresh:
         write_bucketed(df, table, key, buckets, path)
         with open(marker, "w") as f:
-            f.write("staged\n")
+            f.write(fingerprint)
         return spark.table(table)
     if not spark.catalog.tableExists(table):
         cols = ", ".join(
@@ -98,19 +114,24 @@ def bucketed_pair(
     tag: str,
     buckets: int = 8,
     src_mtime: float | None = None,
+    src_id: str = "",
 ) -> tuple[DataFrame, DataFrame]:
     """Stage both sides as co-bucketed tables (same bucket count, join
     key as bucket key) and return the catalog-backed frames whose scans
     carry the bucket partitioning. ``tag`` namespaces the tables/paths
     so different fixture scales never collide. ``src_mtime`` (the max
     mtime of the source files) enables layout reuse across builds —
-    omit it to force a rewrite every call."""
+    omit it to force a rewrite every call. ``src_id`` (e.g. the FULL
+    source dir path) disambiguates tag collisions in the reuse
+    fingerprint (ADVICE r13)."""
     base = os.path.join(tempfile.gettempdir(), f"ag_bucketed_{tag}")
     lt, rt = f"ag_bkt_left_{tag}", f"ag_bkt_right_{tag}"
     bl = _ensure_bucketed(
-        spark, left, lt, left_key, buckets, os.path.join(base, lt), src_mtime
+        spark, left, lt, left_key, buckets, os.path.join(base, lt),
+        src_mtime, fingerprint_extra=src_id,
     )
     br = _ensure_bucketed(
-        spark, right, rt, right_key, buckets, os.path.join(base, rt), src_mtime
+        spark, right, rt, right_key, buckets, os.path.join(base, rt),
+        src_mtime, fingerprint_extra=src_id,
     )
     return bl, br

@@ -52,14 +52,12 @@ TABLES = [
 # (in-aggregate ORDER BY — verified by the static scan below), and
 # the fold must be deterministic GIVEN that order (pure integer math,
 # or IEEE +,*,/ with no libm).
+# kaplan_meier_survival left this table in r14: its oracle's
+# recurrence is now a plain RECURSIVE CTE joined on row_number
+# (VERDICT r13 item 1) — no list() collection exists to reverse, so
+# the fold-order gate no longer applies; order is pinned by the
+# rn = rn+1 equi-join, which no build can reorder.
 ORDER_PINNED: dict[str, str] = {
-    "kaplan_meier_survival": (
-        "pure-BIGINT per-step quantization recurrence "
-        "(s_i = s_{i-1}*(n_risk-n_event) div n_risk); order pinned by "
-        "in-aggregate ORDER BY dur_h (oracle) / array_sort (Spark); "
-        "no float exists in the hashed column, so any build replaying "
-        "the pinned order is bit-exact"
-    ),
     "double_ewma_forecast": (
         "Holt level/trend recurrence is inherently sequential; order "
         "pinned by in-aggregate ORDER BY; the fold is IEEE +,* only "
