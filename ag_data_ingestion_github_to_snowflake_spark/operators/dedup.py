@@ -409,34 +409,34 @@ def simhash(
     # lane could overflow into its neighbor — far beyond the fixture
     # and typical corpus documents; callers chunking 100 TB docs that
     # long should pre-truncate. 17 aggregates replace 64.
+    # r14 (guide §5, the r13 pq.py SQL-string pattern): the packed
+    # aggregates and the 64-term signature rebuild used to be ~700
+    # chained py4j Column calls — 1.5-1.7 s of WARM plan-build per
+    # bench rep (tools/time_build.py). The identical integer
+    # expressions emitted as generated SQL build in milliseconds;
+    # values are exact integer ops, bit-identical either way (pinned
+    # by tests/test_dedup.py + the dedup_simhash_pairs oracle).
     packed_aggs = [
-        F.sum(
-            sum(
-                (
-                    F.shiftright("h", 4 * g + b)
-                    .bitwiseAND(F.lit(1))
-                    .cast("long")
-                    * F.lit(1 << (16 * b))
-                    for b in range(4)
-                ),
-                start=F.lit(0).cast("long"),
+        F.expr(
+            "sum("
+            + " + ".join(
+                f"(shiftright(h, {4 * g + b}) & 1) * {1 << (16 * b)}L"
+                for b in range(4)
             )
+            + ")"
         ).alias(f"p{g}")
         for g in range(16)
     ]
     votes = toks.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("_n"), *packed_aggs
     )
-    sig = F.lit(0).cast("long")
-    for g in range(16):
-        for b in range(4):
-            ones = F.shiftright(F.col(f"p{g}"), 16 * b).bitwiseAND(F.lit(0xFFFF))
-            bit = F.when(
-                ones * 2 > F.col("_n"),
-                F.shiftleft(F.lit(1).cast("long"), 4 * g + b),
-            ).otherwise(F.lit(0).cast("long"))
-            sig = sig.bitwiseOR(bit)
-    return votes.select(F.col(id_col), sig.alias("simhash"))
+    sig_sql = " | ".join(
+        f"(CASE WHEN (shiftright(p{g}, {16 * b}) & 65535) * 2 > _n"
+        f" THEN shiftleft(1L, {4 * g + b}) ELSE 0L END)"
+        for g in range(16)
+        for b in range(4)
+    )
+    return votes.select(F.col(id_col), F.expr(sig_sql).alias("simhash"))
 
 
 def simhash_near_pairs(sig_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:

@@ -153,7 +153,16 @@ def pagerank(
             )
         )
         if checkpoint:
-            ranks = ranks.localCheckpoint(eager=True)
+            # r14 (guide §5, VERDICT r13 item 2 applied to the probe-free
+            # loop): LAZY — the eager form paid one materialization job
+            # per round (5 driver-latency-bound jobs of ~1 task each at
+            # label-table scale); lazy marks each round's RDD for
+            # truncation and the CONSUMER's single action materializes
+            # the whole chain, saving every marked RDD's blocks as it
+            # computes. Interleaved A/B ×3 at sf0.1: eager
+            # [1.85, 2.20, 2.52] s vs lazy [1.64, 1.80, 2.07] s, results
+            # bit-identical (fixed-point BIGINT arithmetic).
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
