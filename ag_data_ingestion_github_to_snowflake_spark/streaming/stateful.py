@@ -210,14 +210,26 @@ def make_funnel_cep_kernel(window_us: int):
         for pdf in batches:
             if matched:
                 break
-            # non-funnel stages (signup/error/...) are noise: drop them
-            # BEFORE ranking — an unmapped type would rank NaN and fall
-            # through the elif chain into the purchase branch
-            pdf = pdf[pdf["event_type"].isin(_CEP_RANK)]
-            pdf = pdf.assign(_rank=pdf["event_type"].map(_CEP_RANK))
-            pdf = pdf.sort_values(["ts_us", "_rank", "event_id"])
-            for ts, rank in zip(pdf["ts_us"], pdf["_rank"]):
-                ts = int(ts)
+            # Plain-Python group interior (r14, guide §4.2 inverted for
+            # TINY batches): each per-user group frame is a handful of
+            # rows, where the former 4 pandas ops (isin filter, assign,
+            # map, sort_values) cost fixed ~µs-scale overhead per call
+            # that dominated the kernel. One generator + sorted() over
+            # .values does the identical (ts, stage-rank, event_id)
+            # ordering; unmapped stages (signup/error/...) are dropped
+            # by the `et in _CEP_RANK` guard exactly as isin did.
+            # Interleaved A/B ×3 at sf0.1: [3.52,3.67,3.78] s →
+            # [3.21,3.22,3.30] s, emitted matches identical.
+            rows = sorted(
+                (int(ts), _CEP_RANK[et], int(eid))
+                for ts, et, eid in zip(
+                    pdf["ts_us"].values,
+                    pdf["event_type"].values,
+                    pdf["event_id"].values,
+                )
+                if et in _CEP_RANK
+            )
+            for ts, rank, _eid in rows:
                 if rank == 0:
                     lv = ts
                 elif rank == 1:
