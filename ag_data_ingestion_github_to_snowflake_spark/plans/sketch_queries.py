@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ag_data_ingestion_github_to_snowflake_spark.catalog import parallelize_cpu_scan
 from ag_data_ingestion_github_to_snowflake_spark.plans.registry import register, t
 
 
@@ -275,7 +276,15 @@ def profile_orders_approx(spark: SparkSession, sf: str) -> DataFrame:
         md5_hash60,
     )
 
-    o = t(spark, sf, "orders")
+    o = t(spark, sf, "orders").select(
+        "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    # r14 (guide §2.5, the r13 profile_orders_columns treatment): the
+    # 4-way explode + per-row md5 is CPU-bound on a one-task scan at
+    # the fixture's single-row-group layout. Layout-gated round-robin
+    # (no-op when the source splits); interleaved A/B ×4 at sf0.1:
+    # [1.52,1.62,1.79,1.81] s → [1.22,1.23,1.25,1.35] s.
+    o = parallelize_cpu_scan(o, spark, sf, "orders")
     pairs = [
         ("o_custkey", F.col("o_custkey").cast("string")),
         ("o_orderstatus", F.col("o_orderstatus")),
