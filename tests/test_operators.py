@@ -137,6 +137,45 @@ def test_simhash_identical_docs_distance_zero(spark):
     assert pairs[(1, 2)] == 0
 
 
+def test_simhash_signature_matches_python_reference(spark):
+    """Pin the packed-lane majority vote bit-for-bit against a plain
+    Python reference (the test_pq_cdc convention): the r14 SQL-string
+    rewrite of the vote must reproduce the exact signature longs, not
+    just the pairwise distances. Uses the md5-derived 60-bit hash so
+    the reference is computable outside the JVM."""
+    import hashlib
+    import re
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumps over the lazy cat",
+        3: "completely different tokens here entirely",
+        4: "one",
+    }
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in texts.items()]
+    )
+    got = {
+        r.doc_id: r.simhash
+        for r in D.simhash(df, hash_fn=D.md5_hash60).collect()
+    }
+
+    def ref_sig(text: str) -> int:
+        toks = re.split(r"\s+", text)
+        hs = [
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks
+        ]
+        n = len(hs)
+        sig = 0
+        for i in range(64):
+            ones = sum((h >> i) & 1 for h in hs)
+            if 2 * ones > n:
+                sig |= 1 << i
+        return sig
+
+    assert got == {i: ref_sig(t) for i, t in texts.items()}
+
+
 # ---------------------------------------------------------------------------
 # similarity geometry
 # ---------------------------------------------------------------------------

@@ -107,6 +107,74 @@ def test_transform_with_state_processor_kernel():
     assert handle.states["totals"].get() == (3, 7.0)
 
 
+def test_funnel_cep_kernel_semantics():
+    """Drive the CEP kernel directly with a fake GroupState: pins the
+    r14 plain-Python group interior bit-for-bit on the semantics the
+    pandas version defined — (ts, stage-rank, event_id) ordering with
+    same-instant view->click->purchase matching inclusively, non-funnel
+    noise dropped before ranking, cross-batch state carry, the
+    window_us bound, and first-match-only emission."""
+    import pandas as pd
+
+    from ag_data_ingestion_github_to_snowflake_spark.streaming.stateful import (
+        make_funnel_cep_kernel,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v = None
+
+    def batch(rows):
+        return pd.DataFrame(rows, columns=["ts_us", "event_type", "event_id"])
+
+    kernel = make_funnel_cep_kernel(window_us=100)
+
+    # Same-instant chain: view, click, purchase all at ts=10, delivered
+    # out of order + noise — stage rank must order them inclusively.
+    st = FakeState()
+    out = list(
+        kernel(
+            (1,),
+            iter([batch([(10, "purchase", 3), (10, "signup", 9),
+                         (10, "click", 2), (10, "view", 1)])]),
+            st,
+        )
+    )
+    assert len(out) == 1 and out[0].values.tolist() == [[1, 10, 10, 10]]
+    assert st.get == (10, 10, 10, 1)
+
+    # Cross-batch carry: view+click in batch 1, purchase in batch 2;
+    # then a second purchase must NOT emit (first-match-only).
+    st = FakeState()
+    assert not list(kernel((2,), iter([batch([(5, "view", 1), (7, "click", 2)])]), st))
+    out = list(kernel((2,), iter([batch([(50, "purchase", 3), (60, "purchase", 4)])]), st))
+    assert out[0].values.tolist() == [[2, 5, 7, 50]]
+
+    # Window bound: view at 0, click at 1, purchase at 200 > window 100
+    # from the click's view -> no match, state keeps tracking.
+    st = FakeState()
+    assert not list(
+        kernel((3,), iter([batch([(0, "view", 1), (1, "click", 2),
+                                  (200, "purchase", 3)])]), st)
+    )
+    assert st.get == (0, 1, 0, 0)
+
+
 def test_transform_with_state_matches_v1(spark, tmp_path):
     """transformWithStateInPandas (arbitrary-state v2, RocksDB-backed)
     reproduces the applyInPandasWithState running totals: same final
