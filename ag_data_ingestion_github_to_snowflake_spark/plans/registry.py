@@ -74,77 +74,76 @@ def register(
 # cumulative ledger (CORRECTNESS_r*.json) must cover every SURVEY.md
 # §2 operator id carried by the registry.
 #
-# ROTATION (round 13, VERDICT r12 items 1 + 3): close the ledger.
-# Slots: (a) the 6 never-driver-checked names (the r12-born corpus
-# stats + dictionary_encoding_audit); (b) kaplan_meier_survival after
-# its re-shape to the pure-BIGINT per-step quantization recurrence
-# (two rounds red on the float product fold); (c) the two contracts
-# whose oracle SQL text changed this round (spearman's
-# HUGEINT-before-multiply; values unchanged); (d) 41 stalest greens —
-# every name last checked r05/r06 — so the oldest driver evidence in
-# the cumulative ledger advances. All 50 slots are oracle-bearing.
-# Local parity (tests/test_oracle_parity.py) covers the rotated-out
-# tail with the identical compare.
+# ROTATION (round 14): same ledger-closing policy as r13 (VERDICT r12
+# items 1 + 3 precedent). Slots: (a) the 5 corpus-stats names born in
+# the r13 partial-BUILD commit and never driver-checked; (b)
+# kaplan_meier_survival — its oracle was restated this round as a
+# recursive CTE (list-HOF-free, VERDICT r13 item 1; values verified
+# identical at 3 scales) and it is the 3-round red the rewrite must
+# clear IN THE DRIVER; (c) every contract whose execution path this
+# round touched (simhash SQL-string vote, pagerank lazy checkpoints,
+# profile_orders_approx repartition, cep kernel interior, the biggest
+# cached-plan-flag movers) — values pinned identical locally, driver
+# re-check anyway; (d) stalest greens — last driver-checked r06/r07 —
+# so the oldest evidence in the cumulative ledger keeps advancing.
+# All 50 slots are oracle-bearing. Local parity
+# (tests/test_oracle_parity.py) covers the rotated-out tail with the
+# identical compare.
 _PRIORITY: tuple[str, ...] = (
-    # -- (a) never driver-checked (pinned r13 head, VERDICT r12 item 3) --
-    "fightin_words_contrast",
-    "kl_divergence_sources",
-    "platt_scaling_grid",
-    "entropy_rate_bigram",
-    "js_divergence_lang_pairs",
-    "dictionary_encoding_audit",
-    # -- (b) r12 red, re-shaped to the pure-BIGINT quantization
-    #    recurrence (VERDICT r12 item 1) --
+    # -- (a) never driver-checked (r13-born corpus stats) --
+    "g2_keyness_by_source",
+    "burrows_delta_sources",
+    "chunked_ttr_docs",
+    "oov_rate_by_source",
+    "doclen_lognormal_fit",
+    # -- (b) 3-round red; oracle restated as recursive CTE this round --
     "kaplan_meier_survival",
-    # -- (c) oracle text touched this round (values unchanged:
-    #    HUGEINT-before-multiply in spearman's oracle; re-check
-    #    anyway since the SQL string changed) --
-    "spearman_corr_qty_price",
-    "quantile_regression_grid",
-    # -- (d) stalest greens: last driver-checked r05/r06; the window
-    #    re-confirms the oldest evidence first so every query's
-    #    latest-green age stays bounded --
-    "ab_test_two_proportion_z",
-    "argmax_order_per_segment",
-    "arrow_normalize_embeddings",
-    "assign_sequence_ids",
-    "concurrent_intervals_distributed",
-    "concurrent_intervals_sweep",
-    "decile_lift_acctbal",
+    # -- (c) r14-touched execution paths --
+    "dedup_simhash_pairs",
+    "pagerank_link_graph",
+    "profile_orders_approx",
+    "streaming_cep_funnel",
+    "jaccard_link_prediction",
+    "clustering_coefficient_nodes",
+    "dau_mau_stickiness",
     "dedup_minhash_verified",
-    "ewma_events_daily",
-    "fk_integrity_audit",
-    "forecast_revenue_change",
-    "funnel_time_to_convert",
-    "gini_revenue_concentration",
-    "incremental_dedup_new_batch",
-    "join_full_outer_daily_activity",
-    "join_null_safe_priority",
-    "mixture_sample_counts",
-    "mmr_rerank_topk",
-    "orc_sink_roundtrip",
-    "passage_dedup_chunks",
-    "pipe_syntax_quality_funnel",
-    "provenance_dedup_priority",
-    "recursive_cte_chunk_threading",
-    "regr_trend_monthly_revenue",
-    "robust_outlier_trim",
-    "sample_documents_hash",
-    "scd2_event_type_intervals",
-    "session_event_type_pairs",
-    "similarity_ivf_topk",
-    "skew_diagnostic_orders",
-    "split_leakage_audit",
-    "string_agg_nations_by_region",
-    "theta_join_rank_rewrite",
-    "top_acctbal_supplier_per_nation",
-    "train_test_split_counts",
-    "try_funcs_orders",
-    "url_parse_components",
-    "zorder_morton_events",
-    "autocorrelation_lag1_distributed",
-    "approx_topk_event_types",
-    "array_hof_embeddings",
+    # -- (d) stalest greens: last driver-checked r06/r07 --
+    "autocorrelation_lag1_events",
+    "bitwise_funcs_events",
+    "bpe_apply_tokenize",
+    "cdc_chunk_boundaries",
+    "countmin_heavy_hitters",
+    "dataset_datasheet",
+    "decile_lift_distributed",
+    "explode_outer_long_words",
+    "gini_revenue_distributed",
+    "gopher_quality_rules",
+    "half_stock_suppliers",
+    "histogram_acctbal_buckets",
+    "image_ahash_neardup",
+    "ivf_recall_fixed_cells",
+    "kmv_distinct_users",
+    "large_orders_customers",
+    "map_funcs_orders",
+    "metadata_agg_pushdown",
+    "partition_grouped_pushdown",
+    "posexplode_tokens",
+    "quantile_hash_sample",
+    "runtime_bloom_filter_join",
+    "semdedup_embeddings",
+    "similarity_pq_adc",
+    "span_dedup_corpus",
+    "streaming_multibatch_rollup",
+    "streaming_stateful_totals",
+    "supplier_part_counts",
+    "unicode_nfc_audit",
+    "url_canonical_dedup",
+    "xml_extract_orders",
+    "array_ops_embeddings",
+    "asof_join_events",
+    "corpus_prep_pipeline",
+    "count_distinct_customers",
+    "cube_counts",
 )
 
 

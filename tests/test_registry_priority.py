@@ -92,65 +92,69 @@ def test_window_plus_ledger_cover_every_survey_id():
 # (r10 driver-red on output representation, now string-serialized CSR)
 # and `similarity_lsh_topk` (first driver check since its rows-only →
 # oracle flip in r9).
-# r13: ledger-close round (VERDICT r12 items 1 + 3). The 6 head
-# slots are the last never-driver-checked names; kaplan_meier rides
-# after its contract re-shape; spearman/LAD re-check because the
-# oracle TEXT changed (values did not); the remaining 41 slots drain
-# the stalest greens (all last checked r05/r06), bounding the age of
-# every query's latest driver evidence.
+# r13: ledger-close round (VERDICT r12 items 1 + 3): 6 never-checked
+# head slots + kaplan_meier re-shape + 2 oracle-text re-checks + 41
+# stalest greens.
+# r14: same policy. kaplan_meier re-checks because its ORACLE was
+# restated as a recursive CTE (VERDICT r13 item 1 — the 3-round driver
+# red the rewrite must clear); 8 slots re-check contracts whose
+# EXECUTION PATH this round touched (simhash SQL-string vote, pagerank
+# lazy checkpoints, profile_orders_approx repartition, cep kernel
+# interior, the biggest cached-plan-flag movers) — values pinned
+# identical locally, driver confirmation wanted; the remaining 36
+# slots drain the stalest greens (last checked r06/r07).
 INTENDED_RECHECKS: set[str] = {
-    # (b) r12 red, re-shaped to the BIGINT quantization recurrence
+    # (b) 3-round red; oracle restated as recursive CTE in r14
     "kaplan_meier_survival",
-    # (c) oracle SQL text changed this round (spearman HUGEINT
-    #     casts; LAD re-checked alongside as its window twin)
-    "spearman_corr_qty_price",
-    "quantile_regression_grid",
-    # (d) stalest-green rotation: every name last checked r05/r06,
-    #     so the oldest evidence in the cumulative ledger advances
-    "ab_test_two_proportion_z",
-    "argmax_order_per_segment",
-    "arrow_normalize_embeddings",
-    "assign_sequence_ids",
-    "concurrent_intervals_distributed",
-    "concurrent_intervals_sweep",
-    "decile_lift_acctbal",
+    # (c) r14-touched execution paths
+    "dedup_simhash_pairs",
+    "pagerank_link_graph",
+    "profile_orders_approx",
+    "streaming_cep_funnel",
+    "jaccard_link_prediction",
+    "clustering_coefficient_nodes",
+    "dau_mau_stickiness",
     "dedup_minhash_verified",
-    "ewma_events_daily",
-    "fk_integrity_audit",
-    "forecast_revenue_change",
-    "funnel_time_to_convert",
-    "gini_revenue_concentration",
-    "incremental_dedup_new_batch",
-    "join_full_outer_daily_activity",
-    "join_null_safe_priority",
-    "mixture_sample_counts",
-    "mmr_rerank_topk",
-    "orc_sink_roundtrip",
-    "passage_dedup_chunks",
-    "pipe_syntax_quality_funnel",
-    "provenance_dedup_priority",
-    "recursive_cte_chunk_threading",
-    "regr_trend_monthly_revenue",
-    "robust_outlier_trim",
-    "sample_documents_hash",
-    "scd2_event_type_intervals",
-    "session_event_type_pairs",
-    "similarity_ivf_topk",
-    "skew_diagnostic_orders",
-    "split_leakage_audit",
-    "string_agg_nations_by_region",
-    "theta_join_rank_rewrite",
-    "top_acctbal_supplier_per_nation",
-    "train_test_split_counts",
-    "try_funcs_orders",
-    "url_parse_components",
-    "zorder_morton_events",
-    "autocorrelation_lag1_distributed",
-    "approx_topk_event_types",
-    "array_hof_embeddings",
+    # (d) stalest-green rotation: last driver-checked r06/r07
+    "autocorrelation_lag1_events",
+    "bitwise_funcs_events",
+    "bpe_apply_tokenize",
+    "cdc_chunk_boundaries",
+    "countmin_heavy_hitters",
+    "dataset_datasheet",
+    "decile_lift_distributed",
+    "explode_outer_long_words",
+    "gini_revenue_distributed",
+    "gopher_quality_rules",
+    "half_stock_suppliers",
+    "histogram_acctbal_buckets",
+    "image_ahash_neardup",
+    "ivf_recall_fixed_cells",
+    "kmv_distinct_users",
+    "large_orders_customers",
+    "map_funcs_orders",
+    "metadata_agg_pushdown",
+    "partition_grouped_pushdown",
+    "posexplode_tokens",
+    "quantile_hash_sample",
+    "runtime_bloom_filter_join",
+    "semdedup_embeddings",
+    "similarity_pq_adc",
+    "span_dedup_corpus",
+    "streaming_multibatch_rollup",
+    "streaming_stateful_totals",
+    "supplier_part_counts",
+    "unicode_nfc_audit",
+    "url_canonical_dedup",
+    "xml_extract_orders",
+    "array_ops_embeddings",
+    "asof_join_events",
+    "corpus_prep_pipeline",
+    "count_distinct_customers",
+    "cube_counts",
 }
 
-# r13 window: every slot is oracle-bearing.
+# r14 window: every slot is oracle-bearing.
 INTENDED_ROWS_ONLY: set[str] = set()
 
 
